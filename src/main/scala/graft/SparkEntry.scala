@@ -1,13 +1,143 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Analytics, Telematics}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_speed_radar"       -> Telematics.speedRadar _,
+    "t2_avg_speed_control" -> Telematics.avgSpeedControl _,
+    "t3_accident_runs"     -> Telematics.accidentRuns _,
+    "t4_congestion_daily"  -> Telematics.congestionDaily _,
+    "t5_saturated_pairs"   -> Telematics.saturatedPairs _,
+    "t6_session_windows"   -> Telematics.sessionWindows _,
+    "q1_pricing_summary"   -> Analytics.pricingSummary _,
+    "q3_shipping_priority" -> Analytics.shippingPriority _,
+    "q5_local_supplier"    -> Analytics.localSupplierVolume _,
+    "q_top_users_window"   -> Analytics.topUsers _,
+  )
+
+  private val moneyExpr =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** DuckDB oracle SQL — same column names, same casts, same ordering. */
+  def oracleSql: Map[String, String] = Map(
+    "t1_speed_radar" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events WHERE value >= 90 ORDER BY event_id""".stripMargin,
+
+    "t2_avg_speed_control" ->
+      """WITH a AS (
+        |  SELECT user_id, event_type,
+        |         epoch_us(min(ts)) AS t_first_us, epoch_us(max(ts)) AS t_last_us,
+        |         min_by(value, ts) AS v_first, max_by(value, ts) AS v_last
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type, t_first_us, t_last_us,
+        |       round((v_last - v_first) / ((t_last_us - t_first_us) / 3600e6), 4) AS rate_per_hour
+        |FROM a
+        |WHERE t_last_us > t_first_us
+        |  AND abs(round((v_last - v_first) / ((t_last_us - t_first_us) / 3600e6), 4)) > 0.05
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "t3_accident_runs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts)
+        |         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS run_id
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |       epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us,
+        |       count(*) AS n_events
+        |FROM e GROUP BY user_id, event_type, run_id
+        |HAVING count(*) >= 4
+        |ORDER BY user_id, t_start_us""".stripMargin,
+
+    "t4_congestion_daily" ->
+      """SELECT strftime(ts, '%Y/%m/%d') AS day, count(*) AS n_trips,
+        |       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_amount
+        |FROM events WHERE event_type = 'purchase' AND value > 0
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    "t5_saturated_pairs" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, epoch_us(prev_ts) AS t1_us, epoch_us(ts) AS t2_us,
+        |       CAST(2 AS BIGINT) AS n_trips
+        |FROM e
+        |WHERE prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) < 600000000
+        |ORDER BY user_id, t1_us""".stripMargin,
+
+    "t6_session_windows" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM g),
+        |s AS (SELECT *, CAST(sum(new_session) OVER (
+        |        PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM m)
+        |SELECT user_id, session_id,
+        |       epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum($moneyExpr) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum($moneyExpr * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+        |       CAST(sum($moneyExpr) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(sum($moneyExpr) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1996-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top_users_window" ->
+      """WITH totals AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |         count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |r AS (SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM totals)
+        |SELECT rnk, user_id, total_value, n_purchases FROM r
+        |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+  )
 }

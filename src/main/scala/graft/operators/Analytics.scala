@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch analytics over the TPC-H-ish tables. The reference ships only
+  * skeleton batch jobs (VehicleTelematics BatchJob.java, YellowTaxi
+  * BatchJob.java) — this module fills in the batch surface the engine needs,
+  * with plans shaped for a large cluster:
+  *
+  *  - money sums go through decimal(18,2) so partial aggregation across any
+  *    number of partitions is exact and reproducible;
+  *  - dimension tables (region/nation/supplier/customer at these sizes) are
+  *    explicitly broadcast so the fact table never shuffles for them;
+  *  - top-k uses order+limit which Spark plans as TakeOrderedAndProject —
+  *    no global sort of the fact table.
+  */
+object Analytics {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+  private def rate(c: org.apache.spark.sql.Column) = c.cast("decimal(3,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** q1: TPC-H Q1 pricing summary over lineitem. Pure partial-aggregable
+    * groupBy: one shuffle of (flag,status)-keyed partials, no matter the SF.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+          * (one + rate(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "count_order")
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q3: shipping-priority style join: customer ⋈ orders ⋈ lineitem, revenue
+    * per order, top 10. Customer side broadcast; lineitem⋈orders shuffles on
+    * orderkey only.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("date"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("date"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) *
+            (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(
+        col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+        col("o_orderpriority"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q5: local-supplier-volume style 5-way join — revenue per nation for one
+    * region. All dimension joins broadcast; the only shuffle is
+    * lineitem⋈orders on orderkey + the final tiny agg.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.join(broadcast(nation),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(money(col("l_extendedprice")) *
+            (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q_top_users_window: rank users by total purchase value — window function
+    * over an aggregate (rank is computed on the tiny post-agg relation, never
+    * on the raw fact table).
+    */
+  def topUsers(spark: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(money(col("value"))).cast("double").as("total_value"),
+        count(lit(1)).as("n_purchases"))
+    totals
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("total_value").desc, col("user_id")))
+          .cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "user_id", "total_value", "n_purchases")
+      .orderBy("rnk")
+  }
+}
