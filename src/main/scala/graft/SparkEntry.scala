@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Telematics}
+import graft.operators.{Analytics, Dedup, Similarity, Telematics}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -23,7 +23,19 @@ object SparkEntry {
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
     "q_top_users_window"   -> Analytics.topUsers _,
+    "d1_exact_dedup"       -> Dedup.exactDedup _,
+    "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+    "d4_ngram_jaccard"     -> Dedup.ngramJaccard _,
+    "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "s1_ann_topk"          -> Similarity.annTopK _,
+    "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
   )
+
+  private val cosExpr =
+    "list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)), list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+  private val qCosExpr =
+    "list_cosine_similarity(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)), list_transform(e.embedding, x -> CAST(x AS DOUBLE)))"
 
   private val moneyExpr =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
@@ -139,5 +151,37 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM totals)
         |SELECT rnk, user_id, total_value, n_purchases FROM r
         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosExpr, 6) AS cosim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round($cosExpr, 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "s1_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id, round($qCosExpr, 6) AS cosim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication family over the `documents` / `embeddings` tables — the
+  * operators a large-scale training-data pipeline runs before anything else.
+  *
+  * Scale posture: the only quadratic-looking step anywhere is a self-join,
+  * and every self-join here is *blocked* — by LSH band bucket (d2), simhash
+  * band (d3), source (d4), or label (d5) — so shuffle volume is proportional
+  * to candidate pairs, not to n². At 100 TB the blocked joins shuffle on
+  * their block key once; nothing is ever collected to the driver.
+  */
+object Dedup {
+
+  /** d1: exact dedup — group identical texts, keep the smallest doc_id.
+    * One hash shuffle on the text (at scale: on a 128-bit text digest).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  // --- MinHash machinery (d2) -----------------------------------------
+
+  /** Word shingles of size `k` as an array column (k=1 → word set). */
+  private def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    if (k == 1) array_distinct(toks)
+    else array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+
+  /** k=`numHashes` MinHash signature of a string-array column. Hash function
+    * j is xxhash64 seeded with j (a second hashed argument) — no arithmetic
+    * mixing, so it is safe under ANSI overflow checking. Evaluated as nested
+    * Catalyst HOFs: the whole signature is one projection, no explode, no
+    * shuffle.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+
+  /** d2: MinHash + LSH near-dup candidates. Signature: 32 hashes; banding:
+    * 8 bands x 4 rows. Docs sharing any band bucket become a candidate pair;
+    * pairs are scored by signature agreement (the MinHash estimate of
+    * Jaccard) and kept at est >= 0.5.
+    *
+    * The band bucket is the shuffle key: at any scale the join only ever
+    * sees docs that already collide, never the cross product.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
+                 minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= shingleSize)
+      .select(col("doc_id"),
+        minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig"))
+
+    val banded = docs.select(
+      col("doc_id"), col("sig"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy("a_id", "b_id")
+  }
+
+  // --- SimHash machinery (d3) -----------------------------------------
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token
+    * hashes, folded with `aggregate` — again a single projection per row.
+    */
+  def simHash64(tokens: Column): Column = {
+    val counts = aggregate(
+      tokens,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+          (c, bit) => c + bit))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** d3: SimHash near-dup pairs. Candidates share one of four 16-bit bands
+    * (guaranteed to catch every pair at hamming <= 3, by pigeonhole);
+    * candidates are verified with the true hamming distance.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simHash64(split(col("text"), " ")).as("fp"))
+
+    val banded = docs.select(col("doc_id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bits"))))
+        .as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bits"))
+
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("b_id"), col("fp").as("b_fp"))
+
+    a.join(b, Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d4: exact word-set Jaccard >= 0.8 within each source. Token-level
+    * self-join blocked on (source, word) — the SQL-oracle-checkable exact
+    * counterpart of d2.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val inter = tok.select(col("source"), col("w"), col("doc_id").as("a_id"))
+      .join(tok.select(col("source"), col("w"), col("doc_id").as("b_id")),
+        Seq("source", "w"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
+    * cluster id); cosine computed in double so it hash-matches the DuckDB
+    * oracle after round(6). At 100 TB the block key becomes an LSH/IVF
+    * bucket (see Similarity.annIvf) instead of a given label.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       minCosine: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosim", round(VectorFunctions.cosineD(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cosim") >= minCosine)
+      .select("a_id", "b_id", "cosim")
+      .orderBy("a_id", "b_id")
+  }
+}
