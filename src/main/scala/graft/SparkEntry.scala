@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, Similarity, Telematics}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -30,6 +30,11 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "x1_lang_id"           -> TextAnalysis.langId _,
+    "x2_quality_score"     -> TextAnalysis.qualityScore _,
+    "x3_token_stats"       -> TextAnalysis.tokenStats _,
+    "x4_fingerprint"       -> TextAnalysis.fingerprints _,
+    "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
   )
 
   private val cosExpr =
@@ -183,5 +188,42 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
         |      FROM scored)
         |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+
+    "x1_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','fast'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['data','table','row'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['join','merge','group'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
+        | FROM t)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x2_quality_score" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','fast','data','table','row','join','merge','group','window','stream','batch','spark','vector','hash'],
+        |    x))) AS DOUBLE) / len(toks) AS stop_raw
+        | FROM b)
+        |SELECT doc_id, n_words, round(ttr_raw, 6) AS ttr, round(stop_raw, 6) AS stop_ratio,
+        |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
+        |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x3_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+        |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_ws_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads travel as opaque `binary`
+  * columns with typed metadata alongside; decode / feature-extraction runs
+  * per-partition in batches (the Scala analog of a vectorized `mapInPandas`
+  * decode stage).
+  *
+  * The actual codec is STUBBED — this container has no image/audio
+  * libraries — behind `decodeStub`, which produces a deterministic fake
+  * header parse. Everything Spark-cares-about is real and load-bearing:
+  * the binary column, the typed batch boundary (`Dataset[MediaBlob]` →
+  * `mapPartitions` → `Dataset[MediaMeta]`), the encoder schemas, and the
+  * partition-parallel shape a real decoder would drop into unchanged.
+  */
+object Multimodal {
+
+  /** An opaque media payload: what a real pipeline reads from a blob store
+    * column.
+    */
+  case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted metadata; `width`/`height`/`n_frames` come from the stubbed
+    * header parse.
+    */
+  case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+                       crc32: Long, width: Int, height: Int, n_frames: Int)
+
+  /** STUB: a real implementation parses the codec header (JPEG SOF, WAV
+    * fmt, MP4 moov...). This fake derives deterministic dimensions from the
+    * payload bytes so the pipeline shape is testable without codecs.
+    */
+  private def decodeStub(b: MediaBlob): MediaMeta = {
+    val crc = new CRC32()
+    crc.update(b.payload)
+    val c = crc.getValue
+    MediaMeta(
+      doc_id = b.doc_id,
+      media_type = b.media_type,
+      byte_len = b.payload.length.toLong,
+      crc32 = c,
+      width = (c % 1920L).toInt + 1,
+      height = ((c >> 16) % 1080L).toInt + 1,
+      n_frames = (b.payload.length / 1024) + 1)
+  }
+
+  /** m1: metadata extraction over a synthesized media column (documents'
+    * text bytes standing in for a blob). One narrow `mapPartitions` pass —
+    * no shuffle, no driver involvement, decode parallelism = partition
+    * count.
+    */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs: Dataset[MediaBlob] = Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        // fake modality assignment: deterministic by id
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaBlob]
+
+    blobs
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash
+
+/** Text-analysis operators over the `documents` table: language ID, quality
+  * scoring, token statistics, and content fingerprinting. All per-document
+  * work is a single codegen'd projection (no UDFs, no shuffle); only the
+  * per-source rollup in x3 shuffles, keyed by source.
+  */
+object TextAnalysis {
+
+  /** Language marker lexicons for the n-gram/stopword-hit heuristic. On real
+    * corpora these would be per-language frequency tables; the mechanism —
+    * count hits per language, argmax with a fixed priority order — is the
+    * same at any lexicon size.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("data", "table", "row"),
+    "de" -> Seq("join", "merge", "group"),
+    "fr" -> Seq("window", "stream", "batch"),
+    "zh" -> Seq("spark", "vector", "hash"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** x1: language identification by marker-token counts; ties resolve in
+    * fixed lexicon order (en > es > de > fr > zh).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(
+        (col("doc_id") +: col("lang") +:
+          markers.map { case (l, ws) => hitCount(col("toks"), ws).as(s"s_$l") }): _*)
+    val langs = markers.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
+      val mine = col(s"s_$l")
+      val beats = langs.filter(_ != l).map(o => mine >= col(s"s_$o")).reduce(_ && _)
+      when(beats, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select("doc_id", "lang", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** x2: document quality score from length / type-token ratio / stopword
+    * ratio — pure column arithmetic, one codegen'd pass.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = markers.flatMap(_._2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      // raw ratios feed the score; rounding only happens at the output edge
+      // (rounding-then-weighting lands scores exactly on decimal halves,
+      // where engines disagree)
+      .withColumn("ttr_raw",
+        size(array_distinct(col("toks"))).cast("double") / col("n_words"))
+      .withColumn("stop_raw",
+        size(filter(col("toks"), t => t.isin(stops: _*)))
+          .cast("double") / col("n_words"))
+      .withColumn("quality_score",
+        round(lit(0.4) * col("ttr_raw")
+          + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
+          + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("ttr", round(col("ttr_raw"), 6))
+      .withColumn("stop_ratio", round(col("stop_raw"), 6))
+      .select("doc_id", "n_words", "ttr", "stop_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** x3: token statistics per source — whitespace tokens vs a BPE-ish
+    * regex tokenizer (`[a-z]+|[0-9]+|[^a-z0-9 ]`).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("re_tokens"))
+      .withColumn("avg_ws_tokens",
+        round(col("ws_tokens").cast("double") / col("n_docs"), 4))
+      .select("source", "n_docs", "ws_tokens", "re_tokens", "avg_ws_tokens")
+      .orderBy("source")
+
+  /** x4: document fingerprints via the native rolling-hash expressions —
+    * whole-text polynomial hash + minimum 32-byte-window hash (winnowing
+    * sketch). Rows-only checked; exactness is pinned by ScalaTest.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        RollingHash.polyHash(col("text")).as("fp64"),
+        RollingHash.minWindowHash(col("text"), 32).as("min_win_fp"))
+      .orderBy("doc_id")
+}
