@@ -1,0 +1,140 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the reference's Flink reports. Each op
+  * takes an unbounded DataFrame (from `readStream`) with the `events`
+  * schema and returns a transformed streaming DataFrame — source and sink
+  * agnostic, exactly like the reference's DataStream transformations.
+  *
+  * Mapping from the reference:
+  *  - SpeedRadar (VehicleTelematics.java:59-83): stateless filter+project —
+  *    `speedRadar`.
+  *  - CongestionArea (CongestionArea.java:33-76): 1-day tumbling event-time
+  *    window + watermark — `congestionDaily`.
+  *  - Session analog of the count/global windows: `sessionWindows` on
+  *    Spark's native `session_window`.
+  *  - AccidentReporter (VehicleTelematics.java:290-331) — keyed run
+  *    detection — `accidentRuns` via flatMapGroupsWithState (Flink's
+  *    keyed state + trigger, re-expressed).
+  *  - SaturatedVendor (SaturatedVendor.java:40-91) — consecutive-pair gap
+  *    detection — `saturatedPairs` via flatMapGroupsWithState.
+  *
+  * Scale posture: state is strictly per-key (user_id) and O(1) per key —
+  * a run summary or a single previous timestamp — so a 1000-executor
+  * cluster shards state by key hash with no cross-key coordination;
+  * watermarks bound retained window state.
+  */
+object StreamOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class RunState(eventType: String, startUs: Long, endUs: Long, n: Long)
+
+  case class AccidentRun(user_id: Long, event_type: String,
+                         t_start_us: Long, t_end_us: Long, n_events: Long)
+
+  case class PairState(lastUs: Long)
+
+  case class SaturatedPair(user_id: Long, t1_us: Long, t2_us: Long, n_trips: Long)
+
+  /** Stateless speeding filter — identical plan shape batch or streaming. */
+  def speedRadar(events: DataFrame, limit: Double = 90.0): DataFrame =
+    events.filter(col("value") >= limit)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+
+  /** 1-day tumbling event-time window over qualifying events; the watermark
+    * bounds state and closes windows for append-mode sinks.
+    */
+  def congestionDaily(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type") === "purchase" && col("value") > 0.0)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_trips"),
+        sum(col("value").cast("decimal(18,2)")).as("amount_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy/MM/dd").as("day"),
+        col("n_trips"),
+        round(col("amount_sum").cast("double") / col("n_trips"), 2).as("avg_amount"))
+
+  /** Native event-time session windows (30-minute gap) per user. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("t_start_us"),
+        unix_micros(col("w.end")).as("t_end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Keyed run detection: emits a run when it *breaks* — >= minRun
+    * consecutive events of the same event_type for one user. Within a
+    * micro-batch, events are processed in event-time order; state carries
+    * the open run across batches.
+    */
+  def accidentRuns(spark: SparkSession, events: Dataset[Event],
+                   minRun: Int = 4): Dataset[AccidentRun] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, AccidentRun](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[RunState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[AccidentRun]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            cur match {
+              case Some(r) if r.eventType == e.event_type =>
+                cur = Some(r.copy(endUs = us, n = r.n + 1))
+              case Some(r) =>
+                if (r.n >= minRun)
+                  out += AccidentRun(userId, r.eventType, r.startUs, r.endUs, r.n)
+                cur = Some(RunState(e.event_type, us, us, 1))
+              case None =>
+                cur = Some(RunState(e.event_type, us, us, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is
+    * under `maxGapUs`. State is just the previous event time.
+    */
+  def saturatedPairs(spark: SparkSession, events: Dataset[Event],
+                     maxGapUs: Long = 600000000L): Dataset[SaturatedPair] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PairState, SaturatedPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[PairState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption.map(_.lastUs)
+          val out = Seq.newBuilder[SaturatedPair]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            last.foreach { p =>
+              if (us - p < maxGapUs) out += SaturatedPair(userId, p, us, 2L)
+            }
+            last = Some(us)
+          }
+          last.foreach(u => state.update(PairState(u)))
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.Dedup
+
+/** Dedup-family semantics on crafted documents. */
+class DedupSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("d1 exact dedup keeps the smallest doc_id per identical text") {
+    val dir = writeDocs(Seq(
+      (5L, base, "s0"), (2L, base, "s0"), (9L, "unique text here", "s0")))
+    val got = Dedup.exactDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L), (9L, 1L)))
+  }
+
+  test("d2 minhash-lsh surfaces exact and near duplicates, skips distinct docs") {
+    val near = base.replace("dog", "cat") // one word differs
+    val far = "completely different words about spark catalyst plans and shuffles"
+    val dir = writeDocs(Seq(
+      (1L, base, "s0"), (2L, base, "s0"), (3L, near, "s0"), (4L, far, "s0")))
+    val pairs = Dedup.minhashLsh(spark, dir, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate must collide in every band")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near duplicate should collide in some band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("d2 minhash estimate tracks true jaccard for identical sets") {
+    val dir = writeDocs(Seq((1L, base, "s0"), (2L, base, "s0")))
+    val est = Dedup.minhashLsh(spark, dir, minEstJaccard = 0.0)
+      .collect().head.getDouble(2)
+    assert(est == 1.0, "identical shingle sets -> identical signatures")
+  }
+
+  test("d3 simhash: identical token multisets get hamming 0; distinct docs don't pair") {
+    val permuted = base.split(' ').reverse.mkString(" ") // same multiset
+    val far = "completely different words about spark catalyst plans and shuffles"
+    val dir = writeDocs(Seq(
+      (1L, base, "s0"), (2L, permuted, "s0"), (3L, far, "s0")))
+    val got = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.get((1L, 2L)).contains(0L))
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("d4 word-set jaccard is exact") {
+    // sets: {a b c d}, {a b c e} -> intersection 3, union 5 -> 0.6
+    val dir = writeDocs(Seq((1L, "a b c d", "s0"), (2L, "a b c e", "s0")))
+    val all = Dedup.ngramJaccard(spark, dir).collect()
+    assert(all.isEmpty, "0.6 is below the 0.8 threshold")
+    val dir2 = writeDocs(Seq(
+      (1L, "a b c d e", "s0"), (2L, "a b c d f", "s0"))) // 4/6 ≈ 0.667 no
+    assert(Dedup.ngramJaccard(spark, dir2).collect().isEmpty)
+    val dir3 = writeDocs(Seq(
+      (1L, "a b c d e", "s0"), (2L, "a b c d e", "s0"))) // identical -> 1.0
+    val got = Dedup.ngramJaccard(spark, dir3).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 1.0)
+  }
+
+  test("d5 embedding near-dup pairs are blocked by label") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val v = Array.fill(4)(0.5f)
+    Seq(
+      (1L, v, 0), (2L, v, 0),                              // same label, cos 1
+      (3L, v, 1),                                          // same vector, other label
+      (4L, Array(0.5f, -0.5f, 0.5f, -0.5f), 0))            // orthogonal
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val got = Dedup.embeddingNearDup(spark, dir, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), "identical vectors pair only within a label")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps._
+
+/** Structured Streaming twins, driven through MemoryStream micro-batches so
+  * cross-batch state (open runs, previous-event timestamps, watermarked
+  * windows) is actually exercised.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+                 value: Double = 1.0): Event =
+    Event(id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      user, typ, value)
+
+  test("accident runs: run split across micro-batches still detected once broken") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.accidentRuns(spark, input.toDS())
+      .writeStream.format("memory").queryName("runs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 2).map(i => ev(i, i, 1L, "click")))
+      q.processAllAvailable()
+      input.addData((3 to 5).map(i => ev(i, i, 1L, "click"))) // run now 5 long
+      q.processAllAvailable()
+      assert(spark.table("runs_out").count() == 0, "open run not yet emitted")
+      input.addData(Seq(ev(6, 6, 1L, "view"))) // break the run
+      q.processAllAvailable()
+      val rows = spark.table("runs_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("event_type") == "click")
+      assert(rows.head.getAs[Long]("n_events") == 5L)
+    } finally q.stop()
+  }
+
+  test("saturated pairs: state remembers the previous event across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.saturatedPairs(spark, input.toDS())
+      .writeStream.format("memory").queryName("pairs_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "a")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2, 5, 1L, "a")))   // 5 min after batch-1 event
+      q.processAllAvailable()
+      input.addData(Seq(ev(3, 60, 1L, "a")))  // 55 min gap: no pair
+      q.processAllAvailable()
+      val rows = spark.table("pairs_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_trips") == 2L)
+    } finally q.stop()
+  }
+
+  test("speed radar is stateless and per-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.speedRadar(input.toDF())
+      .writeStream.format("memory").queryName("radar_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "a", 89.0), ev(2, 1, 1L, "a", 95.0)))
+      q.processAllAvailable()
+      val rows = spark.table("radar_out").collect()
+      assert(rows.map(_.getAs[Long]("event_id")).toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("congestion daily closes 1-day windows once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.congestionDaily(input.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        ev(1, 0, 1L, "purchase", 10.0), ev(2, 30, 2L, "purchase", 20.0),
+        ev(3, 40, 3L, "click", 99.0)))
+      q.processAllAvailable()
+      // event two days later pushes the watermark past day one
+      input.addData(Seq(ev(9, 60 * 48, 9L, "purchase", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("daily_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("day") == "2024/01/01")
+      assert(rows.head.getAs[Long]("n_trips") == 2L)
+      assert(rows.head.getAs[Double]("avg_amount") == 15.0)
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.sessionWindows(input.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "a", 1.0), ev(2, 10, 1L, "a", 2.0),
+        ev(3, 120, 1L, "a", 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "a", 1.0))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(rows.count(_ == (1L, 2L)) == 1, "first session has two events")
+      assert(rows.count(_ == (1L, 1L)) == 1, "second session has one event")
+    } finally q.stop()
+  }
+}
