@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge, EqualCountLong, MinHashSignature, SimHash64}
+
+/** Column-API facade over the native sketch kernels (one codegen'd loop per
+  * document instead of interpreted higher-order-function lambdas).
+  */
+object Sketches {
+
+  /** k-hash MinHash signature (array<long>) of a string-array column. */
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shingles), numHashes))
+
+  /** 64-bit SimHash of a string-array column. */
+  def simHash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Positions where two long-array signatures agree. */
+  def equalCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      EqualCountLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

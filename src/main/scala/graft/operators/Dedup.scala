@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{Sketches, VectorFunctions}
 
 /** Deduplication family over the `documents` / `embeddings` tables — the
   * operators a large-scale training-data pipeline runs before anything else.
@@ -39,28 +39,26 @@ object Dedup {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
-  /** k=`numHashes` MinHash signature of a string-array column. Hash function
-    * j is xxhash64 seeded with j (a second hashed argument) — no arithmetic
-    * mixing, so it is safe under ANSI overflow checking. Evaluated as nested
-    * Catalyst HOFs: the whole signature is one projection, no explode, no
-    * shuffle.
+  /** k=`numHashes` MinHash signature — the native codegen'd kernel (one
+    * string hash per shingle + k cheap long mixes; see
+    * graftbridge.MinHashSignature).
     */
   def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingleCol, s => xxhash64(s, j))))
+    Sketches.minHashSignature(shingleCol, numHashes)
 
   /** d2: MinHash + LSH near-dup candidates. Signature: 32 hashes; banding:
     * 8 bands x 4 rows. Docs sharing any band bucket become a candidate pair;
     * pairs are scored by signature agreement (the MinHash estimate of
-    * Jaccard) and kept at est >= 0.5.
+    * Jaccard) and kept at est >= the threshold.
     *
-    * The band bucket is the shuffle key: at any scale the join only ever
-    * sees docs that already collide, never the cross product.
+    * Join discipline for scale: the band join carries ONLY (bucket, doc_id)
+    * — signatures rejoin after the candidate pairs are deduplicated, so the
+    * wide arrays are shuffled once per *distinct* pair, not once per band
+    * collision. Candidate volume tracks true collisions, never n².
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
-                 minEstJaccard: Double = 0.5): DataFrame = {
+                 minEstJaccard: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= shingleSize)
@@ -68,7 +66,7 @@ object Dedup {
         minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig"))
 
     val banded = docs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -76,43 +74,32 @@ object Dedup {
             b.as("band"),
             xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-
-    a.join(b, Seq("band", "bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+        Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
-          eq => eq)).cast("double") / numHashes).as("est_jaccard"))
+      .select("a_id", "b_id")
       .distinct()
+
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (Sketches.equalCount(col("a_sig"), col("b_sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderBy("a_id", "b_id")
   }
 
   // --- SimHash machinery (d3) -----------------------------------------
 
-  /** 64-bit SimHash of a token array: per-bit majority vote of token
-    * hashes, folded with `aggregate` — again a single projection per row.
+  /** 64-bit SimHash of a token array — the native codegen'd kernel (one
+    * xxhash64 per token, bit votes read from that hash; see
+    * graftbridge.SimHash64).
     */
-  def simHash64(tokens: Column): Column = {
-    val counts = aggregate(
-      tokens,
-      array_repeat(lit(0), 64),
-      (acc, t) =>
-        zip_with(acc, transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)),
-          (c, bit) => c + bit))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L),
-      (acc, v) => acc.bitwiseOR(v))
-  }
+  def simHash64(tokens: Column): Column = Sketches.simHash64(tokens)
 
   /** d3: SimHash near-dup pairs. Candidates share one of four 16-bit bands
     * (guaranteed to catch every pair at hamming <= 3, by pigeonhole);
@@ -179,11 +166,18 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, dir: String,
                        minCosine: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      .select(col("label"), col("vec_id"), col("embedding"),
+        VectorFunctions.normD(col("embedding")).as("nrm"))
+    val a = e.select(col("label"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
     a.join(b, Seq("label"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cosim", round(VectorFunctions.cosineD(col("a_emb"), col("b_emb")), 6))
+      .withColumn("cosim",
+        round(VectorFunctions.cosineWithNorms(
+          VectorFunctions.dotD(col("a_emb"), col("b_emb")),
+          col("a_nrm"), col("b_nrm")), 6))
       .filter(col("cosim") >= minCosine)
       .select("a_id", "b_id", "cosim")
       .orderBy("a_id", "b_id")

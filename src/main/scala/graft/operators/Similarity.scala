@@ -35,10 +35,14 @@ object Similarity {
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val cand = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        normD(col("embedding")).as("n_nrm"))
     val scored = cand
-      .join(broadcast(queryVectors(spark, dir)), col("n_id") =!= col("q_id"))
-      .withColumn("cosim", round(cosineD(col("q_emb"), col("n_emb")), 6))
+      .join(broadcast(queryVectors(spark, dir)
+        .withColumn("q_nrm", normD(col("q_emb")))), col("n_id") =!= col("q_id"))
+      .withColumn("cosim",
+        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
     scored
       .withColumn("rnk",
         row_number().over(
@@ -64,9 +68,7 @@ object Similarity {
   /** SRP bucket code of an embedding column: bit i = sign(dot(v, plane_i)). */
   private[operators] def srpCode(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(emb, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = dotD(emb, lit(p))
       when(dot >= 0, shiftleft(lit(1), i)).otherwise(0)
     }.reduce(_ bitwiseOR _)
 
@@ -83,6 +85,7 @@ object Similarity {
     val planes = srpPlanes(nBits, 64)
     val cand = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        normD(col("embedding")).as("n_nrm"),
         srpCode(col("embedding"), planes).as("bucket"))
 
     val masks: Seq[Int] =
@@ -91,11 +94,14 @@ object Similarity {
       .withColumn("code", srpCode(col("q_emb"), planes))
       .withColumn("mask", explode(lit(masks.toArray)))
       .withColumn("bucket", col("code").bitwiseXOR(col("mask")))
-      .select("q_id", "q_emb", "bucket")
+      .withColumn("q_nrm", normD(col("q_emb")))
+      .select("q_id", "q_emb", "q_nrm", "bucket")
 
     cand.join(broadcast(probes), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cosim", round(cosineD(col("q_emb"), col("n_emb")), 6))
+      .withColumn("cosim",
+        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rnk",
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
