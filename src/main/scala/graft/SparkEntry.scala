@@ -22,6 +22,7 @@ object SparkEntry {
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
+    "q6_forecast_revenue"  -> Analytics.forecastRevenue _,
     "q_top_users_window"   -> Analytics.topUsers _,
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -146,6 +147,12 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1996-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q_top_users_window" ->
       """WITH totals AS (

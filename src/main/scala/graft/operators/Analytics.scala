@@ -107,6 +107,19 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** q6: forecast-revenue-change — tight filter + single global aggregate;
+    * the whole query is one scan with every predicate pushed to parquet and
+    * a one-row partial-agg reduce.
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
+        col("l_shipdate") < lit("1995-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+        .cast("double").as("revenue"))
+
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never
     * on the raw fact table).

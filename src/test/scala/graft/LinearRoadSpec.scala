@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.LinearRoad
+import graft.sources.EventSources
+
+/** Reference-exact VehicleTelematics reports, driven through the CSV
+  * source with the reference's own input format.
+  */
+class LinearRoadSpec extends SparkSpec {
+
+  /** Rows are (time,vid,spd,xway,lane,dir,seg,pos) like the reference CSV. */
+  private def writeCsv(rows: Seq[String]): String = {
+    val f = Files.createTempFile("cardata-", ".csv")
+    Files.writeString(f, rows.mkString("\n"))
+    f.toString
+  }
+
+  test("speed fines keep >=90 with the reference's column projection") {
+    val path = writeCsv(Seq(
+      "10,1,89,1,0,0,50,1000",
+      "11,1,90,1,0,0,50,1100",
+      "12,2,120,2,1,1,55,9000"))
+    val got = LinearRoad.speedFines(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(5)))
+    assert(got.toSet == Set((11, 1, 90), (12, 2, 120)))
+  }
+
+  test("average speed control fines a 52->56 traversal over 60 mph") {
+    // eastbound car 1: seg 52 at t=0 pos=0, seg 56 at t=100 pos=5280*... use
+    // meters: 3000m in 100s = 30 m/s -> 30*3600/1000*0.621371 = 67 mph
+    val path = writeCsv(Seq(
+      "0,1,50,1,0,0,52,0",
+      "100,1,50,1,0,0,56,3000",
+      // car 2 is slow: 1000m in 100s = 10 m/s -> 22 mph, no fine
+      "0,2,50,1,0,0,52,0",
+      "100,2,50,1,0,0,56,1000"))
+    val got = LinearRoad.avgSpeedFines(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(2), r.getInt(5)))
+    assert(got.toSeq == Seq((1, 67)))
+  }
+
+  test("average speed control uses the extreme-position record per segment") {
+    // eastbound: max pos wins per (vid, dir, seg): the seg-52 record at
+    // pos=500/t=50 supersedes pos=0/t=0 -> 2500m in 50s = 50 m/s -> 111 mph
+    val path = writeCsv(Seq(
+      "0,1,50,1,0,0,52,0",
+      "50,1,50,1,0,0,52,500",
+      "100,1,50,1,0,0,56,3000"))
+    val got = LinearRoad.avgSpeedFines(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(5)))
+    assert(got.toSeq == Seq((50, 100, 111)))
+  }
+
+  test("accidents emit one row per report from the 4th same-position report on") {
+    val path = writeCsv(
+      (0 until 6).map(i => s"${i * 30},7,0,1,0,0,20,555") :+ // 6 stopped reports
+        "300,8,10,1,0,0,20,600")                             // moving car
+    val got = LinearRoad.accidents(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    // reports 4,5,6 (times 90,120,150) each emit with run start time1=0
+    assert(got.toSet == Set((0, 90, 7), (0, 120, 7), (0, 150, 7)))
+  }
+
+  test("carDataAsEvents lets the generic stream operators run on telemetry") {
+    val path = writeCsv(Seq("10,1,95,1,0,0,50,1000", "20,2,50,1,0,0,50,2000"))
+    val events = EventSources.carDataAsEvents(EventSources.carDataCsv(spark, path))
+    val radar = graft.streaming.StreamOps.speedRadar(events).collect()
+    assert(radar.length == 1 && radar.head.getAs[Double]("value") == 95.0)
+  }
+}
