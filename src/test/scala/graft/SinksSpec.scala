@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sinks.Sinks
+import graft.sources.EventSources
+
+/** End-to-end source → operator → CSV sink, batch and streaming. */
+class SinksSpec extends SparkSpec {
+
+  test("batch: telemetry csv in, speeding fines csv out, single file") {
+    import graft.operators.LinearRoad
+    val in = Files.createTempFile("cars-", ".csv")
+    Files.writeString(in, "10,1,95,1,0,0,50,1000\n11,2,80,1,0,0,50,2000")
+    val out = Files.createTempDirectory("fines-").toString
+    Sinks.writeCsvSingle(
+      LinearRoad.speedFines(EventSources.carDataCsv(spark, in.toString)), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1, "parallelism-1 sink writes exactly one part file")
+    val content = Files.readString(files.head.toPath).trim
+    assert(content == "10,1,1,50,0,95")
+  }
+
+  test("streaming: csv file source -> radar -> csv sink") {
+    val inDir = Files.createTempDirectory("stream-in-")
+    val outDir = Files.createTempDirectory("stream-out-").toString
+    val cpDir = Files.createTempDirectory("stream-cp-").toString
+    Files.writeString(inDir.resolve("batch1.csv"),
+      "10,1,95,1,0,0,50,1000\n11,2,80,1,0,0,50,2000")
+    val events = EventSources.carDataAsEvents(
+      EventSources.carDataCsvStream(spark, inDir.toString))
+    val q = Sinks.streamToCsv(
+      graft.streaming.StreamOps.speedRadar(events), outDir, cpDir)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.read.csv(outDir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(4) == "95.0")
+  }
+}
