@@ -23,6 +23,9 @@ object SparkEntry {
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
     "q6_forecast_revenue"  -> Analytics.forecastRevenue _,
+    "q4_order_priority"    -> Analytics.orderPriority _,
+    "q_dormant_customers"  -> Analytics.dormantCustomers _,
+    "q_rollup_events"      -> Analytics.eventRollup _,
     "q_top_users_window"   -> Analytics.topUsers _,
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -151,8 +154,32 @@ object SparkEntry {
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
         |FROM lineitem
-        |WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey AND l_shipdate >= DATE '1996-02-01')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dormant_customers" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1995-07-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup_events" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |       COALESCE(day, 'ALL') AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+        |GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
 
     "q_top_users_window" ->
       """WITH totals AS (

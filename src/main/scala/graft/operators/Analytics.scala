@@ -113,12 +113,58 @@ object Analytics {
     */
   def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1994-01-01").cast("date") &&
-        col("l_shipdate") < lit("1995-01-01").cast("date") &&
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
         .cast("double").as("revenue"))
+
+  /** q4: order-priority count over orders that have at least one late-ish
+    * line item — LEFT SEMI join (EXISTS), so lineitem is only probed, never
+    * duplicated into the aggregate.
+    */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-04-01").cast("date"))
+    val late = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-02-01").cast("date"))
+      .select("l_orderkey")
+    ord.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q_dormant_customers: customers with no orders — LEFT ANTI join (NOT
+    * EXISTS); the anti side streams through the join without materializing.
+    */
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-06-01").cast("date") &&
+            col("o_orderdate") < lit("1995-07-01").cast("date"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey").cast("int").as("c_nationkey"))
+      .orderBy("c_custkey")
+
+  /** q_rollup_events: (event_type, day) rollup — multi-grain aggregates in
+    * one pass via grouping sets; NULL grain markers are coalesced so the
+    * output is oracle-comparable.
+    */
+  def eventRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy("event_type", "day")
 
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never

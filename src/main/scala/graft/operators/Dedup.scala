@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -58,7 +59,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
-                 minEstJaccard: Double = 0.8): DataFrame = {
+                 minEstJaccard: Double = 0.8, maxBucketSize: Int = 2000): DataFrame = {
     val rows = numHashes / bands
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= shingleSize)
@@ -76,8 +77,18 @@ object Dedup {
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
 
-    val pairs = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      .join(banded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
+    // Standard LSH hygiene: cap bucket size. An over-full bucket means the
+    // band carries no discriminating information there (stop-shingle
+    // territory) but would cost O(size²) pairs — the worst-case skew killer
+    // at fleet scale. Recall is preserved by the other bands.
+    val bounded = banded
+      .withColumn("bkt_n",
+        count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bkt_n") <= maxBucketSize)
+      .drop("bkt_n")
+
+    val pairs = bounded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")

@@ -1,0 +1,59 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Registration of graft's native expressions as SQL functions, both as a
+  * `SparkSessionExtensions` class (set `spark.sql.extensions=
+  * graft.GraftSparkExtensions` at session build) and imperatively on a live
+  * session. SQL users then get e.g.
+  *
+  *   SELECT graft_poly_hash(text), graft_simhash64(split(text, ' '))
+  *   FROM documents
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+        (args: Seq[Expression]) => PolyHash(args.head)),
+      (FunctionIdentifier("graft_min_window_hash"),
+        new ExpressionInfo(classOf[MinWindowHash].getName, "graft_min_window_hash"),
+        (args: Seq[Expression]) =>
+          MinWindowHash(args.head, intArg(args(1), "graft_min_window_hash(k)"))),
+      (FunctionIdentifier("graft_simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+        (args: Seq[Expression]) => SimHash64(args.head)),
+      (FunctionIdentifier("graft_minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+        (args: Seq[Expression]) =>
+          MinHashSignature(args.head, intArg(args(1), "graft_minhash_sig(k)"))),
+      (FunctionIdentifier("graft_dot_double"),
+        new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_double"),
+        (args: Seq[Expression]) => DotProductDouble(args.head, args(1))),
+      (FunctionIdentifier("graft_equal_count"),
+        new ExpressionInfo(classOf[EqualCountLong].getName, "graft_equal_count"),
+        (args: Seq[Expression]) => EqualCountLong(args.head, args(1))))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
+  }
+
+  /** Extension hook: inject every graft function. */
+  def inject(extensions: SparkSessionExtensions): Unit =
+    functions.foreach(extensions.injectFunction)
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.graftbridge.GraftFunctions
+
+/** SQL surface of the native expressions via function registration. */
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered graft functions are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_poly_hash('abc') AS p,
+        |       graft_min_window_hash('abcdefghij', 4) AS mw,
+        |       graft_simhash64(array('a', 'b')) AS sh,
+        |       graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |       graft_equal_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq
+        |""".stripMargin).collect().head
+    // poly hash of "abc" = (('a'*31)+'b')*31+'c'
+    val expected = ((97L * 31 + 98) * 31) + 99
+    assert(r.getAs[Long]("p") == expected)
+    assert(r.getAs[Double]("dot") == 11.0)
+    assert(r.getAs[Long]("eq") == 2L)
+  }
+
+  test("literal-int parameters are validated") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_min_window_hash('abc', 'oops')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal int"))
+  }
+}
