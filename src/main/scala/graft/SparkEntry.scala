@@ -26,6 +26,9 @@ object SparkEntry {
     "q4_order_priority"    -> Analytics.orderPriority _,
     "q_dormant_customers"  -> Analytics.dormantCustomers _,
     "q_rollup_events"      -> Analytics.eventRollup _,
+    "q7_user_stats"        -> Analytics.userStats _,
+    "q8_approx_stats"      -> Analytics.approxStats _,
+    "q_salted_purchases"   -> ((s: SparkSession, d: String) => Analytics.saltedPurchaseTotals(s, d)),
     "q_top_users_window"   -> Analytics.topUsers _,
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -180,6 +183,19 @@ object SparkEntry {
         |FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
         |GROUP BY ROLLUP(event_type, day)
         |ORDER BY event_type, day""".stripMargin,
+
+    "q7_user_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users,
+        |       round(quantile_cont(value, 0.5), 6) AS med_value,
+        |       round(quantile_cont(value, 0.95), 6) AS p95_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_salted_purchases" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS n_purchases
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_top_users_window" ->
       """WITH totals AS (

@@ -166,6 +166,54 @@ object Analytics {
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "day")
 
+  /** q7_user_stats: exact distinct counts + interpolated percentiles per
+    * event type (both engines use linear interpolation).
+    */
+  def userStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_distinct(col("user_id")).as("nd_users"),
+        round(expr("percentile(value, 0.5D)"), 6).as("med_value"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95_value"))
+      .orderBy("event_type")
+
+  /** q8_approx_stats: the sketch versions — HyperLogLog++ distinct counts
+    * and t-digest-style quantiles. At 100 TB these replace their exact
+    * counterparts: fixed-size state, partial-mergeable, one pass. Rows-only
+    * checked (sketch internals differ across engines by design); the exact
+    * twin q7 is the oracle-checked baseline.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_nd_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
+      .orderBy("event_type")
+
+  /** q_salted_purchases: skew-safe two-phase aggregation — pre-aggregate on
+    * (key, salt) then merge per key. Same exact result as a plain groupBy
+    * (decimal partials commute), but a hot key's rows fan out over
+    * `salts` reducers first: the 100-TB answer to power-law keys. The salt
+    * is derived from event_id so it is deterministic, not random.
+    */
+  def saltedPurchaseTotals(spark: SparkSession, dir: String,
+                           salts: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts.toLong)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(
+        sum(money(col("value"))).as("part_sum"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("part_sum")).cast("double").as("total_value"),
+        sum(col("part_n")).as("n_purchases"))
+      .orderBy("user_id")
+
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never
     * on the raw fact table).

@@ -78,13 +78,22 @@ object StreamOps {
         unix_micros(col("w.end")).as("t_end_us"),
         col("n_events"), col("sum_value"))
 
-  /** Keyed run detection: emits a run when it *breaks* — >= minRun
-    * consecutive events of the same event_type for one user. Within a
-    * micro-batch, events are processed in event-time order; state carries
-    * the open run across batches.
+  /** Keyed run detection over >= minRun consecutive events of the same
+    * event_type for one user. Two emission modes:
+    *
+    *  - `emitPerReport = false` (default): emit once, when the run breaks —
+    *    the batch-friendly summary.
+    *  - `emitPerReport = true`: emit a row for EVERY event that extends a
+    *    run at/past minRun, as it arrives — the reference's sliding
+    *    countWindow(4,1) behavior (VehicleTelematics.java:290-331), where
+    *    a still-stopped car keeps reporting.
+    *
+    * Within a micro-batch events are processed in event-time order; state
+    * carries the open run across batches.
     */
   def accidentRuns(spark: SparkSession, events: Dataset[Event],
-                   minRun: Int = 4): Dataset[AccidentRun] = {
+                   minRun: Int = 4,
+                   emitPerReport: Boolean = false): Dataset[AccidentRun] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -99,8 +108,10 @@ object StreamOps {
             cur match {
               case Some(r) if r.eventType == e.event_type =>
                 cur = Some(r.copy(endUs = us, n = r.n + 1))
+                if (emitPerReport && r.n + 1 >= minRun)
+                  out += AccidentRun(userId, r.eventType, r.startUs, us, r.n + 1)
               case Some(r) =>
-                if (r.n >= minRun)
+                if (!emitPerReport && r.n >= minRun)
                   out += AccidentRun(userId, r.eventType, r.startUs, r.endUs, r.n)
                 cur = Some(RunState(e.event_type, us, us, 1))
               case None =>

@@ -24,6 +24,8 @@ object SparkSpec {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-warehouse-").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -42,6 +42,24 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("accident runs: per-report mode emits from the 4th report on, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.accidentRuns(spark, input.toDS(), emitPerReport = true)
+      .writeStream.format("memory").queryName("runs_pr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1 to 3).map(i => ev(i, i, 1L, "click")))
+      q.processAllAvailable()
+      assert(spark.table("runs_pr_out").count() == 0, "run of 3 is silent")
+      input.addData((4 to 5).map(i => ev(i, i, 1L, "click")))
+      q.processAllAvailable()
+      val rows = spark.table("runs_pr_out").collect()
+      assert(rows.length == 2, "reports 4 and 5 each emit")
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(4L, 5L))
+    } finally q.stop()
+  }
+
   test("saturated pairs: state remembers the previous event across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
