@@ -42,6 +42,8 @@ object SparkEntry {
     "x3_token_stats"       -> TextAnalysis.tokenStats _,
     "x4_fingerprint"       -> TextAnalysis.fingerprints _,
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
+    "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
   )
 
   private val cosExpr =

@@ -50,26 +50,54 @@ object Multimodal {
       n_frames = (b.payload.length / 1024) + 1)
   }
 
-  /** m1: metadata extraction over a synthesized media column (documents'
-    * text bytes standing in for a blob). One narrow `mapPartitions` pass —
-    * no shuffle, no driver involvement, decode parallelism = partition
-    * count.
+  /** One sampled frame of a (stubbed) video decode. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_crc: Long)
+
+  /** m2: frame sampling — the one-to-many decode fan-out (video row →
+    * sampled frame rows) via a typed flatMap-style mapPartitions. The frame
+    * "decode" is the same deterministic stub; the fan-out shape, encoder
+    * schemas, and per-partition batching are what a real ffmpeg stage
+    * drops into.
     */
-  def mediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+  def frameSamples(spark: SparkSession, dir: String,
+                   everyNth: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
-    val blobs: Dataset[MediaBlob] = Tables.documents(spark, dir)
+    val blobs = mediaBlobs(spark, dir).filter(_.media_type == "video")
+    blobs.mapPartitions(_.flatMap { b =>
+      val meta = decodeStub(b)
+      (0 until meta.n_frames by everyNth).map { i =>
+        val crc = new CRC32()
+        crc.update(b.payload, (i * 64) % math.max(1, b.payload.length),
+          math.min(64, b.payload.length))
+        FrameSample(b.doc_id, i, i * 40L, crc.getValue) // 25 fps -> 40ms/frame
+      }
+    })
+  }
+
+  /** The synthesized media column: documents' text bytes standing in for a
+    * blob-store payload, modality assigned deterministically by id.
+    */
+  private def mediaBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        // fake modality assignment: deterministic by id
         element_at(
           array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
         col("text").cast("binary").as("payload"))
       .as[MediaBlob]
+  }
 
-    blobs
-      .mapPartitions(_.map(decodeStub))
+  /** m1: metadata extraction over a synthesized media column (documents'
+    * text bytes standing in for a blob). One narrow `mapPartitions` pass —
+    * no shuffle, no driver involvement, decode parallelism = partition
+    * count.
+    */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    mediaBlobs(spark, dir)
+      .mapPartitions(_.map(decodeStub))(
+        org.apache.spark.sql.Encoders.product[MediaMeta])
       .toDF()
       .orderBy("doc_id")
-  }
 }

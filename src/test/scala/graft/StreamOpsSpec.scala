@@ -79,6 +79,20 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frame sampling fans a video blob out to sampled frame rows") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("mm-").toString
+    spark.range(6).selectExpr("id AS doc_id",
+      "repeat('x', 5000) AS text", "'en' AS lang", "'s0' AS source",
+      "5000L AS n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    // videos are doc_ids ≡ 2 (mod 3): 2 and 5; 5000 bytes -> 5 frames, every 4th
+    val got = graft.operators.Multimodal.frameSamples(spark, dir).collect()
+    assert(got.map(_.doc_id).toSet == Set(2L, 5L))
+    assert(got.count(_.doc_id == 2L) == 2, "frames 0 and 4 sampled")
+    assert(got.forall(f => f.ts_ms == f.frame_idx * 40L))
+  }
+
   test("speed radar is stateless and per-row") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
