@@ -78,6 +78,39 @@ object StreamOps {
         unix_micros(col("w.end")).as("t_end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Stream–stream interval join: purchases joined to the same user's
+    * clicks within the preceding `intervalMinutes` — Flink's interval join
+    * re-expressed with two watermarked streams and a time-range predicate;
+    * Spark bounds both join buffers from the watermark + range.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+                          intervalMinutes: Int = 10,
+                          watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"), col("value"))
+  }
+
+  /** Streaming exact dedup: first event per (user_id, event_type, value)
+    * wins; watermark bounds the dedup state (the streaming twin of d1).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   /** Keyed run detection over >= minRun consecutive events of the same
     * event_type for one user. Two emission modes:
     *

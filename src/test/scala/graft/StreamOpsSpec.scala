@@ -129,6 +129,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join attributes purchases to clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val df = input.toDF()
+    val q = StreamOps.purchaseAttribution(df, df)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        ev(1, 0, 1L, "click"),
+        ev(2, 5, 1L, "purchase", 42.0),   // 5 min after click: attributed
+        ev(3, 30, 1L, "click"),
+        ev(4, 55, 1L, "purchase", 7.0),   // 25 min after last click: not
+        ev(5, 5, 2L, "purchase", 9.0)))   // other user, no click
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("purchase_id") == 2L)
+      assert(rows.head.getAs[Long]("click_id") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps the first of identical events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "click", 5.0), ev(2, 1, 1L, "click", 5.0),
+        ev(3, 2, 1L, "click", 6.0)))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length == 2, "duplicate (user,type,value) dropped")
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
