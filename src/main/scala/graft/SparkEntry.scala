@@ -19,6 +19,13 @@ object SparkEntry {
     "t4_congestion_daily"  -> Telematics.congestionDaily _,
     "t5_saturated_pairs"   -> Telematics.saturatedPairs _,
     "t6_session_windows"   -> Telematics.sessionWindows _,
+    "t7_purchase_attribution" -> ((s: SparkSession, d: String) => {
+      // same operator function as the streaming interval join — watermark
+      // degenerates to a no-op on a bounded frame
+      val e = graft.Tables.events(s, d)
+      graft.streaming.StreamOps.purchaseAttribution(e, e)
+        .orderBy("purchase_id", "click_id")
+    }),
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
@@ -118,6 +125,15 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "t7_purchase_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us, p.value
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
