@@ -30,6 +30,7 @@ object SparkEntry {
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
     "q6_forecast_revenue"  -> Analytics.forecastRevenue _,
+    "q10_returned_items"   -> Analytics.returnedItems _,
     "q4_order_priority"    -> Analytics.orderPriority _,
     "q_dormant_customers"  -> Analytics.dormantCustomers _,
     "q_rollup_events"      -> Analytics.eventRollup _,
@@ -177,6 +178,17 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, CAST(sum($moneyExpr) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -166,6 +166,31 @@ object Analytics {
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "day")
 
+  /** q10_returned_items: revenue lost to returns per customer, top 20 —
+    * fact⋈fact shuffle on orderkey, broadcast customer decoration, then
+    * TakeOrdered top-k on the aggregated (small) relation.
+    */
+  def returnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("date") &&
+        col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** q7_user_stats: exact distinct counts + interpolated percentiles per
     * event type (both engines use linear interpolation).
     */

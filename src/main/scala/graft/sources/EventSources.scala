@@ -43,6 +43,27 @@ object EventSources {
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Deterministic synthetic event stream from the rate-micro-batch source
+    * (fixed rows per batch, timestamps derived from a fixed epoch) — the
+    * load-generator source for soak-testing operators without input files.
+    */
+  def syntheticEventStream(spark: SparkSession, rowsPerBatch: Int = 100): DataFrame = {
+    val raw = spark.readStream
+      .format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("startTimestamp", 0L)
+      .load()
+    raw.select(
+      col("value").as("event_id"),
+      col("timestamp").as("ts"),
+      pmod(col("value"), lit(50L)).as("user_id"),
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+        (pmod(col("value"), lit(5L)) + 1).cast("int")).as("event_type"),
+      (pmod(col("value") * 7919L, lit(20000L)).cast("double") / 100.0).as("value"),
+      lit("{}").as("props"))
+  }
+
   /** CarData → events-shaped frame, so every StreamOps operator runs
     * unchanged on reference telemetry (`vid`→user_id, `spd`→value,
     * seconds→timestamp).

@@ -78,6 +78,41 @@ object StreamOps {
         unix_micros(col("w.end")).as("t_end_us"),
         col("n_events"), col("sum_value"))
 
+  case class RateState(tFirstUs: Long, vFirst: Double, tLastUs: Long, vLast: Double)
+
+  case class RateUpdate(user_id: Long, event_type: String,
+                        t_first_us: Long, t_last_us: Long, rate_per_hour: Double)
+
+  /** Streaming twin of t2 (AverageSpeedControl): per (user, type), the rate
+    * of change of `value` between the first and latest observation, emitted
+    * as an update every time the key sees new data — `mapGroupsWithState`
+    * (exactly one output per updated key per batch, Update output mode).
+    */
+  def rateOfChange(spark: SparkSession, events: Dataset[Event])
+    : Dataset[RateUpdate] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[RateState, RateUpdate](GroupStateTimeout.NoTimeout) {
+        case ((user, typ), it, state) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var s = state.getOption.getOrElse {
+            val h = sorted.head
+            RateState(h.ts.getTime * 1000L, h.value, h.ts.getTime * 1000L, h.value)
+          }
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (us < s.tFirstUs) s = s.copy(tFirstUs = us, vFirst = e.value)
+            if (us >= s.tLastUs) s = s.copy(tLastUs = us, vLast = e.value)
+          }
+          state.update(s)
+          val rate =
+            if (s.tLastUs == s.tFirstUs) 0.0
+            else (s.vLast - s.vFirst) / ((s.tLastUs - s.tFirstUs) / 3600e6)
+          RateUpdate(user, typ, s.tFirstUs, s.tLastUs, rate)
+      }
+  }
+
   /** Stream–stream interval join: purchases joined to the same user's
     * clicks within the preceding `intervalMinutes` — Flink's interval join
     * re-expressed with two watermarked streams and a time-range predicate;

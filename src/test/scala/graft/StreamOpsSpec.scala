@@ -129,6 +129,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate of change updates per key as batches arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.rateOfChange(spark, input.toDS())
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "click", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(2, 60, 1L, "click", 20.0))) // +10 over 1h
+      q.processAllAvailable()
+      val rows = spark.table("rate_out").collect()
+        .map(r => (r.getAs[Long]("t_last_us"), r.getAs[Double]("rate_per_hour")))
+        .sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows.head._2 == 0.0, "single observation has rate 0")
+      assert(math.abs(rows.last._2 - 10.0) < 1e-9, "10 units per hour")
+    } finally q.stop()
+  }
+
+  test("synthetic rate source drives an operator end to end") {
+    import org.apache.spark.sql.streaming.Trigger
+    val events = graft.sources.EventSources.syntheticEventStream(spark, rowsPerBatch = 200)
+    val q = StreamOps.speedRadar(events, limit = 100.0)
+      .writeStream.format("memory").queryName("rate_src_out")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val n = spark.table("rate_src_out").count()
+      assert(n > 0, "some synthetic values exceed the limit")
+      assert(spark.table("rate_src_out")
+        .collect().forall(_.getAs[Double]("value") >= 100.0))
+    } finally q.stop()
+  }
+
   test("interval join attributes purchases to clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
