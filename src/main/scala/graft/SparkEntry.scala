@@ -41,7 +41,7 @@ object SparkEntry {
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
-    "d4_ngram_jaccard"     -> Dedup.ngramJaccard _,
+    "d4_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),

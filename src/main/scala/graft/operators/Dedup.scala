@@ -146,25 +146,34 @@ object Dedup {
     * self-join blocked on (source, word) — the SQL-oracle-checkable exact
     * counterpart of d2.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val docsWithSets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        array_distinct(split(col("text"), " ")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+    val tok = docsWithSets
+      .select(col("doc_id"), col("source"), col("n"), explode(col("ws")).as("w"))
 
-    val inter = tok.select(col("source"), col("w"), col("doc_id").as("a_id"))
-      .join(tok.select(col("source"), col("w"), col("doc_id").as("b_id")),
-        Seq("source", "w"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
+    // Size bound: J >= t forces |B| within [t*|A|, |A|/t] (J <= min/max), so
+    // impossible pairs are pruned inside the token join, before the pair
+    // shuffle — the standard prefix/size filter from set-similarity joins.
+    val a = tok.select(col("source"), col("w"),
+      col("doc_id").as("a_id"), col("n").as("na"))
+    val b = tok.select(col("source"), col("w"),
+      col("doc_id").as("b_id"), col("n").as("nb"))
+    val inter = a.join(b,
+        col("a_id") < col("b_id") &&
+          a("source") === b("source") && a("w") === b("w") &&
+          col("nb") >= ceil(col("na") * minJaccard) &&
+          col("nb") <= floor(col("na") / minJaccard))
+      .groupBy("a_id", "b_id", "na", "nb")
       .agg(count(lit(1)).as("c"))
 
     inter
-      .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jaccard",
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
