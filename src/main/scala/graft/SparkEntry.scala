@@ -49,6 +49,7 @@ object SparkEntry {
     "x2_quality_score"     -> TextAnalysis.qualityScore _,
     "x3_token_stats"       -> TextAnalysis.tokenStats _,
     "x4_fingerprint"       -> TextAnalysis.fingerprints _,
+    "x5_unigram_logprob"   -> TextAnalysis.unigramLogProb _,
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -298,6 +299,15 @@ object SparkEntry {
         |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
         |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x5_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS wc FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(sum(ln(CAST(wc AS DOUBLE) / (SELECT n FROM tot))) / count(*), 4) AS avg_logprob
+        |FROM tok JOIN freq USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x3_token_stats" ->
       """SELECT source, count(*) AS n_docs,

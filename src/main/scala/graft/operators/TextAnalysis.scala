@@ -96,6 +96,26 @@ object TextAnalysis {
       .select("source", "n_docs", "ws_tokens", "re_tokens", "avg_ws_tokens")
       .orderBy("source")
 
+  /** x5: unigram log-probability scoring — the perplexity-style fluency
+    * filter. The corpus token frequencies ARE the model (self-scored here;
+    * in production the frequency table comes from a reference corpus and is
+    * broadcast). avg log p(token) per doc, higher = more typical.
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("wc"))
+    val total = tok.count() // one tiny job; the value broadcasts as a literal
+    tok.join(broadcast(freq), "w")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(log(col("wc").cast("double") / total.toDouble))
+          / count(lit(1)), 4).as("avg_logprob"))
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
   /** x4: document fingerprints via the native rolling-hash expressions —
     * whole-text polynomial hash + minimum 32-byte-window hash (winnowing
     * sketch). Rows-only checked; exactness is pinned by ScalaTest.
