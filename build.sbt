@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Every query plan Janino-compiles fresh codegen classes; the JDK default
+  // 240 MB code cache fills after a few dozen plans, the JIT turns itself
+  // off, and hot loops drop to the interpreter (sporadic 50-100x stalls).
+  "-XX:ReservedCodeCacheSize=2g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -26,6 +26,8 @@ object SparkEntry {
       graft.streaming.StreamOps.purchaseAttribution(e, e)
         .orderBy("purchase_id", "click_id")
     }),
+    "t8_asof_attribution"  -> Telematics.asofAttribution _,
+    "j1_json_extract"      -> Analytics.jsonPropsRollup _,
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
@@ -136,6 +138,21 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "t8_asof_attribution" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id AS purchase_id,
+        |       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "j1_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -239,6 +239,24 @@ object Analytics {
         sum(col("part_n")).as("n_purchases"))
       .orderBy("user_id")
 
+  /** j1_json_extract: semi-structured extraction — pull the numeric field out
+    * of the JSON `props` payload and roll it up per event type.
+    * `get_json_object` is a codegen'd path evaluation (no UDF); the only
+    * shuffle is the tiny keyed aggregate.
+    */
+  def jsonPropsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"),
+        count_distinct(col("k")).as("nd_k"))
+      .select("event_type", "n_events", "sum_k", "avg_k", "nd_k")
+      .orderBy("event_type")
+
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never
     * on the raw fact table).

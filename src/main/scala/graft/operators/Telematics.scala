@@ -154,4 +154,30 @@ object Telematics {
       .select("user_id", "session_id", "t_start_us", "t_end_us", "n_events", "sum_value")
       .orderBy("user_id", "session_id")
   }
+
+  /** t8: as-of join — each purchase attributed to the most recent prior (or
+    * simultaneous) click by the same user. A range join would explode into a
+    * bucketed O(n·m) compare at scale; instead the two sides are tagged,
+    * unioned, and the latest click timestamp is carried forward with a
+    * running max over each user's timeline — one shuffle on user_id, linear
+    * work per key. Clicks sort before purchases at equal timestamps so the
+    * `click.ts <= purchase.ts` bound is inclusive, matching ASOF JOIN.
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+      .withColumn("click_ts", max(when(col("tag") === 0, col("ts"))).over(byUser))
+      .filter(col("tag") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_ts_us"),
+        unix_micros(col("click_ts")).as("click_ts_us"))
+      .orderBy("purchase_id")
+  }
 }

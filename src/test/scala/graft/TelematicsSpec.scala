@@ -65,6 +65,21 @@ class TelematicsSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("t8 as-of join attributes each purchase to the latest prior click") {
+    val dir = writeEvents(Seq(
+      (1L, 0, 1L, "click", 1.0),
+      (2L, 5, 1L, "click", 1.0),
+      (3L, 5, 1L, "purchase", 9.0),   // same minute as click 2 -> inclusive
+      (4L, 20, 1L, "purchase", 9.0),  // latest click is still minute 5
+      (5L, 1, 2L, "purchase", 9.0),   // user 2 never clicked -> null
+      (6L, 2, 2L, "view", 1.0)))
+    val got = Telematics.asofAttribution(spark, dir)
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val min5us = ts(5).getTime * 1000L
+    assert(got.toSeq == Seq((3L, min5us), (4L, min5us), (5L, -1L)))
+  }
+
   test("t4 daily congestion aggregates only positive purchases") {
     val dir = writeEvents(Seq(
       (1L, 0, 1L, "purchase", 10.0), (2L, 1, 2L, "purchase", 20.0),
