@@ -61,10 +61,15 @@ object Dedup {
                  shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
                  minEstJaccard: Double = 0.8, maxBucketSize: Int = 2000): DataFrame = {
     val rows = numHashes / bands
+    // The signature is the expensive kernel and is reused by three branches
+    // (banding + both sides of the pair rejoin) — persist it once. At fleet
+    // scale this is a MEMORY_AND_DISK cache of (id, 32 longs), a tiny
+    // fraction of the corpus it replaces recomputing.
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= shingleSize)
       .select(col("doc_id"),
         minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig"))
+      .persist()
 
     val banded = docs.select(
       col("doc_id"),
@@ -76,16 +81,19 @@ object Dedup {
             xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .persist()
 
     // Standard LSH hygiene: cap bucket size. An over-full bucket means the
     // band carries no discriminating information there (stop-shingle
     // territory) but would cost O(size²) pairs — the worst-case skew killer
-    // at fleet scale. Recall is preserved by the other bands.
-    val bounded = banded
-      .withColumn("bkt_n",
-        count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bkt_n") <= maxBucketSize)
-      .drop("bkt_n")
+    // at fleet scale. Recall is preserved by the other bands. The handful of
+    // over-cap buckets is found with a partial-aggregable count and removed
+    // with a broadcast anti-join — no sort-based window over every row.
+    val overfull = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > maxBucketSize)
+      .select("band", "bucket")
+    val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
 
     val pairs = bounded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
@@ -127,6 +135,7 @@ object Dedup {
           call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bits"))))
         .as("bb"))
       .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bits"))
+      .persist() // both self-join sides read this; hash the corpus once
 
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("a_id"), col("fp").as("a_fp"))
@@ -137,8 +146,10 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long").as("hamming"))
-      .distinct()
+      // verify-then-dedup: the hamming filter runs inside the join stage and
+      // shrinks the distinct's shuffle to true near-dups only
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("a_id", "b_id")
   }
 
@@ -152,8 +163,11 @@ object Dedup {
       .select(col("doc_id"), col("source"),
         array_distinct(split(col("text"), " ")).as("ws"))
       .withColumn("n", size(col("ws")).cast("long"))
+    // both sides of the blocked self-join read this — persist so the
+    // tokenize+explode pass over the corpus runs once
     val tok = docsWithSets
       .select(col("doc_id"), col("source"), col("n"), explode(col("ws")).as("w"))
+      .persist()
 
     // Size bound: J >= t forces |B| within [t*|A|, |A|/t] (J <= min/max), so
     // impossible pairs are pruned inside the token join, before the pair
