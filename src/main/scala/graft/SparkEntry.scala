@@ -33,6 +33,8 @@ object SparkEntry {
     "q5_local_supplier"    -> Analytics.localSupplierVolume _,
     "q6_forecast_revenue"  -> Analytics.forecastRevenue _,
     "q10_returned_items"   -> Analytics.returnedItems _,
+    "q14_promo_revenue"    -> Analytics.promoRevenue _,
+    "q19_bracket_revenue"  -> Analytics.bracketRevenue _,
     "q4_order_priority"    -> Analytics.orderPriority _,
     "q_dormant_customers"  -> Analytics.dormantCustomers _,
     "q_rollup_events"      -> Analytics.eventRollup _,
@@ -207,6 +209,19 @@ object SparkEntry {
         |  AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $moneyExpr END) AS DOUBLE)
+        |       / CAST(sum($moneyExpr) AS DOUBLE), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'""".stripMargin,
+
+    "q19_bracket_revenue" ->
+      s"""SELECT CAST(sum($moneyExpr) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -239,6 +239,50 @@ object Analytics {
         sum(col("part_n")).as("n_purchases"))
       .orderBy("user_id")
 
+  /** q14_promo_revenue: promotion revenue share for one month — broadcast
+    * part join + conditional aggregation; the month filter pushes to the
+    * lineitem scan so the join probes only ~1/80 of the fact table.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          money(col("l_extendedprice")) * (one - rate(col("l_discount")))))
+          .as("promo"),
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .as("total"))
+      .select(round(lit(100.0) * col("promo").cast("double")
+        / col("total").cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  /** q19_bracket_revenue: disjunctive brand/size/quantity brackets — the
+    * equi-key (partkey) still drives a broadcast hash join; the OR'd bracket
+    * predicate evaluates as a post-join filter in the same codegen stage.
+    */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val brackets =
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(brackets)
+      .agg(
+        sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** j1_json_extract: semi-structured extraction — pull the numeric field out
     * of the JSON `props` payload and roll it up per event type.
     * `get_json_object` is a codegen'd path evaluation (no UDF); the only
