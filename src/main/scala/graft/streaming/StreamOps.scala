@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the reference's Flink reports. Each op
   * takes an unbounded DataFrame (from `readStream`) with the `events`
@@ -189,6 +190,54 @@ object StreamOps {
           cur.foreach(state.update)
           out.result().iterator
       }
+  }
+
+  /** The transformWithState form of run detection — Spark 4's arbitrary
+    * stateful API (RocksDB-backed typed ValueState, per-state TTL, timers).
+    * Break-emission semantics, identical to
+    * `accidentRuns(emitPerReport = false)`; requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running query.
+    */
+  class RunDetectProcessor(minRun: Int)
+      extends StatefulProcessor[Long, Event, AccidentRun] {
+    @transient private var run: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      run = getHandle.getValueState[RunState](
+        "run", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[AccidentRun] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (run.exists()) Some(run.get()) else None
+      val out = Seq.newBuilder[AccidentRun]
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(r) if r.eventType == e.event_type =>
+            cur = Some(r.copy(endUs = us, n = r.n + 1))
+          case Some(r) =>
+            if (r.n >= minRun)
+              out += AccidentRun(userId, r.eventType, r.startUs, r.endUs, r.n)
+            cur = Some(RunState(e.event_type, us, us, 1))
+          case None =>
+            cur = Some(RunState(e.event_type, us, us, 1))
+        }
+      }
+      cur.foreach(run.update)
+      out.result().iterator
+    }
+  }
+
+  /** accidentRuns on the transformWithState API (see RunDetectProcessor). */
+  def accidentRunsTws(spark: SparkSession, events: Dataset[Event],
+                      minRun: Int = 4): Dataset[AccidentRun] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunDetectProcessor(minRun),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is
