@@ -54,6 +54,7 @@ object SparkEntry {
     "x3_token_stats"       -> TextAnalysis.tokenStats _,
     "x4_fingerprint"       -> TextAnalysis.fingerprints _,
     "x5_unigram_logprob"   -> TextAnalysis.unigramLogProb _,
+    "x7_hash_embedding"    -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbeddings(s, d)),
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, EqualCountLong, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, EqualCountLong, HashEmbedding, MinHashSignature, SimHash64}
 
 /** Column-API facade over the native sketch kernels (one codegen'd loop per
   * document instead of interpreted higher-order-function lambdas).
@@ -16,6 +16,12 @@ object Sketches {
   /** 64-bit SimHash of a string-array column. */
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** L2-normalized feature-hashing embedding (array<double>[dim]) of a
+    * string-array column.
+    */
+  def hashEmbedding(tokens: Column, dim: Int): Column =
+    ColumnBridge.column(HashEmbedding(ColumnBridge.expression(tokens), dim))
 
   /** Positions where two long-array signatures agree. */
   def equalCount(a: Column, b: Column): Column =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.RollingHash
+import graft.functions.{RollingHash, Sketches}
 
 /** Text-analysis operators over the `documents` table: language ID, quality
   * scoring, token statistics, and content fingerprinting. All per-document
@@ -115,6 +115,20 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "avg_logprob")
       .orderBy("doc_id")
   }
+
+  /** x7: feature-hashing text embedding — the deterministic featurizer that
+    * gives every document a fixed-size L2-normalized vector (the "hashing
+    * trick") with no model or vocabulary, as one codegen'd pass. Output
+    * plugs straight into the embedding operators (d5 near-dup, s1/s2 ANN)
+    * when no learned embedding column exists.
+    */
+  def hashEmbeddings(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        Sketches.hashEmbedding(split(col("text"), " "), dim).as("embedding"))
+      .orderBy("doc_id")
 
   /** x4: document fingerprints via the native rolling-hash expressions —
     * whole-text polynomial hash + minimum 32-byte-window hash (winnowing

@@ -43,7 +43,11 @@ object GraftFunctions {
         (args: Seq[Expression]) => DotProductDouble(args.head, args(1))),
       (FunctionIdentifier("graft_equal_count"),
         new ExpressionInfo(classOf[EqualCountLong].getName, "graft_equal_count"),
-        (args: Seq[Expression]) => EqualCountLong(args.head, args(1))))
+        (args: Seq[Expression]) => EqualCountLong(args.head, args(1))),
+      (FunctionIdentifier("graft_hash_embedding"),
+        new ExpressionInfo(classOf[HashEmbedding].getName, "graft_hash_embedding"),
+        (args: Seq[Expression]) =>
+          HashEmbedding(args.head, intArg(args(1), "graft_hash_embedding(dim)"))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -188,6 +188,75 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Feature-hashing embedding of a string array: each token's XXH64 picks a
+  * dimension (`hash mod dim`) and a sign (top hash bit), accumulating a
+  * signed bag-of-words vector that is then L2-normalized — the "hashing
+  * trick" featurizer. Deterministic, fixed-size, one pass; the text-side
+  * input to the embedding dedup / ANN operators when no model embedding
+  * exists.
+  */
+case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim > 0)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_hash_embedding"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+      acc(idx) += (if (h < 0) -1.0 else 1.0)
+      i += 1
+    }
+    var ss = 0.0
+    var j = 0
+    while (j < dim) { ss += acc(j) * acc(j); j += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      j = 0
+      while (j < dim) { acc(j) *= inv; j += 1 }
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val utf8 = classOf[UTF8String].getName
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val idx = ctx.freshName("idx")
+      val ss = ctx.freshName("ss")
+      val inv = ctx.freshName("inv")
+      s"""
+         |double[] $acc = new double[$dim];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  $utf8 $s = $c.getUTF8String($i);
+         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  int $idx = (int) java.lang.Math.floorMod($h, (long) $dim);
+         |  $acc[$idx] += ($h < 0L) ? -1.0 : 1.0;
+         |}
+         |double $ss = 0.0;
+         |for (int $j = 0; $j < $dim; $j++) { $ss += $acc[$j] * $acc[$j]; }
+         |if ($ss > 0.0) {
+         |  double $inv = 1.0 / java.lang.Math.sqrt($ss);
+         |  for (int $j = 0; $j < $dim; $j++) { $acc[$j] *= $inv; }
+         |}
+         |${ev.value} = new $gad($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedding =
+    copy(child = newChild)
+}
+
 /** Number of positions where two long arrays agree — the MinHash estimate
   * numerator — as one codegen'd loop.
   */

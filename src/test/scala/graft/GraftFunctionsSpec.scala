@@ -12,13 +12,17 @@ class GraftFunctionsSpec extends SparkSpec {
         |       graft_min_window_hash('abcdefghij', 4) AS mw,
         |       graft_simhash64(array('a', 'b')) AS sh,
         |       graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
-        |       graft_equal_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq
+        |       graft_equal_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
+        |       graft_hash_embedding(array('a', 'b'), 8) AS he
         |""".stripMargin).collect().head
     // poly hash of "abc" = (('a'*31)+'b')*31+'c'
     val expected = ((97L * 31 + 98) * 31) + 99
     assert(r.getAs[Long]("p") == expected)
     assert(r.getAs[Double]("dot") == 11.0)
     assert(r.getAs[Long]("eq") == 2L)
+    val he = r.getSeq[Double](r.fieldIndex("he"))
+    assert(he.length == 8)
+    assert(math.abs(math.sqrt(he.map(x => x * x).sum) - 1.0) < 1e-9)
   }
 
   test("literal-int parameters are validated") {

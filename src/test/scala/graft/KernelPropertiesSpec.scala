@@ -43,6 +43,37 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("hash embedding matches the reference fold, unit norm, on generated docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val dim = 32
+    def ref(tokens: Seq[String]): Array[Double] = {
+      val acc = new Array[Double](dim)
+      tokens.foreach { t =>
+        val u = UTF8String.fromString(t)
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        acc(java.lang.Math.floorMod(h, dim.toLong).toInt) += (if (h < 0) -1.0 else 1.0)
+      }
+      val ss = acc.map(x => x * x).sum
+      if (ss > 0) { val inv = 1.0 / math.sqrt(ss); acc.map(_ * inv) } else acc
+    }
+    val docs = sample(Gen.listOfN(20, Gen.identifier.map(_.take(8))), 100)
+      .map(_.mkString(" ")).distinct
+    val got = docs.toDF("text")
+      .select(col("text"),
+        graft.functions.Sketches.hashEmbedding(split(col("text"), " "), dim).as("emb"))
+      .collect()
+    got.foreach { r =>
+      val expect = ref(r.getString(0).split(" ").toSeq)
+      val emb = r.getSeq[Double](1).toArray
+      assert(emb.toSeq == expect.toSeq, s"embedding mismatch for '${r.getString(0).take(30)}'")
+      val norm = math.sqrt(emb.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"norm $norm not unit")
+    }
+  }
+
   test("dot product matches a double fold and is symmetric on generated vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
