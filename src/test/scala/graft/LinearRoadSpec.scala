@@ -17,6 +17,40 @@ class LinearRoadSpec extends SparkSpec {
     f.toString
   }
 
+  test("the reference's own accident_test_data.csv produces its expected reports") {
+    // 8 reports of vid 3 at pos 139158, 30 s apart from t=870: the sliding
+    // countWindow(4,1) emits from the 4th report on -> 5 rows, run start 870
+    val cars = EventSources.carDataCsv(spark,
+      "/root/reference/VehicleTelematics/input/accident_test_data.csv")
+    val got = LinearRoad.accidents(cars).orderBy("time2").collect()
+    assert(got.length == 5)
+    assert(got.forall(_.getAs[Int]("time1") == 870))
+    assert(got.map(_.getAs[Int]("time2")).toSeq == Seq(960, 990, 1020, 1050, 1080))
+    assert(got.forall(r => r.getAs[Int]("vid") == 3 && r.getAs[Int]("pos") == 139158))
+  }
+
+  test("the reference's own data_small.csv runs all three reports consistently") {
+    import org.apache.spark.sql.functions.col
+    val cars = EventSources.carDataCsv(spark,
+      "/root/reference/VehicleTelematics/input/data_small.csv")
+    val fines = LinearRoad.speedFines(cars).collect()
+    assert(fines.length == cars.filter(col("spd") >= 90).count().toInt)
+    assert(fines.forall(_.length == 6)) // (time, vid, xway, seg, dir, spd)
+    // independent accident expectation: a Scala fold over each vid's
+    // time-ordered reports, emitting from the 4th consecutive same-pos on
+    val expected = cars.select("vid", "time", "pos").collect()
+      .groupBy(_.getAs[Int]("vid")).values.map { rows =>
+        val sorted = rows.sortBy(_.getAs[Int]("time")).map(_.getAs[Int]("pos"))
+        sorted.foldLeft((0, Option.empty[Int], 0)) {
+          case ((emits, prev, runLen), pos) =>
+            val len = if (prev.contains(pos)) runLen + 1 else 1
+            (emits + (if (len >= 4) 1 else 0), Some(pos), len)
+        }._1
+      }.sum
+    assert(LinearRoad.accidents(cars).count() == expected)
+    LinearRoad.avgSpeedFines(cars).collect() // runs; 52->56 pairs may be absent
+  }
+
   test("speed fines keep >=90 with the reference's column projection") {
     val path = writeCsv(Seq(
       "10,1,89,1,0,0,50,1000",
