@@ -27,6 +27,8 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
     "t8_asof_attribution"  -> Telematics.asofAttribution _,
+    "t9_sliding_windows"   -> Telematics.slidingWindows _,
+    "q_pivot_events"       -> Analytics.pivotEvents _,
     "j1_json_extract"      -> Analytics.jsonPropsRollup _,
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
@@ -149,6 +151,23 @@ object SparkEntry {
         |       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "t9_sliding_windows" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+        |w AS (SELECT (us // 900000000) * 900000000 - k * 900000000 AS w_start_us, value
+        |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+        |SELECT w_start_us, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY w_start_us ORDER BY w_start_us""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "j1_json_extract" ->
       """SELECT event_type, count(*) AS n_events,

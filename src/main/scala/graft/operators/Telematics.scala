@@ -155,6 +155,22 @@ object Telematics {
       .orderBy("user_id", "session_id")
   }
 
+  /** t9: sliding event-time windows (1 hour, sliding 15 minutes) — each
+    * event lands in 4 windows; Spark's `window()` generates the assignment
+    * inline (no self-join), then a plain keyed aggregate. The overlap
+    * factor, not the row count, sizes the shuffle.
+    */
+  def slidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("w_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("w_start_us")
+
   /** t8: as-of join — each purchase attributed to the most recent prior (or
     * simultaneous) click by the same user. A range join would explode into a
     * bucketed O(n·m) compare at scale; instead the two sides are tagged,
