@@ -49,6 +49,7 @@ object SparkEntry {
     "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d4_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    "d6_dedup_groups"      -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "x1_lang_id"           -> TextAnalysis.langId _,
@@ -306,6 +307,27 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
         |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d6_dedup_groups" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.node = e.a_id)
+        |SELECT src AS doc_id, min(node) AS group_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosExpr, 6) AS cosim

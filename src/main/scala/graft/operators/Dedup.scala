@@ -192,6 +192,52 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** d6: transitive dedup groups — connected components over the d4
+    * near-dup pairs, so A~B and B~C land in one group even when A~C was
+    * never scored. Pregel-style min-label propagation: each superstep joins
+    * labels to the edge list and takes the neighborhood minimum, until a
+    * superstep changes nothing. Per-step work is two shuffles proportional
+    * to |edges|; the only driver-side value is the scalar convergence count
+    * (loop control, not data). Components here are near-cliques, so the
+    * iteration count tracks component diameter (small), not corpus size.
+    */
+  def dedupGroups(spark: SparkSession, dir: String,
+                  minJaccard: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id")
+    val edges = pairs
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .persist()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("group_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("b_id") === labels("doc_id"))
+        .groupBy(edges("a_id").as("n_id"))
+        .agg(min(col("group_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("n_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id")))
+            .as("group_id"))
+        .persist()
+      val prev = labels
+      // scalar superstep convergence check (the Pregel vote-to-halt);
+      // aliased projections avoid self-join lineage ambiguity
+      converged = updated.select(col("doc_id"), col("group_id").as("new_gid"))
+        .join(prev.select(col("doc_id"), col("group_id").as("old_gid")), "doc_id")
+        .filter(col("new_gid") < col("old_gid"))
+        .limit(1).count() == 0L
+      labels = updated
+      prev.unpersist(blocking = false)
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.orderBy("doc_id")
+  }
+
   /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
     * cluster id); cosine computed in double so it hash-matches the DuckDB
     * oracle after round(6). At 100 TB the block key becomes an LSH/IVF

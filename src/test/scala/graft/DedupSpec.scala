@@ -58,6 +58,23 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("d6 dedup groups close transitively: A~B and B~C group A,B,C together") {
+    // 12-word docs differing by one word pairwise: J(A,B)=J(B,C)=11/13 >= 0.8
+    // but J(A,C)=10/14 < 0.8 — only the transitive closure groups all three
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wa"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wb"
+    val c = "wc w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wb"
+    val dir = writeDocs(Seq(
+      (1L, a, "s0"), (2L, b, "s0"), (3L, c, "s0"),
+      (4L, "totally different words entirely", "s0")))
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), "A~C must not pair directly")
+    val groups = Dedup.dedupGroups(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(groups == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)))
+  }
+
   test("d4 word-set jaccard is exact") {
     // sets: {a b c d}, {a b c e} -> intersection 3, union 5 -> 0.6
     val dir = writeDocs(Seq((1L, "a b c d", "s0"), (2L, "a b c e", "s0")))
