@@ -207,9 +207,12 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .persist()
+    // localCheckpoint (not persist) per superstep: iterative plans grow
+    // superlinearly in lineage otherwise — planning alone dominated after a
+    // few supersteps. On a cluster this would be a reliable checkpoint dir.
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("group_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -217,21 +220,27 @@ object Dedup {
         .join(labels, edges("b_id") === labels("doc_id"))
         .groupBy(edges("a_id").as("n_id"))
         .agg(min(col("group_id")).as("nmin"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("n_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id")))
             .as("group_id"))
-        .persist()
-      val prev = labels
+      // pointer-doubling shortcut (group_id := label of my label) turns
+      // linear chain propagation into logarithmic convergence
+      val updated = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("g_id"), col("group_id").as("g_gid")),
+          col("x.group_id") === col("g_id"), "left")
+        .select(col("x.doc_id").as("doc_id"),
+          least(col("x.group_id"), coalesce(col("g_gid"), col("x.group_id")))
+            .as("group_id"))
+        .localCheckpoint()
       // scalar superstep convergence check (the Pregel vote-to-halt);
       // aliased projections avoid self-join lineage ambiguity
       converged = updated.select(col("doc_id"), col("group_id").as("new_gid"))
-        .join(prev.select(col("doc_id"), col("group_id").as("old_gid")), "doc_id")
+        .join(labels.select(col("doc_id"), col("group_id").as("old_gid")), "doc_id")
         .filter(col("new_gid") < col("old_gid"))
         .limit(1).count() == 0L
       labels = updated
-      prev.unpersist(blocking = false)
       iter += 1
     }
     edges.unpersist(blocking = false)
