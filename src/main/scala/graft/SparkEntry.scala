@@ -29,6 +29,7 @@ object SparkEntry {
     "t8_asof_attribution"  -> Telematics.asofAttribution _,
     "t9_sliding_windows"   -> Telematics.slidingWindows _,
     "q_pivot_events"       -> Analytics.pivotEvents _,
+    "q_running_total"      -> Analytics.runningTotals _,
     "j1_json_extract"      -> Analytics.jsonPropsRollup _,
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
@@ -160,6 +161,17 @@ object SparkEntry {
         |SELECT w_start_us, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY w_start_us ORDER BY w_start_us""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  CAST(count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -301,6 +301,25 @@ object Analytics {
       .select("event_type", "n_events", "sum_k", "avg_k", "nd_k")
       .orderBy("event_type")
 
+  /** q_running_total: per-user cumulative purchase spend over time — the
+    * running-aggregate window pattern. Explicit ROWS frame + a unique
+    * ordering key (ts, event_id) make the cumulative sum deterministic;
+    * decimal partials keep it exact.
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_value", sum(money(col("value"))).over(w).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("running_value"), col("running_n"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** q_pivot_events: day x event-type matrix — `pivot` with an explicit
     * type list (explicit so the plan needs no distinct-scan and the output
     * schema is stable), counts per cell plus a decimal-exact purchase sum.

@@ -36,4 +36,26 @@ object Sinks {
   /** The reference's PrintSinkFunction analog. */
   def streamToConsole(df: DataFrame): StreamingQuery =
     df.writeStream.format("console").outputMode("append").start()
+
+  /** Hive-style partitioned parquet: one directory per partition-column
+    * value (`day=2024-01-01/...`). At fleet scale this IS the table layout —
+    * readers with a partition-column predicate scan only matching
+    * directories (partition pruning; see SinksSpec for the plan proof) and
+    * backfills overwrite single partitions, not the table.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Streaming twin: partitioned parquet from an unbounded frame. */
+  def streamToPartitionedParquet(df: DataFrame, path: String,
+                                 checkpoint: String,
+                                 partitionCols: Seq[String]): StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCols: _*)
+      .outputMode("append")
+      .start()
 }

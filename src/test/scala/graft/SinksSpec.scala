@@ -21,6 +21,27 @@ class SinksSpec extends SparkSpec {
     assert(content == "10,1,1,50,0,95")
   }
 
+  test("partitioned parquet writes day directories and readers prune partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Files.createTempDirectory("part-out-").toString
+    val df = Seq(
+      (1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0),
+      (3L, "2024-01-02", 30.0), (4L, "2024-01-03", 40.0))
+      .toDF("id", "day", "value")
+    Sinks.writePartitionedParquet(df, out, Seq("day"))
+
+    val dayDirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dayDirs.toSeq == Seq("day=2024-01-01", "day=2024-01-02", "day=2024-01-03"))
+
+    val read = spark.read.parquet(out).filter(col("day") === "2024-01-02")
+    assert(read.collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected the day predicate to prune partitions, got:\n$scan")
+  }
+
   test("streaming: csv file source -> radar -> csv sink") {
     val inDir = Files.createTempDirectory("stream-in-")
     val outDir = Files.createTempDirectory("stream-out-").toString
