@@ -30,6 +30,7 @@ object SparkEntry {
     "t9_sliding_windows"   -> Telematics.slidingWindows _,
     "q_pivot_events"       -> Analytics.pivotEvents _,
     "q_running_total"      -> Analytics.runningTotals _,
+    "q_funnel"             -> Analytics.funnel _,
     "j1_json_extract"      -> Analytics.jsonPropsRollup _,
     "q1_pricing_summary"   -> Analytics.pricingSummary _,
     "q3_shipping_priority" -> Analytics.shippingPriority _,
@@ -161,6 +162,26 @@ object SparkEntry {
         |SELECT w_start_us, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY w_start_us ORDER BY w_start_us""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+        |  FROM events GROUP BY user_id HAVING t_signup IS NOT NULL),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.t_signup
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users FROM (
+        |  SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        |  UNION ALL SELECT '2_click_after_signup', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
 
     "q_running_total" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

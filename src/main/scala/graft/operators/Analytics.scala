@@ -301,6 +301,39 @@ object Analytics {
       .select("event_type", "n_events", "sum_k", "avg_k", "nd_k")
       .orderBy("event_type")
 
+  /** q_funnel: staged conversion funnel — users who signed up, then clicked
+    * AFTER the signup, then purchased AFTER that click. Each stage anchors
+    * on the previous stage's first qualifying timestamp (min-ts chaining),
+    * computed as filtered aggregates over one per-user window pass plus two
+    * keyed aggregates — no event-level self-join.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"))
+      .filter(col("t_signup").isNotNull)
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .join(perUser, "user_id")
+      .filter(col("c_ts") > col("t_signup"))
+      .groupBy(col("user_id"))
+      .agg(first(col("t_signup")).as("t_signup"), min(col("c_ts")).as("t_click"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+      .join(clicks, "user_id")
+      .filter(col("p_ts") > col("t_click"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p_ts")).as("t_purchase"))
+    perUser.select(lit("1_signup").as("stage"), col("user_id"))
+      .union(clicks.select(lit("2_click_after_signup").as("stage"), col("user_id")))
+      .union(purchases.select(lit("3_purchase_after_click").as("stage"), col("user_id")))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   /** q_running_total: per-user cumulative purchase spend over time — the
     * running-aggregate window pattern. Explicit ROWS frame + a unique
     * ordering key (ts, event_id) make the cumulative sum deterministic;
