@@ -60,6 +60,7 @@ object SparkEntry {
     "x4_fingerprint"       -> TextAnalysis.fingerprints _,
     "x5_unigram_logprob"   -> TextAnalysis.unigramLogProb _,
     "x7_hash_embedding"    -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbeddings(s, d)),
+    "x8_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -415,6 +416,14 @@ object SparkEntry {
         |       round(sum(ln(CAST(wc AS DOUBLE) / (SELECT n FROM tot))) / count(*), 4) AS avg_logprob
         |FROM tok JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x8_stratified_sample" ->
+      """SELECT source, CAST(25 + (length(source) * 17) % 50 AS BIGINT) AS rate_pct,
+        |       count(*) AS n_sampled, min(doc_id) AS first_kept
+        |FROM documents
+        |WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100
+        |      < 25 + (length(source) * 17) % 50
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "x3_token_stats" ->
       """SELECT source, count(*) AS n_docs,

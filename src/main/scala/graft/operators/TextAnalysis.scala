@@ -116,6 +116,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x8: deterministic stratified sampling — downsample each source to its
+    * own rate (corpus rebalancing). The keep decision is a pure-arithmetic
+    * LCG over doc_id (portable across engines, reproducible across runs,
+    * no RNG state), and the per-source rate derives from the source string
+    * so the operator needs no config table. Sampling is a narrow filter:
+    * no shuffle until the tiny per-source audit aggregate.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("((doc_id * 1103515245 + 12345) div 65536) % 100")
+    val rate = lit(25) + pmod(length(col("source")) * 17, lit(50))
+    Tables.documents(spark, dir)
+      .withColumn("rate_pct", rate.cast("long"))
+      .filter(bucket < col("rate_pct"))
+      .groupBy(col("source"), col("rate_pct"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("first_kept"))
+      .orderBy("source")
+  }
+
   /** x7: feature-hashing text embedding — the deterministic featurizer that
     * gives every document a fixed-size L2-normalized vector (the "hashing
     * trick") with no model or vocabulary, as one codegen'd pass. Output
