@@ -36,14 +36,24 @@ object Bench {
     // stall rate varies by the hour — in bad windows min-of-2 still lands
     // on a stall, so any query whose best time stays over the threshold
     // earns up to two more attempts.
+    // A failed attempt returns +Inf so it can never win the min — otherwise
+    // a fast exception (e.g. during planning) would silently become the
+    // query's published best time. Queries whose every attempt failed are
+    // listed separately in the JSON.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Double.PositiveInfinity
+      } finally {
+        // release operator-internal caches so storage memory from one query
+        // never skews the next query's timing
+        CacheRegistry.releaseAll()
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     def onePass(): Seq[(String, Double)] =
@@ -60,10 +70,24 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (n, v) if v.isInfinite => n }
+    val ok = results.filter(!_._2.isInfinite)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout for humans/driver log scrape + a file the driver can always
+    // parse regardless of sbt log prefixes
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed every attempt: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

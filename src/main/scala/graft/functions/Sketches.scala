@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, EqualCountLong, HashEmbedding, MinHashSignature, SimHash64}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CountInSet, EqualCountLong, HashEmbedding, MinHashSignature, SimHash64, SortedIntersectCount}
 
 /** Column-API facade over the native sketch kernels (one codegen'd loop per
   * document instead of interpreted higher-order-function lambdas).
@@ -22,6 +22,15 @@ object Sketches {
     */
   def hashEmbedding(tokens: Column, dim: Int): Column =
     ColumnBridge.column(HashEmbedding(ColumnBridge.expression(tokens), dim))
+
+  /** Intersection size of two lexicographically sorted string arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Tokens of a string-array column (with multiplicity) in a fixed set. */
+  def countInSet(tokens: Column, words: Seq[String]): Column =
+    ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
 
   /** Positions where two long-array signatures agree. */
   def equalCount(a: Column, b: Column): Column =

@@ -64,24 +64,26 @@ object Dedup {
     // The signature is the expensive kernel and is reused by three branches
     // (banding + both sides of the pair rejoin) — persist it once. At fleet
     // scale this is a MEMORY_AND_DISK cache of (id, 32 longs), a tiny
-    // fraction of the corpus it replaces recomputing.
-    val docs = Tables.documents(spark, dir)
-      .filter(size(split(col("text"), " ")) >= shingleSize)
-      .select(col("doc_id"),
-        minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig"))
-      .persist()
+    // fraction of the corpus it replaces recomputing. Tracked in
+    // CacheRegistry so harnesses release it deterministically after the
+    // result materializes.
+    val docs = graft.CacheRegistry.persistTracked(
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= shingleSize)
+        .select(col("doc_id"),
+          minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig")))
 
-    val banded = docs.select(
-      col("doc_id"),
-      explode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
-        .as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      .persist()
+    val banded = graft.CacheRegistry.persistTracked(
+      docs.select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.as("band"),
+              xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band"), col("bb.bucket")))
 
     // Standard LSH hygiene: cap bucket size. An over-full bucket means the
     // band carries no discriminating information there (stop-shingle
@@ -129,13 +131,15 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), simHash64(split(col("text"), " ")).as("fp"))
 
-    val banded = docs.select(col("doc_id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bits"))))
-        .as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bits"))
-      .persist() // both self-join sides read this; hash the corpus once
+    // both self-join sides read this; hash the corpus once (released by the
+    // harness via CacheRegistry once the result materializes)
+    val banded = graft.CacheRegistry.persistTracked(
+      docs.select(col("doc_id"), col("fp"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            call_function("shiftright", col("fp"), b * 16).bitwiseAND(0xFFFFL).as("bits"))))
+          .as("bb"))
+        .select(col("doc_id"), col("fp"), col("bb.band"), col("bb.bits")))
 
     val a = banded.select(col("band"), col("bits"),
       col("doc_id").as("a_id"), col("fp").as("a_fp"))
@@ -153,38 +157,76 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** d4: exact word-set Jaccard >= 0.8 within each source. Token-level
-    * self-join blocked on (source, word) — the SQL-oracle-checkable exact
-    * counterpart of d2.
+  /** Distinct word sets per document, lexicographically sorted (the order
+    * the SortedIntersectCount verification kernel requires): (doc_id,
+    * source, ws, n).
     */
-  def ngramJaccard(spark: SparkSession, dir: String,
-                   minJaccard: Double = 0.8): DataFrame = {
-    val docsWithSets = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        array_distinct(split(col("text"), " ")).as("ws"))
+  private[graft] def wordSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      array_sort(array_distinct(split(col("text"), " "))).as("ws"))
       .withColumn("n", size(col("ws")).cast("long"))
-    // both sides of the blocked self-join read this — persist so the
-    // tokenize+explode pass over the corpus runs once
-    val tok = docsWithSets
-      .select(col("doc_id"), col("source"), col("n"), explode(col("ws")).as("w"))
-      .persist()
 
-    // Size bound: J >= t forces |B| within [t*|A|, |A|/t] (J <= min/max), so
-    // impossible pairs are pruned inside the token join, before the pair
-    // shuffle — the standard prefix/size filter from set-similarity joins.
-    val a = tok.select(col("source"), col("w"),
-      col("doc_id").as("a_id"), col("n").as("na"))
-    val b = tok.select(col("source"), col("w"),
-      col("doc_id").as("b_id"), col("n").as("nb"))
-    val inter = a.join(b,
+  /** Prefix-filtered candidate pairs for Jaccard >= t within each source —
+    * the PPJoin/All-Pairs prefix filter (Bayardo et al., WWW'07; Xiao et
+    * al., WWW'08). Each document's tokens are ordered by ascending global
+    * document frequency (ties by token), and only the first
+    * n − ⌈t·n⌉ + 1 tokens join: any pair with J ≥ t must share a prefix
+    * token under a common total order, so recall is lossless — and the
+    * corpus-wide stopwords sort LAST, which removes exactly the hot tokens
+    * from the join key space. Without this, one stopword present in every
+    * document of a source makes the token join O(n²) in that source — fine
+    * at sf0.1, fatal at 100 TB.
+    */
+  private[graft] def jaccardCandidates(sets: DataFrame,
+                                       minJaccard: Double): DataFrame = {
+    val tok = sets.select(col("doc_id"), col("source"), col("n"),
+      explode(col("ws")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(freq, "w")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("w"))))
+    // cached: both self-join sides read it (otherwise the ranking window
+    // and everything under it is computed twice)
+    val prefix = graft.CacheRegistry.persistTracked(
+      ranked
+        .filter(col("rnk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+        .select("doc_id", "source", "n", "w", "rnk"))
+
+    // Size bound inside the join: J >= t forces |B| within [t*|A|, |A|/t].
+    // Positional bound (PPJoin): a token matched at prefix positions
+    // (ra, rb) caps the overlap at min(na−ra, nb−rb)+1, which must reach
+    // the required overlap ⌈t/(1+t)·(na+nb)⌉ — for a true pair the first
+    // common token in the global order always passes, so recall is
+    // lossless while the in-join fanout shrinks before the pair distinct.
+    val a = prefix.select(col("source"), col("w"),
+      col("doc_id").as("a_id"), col("n").as("na"), col("rnk").as("ra"))
+    val b = prefix.select(col("source"), col("w"),
+      col("doc_id").as("b_id"), col("n").as("nb"), col("rnk").as("rb"))
+    a.join(b,
         col("a_id") < col("b_id") &&
           a("source") === b("source") && a("w") === b("w") &&
           col("nb") >= ceil(col("na") * minJaccard) &&
-          col("nb") <= floor(col("na") / minJaccard))
-      .groupBy("a_id", "b_id", "na", "nb")
-      .agg(count(lit(1)).as("c"))
+          col("nb") <= floor(col("na") / minJaccard) &&
+          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+            ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("na") + col("nb"))))
+      .select("a_id", "b_id")
+      .distinct()
+  }
 
-    inter
+  /** d4: exact word-set Jaccard >= 0.8 within each source — prefix-filtered
+    * candidate generation (linear in true candidates, stopword-immune), then
+    * exact verification by intersecting the two word-set arrays per
+    * candidate pair. The SQL-oracle-checkable exact counterpart of d2.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val sets = wordSets(Tables.documents(spark, dir))
+    jaccardCandidates(sets, minJaccard)
+      .join(sets.select(col("doc_id").as("a_id"), col("ws").as("a_ws"),
+        col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ws").as("b_ws"),
+        col("n").as("nb")), "b_id")
+      .withColumn("c", Sketches.sortedIntersectCount(col("a_ws"), col("b_ws")))
       .withColumn("jaccard",
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
@@ -203,7 +245,10 @@ object Dedup {
     */
   def dedupGroups(spark: SparkSession, dir: String,
                   minJaccard: Double = 0.8, maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id")
+    // persist the pair list BEFORE mirroring it: the union's two branches
+    // would otherwise each run the full similarity-join chain
+    val pairs = graft.CacheRegistry.persistTracked(
+      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .persist()
@@ -213,6 +258,11 @@ object Dedup {
     var labels = Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("group_id"))
       .localCheckpoint()
+    // Convergence signal: labels only ever decrease, so the label sum is
+    // strictly monotone until the fixpoint — an unchanged sum IS
+    // convergence. One scalar aggregate over the checkpointed labels per
+    // superstep, instead of a join-based changed-row count.
+    var prevSum = labels.agg(sum(col("group_id"))).first().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -234,16 +284,18 @@ object Dedup {
           least(col("x.group_id"), coalesce(col("g_gid"), col("x.group_id")))
             .as("group_id"))
         .localCheckpoint()
-      // scalar superstep convergence check (the Pregel vote-to-halt);
-      // aliased projections avoid self-join lineage ambiguity
-      converged = updated.select(col("doc_id"), col("group_id").as("new_gid"))
-        .join(labels.select(col("doc_id"), col("group_id").as("old_gid")), "doc_id")
-        .filter(col("new_gid") < col("old_gid"))
-        .limit(1).count() == 0L
+      val newSum = updated.agg(sum(col("group_id"))).first().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels = updated
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dedupGroups stopped at maxIters=$maxIters without converging — " +
+          "group labels may be partially propagated; raise maxIters " +
+          "(pointer doubling needs ~log2(component diameter) supersteps)")
     labels.orderBy("doc_id")
   }
 

@@ -25,8 +25,10 @@ object TextAnalysis {
     "fr" -> Seq("window", "stream", "batch"),
     "zh" -> Seq("spark", "vector", "hash"))
 
+  // native codegen'd set-membership counter — the HOF spelling
+  // size(filter(toks, _.isin(...))) runs an interpreted lambda per token
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*)))
+    Sketches.countInSet(toks, words)
 
   /** x1: language identification by marker-token counts; ties resolve in
     * fixed lexicon order (en > es > de > fr > zh).
@@ -65,8 +67,7 @@ object TextAnalysis {
       .withColumn("ttr_raw",
         size(array_distinct(col("toks"))).cast("double") / col("n_words"))
       .withColumn("stop_raw",
-        size(filter(col("toks"), t => t.isin(stops: _*)))
-          .cast("double") / col("n_words"))
+        Sketches.countInSet(col("toks"), stops).cast("double") / col("n_words"))
       .withColumn("quality_score",
         round(lit(0.4) * col("ttr_raw")
           + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
@@ -105,13 +106,20 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("wc"))
-    val total = tok.count() // one tiny job; the value broadcasts as a literal
-    tok.join(broadcast(freq), "w")
+    // Corpus token total from the already-aggregated freq table (one row),
+    // broadcast-joined into the plan — no separate driver job re-scanning
+    // the corpus. The vocabulary join itself is a plain shuffle join on `w`:
+    // at 100 TB the vocabulary is unbounded (billions of distinct tokens),
+    // so broadcasting `freq` would OOM the driver; Catalyst picks a
+    // sort-merge/hash join keyed on the token instead.
+    val total = freq.agg(sum(col("wc")).cast("double").as("tot"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), log(col("wc").cast("double") / col("tot")).as("lp"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum(log(col("wc").cast("double") / total.toDouble))
-          / count(lit(1)), 4).as("avg_logprob"))
+        round(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
       .select("doc_id", "n_tokens", "avg_logprob")
       .orderBy("doc_id")
   }
@@ -141,14 +149,33 @@ object TextAnalysis {
     * trick") with no model or vocabulary, as one codegen'd pass. Output
     * plugs straight into the embedding operators (d5 near-dup, s1/s2 ANN)
     * when no learned embedding column exists.
+    *
+    * The driver-checked surface emits scalar columns only (the raw
+    * array<double> is not sortable/hashable by the compare harness):
+    * token count, non-zero dimension count, L2 norm (1.0 or 0.0 by
+    * construction — the kernel normalizes), and an xxhash64 digest of the
+    * full vector, which changes if any component changes. Exact component
+    * semantics stay pinned by KernelPropertiesSpec; `hashEmbeddingVectors`
+    * below returns the raw vectors for composition with d5/s1/s2.
     */
   def hashEmbeddings(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    hashEmbeddingVectors(spark, dir, dim)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        size(filter(col("embedding"), v => v =!= lit(0.0))).cast("long").as("nnz"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v * v)), 6)
+          .as("l2_norm"),
+        xxhash64(col("embedding")).as("vec_digest"))
+      .orderBy("doc_id")
+
+  /** The raw-vector form of x7 — embedding column usable as d5/s1/s2 input. */
+  def hashEmbeddingVectors(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         Sketches.hashEmbedding(split(col("text"), " "), dim).as("embedding"))
-      .orderBy("doc_id")
 
   /** x4: document fingerprints via the native rolling-hash expressions —
     * whole-text polynomial hash + minimum 32-byte-window hash (winnowing

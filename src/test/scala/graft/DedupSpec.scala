@@ -89,6 +89,42 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 1 && got.head.getDouble(2) == 1.0)
   }
 
+  test("d4 prefix filter keeps candidates linear under stopword saturation") {
+    // 60 docs, each = one universal stopword ("the") + 9 unique tokens.
+    // Every pair shares "the" but J = 1/19 << 0.8. Without prefix
+    // filtering, the (source, token) self-join fans out O(n²) rows on the
+    // stopword (60·59/2 = 1770 candidate pairs); with frequency-ascending
+    // prefix ordering the stopword sorts LAST in every doc and never
+    // enters the prefix, so zero candidates survive.
+    val docs = (0 until 60).map { i =>
+      val uniq = (0 until 9).map(j => s"u${i}_$j").mkString(" ")
+      (i.toLong, s"the $uniq", "s0")
+    }
+    val dir = writeDocs(docs)
+    val sets = Dedup.wordSets(Tables.documents(spark, dir))
+    val cands = Dedup.jaccardCandidates(sets, 0.8).count()
+    assert(cands == 0L,
+      s"stopword-only overlap must produce no candidates, got $cands")
+    assert(Dedup.ngramJaccard(spark, dir).collect().isEmpty)
+  }
+
+  test("d4 prefix filter is recall-lossless: near-dup pairs still found among stopword noise") {
+    // 3 near-identical docs (J >= 0.8 pairwise) buried in 30 docs that all
+    // share the same two stopwords.
+    val near = Seq(
+      (100L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 na", "s0"),
+      (101L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 nb", "s0"),
+      (102L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 nc", "s0"))
+    val noise = (0 until 30).map { i =>
+      (i.toLong, s"the of x${i}_1 x${i}_2 x${i}_3 x${i}_4 x${i}_5 x${i}_6", "s0")
+    }
+    val dir = writeDocs(near ++ noise)
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L)),
+      s"expected exactly the three near-dup pairs, got $pairs")
+  }
+
   test("d5 embedding near-dup pairs are blocked by label") {
     import spark.implicits._
     val dir = tempSfDir()

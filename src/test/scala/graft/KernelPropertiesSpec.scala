@@ -74,6 +74,41 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("count-in-set matches a filter fold, with multiplicity, on generated docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val words = Seq("the", "a", "of", "und", "la")
+    val tokenGen = Gen.frequency(
+      3 -> Gen.oneOf(words),
+      7 -> Gen.identifier.map(_.take(6)))
+    val docs = sample(Gen.listOfN(25, tokenGen), 100).map(_.mkString(" ")).distinct
+    val got = docs.toDF("text")
+      .select(col("text"),
+        graft.functions.Sketches.countInSet(split(col("text"), " "), words).as("c"))
+      .collect()
+    got.foreach { r =>
+      val expect = r.getString(0).split(" ").count(words.contains)
+      assert(r.getLong(1) == expect, s"countInSet('${r.getString(0).take(30)}')")
+    }
+  }
+
+  test("sorted intersect count equals set intersection size on generated sorted arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val arr = Gen.listOfN(15, Gen.identifier.map(_.take(5)))
+      .map(_.distinct.sorted.toArray)
+    val pairs = sample(Gen.zip(arr, arr), 150)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.Sketches.sortedIntersectCount(col("a"), col("b")).as("c"))
+      .collect()
+    got.zip(pairs).foreach { case (r, (a, b)) =>
+      val expect = a.toSet.intersect(b.toSet).size.toLong
+      assert(r.getLong(2) == expect,
+        s"sortedIntersectCount(${a.take(3).mkString(",")}..., ${b.take(3).mkString(",")}...)")
+    }
+  }
+
   test("dot product matches a double fold and is symmetric on generated vectors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
