@@ -22,6 +22,29 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").csv(path)
 
+  /** Exactly one CSV *file* at `file` (not a directory) — byte-for-byte the
+    * shape of the reference's `writeAsCsv(..., OVERWRITE).setParallelism(1)`
+    * sink, so its downstream consumers need no change. Writes a temp
+    * directory through the normal committer, then renames the single part
+    * file into place via the Hadoop FS API (works on any supported
+    * filesystem, not just local disk).
+    */
+  def writeCsvSingleFile(df: DataFrame, file: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(file)
+    val fs = target.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(file + "_tmp_" + java.util.UUID.randomUUID())
+    df.coalesce(1).write.mode("overwrite").csv(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (fs.exists(target)) fs.delete(target, true)
+    Option(target.getParent).foreach(fs.mkdirs(_))
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+  }
+
   /** Append-mode streaming CSV sink with checkpointing — the unbounded twin
     * of the reference's CSV output.
     */

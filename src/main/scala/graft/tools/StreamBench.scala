@@ -43,9 +43,14 @@ object StreamBench {
     val base = graft.Tables.events(spark, sfDir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    val baseN = base.count()
+    // Replica ids offset by max(event_id)+1, not the row count: with sparse
+    // ids a count-based offset would collide replicas and stateful ops
+    // would silently drop rows, deflating the reported throughput.
+    val Array(baseN, idSpan) = base
+      .agg(count(lit(1)), max(col("event_id")) + 1).as[(Long, Long)]
+      .first() match { case (c, s) => Array(c, s) }
     val events = spark.range(replicas).toDF("rep").crossJoin(base)
-      .select((col("event_id") + col("rep") * (baseN + 1)).as("event_id"),
+      .select((col("event_id") + col("rep") * idSpan).as("event_id"),
         col("ts"), col("user_id"), col("event_type"), col("value"))
     val n = baseN * replicas
     events.repartition(chunks).write.mode("overwrite").parquet(in)
