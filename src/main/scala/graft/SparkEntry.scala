@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
+import graft.operators.{Analytics, Decontamination, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -52,6 +52,8 @@ object SparkEntry {
     "d4_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "d6_dedup_groups"      -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
+    "d7_keep_list"         -> ((s: SparkSession, d: String) => Dedup.keepList(s, d)),
+    "c1_contamination"     -> ((s: SparkSession, d: String) => Decontamination.contaminated(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "x1_lang_id"           -> TextAnalysis.langId _,
@@ -61,6 +63,8 @@ object SparkEntry {
     "x5_unigram_logprob"   -> TextAnalysis.unigramLogProb _,
     "x7_hash_embedding"    -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbeddings(s, d)),
     "x8_stratified_sample" -> TextAnalysis.stratifiedSample _,
+    "x10_top_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
+    "x11_repetition"       -> TextAnalysis.repetitionSignals _,
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -362,6 +366,66 @@ object SparkEntry {
         |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.node = e.a_id)
         |SELECT src AS doc_id, min(node) AS group_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "d7_keep_list" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.node = e.a_id)
+        |SELECT src AS doc_id, min(node) AS group_id, src = min(node) AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "c1_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |           i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT sh.doc_id, sh.source, count(*) AS n_hit_shingles
+        |FROM sh JOIN bench ON sh.s = bench.s
+        |WHERE sh.source <> 'src0'
+        |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "x10_top_bigrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT source,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks),
+        |counts AS (SELECT source, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram) AS BIGINT) AS rnk
+        |      FROM counts)
+        |SELECT source, rnk, bigram, n FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
+
+    "x11_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_words,
+        |        CASE WHEN len(t) >= 2
+        |          THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |          ELSE [] END AS bg
+        |      FROM b)
+        |SELECT doc_id, n_words,
+        |  round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |  CASE WHEN len(bg) > 0
+        |    THEN round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        |    ELSE 0.0 END AS dup_bigram_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosExpr, 6) AS cosim

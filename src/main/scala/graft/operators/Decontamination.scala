@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Benchmark decontamination — the training-data hygiene operator: flag
+  * corpus documents that share any contiguous k-token shingle with a
+  * benchmark/eval corpus, so eval data can be removed from training input.
+  *
+  * Scale posture: both sides reduce to (key, shingle) streams; the join is
+  * a shuffle on the shingle (or a broadcast when the benchmark side is
+  * small, which it always is in practice — benchmarks are MBs, corpora are
+  * TBs). Candidate volume is bounded by true shingle collisions, never a
+  * cross product. At 100 TB the shingle string is replaced by its 128-bit
+  * hash to shrink shuffle width — kept as the raw string here so the DuckDB
+  * oracle compares exactly.
+  */
+object Decontamination {
+
+  /** Contiguous k-token shingles of `textCol` as an array column. */
+  private def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(textCol, " ")
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+  }
+
+  /** c1: documents outside `benchSource` sharing at least one k-shingle
+    * with a `benchSource` document → (doc_id, source, n_hit_shingles).
+    */
+  def contaminated(spark: SparkSession, dir: String,
+                   k: Int = 8, benchSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(shingles(col("text"), k))).as("s"))
+    val bench = docs.filter(col("source") === benchSource)
+      .select(col("s")).distinct()
+    docs.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+      .orderBy("doc_id")
+  }
+}

@@ -299,6 +299,18 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** d7: the dedup *decision* — one row per document with its transitive
+    * group and whether it is the group's canonical keeper (the smallest
+    * doc_id). This is the frame a pipeline actually filters training input
+    * with; d6 is its group-label substrate.
+    */
+  def keepList(spark: SparkSession, dir: String,
+               minJaccard: Double = 0.8): DataFrame =
+    dedupGroups(spark, dir, minJaccard)
+      .select(col("doc_id"), col("group_id"),
+        (col("doc_id") === col("group_id")).as("keep"))
+      .orderBy("doc_id")
+
   /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
     * cluster id); cosine computed in double so it hash-matches the DuckDB
     * oracle after round(6). At 100 TB the block key becomes an LSH/IVF

@@ -177,6 +177,57 @@ object TextAnalysis {
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         Sketches.hashEmbedding(split(col("text"), " "), dim).as("embedding"))
 
+  /** x11: within-document repetition signals — the Gopher-style quality
+    * filters: fraction of duplicated words and duplicated bigrams inside
+    * each document. Pure per-row projection, no shuffle until the (absent)
+    * caller aggregates; docs with fewer than 2 tokens score 0 by definition.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("bg",
+        when(col("n_words") >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(lit(1.0) -
+          size(array_distinct(col("t"))).cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        when(size(col("bg")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("bg"))).cast("double") / size(col("bg")), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x10: top-k bigrams per source — the corpus n-gram profile. One explode
+    * + one (source, bigram) aggregation + a rank window; Spark 4 plans the
+    * rank filter as WindowGroupLimit, pushing top-k below the sort so each
+    * partition forwards at most k rows per source.
+    */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("bigram"))
+    Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .as("bigram"))
+      .groupBy("source", "bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(byCount).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "bigram", "n")
+      .orderBy("source", "rnk")
+  }
+
   /** x4: document fingerprints via the native rolling-hash expressions —
     * whole-text polynomial hash + minimum 32-byte-window hash (winnowing
     * sketch). Rows-only checked; exactness is pinned by ScalaTest.

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.{Decontamination, Dedup, TextAnalysis}
+
+/** Semantics of the round-2 pipeline operators (keep-list, decontamination,
+  * n-gram profile, repetition signals) on crafted documents.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d7 keep list keeps exactly one doc per transitive group") {
+    // docs 1~2~3 form one near-dup chain (see DedupSpec d6), 4 is alone
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wa"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wb"
+    val c = "wc w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wb"
+    val dir = writeDocs(Seq(
+      (1L, a, "s0"), (2L, b, "s0"), (3L, c, "s0"),
+      (4L, "totally different words entirely", "s0")))
+    val got = Dedup.keepList(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true)))
+  }
+
+  test("c1 contamination flags only docs sharing a full k-shingle with the benchmark source") {
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    // doc 10 embeds benchmark tokens 2..9 verbatim (an 8-shingle) — hit
+    val leaked = "x1 b2 b3 b4 b5 b6 b7 b8 b9 x2"
+    // doc 11 has 7 consecutive benchmark tokens only — no 8-shingle, clean
+    val partial = "x1 b2 b3 b4 b5 b6 b7 b8 x2 x3"
+    val dir = writeDocs(Seq(
+      (1L, bench, "src0"), (10L, leaked, "s1"), (11L, partial, "s1")))
+    val got = Decontamination.contaminated(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, "s1", 1L)), s"got ${got.toSeq}")
+  }
+
+  test("x10 ranks bigrams per source by count with deterministic ties") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b a b", "s0"), // "a b" x3, "b a" x2
+      (2L, "c d", "s0"),
+      (3L, "z z z", "s1")))
+    val got = TextAnalysis.topBigrams(spark, dir, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("s0", 1L, "a b", 3L), ("s0", 2L, "b a", 2L),
+      ("s1", 1L, "z z", 2L)))
+  }
+
+  test("x11 repetition fractions are exact, single-token docs score zero") {
+    val dir = writeDocs(Seq(
+      (1L, "a a a a", "s0"),   // 1 distinct of 4 words; bigrams: "a a" x3 -> 2/3 dup
+      (2L, "a b c d", "s0"),   // no repetition
+      (3L, "solo", "s0")))     // 1 token: both fracs 0 by definition
+    val got = TextAnalysis.repetitionSignals(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.75, 0.666667),
+      (2L, 4L, 0.0, 0.0),
+      (3L, 1L, 0.0, 0.0)))
+  }
+}
