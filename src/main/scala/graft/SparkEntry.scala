@@ -65,6 +65,9 @@ object SparkEntry {
     "x8_stratified_sample" -> TextAnalysis.stratifiedSample _,
     "x10_top_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
     "x11_repetition"       -> TextAnalysis.repetitionSignals _,
+    "x12_tfidf_terms"      -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
+    "x14_quality_bins"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityBins(s, d)),
+    "i1_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -488,6 +491,43 @@ object SparkEntry {
         |WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100
         |      < 25 + (length(source) * 17) % 50
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "x12_tfidf_terms" ->
+      """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tfc AS (SELECT source, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfc AS (SELECT w, count(*) AS df
+        |        FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT tfc.source, tfc.w, tfc.tf, dfc.df,
+        |        round(tfc.tf * ln((SELECT n FROM nd) / dfc.df), 4) AS score
+        |      FROM tfc JOIN dfc USING (w)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, w) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT source, rnk, w AS term, tf, df, score FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
+
+    "x14_quality_bins" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  round(0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+        |    + 0.3 * (1.0 - abs(CAST(len(list_filter(toks, x -> list_contains(
+        |        ['the','a','fast','data','table','row','join','merge','group','window','stream','batch','spark','vector','hash'],
+        |        x))) AS DOUBLE) / len(toks) - 0.4))
+        |    + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0), 6) AS q
+        | FROM b),
+        |r AS (SELECT source, doc_id, q,
+        |        CAST(ntile(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS decile
+        |      FROM c)
+        |SELECT source, decile, count(*) AS n_docs,
+        |       round(min(q), 6) AS q_lo, round(max(q), 6) AS q_hi
+        |FROM r GROUP BY 1, 2 ORDER BY source, decile""".stripMargin,
+
+    "i1_inverted_index" ->
+      """WITH pairs AS (SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+        |SELECT w, CAST(doc_id // 64 AS BIGINT) AS segment, count(*) AS n_docs,
+        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM pairs GROUP BY w, segment ORDER BY w, segment""".stripMargin,
 
     "x3_token_stats" ->
       """SELECT source, count(*) AS n_docs,

@@ -228,6 +228,85 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** x12: top-k TF-IDF terms per source — the corpus's distinguishing-term
+    * profile. TF counts the term within a source; DF counts documents over
+    * the whole corpus. The DF table is vocabulary-sized, so the tf⋈df join
+    * shuffles on the token (broadcasting it would OOM the driver at corpus
+    * scale — same posture as x5); the corpus doc count rides in as a
+    * one-row broadcast; the per-source top-k plans as WindowGroupLimit.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("nd"))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("w").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("source", "rnk")
+  }
+
+  /** i1: doc-partitioned inverted index — token → posting list, segmented
+    * by doc_id range so no single row aggregates an unbounded list: a
+    * stopword's postings spread across ceil(N/segSize) bounded rows
+    * instead of one giant array (the hot-token skew guard; production
+    * indexes shard postings exactly this way). Postings are emitted as a
+    * sorted comma-joined string — compact, and sortable by the compare
+    * harness (raw array columns are not).
+    */
+  def invertedIndex(spark: SparkSession, dir: String, segSize: Int = 64): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .withColumn("segment", (col("doc_id") / lit(segSize)).cast("long"))
+      .groupBy("w", "segment")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      .orderBy("w", "segment")
+
+  /** x14: per-source quality-decile binning (ntile) — the "keep the top
+    * N% by quality" curation step. Scoring reuses the x2 formula; binning
+    * is PER SOURCE so the sort parallelizes across strata — a single
+    * global ntile would serialize the corpus through one partition, the
+    * per-stratum form is the at-scale shape. Ordering ties break on
+    * doc_id, and the score is rounded before ordering so bin boundaries
+    * are engine-portable.
+    */
+  def qualityBins(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = markers.flatMap(_._2)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("q",
+        round(lit(0.4) * (size(array_distinct(col("toks"))).cast("double") / col("n_words"))
+          + lit(0.3) * (lit(1.0) -
+            abs(Sketches.countInSet(col("toks"), stops).cast("double") / col("n_words") - lit(0.4)))
+          + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("q"), col("doc_id"))
+    scored
+      .withColumn("decile", ntile(bins).over(byQ).cast("long"))
+      .groupBy("source", "decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min("q"), 6).as("q_lo"),
+        round(max("q"), 6).as("q_hi"))
+      .orderBy("source", "decile")
+  }
+
   /** x4: document fingerprints via the native rolling-hash expressions —
     * whole-text polynomial hash + minimum 32-byte-window hash (winnowing
     * sketch). Rows-only checked; exactness is pinned by ScalaTest.

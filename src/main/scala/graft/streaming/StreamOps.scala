@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming twins of the reference's Flink reports. Each op
   * takes an unbounded DataFrame (from `readStream`) with the `events`
@@ -238,6 +239,116 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new RunDetectProcessor(minRun),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  case class SessionAgg(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  case class UserSession(user_id: Long, t_start_us: Long, t_end_us: Long,
+                         n_events: Long, sum_value: Double)
+
+  /** Timer-driven sessionization on transformWithState — the event-time
+    * TIMER path (vs. the declarative `session_window` in `sessionWindows`):
+    * each key holds one open-session aggregate and one registered timer at
+    * (session end + gap). When the watermark passes the timer, the closed
+    * session is emitted and state cleared — so an idle key's session closes
+    * WITHOUT waiting for that key's next event, and per-key state is O(1)
+    * regardless of session length. This is the state+timer pattern every
+    * custom windowing operator builds on.
+    */
+  class SessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, UserSession] {
+    @transient private var sess: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAgg](
+        "sess", Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      val out = Seq.newBuilder[UserSession]
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        cur match {
+          case Some(s) if ms - s.endMs <= gapMs =>
+            cur = Some(SessionAgg(s.startMs, math.max(s.endMs, ms),
+              s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            // gap exceeded inside the batch: close in-line, open a new one
+            out += UserSession(userId, s.startMs * 1000L, s.endMs * 1000L, s.n, s.sum)
+            cur = Some(SessionAgg(ms, ms, 1, e.value))
+          case None =>
+            cur = Some(SessionAgg(ms, ms, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // one live timer per key: re-arm at the new session horizon
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.endMs + gapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserSession] =
+      if (sess.exists()) {
+        val s = sess.get()
+        if (info.getExpiryTimeInMs() >= s.endMs + gapMs) {
+          sess.clear()
+          Iterator.single(
+            UserSession(userId, s.startMs * 1000L, s.endMs * 1000L, s.n, s.sum))
+        } else Iterator.empty // stale timer from a since-extended session
+      } else Iterator.empty
+  }
+
+  /** Sessionization via state + event-time timers (see SessionizeProcessor).
+    * The watermark drives timer expiry; `gap` is the session idle gap.
+    */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Event],
+                    gapMs: Long = 1800000L,
+                    watermark: String = "10 seconds"): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** TTL-expiring first-seen filter on transformWithState: emits only each
+    * key's first event while the key's state is live; the per-state TTL
+    * (processing time, RocksDB-native) then expires idle keys
+    * automatically, so the operator is a streaming `dropDuplicates` whose
+    * state NEVER grows beyond the active-key working set — no watermark
+    * bookkeeping, no unbounded seen-set. The 100 TB posture for
+    * infinite-retention streams.
+    */
+  class FirstSeenProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Event, Event] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig(ttl))
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Event] =
+      if (rows.hasNext && !seen.exists()) {
+        seen.update(true)
+        Iterator.single(rows.next())
+      } else Iterator.empty
+  }
+
+  /** First event per key per TTL horizon (see FirstSeenProcessor). */
+  def firstSeenTws(spark: SparkSession, events: Dataset[Event],
+                   ttl: java.time.Duration): Dataset[Event] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstSeenProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is

@@ -91,7 +91,19 @@ object StreamBench {
         StreamOps.purchaseAttribution(s, stream())
       }))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    // transformWithState ops require the RocksDB provider. firstSeenTws is
+    // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
+    // true forever, so an AvailableNow run never terminates.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val twsResults = Seq(
+      best("accident_runs_tws", () =>
+        StreamOps.accidentRunsTws(spark, stream().as[StreamOps.Event]).toDF()),
+      best("sessionize_tws_timers", () =>
+        StreamOps.sessionizeTws(spark, stream().as[StreamOps.Event]).toDF()))
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    val qs = (results ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()

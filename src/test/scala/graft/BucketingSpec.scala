@@ -27,4 +27,38 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() == 1000)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("multi-column bucketing: join on the full bucket key elides the shuffle, partial key does not") {
+    import spark.implicits._
+    // composite key (tenant, day) — the layout for recurring
+    // per-tenant-per-day fact joins at fleet scale
+    (for (t <- 1L to 20L; d <- 1L to 50L) yield (t, d, t * 1000 + d))
+      .toDF("tenant", "day", "lv")
+      .write.mode("overwrite").bucketBy(8, "tenant", "day")
+      .sortBy("tenant", "day").saveAsTable("bkt2_left")
+    (for (t <- 1L to 20L; d <- 1L to 50L) yield (t, d, t + d))
+      .toDF("tenant", "day", "rv")
+      .write.mode("overwrite").bucketBy(8, "tenant", "day")
+      .sortBy("tenant", "day").saveAsTable("bkt2_right")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val full = spark.table("bkt2_left")
+        .join(spark.table("bkt2_right"), Seq("tenant", "day"))
+      val fullPlan = full.queryExecution.executedPlan.toString
+      assert(fullPlan.contains("SortMergeJoin"), s"expected SMJ, got:\n$fullPlan")
+      assert(!fullPlan.contains("Exchange hashpartitioning"),
+        s"full-key join of co-bucketed tables must not shuffle, got:\n$fullPlan")
+      assert(full.count() == 1000)
+
+      // joining on `tenant` alone cannot reuse hash(tenant, day) buckets:
+      // the plan MUST re-shuffle — proving the layout/key contract, not a
+      // planner accident
+      val partial = spark.table("bkt2_left").select("tenant", "lv")
+        .join(spark.table("bkt2_right").select("tenant", "rv"), Seq("tenant"))
+      val partialPlan = partial.queryExecution.executedPlan.toString
+      assert(partialPlan.contains("Exchange hashpartitioning"),
+        s"partial-key join must shuffle (bucket key is composite), got:\n$partialPlan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }

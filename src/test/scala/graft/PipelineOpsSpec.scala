@@ -57,6 +57,55 @@ class PipelineOpsSpec extends SparkSpec {
       ("s1", 1L, "z z", 2L)))
   }
 
+  test("x12 tf-idf ranks source-specific terms above corpus-wide ones") {
+    // "rare" appears only in s0's doc (df=1, idf=ln 3); "common" is in all
+    // three docs (df=3, idf=0 -> score 0, ranks below by term order)
+    val dir = writeDocs(Seq(
+      (1L, "common rare rare", "s0"),
+      (2L, "common other", "s1"),
+      (3L, "common other", "s1")))
+    val got = TextAnalysis.tfidfTerms(spark, dir, k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    val ln3 = math.rint(2 * math.log(3.0) * 1e4) / 1e4 // tf=2, round 4
+    val ln15 = math.rint(2 * math.log(1.5) * 1e4) / 1e4 // "other": tf=2, df=2
+    assert(got.toSeq == Seq(
+      ("s0", 1L, "rare", ln3), ("s0", 2L, "common", 0.0),
+      ("s1", 1L, "other", ln15), ("s1", 2L, "common", 0.0)), s"got ${got.toSeq}")
+  }
+
+  test("i1 inverted index segments postings by doc-id range") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta", "s0"),
+      (2L, "alpha", "s0"),
+      (70L, "alpha", "s0"))) // doc 70 lands in segment 1 (70/64)
+    val got = TextAnalysis.invertedIndex(spark, dir, segSize = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      ("alpha", 0L, 2L, "1,2"),
+      ("alpha", 1L, 1L, "70"),
+      ("beta", 0L, 1L, "1")), s"got ${got.toSeq}")
+  }
+
+  test("x14 deciles split each source into equal-ish bins in quality order") {
+    // 4 docs in one source with strictly increasing word counts -> strictly
+    // increasing length component; bins=2 puts the two lowest-quality docs
+    // in decile 1
+    val dir = writeDocs(Seq(
+      (1L, "u1 u2", "s0"),
+      (2L, "u1 u2 u3 u4", "s0"),
+      (3L, "u1 u2 u3 u4 u5 u6", "s0"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8", "s0")))
+    val got = TextAnalysis.qualityBins(spark, dir, bins = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s0", 1L, 2L), ("s0", 2L, 2L)), s"got ${got.toSeq}")
+    // bin boundaries must not overlap
+    val bounds = TextAnalysis.qualityBins(spark, dir, bins = 2)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(bounds(0)._2 <= bounds(1)._1)
+  }
+
   test("x11 repetition fractions are exact, single-token docs score zero") {
     val dir = writeDocs(Seq(
       (1L, "a a a a", "s0"),   // 1 distinct of 4 words; bigrams: "a a" x3 -> 2/3 dup

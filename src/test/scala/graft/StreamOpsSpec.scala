@@ -73,6 +73,134 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("sessionize via timers: watermark passing the gap closes an idle key's session") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = StreamOps.sessionizeTws(spark, input.toDS(),
+          gapMs = 30L * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sess_tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: two events 5 min apart -> one open session
+        input.addData(Seq(ev(1, 0, 1L, "click", 2.0), ev(2, 5, 1L, "click", 3.0)))
+        q.processAllAvailable()
+        assert(spark.table("sess_tws_out").count() == 0, "session still open")
+        // user 2 at minute 90 advances the watermark past user 1's
+        // (end=5min + gap=30min) horizon — NO further user-1 events
+        input.addData(Seq(ev(3, 90, 2L, "view")))
+        q.processAllAvailable()
+        // timers fire against the watermark computed at the previous
+        // batch's end — one more batch lets user 1's timer discharge
+        input.addData(Seq(ev(4, 95, 2L, "view")))
+        q.processAllAvailable()
+        val rows = spark.table("sess_tws_out")
+          .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+            r.getAs[Double]("sum_value")))
+        assert(rows.toSeq == Seq((1L, 2L, 5.0)),
+          s"idle user-1 session must close by timer, got ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("sessionize via timers: a late-arriving event extends the session and re-arms the timer") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = StreamOps.sessionizeTws(spark, input.toDS(),
+          gapMs = 30L * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sess_tws_ext_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(Seq(ev(1, 0, 1L, "click")))
+        q.processAllAvailable()
+        // minute 20 is inside the gap: extends the session, re-arms to 50
+        input.addData(Seq(ev(2, 20, 1L, "click")))
+        q.processAllAvailable()
+        // watermark to 40 (> first horizon 30, < new horizon 50): the STALE
+        // timer fires but must not emit the extended session
+        input.addData(Seq(ev(3, 40, 2L, "view")))
+        q.processAllAvailable()
+        input.addData(Seq(ev(4, 41, 2L, "view")))
+        q.processAllAvailable()
+        assert(spark.table("sess_tws_ext_out")
+          .filter($"user_id" === 1L).count() == 0,
+          "stale timer must not close the extended session")
+        // advance past 50 and discharge
+        input.addData(Seq(ev(5, 55, 2L, "view")))
+        q.processAllAvailable()
+        input.addData(Seq(ev(6, 56, 2L, "view")))
+        q.processAllAvailable()
+        val u1 = spark.table("sess_tws_ext_out").filter($"user_id" === 1L)
+          .collect().map(r => r.getAs[Long]("n_events"))
+        assert(u1.toSeq == Seq(2L), s"extended session emits once, got ${u1.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("first-seen filter: TTL expiry re-admits an idle key") {
+    // Processing-time mode makes shouldRunAnotherBatch true perpetually
+    // (TTL/timer maintenance), so processAllAvailable() never quiesces AND
+    // Trigger.AvailableNow loops micro-batches forever. Trigger.Once runs
+    // exactly one batch then terminates — drive the stream as one-batch
+    // runs over a shared checkpoint (state persists across runs; the TTL
+    // wall clock keeps ticking between them).
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      // the memory sink cannot resume from a checkpoint — use the
+      // (recoverable) parquet sink and read the output dir between runs.
+      // Each run pays seconds of query startup, so the live-vs-expired
+      // distinction needs two checkpoints: a long TTL (minutes ≫ startup)
+      // proves cross-run suppression; a short TTL + sleep proves expiry.
+      def runOnce(input: MemoryStream[Event], ttl: java.time.Duration,
+                  ckpt: String, outDir: String): Unit = {
+        val q = StreamOps.firstSeenTws(spark, input.toDS(), ttl)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once(): @annotation.nowarn("cat=deprecation"))
+          .outputMode(OutputMode.Append).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      def emitted(outDir: String): Long = spark.read.parquet(outDir).count()
+
+      // live path: 10-minute TTL spans both runs
+      val liveIn = MemoryStream[Event]
+      val (liveCkpt, liveOut) = (tempSfDir(), tempSfDir())
+      val liveTtl = java.time.Duration.ofMinutes(10)
+      liveIn.addData(Seq(ev(1, 1, 1L, "click"), ev(2, 2, 1L, "click")))
+      runOnce(liveIn, liveTtl, liveCkpt, liveOut)
+      assert(emitted(liveOut) == 1, "first event only (in-batch suppression)")
+      liveIn.addData(Seq(ev(3, 3, 1L, "click")))
+      runOnce(liveIn, liveTtl, liveCkpt, liveOut)
+      assert(emitted(liveOut) == 1, "state still live across runs")
+
+      // expiry path: 800 ms TTL lapses during the sleep
+      val expIn = MemoryStream[Event]
+      val (expCkpt, expOut) = (tempSfDir(), tempSfDir())
+      val expTtl = java.time.Duration.ofMillis(800)
+      expIn.addData(Seq(ev(1, 1, 1L, "click")))
+      runOnce(expIn, expTtl, expCkpt, expOut)
+      assert(emitted(expOut) == 1, "first event emitted")
+      Thread.sleep(2000) // let the 800 ms TTL lapse
+      expIn.addData(Seq(ev(2, 2, 1L, "click")))
+      runOnce(expIn, expTtl, expCkpt, expOut)
+      assert(emitted(expOut) == 2, "expired state must re-admit the key")
+    }
+  }
+
   test("accident runs: per-report mode emits from the 4th report on, across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
