@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Decontamination, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
+import graft.operators.{Analytics, Curation, Decontamination, DecisionSupport, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -46,6 +46,16 @@ object SparkEntry {
     "q8_approx_stats"      -> Analytics.approxStats _,
     "q_salted_purchases"   -> ((s: SparkSession, d: String) => Analytics.saltedPurchaseTotals(s, d)),
     "q_top_users_window"   -> Analytics.topUsers _,
+    "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
+    "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
+    "q15_top_supplier"     -> DecisionSupport.topSupplier _,
+    "q16_supplier_variety" -> DecisionSupport.supplierVariety _,
+    "q17_small_qty_revenue" -> DecisionSupport.smallQtyRevenue _,
+    "q18_large_orders"     -> ((s: SparkSession, d: String) => DecisionSupport.largeOrders(s, d)),
+    "q22_idle_rich"        -> DecisionSupport.idleRichCustomers _,
+    "n1_normalized_dedup"  -> Curation.normalizedDedup _,
+    "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
+    "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -331,6 +341,117 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM totals)
         |SELECT rnk, user_id, total_value, n_purchases FROM r
         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q9_nation_revenue" ->
+      s"""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(sum($moneyExpr) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |            WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)
+        |SELECT coalesce(n_orders, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, sum($moneyExpr) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO' AND p_size <= 25
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#2'),
+        |pp AS (SELECT l_partkey AS pk,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_sum,
+        |         count(*) AS qty_n
+        |       FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 4)
+        |         AS avg_yearly
+        |FROM li JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(12,2)) * 2 * qty_n < qty_sum""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, count(*) AS bal_n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS INT) AS c_nationkey, count(*) AS n_custs,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_n > bal_sum
+        |  AND c_custkey NOT IN
+        |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "n1_normalized_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       count(DISTINCT text) AS n_variants,
+        |       CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    "h1_heavy_hitters" ->
+      """WITH t AS (SELECT event_type, count(*) AS type_total FROM events GROUP BY 1),
+        |c AS (SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, user_id, n,
+        |       round(CAST(n AS DOUBLE) / type_total, 6) AS share
+        |FROM c JOIN t USING (event_type)
+        |WHERE CAST(n AS DOUBLE) / type_total >= 0.008
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "k1_centroid_assign" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s AS (SELECT v.vec_id, c.centroid_id,
+        |        round(list_cosine_similarity(ve, ce), 6) AS cos
+        |      FROM v CROSS JOIN c),
+        |b AS (SELECT vec_id, centroid_id, cos,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id)
+        |          AS rn
+        |      FROM s)
+        |SELECT centroid_id, count(*) AS n_vecs,
+        |       round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |         AS avg_cos,
+        |       min(vec_id) AS first_vec
+        |FROM b WHERE rn = 1
+        |GROUP BY 1 ORDER BY centroid_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Corpus-curation operators beyond the dedup family: normalization-aware
+  * duplicate collapse, frequency heavy hitters, and the centroid-assignment
+  * stage of SemDedup-style semantic clustering. Same scale posture as the
+  * rest of the pipeline ops: per-row work is codegen'd projection, joins
+  * are broadcast only when one side is bounded by construction, and every
+  * aggregate is partial-mergeable.
+  */
+object Curation {
+
+  /** n1: normalization-aware exact dedup — lowercase, strip non-alphanumerics,
+    * collapse whitespace, THEN group. Catches the near-dups that differ only
+    * in case/punctuation which byte-exact d1 misses, at the same cost: one
+    * hash shuffle keyed on the normalized text (at 100 TB: on its 128-bit
+    * digest). `n_variants` counts how many distinct raw texts collapsed.
+    */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          .as("norm"))
+      .groupBy(col("norm"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        count_distinct(col("text")).as("n_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_variants"),
+        length(col("norm")).cast("long").as("norm_len"))
+      .orderBy("keep_id")
+
+  /** h1: frequency heavy hitters — (event_type, user_id) pairs whose count
+    * is at least `minShare` of their type's total. Exact two-aggregate form:
+    * the per-type totals are a types-sized relation (broadcast), the pair
+    * counts partial-aggregate before the share filter. At 100 TB with a
+    * hot-key pair the pair count itself would salt first (q_salted pattern);
+    * the sketch form of this operator is Misra-Gries/SpaceSaving per
+    * partition + merge, which trades exactness for fixed state — here the
+    * exact form is the oracle-checkable baseline.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   minShare: Double = 0.008): DataFrame = {
+    val totals = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_total"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "event_type")
+      // integer-by-integer double division is exact and identical across
+      // engines; the rounded share is display-only
+      .filter(col("n").cast("double") / col("type_total") >= minShare)
+      .select(col("event_type"), col("user_id"), col("n"),
+        round(col("n").cast("double") / col("type_total"), 6).as("share"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** k1: centroid assignment — the clustering stage of SemDedup-style
+    * semantic curation (cluster the corpus, then near-dup within clusters;
+    * d5 is the within-cluster stage). Centroids are the `k` seed vectors
+    * with the smallest vec_id (deterministic, no RNG); every vector joins
+    * the broadcast centroid set, cosine runs in double, and the argmax is a
+    * max-of-struct aggregate — one broadcast join + one shuffle on vec_id,
+    * never a k-way self-join. A Lloyd iteration would re-average assigned
+    * vectors per cluster and loop (the d6 iterate-with-localCheckpoint
+    * pattern); the assignment step is the per-pass workhorse either way.
+    *
+    * Ties (same rounded cosine to two centroids) resolve to the smallest
+    * centroid id via the struct ordering, so output is deterministic.
+    */
+  def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normD(col("embedding")).as("nrm"))
+    val cents = vecs
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(VectorFunctions.cosineWithNorms(
+          VectorFunctions.dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"))
+      .select(col("vec_id"),
+        (-col("best.neg_cid")).as("centroid_id"),
+        col("best.cos").as("cos"))
+    assigned
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        // rounded cosines sum exactly in decimal, so the mean is
+        // partial-aggregation-order independent
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_cos"),
+        min(col("vec_id")).as("first_vec"))
+      .orderBy("centroid_id")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.Curation
+
+/** Semantics of the curation operators on crafted fixtures: normalization
+  * collapse rules (n1), the heavy-hitter share boundary (h1), and
+  * deterministic centroid assignment with tie-breaking (k1).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("n1 collapses case/punctuation/whitespace variants into one group") {
+    val dir = writeDocs(Seq(
+      (1L, "Hello, World!", "s0"),
+      (2L, "hello   world", "s0"),
+      (3L, "HELLO-WORLD", "s0"),
+      (4L, "hello world", "s0"), // byte-identical to the normalized form
+      (5L, "goodbye world", "s0")))
+    val got = Curation.normalizedDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 4L, 11L), // "hello world": 4 copies, 4 distinct raw spellings
+      (5L, 1L, 1L, 13L)))
+  }
+
+  test("h1 share boundary is inclusive and totals are per event type") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // type A: 10 events -> user 1 has 2 (share .2 >= .2 kept),
+    //                      user 2 has 1 (share .1 dropped)
+    // type B: 2 events  -> user 3 has 1 (share .5 kept)
+    val rows =
+      (1 to 2).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "A", 1.0, "{}")) ++
+      Seq((3L, Timestamp.valueOf("2024-01-01 00:00:02"), 2L, "A", 1.0, "{}")) ++
+      (4 to 10).map(i => (i.toLong, Timestamp.valueOf("2024-01-01 00:00:03"), 9L, "A", 1.0, "{}")) ++
+      Seq((11L, Timestamp.valueOf("2024-01-01 00:00:04"), 3L, "B", 1.0, "{}"),
+        (12L, Timestamp.valueOf("2024-01-01 00:00:05"), 4L, "B", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = Curation.heavyHitters(spark, dir, minShare = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("A", 1L, 2L, 0.2), ("A", 9L, 7L, 0.7),
+      ("B", 3L, 1L, 0.5), ("B", 4L, 1L, 0.5)))
+  }
+
+  private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("k1 assigns each vector to its nearest centroid; ties go to the smallest id") {
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f), 0), // centroid 0
+      (1L, Seq(0f, 1f), 0), // centroid 1
+      (2L, Seq(0.9f, 0.1f), 0), // nearer centroid 0
+      (3L, Seq(0.1f, 0.9f), 0), // nearer centroid 1
+      (4L, Seq(1f, 1f), 0))) // equidistant -> tie -> centroid 0
+    val got = Curation.centroidAssign(spark, dir, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // centroid 0: vectors 0, 2, 4; centroid 1: vectors 1, 3
+    assert(got.toSeq == Seq((0L, 3L, 0L), (1L, 2L, 1L)))
+  }
+
+  test("k1 centroids assign to themselves with cosine 1") {
+    val dir = writeEmbeddings(
+      (0L to 3L).map(i => (i, Seq.tabulate(4)(j => if (j == i) 1f else 0f), 0)))
+    val got = Curation.centroidAssign(spark, dir, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == (0L to 3L).map(i => (i, 1L, 1.0)).toSeq)
+  }
+}
