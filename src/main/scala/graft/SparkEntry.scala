@@ -53,6 +53,7 @@ object SparkEntry {
     "q17_small_qty_revenue" -> DecisionSupport.smallQtyRevenue _,
     "q18_large_orders"     -> ((s: SparkSession, d: String) => DecisionSupport.largeOrders(s, d)),
     "q22_idle_rich"        -> DecisionSupport.idleRichCustomers _,
+    "r1_value_brackets"    -> ((s: SparkSession, d: String) => Analytics.valueBrackets(s, d)),
     "n1_normalized_dedup"  -> Curation.normalizedDedup _,
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
     "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
@@ -414,6 +415,16 @@ object SparkEntry {
         |  AND c_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "r1_value_brackets" ->
+      """WITH b AS (
+        |  SELECT range AS bracket_id, CAST(range * 25 AS DOUBLE) AS lo,
+        |         CAST((range + 1) * 25 AS DOUBLE) AS hi
+        |  FROM range(20))
+        |SELECT bracket_id, lo, hi, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN b ON value >= lo AND value < hi
+        |GROUP BY 1, 2, 3 ORDER BY bracket_id""".stripMargin,
 
     "n1_normalized_dedup" ->
       """WITH n AS (

@@ -380,6 +380,32 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** r1_value_brackets: genuine range (non-equi) join — every event lands in
+    * the bracket whose [lo, hi) interval contains its value. The bracket
+    * table is tiny by construction, so the right plan is a broadcast
+    * nested-loop join: the fact table streams through codegen'd interval
+    * predicates with NO shuffle before the rollup (the same shape as geo-IP
+    * range lookup or histogram bucketing against a config table). A
+    * shuffle-based range join would only be needed if BOTH sides were
+    * unbounded — then the answer is interval bucketing + an equi-join on the
+    * bucket (the t8 as-of pattern).
+    */
+  def valueBrackets(spark: SparkSession, dir: String,
+                    width: Int = 25, nBrackets: Int = 20): DataFrame = {
+    val brackets = spark.range(nBrackets.toLong)
+      .select(col("id").as("bracket_id"),
+        (col("id") * width).cast("double").as("lo"),
+        ((col("id") + 1) * width).cast("double").as("hi"))
+    Tables.events(spark, dir)
+      .select(col("value"))
+      .join(broadcast(brackets), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bracket_id"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .orderBy("bracket_id")
+  }
+
   /** q_top_users_window: rank users by total purchase value — window function
     * over an aggregate (rank is computed on the tiny post-agg relation, never
     * on the raw fact table).
