@@ -57,6 +57,7 @@ object SparkEntry {
     "n1_normalized_dedup"  -> Curation.normalizedDedup _,
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
     "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
+    "p1_pipeline_decision" -> ((s: SparkSession, d: String) => Curation.pipelineDecision(s, d)),
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
@@ -445,6 +446,40 @@ object SparkEntry {
         |FROM c JOIN t USING (event_type)
         |WHERE CAST(n AS DOUBLE) / type_total >= 0.008
         |ORDER BY event_type, user_id""".stripMargin,
+
+    "p1_pipeline_decision" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm FROM documents),
+        |s AS (SELECT doc_id, lang, norm, CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
+        |  CAST(len(list_filter(toks, x -> list_contains(
+        |    ['the','a','fast','data','table','row','join','merge','group','window','stream','batch','spark','vector','hash'],
+        |    x))) AS DOUBLE) / len(toks) AS stop_raw,
+        |  len(list_filter(toks, x -> list_contains(['the','a','fast'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['data','table','row'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['join','merge','group'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
+        | FROM t),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep_id,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
+        |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS q
+        | FROM s),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
+        |       WHEN n_words < 5 OR n_words > 1000 THEN 'length'
+        |       WHEN q < 0.55 THEN 'low_quality'
+        |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+        |       ELSE 'ok' END AS reason
+        | FROM k)
+        |SELECT doc_id, (reason = 'ok') AS keep, reason
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "k1_centroid_assign" ->
       """WITH v AS (SELECT vec_id,

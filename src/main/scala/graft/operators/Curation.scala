@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{Sketches, VectorFunctions}
 
 /** Corpus-curation operators beyond the dedup family: normalization-aware
   * duplicate collapse, frequency heavy hitters, and the centroid-assignment
@@ -61,6 +61,55 @@ object Curation {
       .select(col("event_type"), col("user_id"), col("n"),
         round(col("n").cast("double") / col("type_total"), 6).as("share"))
       .orderBy("event_type", "user_id")
+  }
+
+  /** p1: the end-to-end curation decision — one row per document with the
+    * keep/drop verdict and the FIRST failing rule as the reason, combining
+    * the pipeline's stages in their production order: normalized dedup
+    * (keeper = smallest doc_id in the n1 group), length bounds, x2 quality
+    * threshold, x1 language agreement. This is the frame a training-data
+    * pipeline joins against its corpus to build the final shard list.
+    *
+    * One pass over the corpus: scoring and language prediction are pure
+    * codegen projection; the only shuffle is the per-norm-group min (a
+    * window over the normalized-text key — at 100 TB, over its digest).
+    * Thresholds compare ROUNDED scores so the boundary is engine-portable.
+    */
+  def pipelineDecision(spark: SparkSession, dir: String,
+                       minWords: Int = 5, maxWords: Int = 1000,
+                       minQuality: Double = 0.55): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stops = TextAnalysis.markers.flatMap(_._2)
+    val scored = Tables.documents(spark, dir)
+      .select(
+        (col("doc_id") +: col("lang") +:
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+            .as("norm") +:
+          size(toks).cast("long").as("n_words") +:
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw") +:
+          (Sketches.countInSet(toks, stops).cast("double") / size(toks))
+            .as("stop_raw") +:
+          TextAnalysis.markers.map { case (l, ws) =>
+            Sketches.countInSet(toks, ws).as(s"s_$l")
+          }): _*)
+      .withColumn("q",
+        round(lit(0.4) * col("ttr_raw")
+          + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
+          + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
+      .withColumn("keep_id",
+        min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+    val reason =
+      when(col("doc_id") =!= col("keep_id"), "duplicate")
+        .when(col("n_words") < minWords || col("n_words") > maxWords, "length")
+        .when(col("q") < minQuality, "low_quality")
+        .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+        .otherwise("ok")
+    scored
+      .withColumn("reason", reason)
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy("doc_id")
   }
 
   /** k1: centroid assignment — the clustering stage of SemDedup-style

@@ -18,7 +18,7 @@ object TextAnalysis {
     * count hits per language, argmax with a fixed priority order — is the
     * same at any lexicon size.
     */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast"),
     "es" -> Seq("data", "table", "row"),
     "de" -> Seq("join", "merge", "group"),
@@ -33,6 +33,18 @@ object TextAnalysis {
   /** x1: language identification by marker-token counts; ties resolve in
     * fixed lexicon order (en > es > de > fr > zh).
     */
+  /** Argmax-with-priority CASE chain over per-language score columns named
+    * by `score` — shared by x1 and the p1 pipeline decision.
+    */
+  private[operators] def predLangExpr(score: String => Column): Column = {
+    val langs = markers.map(_._1)
+    langs.init.foldRight(lit(langs.last): Column) { (l, els) =>
+      val mine = score(l)
+      val beats = langs.filter(_ != l).map(o => mine >= score(o)).reduce(_ && _)
+      when(beats, lit(l)).otherwise(els)
+    }
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val scored = Tables.documents(spark, dir)
@@ -40,14 +52,8 @@ object TextAnalysis {
       .select(
         (col("doc_id") +: col("lang") +:
           markers.map { case (l, ws) => hitCount(col("toks"), ws).as(s"s_$l") }): _*)
-    val langs = markers.map(_._1)
-    val pred = langs.init.foldRight(lit(langs.last)) { (l, els) =>
-      val mine = col(s"s_$l")
-      val beats = langs.filter(_ != l).map(o => mine >= col(s"s_$o")).reduce(_ && _)
-      when(beats, lit(l)).otherwise(els)
-    }
     scored
-      .withColumn("pred_lang", pred)
+      .withColumn("pred_lang", predLangExpr(l => col(s"s_$l")))
       .select("doc_id", "lang", "pred_lang")
       .orderBy("doc_id")
   }

@@ -56,6 +56,34 @@ class CurationSpec extends SparkSpec {
       ("B", 3L, 1L, 0.5), ("B", 4L, 1L, 0.5)))
   }
 
+  test("p1 reports the first failing rule in production order") {
+    // "the the a fast ..." repeated markers -> en prediction, decent length
+    val good = "the a fast w1 w2 w3 w4 w5 the a fast w6 w7 w8 w9 w10 " * 3
+    val dir0 = writeDocs(Seq(
+      (1L, good.trim, "s0"),            // keeper, passes everything
+      (2L, good.trim.toUpperCase, "s0"), // same normalized text -> duplicate
+      (3L, "the a", "s0"),              // 2 words -> length (before quality)
+      (4L, "w w w w w w w w w w", "s0"))) // no markers, repetitive -> low quality
+    // docs are written with lang="en" by the fixture helper
+    val got = Curation.pipelineDecision(spark, dir0, minWords = 5,
+        maxWords = 1000, minQuality = 0.3)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, true, "ok"),
+      (2L, false, "duplicate"),
+      (3L, false, "length"),
+      (4L, false, "low_quality")), s"got ${got.toSeq}")
+  }
+
+  test("p1 flags language disagreement last") {
+    // strong es markers but the fixture labels the doc en
+    val dir = writeDocs(Seq(
+      (1L, "data table row data table row w1 w2 w3 w4 w5 w6", "s0")))
+    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, false, "lang_mismatch")))
+  }
+
   private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
     val dir = tempSfDir()
