@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the reference's Flink reports. Each op
   * takes an unbounded DataFrame (from `readStream`) with the `events`
@@ -349,6 +349,66 @@ object StreamOps {
       .groupByKey(_.user_id)
       .transformWithState(new FirstSeenProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  case class WindowAgg(n: Long, sum: Double)
+
+  case class UserWindow(user_id: Long, w_start_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  /** Custom tumbling-window aggregation on transformWithState MAP state —
+    * the pattern for windowed state the declarative `window()` cannot
+    * express (per-key dynamic windows, custom eviction, windows enriched
+    * mid-flight). Each key holds windowStart → (n, sum) in a MapState —
+    * O(open windows per key) entries, each O(1) — and one event-time timer
+    * per open window; when the watermark passes a window's end the timer
+    * fires, that entry alone is emitted and evicted (a second timer for an
+    * already-evicted window is a no-op, so duplicate registrations are
+    * harmless). RocksDB stores each map entry as its own key, so an update
+    * touches one entry, never the whole map.
+    */
+  class WindowedCountsProcessor(sizeMs: Long)
+      extends StatefulProcessor[Long, Event, UserWindow] {
+    @transient private var wins: MapState[Long, WindowAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getMapState[Long, WindowAgg](
+        "wins", Encoders.scalaLong, Encoders.product[WindowAgg], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[UserWindow] = {
+      rows.foreach { e =>
+        val ws = Math.floorDiv(e.ts.getTime, sizeMs) * sizeMs
+        val cur = if (wins.containsKey(ws)) wins.getValue(ws) else WindowAgg(0L, 0.0)
+        wins.updateValue(ws, WindowAgg(cur.n + 1, cur.sum + e.value))
+        getHandle.registerTimer(ws + sizeMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[UserWindow] = {
+      val ws = info.getExpiryTimeInMs() - sizeMs
+      if (wins.containsKey(ws)) {
+        val a = wins.getValue(ws)
+        wins.removeKey(ws)
+        Iterator.single(UserWindow(userId, ws * 1000L, a.n, a.sum))
+      } else Iterator.empty
+    }
+  }
+
+  /** Per-user tumbling-window counts via MapState + timers (see
+    * WindowedCountsProcessor). `size` is the tumble width.
+    */
+  def windowedCountsTws(spark: SparkSession, events: Dataset[Event],
+                        sizeMs: Long = 600000L,
+                        watermark: String = "10 seconds"): Dataset[UserWindow] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new WindowedCountsProcessor(sizeMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is

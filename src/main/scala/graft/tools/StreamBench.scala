@@ -100,7 +100,9 @@ object StreamBench {
       best("accident_runs_tws", () =>
         StreamOps.accidentRunsTws(spark, stream().as[StreamOps.Event]).toDF()),
       best("sessionize_tws_timers", () =>
-        StreamOps.sessionizeTws(spark, stream().as[StreamOps.Event]).toDF()))
+        StreamOps.sessionizeTws(spark, stream().as[StreamOps.Event]).toDF()),
+      best("windowed_counts_tws", () =>
+        StreamOps.windowedCountsTws(spark, stream().as[StreamOps.Event]).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }

@@ -149,6 +149,39 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("windowed counts via MapState: each window emits once when the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = StreamOps.windowedCountsTws(spark, input.toDS(),
+          sizeMs = 10L * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("win_tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 1: two events in window [0,10), one in [10,20). The batch
+        // advances the watermark to minute 12, and processAllAvailable runs
+        // the follow-up no-data batch, so [0,10)'s timer (expiry minute 10)
+        // fires immediately — [10,20) stays open.
+        input.addData(Seq(ev(1, 2, 1L, "click", 2.0), ev(2, 7, 1L, "click", 3.0),
+          ev(3, 12, 1L, "click", 5.0)))
+        q.processAllAvailable()
+        assert(spark.table("win_tws_out").count() == 1, "only [0,10) closed")
+        // advance the watermark past minute 20 via another key to close
+        // user 1's [10,20) window — no further user-1 events needed
+        input.addData(Seq(ev(4, 25, 2L, "view")))
+        q.processAllAvailable()
+        val baseUs = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+        val rows = spark.table("win_tws_out")
+          .collect().map(r => (r.getAs[Long]("user_id"),
+            (r.getAs[Long]("w_start_us") - baseUs) / 60000000L,
+            r.getAs[Long]("n_events"),
+            r.getAs[Double]("sum_value"))).sortBy(t => (t._1, t._2))
+        assert(rows.toSeq == Seq((1L, 0L, 2L, 5.0), (1L, 10L, 1L, 5.0)),
+          s"got ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("first-seen filter: TTL expiry re-admits an idle key") {
     // Processing-time mode makes shouldRunAnotherBatch true perpetually
     // (TTL/timer maintenance), so processAllAvailable() never quiesces AND
