@@ -70,6 +70,30 @@ object Sinks {
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Training-shard writer: the curated corpus as reproducible, size-bounded
+    * parquet shards — one directory per partition value, at most
+    * `maxRecordsPerFile` rows per shard file, rows sorted by `sortCols`
+    * WITHIN each shard (sortWithinPartitions: a per-partition local sort, no
+    * global shuffle). At 100 TB this is the handoff format to a training
+    * loader: shard size bounds worker memory, the within-shard order makes
+    * byte-identical re-runs possible, and the partition column (usually
+    * source or date) is the unit of incremental backfill.
+    */
+  def writeShards(df: DataFrame, path: String, partitionCol: String,
+                  sortCols: Seq[String], maxRecordsPerFile: Int): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partitionCol))
+      // partition column FIRST: the file writer requires task rows ordered
+      // by the partition columns and inserts its own (non-stable) sort if
+      // they aren't — which would scramble sortCols. Leading with it makes
+      // the required ordering already satisfied, so our sort survives.
+      .sortWithinPartitions(
+        (partitionCol +: sortCols).map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Streaming twin: partitioned parquet from an unbounded frame. */
   def streamToPartitionedParquet(df: DataFrame, path: String,
                                  checkpoint: String,

@@ -42,6 +42,36 @@ class SinksSpec extends SparkSpec {
       s"expected the day predicate to prune partitions, got:\n$scan")
   }
 
+  test("shard writer bounds file size and sorts within each shard") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = tempSfDir() + "/shards"
+    // two sources, 250 rows each, written in descending-id order so the
+    // within-shard sort has real work to do
+    val df = (1L to 500L).reverse
+      .map(i => (i, s"text_$i", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    Sinks.writeShards(df, out, "source", Seq("doc_id"), maxRecordsPerFile = 100)
+
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("source=web", "source=books"))
+    // 250 rows / 100 cap -> at least 3 shard files per source, none over cap
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length >= 3, s"$d: expected >=3 shards, got ${files.length}")
+      files.foreach { f =>
+        val rows = spark.read.parquet(f.getPath)
+        assert(rows.count() <= 100, s"${f.getName} exceeds maxRecordsPerFile")
+        // reproducible layout: rows inside each shard are doc_id-sorted
+        val ids = rows.select(col("doc_id")).collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+      }
+    }
+    // nothing lost or duplicated across shards
+    assert(spark.read.parquet(out).count() == 500)
+  }
+
   test("streaming: csv file source -> radar -> csv sink") {
     val inDir = Files.createTempDirectory("stream-in-")
     val outDir = Files.createTempDirectory("stream-out-").toString
