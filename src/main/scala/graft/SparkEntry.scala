@@ -83,6 +83,8 @@ object SparkEntry {
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
+    "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>
+      Multimodal.audioChunks(s, d).toDF().orderBy("doc_id", "chunk_idx")),
   )
 
   private val cosExpr =

@@ -74,6 +74,38 @@ object Multimodal {
     })
   }
 
+  /** One overlapping chunk of a (stubbed) audio decode. */
+  case class AudioChunk(doc_id: Long, chunk_idx: Int, start_byte: Long,
+                        n_bytes: Int, chunk_crc: Long)
+
+  /** m3: overlapping-window chunking — the ASR-style fixed-window-with-
+    * stride fan-out (e.g. 30 s windows, 24 s stride, so chunk boundaries
+    * never cut a word that a neighbor doesn't cover whole). Distinct from
+    * m2's strided *sampling*: every chunk here is a contiguous slice and
+    * consecutive chunks overlap by `chunk - stride` bytes. The slice
+    * arithmetic runs on the opaque payload (a real stage would resample
+    * PCM first); the fan-out, typed encoder schema, and per-partition
+    * batching are the load-bearing Spark parts. The final partial window
+    * is kept iff it starts before the payload ends.
+    */
+  def audioChunks(spark: SparkSession, dir: String,
+                  chunkBytes: Int = 256, strideBytes: Int = 192): Dataset[AudioChunk] = {
+    require(strideBytes > 0 && chunkBytes >= strideBytes,
+      "need 0 < stride <= chunk for full coverage")
+    import spark.implicits._
+    mediaBlobs(spark, dir).filter(_.media_type == "audio")
+      .mapPartitions(_.flatMap { b =>
+        val len = b.payload.length
+        val starts = 0 until math.max(1, len) by strideBytes
+        starts.zipWithIndex.map { case (s, i) =>
+          val n = math.min(chunkBytes, len - s)
+          val crc = new CRC32()
+          crc.update(b.payload, s, n)
+          AudioChunk(b.doc_id, i, s.toLong, n, crc.getValue)
+        }
+      })
+  }
+
   /** The synthesized media column: documents' text bytes standing in for a
     * blob-store payload, modality assigned deterministically by id.
     */
