@@ -432,8 +432,7 @@ object SparkEntry {
     "n1_normalized_dedup" ->
       """WITH n AS (
         |  SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |         ' +', ' ', 'g')) AS norm
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
         |  FROM documents)
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
         |       count(DISTINCT text) AS n_variants,
@@ -451,8 +450,8 @@ object SparkEntry {
 
     "p1_pipeline_decision" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-        |       ' +', ' ', 'g')) AS norm FROM documents),
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents),
         |s AS (SELECT doc_id, lang, norm, CAST(len(toks) AS BIGINT) AS n_words,
         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
         |  CAST(len(list_filter(toks, x -> list_contains(

@@ -25,9 +25,9 @@ object Curation {
   def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-          .as("norm"))
+        // one regex pass: any non-alphanumeric RUN -> single space (provably
+        // equivalent to strip-then-collapse, at half the regex cost)
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
       .groupBy(col("norm"))
       .agg(
         min(col("doc_id")).as("keep_id"),
@@ -83,8 +83,7 @@ object Curation {
     val scored = Tables.documents(spark, dir)
       .select(
         (col("doc_id") +: col("lang") +:
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
             .as("norm") +:
           size(toks).cast("long").as("n_words") +:
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw") +:
