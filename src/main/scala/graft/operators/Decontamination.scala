@@ -13,9 +13,12 @@ import graft.Tables
   * a shuffle on the shingle (or a broadcast when the benchmark side is
   * small, which it always is in practice — benchmarks are MBs, corpora are
   * TBs). Candidate volume is bounded by true shingle collisions, never a
-  * cross product. At 100 TB the shingle string is replaced by its 128-bit
-  * hash to shrink shuffle width — kept as the raw string here so the DuckDB
-  * oracle compares exactly.
+  * cross product. The join key is the shingle's 64-bit hash, not the
+  * string: the carried column shrinks from ~tens of bytes to 8 and the
+  * broadcast set holds longs — the fleet-scale layout. A hash collision
+  * could in principle flag a clean document; at 64 bits that chance is
+  * ~n²/2⁶⁵, and the sf0.01 oracle (which joins raw strings) hash-matches,
+  * confirming zero collisions at test scale.
   */
 object Decontamination {
 
@@ -34,11 +37,12 @@ object Decontamination {
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(shingles(col("text"), k))).as("s"))
+        explode(array_distinct(transform(shingles(col("text"), k), s => xxhash64(s))))
+          .as("h"))
     val bench = docs.filter(col("source") === benchSource)
-      .select(col("s")).distinct()
+      .select(col("h")).distinct()
     docs.filter(col("source") =!= benchSource)
-      .join(broadcast(bench), "s")
+      .join(broadcast(bench), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hit_shingles"))
       .orderBy("doc_id")
