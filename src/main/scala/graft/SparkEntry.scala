@@ -65,6 +65,7 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
     "d6_dedup_groups"      -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "d7_keep_list"         -> ((s: SparkSession, d: String) => Dedup.keepList(s, d)),
+    "g1_triangle_counts"   -> ((s: SparkSession, d: String) => Dedup.triangleCounts(s, d)),
     "c1_contamination"     -> ((s: SparkSession, d: String) => Decontamination.contaminated(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
@@ -94,6 +95,22 @@ object SparkEntry {
 
   private val moneyExpr =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** The d4 near-dup pair list (a_id < b_id, Jaccard >= 0.8) — reused
+    * verbatim by the d4 oracle and as the edge list of the g1 triangle
+    * oracle.
+    */
+  private val d4PairsSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+      |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8""".stripMargin
 
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
@@ -504,18 +521,19 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
 
-    "d4_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
-        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
-        |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
-        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8
+    "d4_ngram_jaccard" -> s"""$d4PairsSql
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "g1_triangle_counts" ->
+      s"""WITH pairs AS ($d4PairsSql),
+        |tri AS (
+        |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.b_id = e2.a_id
+        |  JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+        |SELECT doc_id, count(*) AS n_triangles
+        |FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d6_dedup_groups" ->
       """WITH RECURSIVE tok AS (

@@ -311,6 +311,34 @@ object Dedup {
         (col("doc_id") === col("group_id")).as("keep"))
       .orderBy("doc_id")
 
+  /** g1: per-document triangle participation over the d4 near-dup graph —
+    * the local-density signal that separates tight duplicate cliques from
+    * incidental pairwise matches (a doc in many triangles is inside a
+    * near-clique; a doc in none hangs off a chain). Triangle enumeration is
+    * the graph-analytics shuffle pattern CC doesn't exercise: an edge-edge
+    * wedge join closed by a second edge join. Edges here are oriented
+    * low-id → high-id, so each triangle is enumerated exactly once; at
+    * fleet scale the orientation should be by DEGREE (low-degree endpoint
+    * first), which bounds wedge fanout at O(m^1.5) even on skewed graphs —
+    * id order is the same join with a different orientation column.
+    */
+  def triangleCounts(spark: SparkSession, dir: String,
+                     minJaccard: Double = 0.8): DataFrame = {
+    // three self-join branches read the pair list; materialize it once
+    val pairs = graft.CacheRegistry.persistTracked(
+      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
+    val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .join(pairs.select(col("a_id").as("y"), col("b_id").as("z")), "y")
+    val tris = wedges
+      .join(pairs.select(col("a_id").as("x"), col("b_id").as("z")),
+        Seq("x", "z"), "left_semi")
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
     * cluster id); cosine computed in double so it hash-matches the DuckDB
     * oracle after round(6). At 100 TB the block key becomes an LSH/IVF

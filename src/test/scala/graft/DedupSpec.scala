@@ -139,4 +139,18 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L)), "identical vectors pair only within a label")
   }
+
+  test("g1 counts each triangle once per participating document") {
+    // docs 1-4 identical -> K4 near-dup clique: C(4,3)=4 triangles, every
+    // vertex in C(3,2)=3; docs 5-6 identical -> a lone edge, no triangle
+    val clique = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val edge = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    val dir = writeDocs(Seq(
+      (1L, clique, "s0"), (2L, clique, "s0"), (3L, clique, "s0"), (4L, clique, "s0"),
+      (5L, edge, "s0"), (6L, edge, "s0"),
+      (7L, "alone by itself entirely different words here now ten total", "s0")))
+    val got = Dedup.triangleCounts(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (1L to 4L).map(i => (i, 3L)).toSeq, s"got ${got.toSeq}")
+  }
 }
