@@ -57,6 +57,7 @@ object SparkEntry {
     "n1_normalized_dedup"  -> Curation.normalizedDedup _,
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
     "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
+    "k2_semdedup_pairs"    -> ((s: SparkSession, d: String) => Curation.semDedupPairs(s, d)),
     "p1_pipeline_decision" -> ((s: SparkSession, d: String) => Curation.pipelineDecision(s, d)),
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
@@ -95,6 +96,22 @@ object SparkEntry {
 
   private val moneyExpr =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+
+  /** k1/k2's shared nearest-centroid assignment CTE: every vector scored
+    * against the k=8 smallest-vec_id seed centroids, rn = 1 row per vector
+    * is its argmax assignment (ties → smallest centroid id).
+    */
+  private val kAssignSql =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+      |c AS (SELECT vec_id AS centroid_id, ve AS ce FROM v WHERE vec_id < 8),
+      |s AS (SELECT v.vec_id, c.centroid_id,
+      |        round(list_cosine_similarity(ve, ce), 6) AS cos
+      |      FROM v CROSS JOIN c),
+      |b AS (SELECT vec_id, centroid_id, cos,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id)
+      |          AS rn
+      |      FROM s)""".stripMargin
 
   /** The d4 near-dup pair list (a_id < b_id, Jaccard >= 0.8) — reused
     * verbatim by the d4 oracle and as the edge list of the g1 triangle
@@ -500,22 +517,25 @@ object SparkEntry {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "k1_centroid_assign" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
-        |c AS (SELECT vec_id AS centroid_id, ve AS ce FROM v WHERE vec_id < 8),
-        |s AS (SELECT v.vec_id, c.centroid_id,
-        |        round(list_cosine_similarity(ve, ce), 6) AS cos
-        |      FROM v CROSS JOIN c),
-        |b AS (SELECT vec_id, centroid_id, cos,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id)
-        |          AS rn
-        |      FROM s)
+      s"""$kAssignSql
         |SELECT centroid_id, count(*) AS n_vecs,
         |       round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
         |         AS avg_cos,
         |       min(vec_id) AS first_vec
         |FROM b WHERE rn = 1
         |GROUP BY 1 ORDER BY centroid_id""".stripMargin,
+
+    "k2_semdedup_pairs" ->
+      s"""$kAssignSql,
+        |a AS (SELECT vec_id, centroid_id FROM b WHERE rn = 1)
+        |SELECT a1.centroid_id, a1.vec_id AS a_id, a2.vec_id AS b_id,
+        |       round(list_cosine_similarity(v1.ve, v2.ve), 6) AS cosim
+        |FROM a a1
+        |JOIN a a2 ON a1.centroid_id = a2.centroid_id AND a1.vec_id < a2.vec_id
+        |JOIN v v1 ON v1.vec_id = a1.vec_id
+        |JOIN v v2 ON v2.vec_id = a2.vec_id
+        |WHERE round(list_cosine_similarity(v1.ve, v2.ve), 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -124,7 +124,13 @@ object Curation {
     * Ties (same rounded cosine to two centroids) resolve to the smallest
     * centroid id via the struct ordering, so output is deterministic.
     */
-  def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  /** Nearest-centroid assignment shared by k1 and k2: every vector scored
+    * against the broadcast seed centroids, argmax as a max-of-struct
+    * (ties → smallest centroid id). Returns (vec_id, centroid_id, cos,
+    * embedding, nrm) so k2 can block its pair join on the assignment
+    * without recomputing norms.
+    */
+  private def assignments(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.normD(col("embedding")).as("nrm"))
@@ -132,17 +138,22 @@ object Curation {
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val assigned = vecs.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("cos",
         round(VectorFunctions.cosineWithNorms(
           VectorFunctions.dotD(col("embedding"), col("c_emb")),
           col("nrm"), col("c_nrm")), 6))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"))
-      .select(col("vec_id"),
-        (-col("best.neg_cid")).as("centroid_id"),
-        col("best.cos").as("cos"))
-    assigned
+      .agg(
+        max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), (-col("best.neg_cid")).as("centroid_id"),
+        col("best.cos").as("cos"), col("embedding"), col("nrm"))
+  }
+
+  def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    assignments(spark, dir, k)
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -152,5 +163,35 @@ object Curation {
           / count(lit(1)), 6).as("avg_cos"),
         min(col("vec_id")).as("first_vec"))
       .orderBy("centroid_id")
+
+  /** k2: the full SemDedup chain — cluster the corpus (k1's assignment),
+    * then exact cosine near-dup WITHIN each assigned cluster. The cluster
+    * id becomes the block key of the pairwise join, so shuffle volume is
+    * Σ cluster² instead of n² — the published SemDedup recipe (Abbas et
+    * al., 2023: k-means then within-cluster cosine) with the same join
+    * discipline as d5. Recall is bounded by the clustering (a cross-cluster
+    * near-dup pair is missed by design — that is the accepted trade of the
+    * technique); precision is exact because every candidate is re-scored
+    * with the true double cosine.
+    */
+  def semDedupPairs(spark: SparkSession, dir: String, k: Int = 8,
+                    minCosine: Double = 0.4): DataFrame = {
+    // both sides of the pair join read the assignment — materialize once
+    val assigned = graft.CacheRegistry.persistTracked(
+      assignments(spark, dir, k)
+        .select("vec_id", "centroid_id", "embedding", "nrm"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosim",
+        round(VectorFunctions.cosineWithNorms(
+          VectorFunctions.dotD(col("a_emb"), col("b_emb")),
+          col("a_nrm"), col("b_nrm")), 6))
+      .filter(col("cosim") >= minCosine)
+      .select(col("centroid_id"), col("a_id"), col("b_id"), col("cosim"))
+      .orderBy("a_id", "b_id")
   }
 }

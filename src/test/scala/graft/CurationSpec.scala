@@ -105,6 +105,22 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 3L, 0L), (1L, 2L, 1L)))
   }
 
+  test("k2 finds near-dups within a cluster and misses them across clusters by design") {
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f), 0),        // centroid 0
+      (1L, Seq(0f, 1f), 0),        // centroid 1
+      (2L, Seq(0.9f, 0.1f), 0),    // cluster 0
+      (3L, Seq(0.95f, 0.05f), 0),  // cluster 0
+      (4L, Seq(0.7f, 0.72f), 0),   // cluster 1 (barely)
+      (5L, Seq(0.72f, 0.7f), 0)))  // cluster 0 (barely); cos(4,5) ~ 0.999
+    val got = Curation.semDedupPairs(spark, dir, k = 2, minCosine = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // within cluster 0: (0,2), (0,3), (2,3) clear 0.99; the true near-dup
+    // (4,5) straddles the cluster boundary and is NOT reported — the
+    // documented recall trade of SemDedup blocking
+    assert(got == Set((0L, 2L), (0L, 3L), (2L, 3L)), s"got $got")
+  }
+
   test("k1 centroids assign to themselves with cosine 1") {
     val dir = writeEmbeddings(
       (0L to 3L).map(i => (i, Seq.tabulate(4)(j => if (j == i) 1f else 0f), 0)))
