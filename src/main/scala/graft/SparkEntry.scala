@@ -46,6 +46,7 @@ object SparkEntry {
     "q8_approx_stats"      -> Analytics.approxStats _,
     "q_salted_purchases"   -> ((s: SparkSession, d: String) => Analytics.saltedPurchaseTotals(s, d)),
     "q_top_users_window"   -> Analytics.topUsers _,
+    "q2_min_price_supplier" -> DecisionSupport.minPriceSupplier _,
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -379,6 +380,22 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY total_value DESC, user_id) AS rnk FROM totals)
         |SELECT rnk, user_id, total_value, n_purchases FROM r
         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+
+    "q2_min_price_supplier" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_size FROM part
+        |           WHERE p_type = 'STANDARD' AND p_size < 10),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS offer
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |cheapest AS (SELECT l_partkey AS pk, min(offer) AS best FROM offers GROUP BY 1)
+        |SELECT l_partkey AS p_partkey, p_brand, CAST(p_size AS INT) AS p_size,
+        |       s_suppkey, s_name, round(offer, 4) AS min_unit_price
+        |FROM offers
+        |JOIN cheapest ON l_partkey = pk AND offer = best
+        |JOIN p ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
 
     "q9_nation_revenue" ->
       s"""SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,

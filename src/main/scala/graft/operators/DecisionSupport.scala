@@ -49,6 +49,40 @@ object DecisionSupport {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** q2: cheapest supplier per part (TPC-H Q2's correlated minimum, with
+    * the unit price observed in lineitem standing in for ps_supplycost).
+    * The per-group ARGMIN shape q15's global max doesn't cover: offers
+    * aggregate to (part, supplier) minima, the per-part minimum joins back
+    * on the part key, and the equality keeps every supplier tied at the
+    * minimum. Unit price is a single IEEE division — identical in every
+    * engine, so the min and the tie-back equality are exact without any
+    * decimal detour. Both aggregates partial-merge; the join back is
+    * key-partitioned on the part key (never broadcast: parts are unbounded
+    * at fleet scale).
+    */
+  def minPriceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+      .select("p_partkey", "p_brand", "p_size")
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit")).as("offer"))
+    val cheapest = offers.groupBy(col("l_partkey").as("pk"))
+      .agg(min(col("offer")).as("best"))
+    offers
+      .join(cheapest, col("l_partkey") === col("pk") && col("offer") === col("best"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+        col("p_size").cast("int").as("p_size"), col("s_suppkey"), col("s_name"),
+        round(col("offer"), 4).as("min_unit_price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** q13: customer order-count distribution — how many customers placed k
     * orders, for every k including zero. The per-customer count aggregates
     * orders on the customer key BEFORE touching the customer table (the

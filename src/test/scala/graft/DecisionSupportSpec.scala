@@ -51,6 +51,21 @@ class DecisionSupportSpec extends SparkSpec {
                  ship: String = "1996-02-01") =
     (ok, pk, sk, 1, qty, price, 0.0, 0.0, "N", "O", ts(ship))
 
+  test("q2 surfaces every supplier tied at a part's minimum unit price") {
+    val dir = tempSfDir()
+    writeStar(dir,
+      suppliers = Seq((1L, "s1", 0, 0.0), (2L, "s2", 0, 0.0), (3L, "s3", 0, 0.0)),
+      parts = Seq((1L, "p", "Brand#1", "STANDARD", 5, 1.0)),
+      lineitems = Seq(
+        li(1L, 1L, 1L, 2, 20.0), // s1 unit 10
+        li(2L, 1L, 1L, 1, 15.0), // s1 second offer 15 -> supplier min stays 10
+        li(3L, 1L, 2L, 1, 10.0), // s2 unit 10 (tie)
+        li(4L, 1L, 3L, 1, 11.0))) // s3 just above
+    val got = DecisionSupport.minPriceSupplier(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 1L, 10.0), (1L, 2L, 10.0)), s"got ${got.toSeq}")
+  }
+
   test("q13 counts zero-order customers and excludes the filtered priority") {
     val dir = tempSfDir()
     writeStar(dir,
