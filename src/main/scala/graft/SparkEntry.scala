@@ -59,6 +59,7 @@ object SparkEntry {
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
     "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
     "k2_semdedup_pairs"    -> ((s: SparkSession, d: String) => Curation.semDedupPairs(s, d)),
+    "k3_kmeans_refine"     -> ((s: SparkSession, d: String) => Curation.kmeansRefine(s, d)),
     "p1_pipeline_decision" -> ((s: SparkSession, d: String) => Curation.pipelineDecision(s, d)),
     "d1_exact_dedup"       -> Dedup.exactDedup _,
     "d2_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),

@@ -164,6 +164,65 @@ object Curation {
         min(col("vec_id")).as("first_vec"))
       .orderBy("centroid_id")
 
+  /** k3: Lloyd k-means refinement over the embedding corpus (spherical:
+    * assignment by cosine, update by element-wise mean — the mean's
+    * magnitude cancels in the next cosine). Each iteration is two shuffles:
+    * the argmax assignment (broadcast centroids, same shape as k1) and the
+    * centroid update (posexplode → per-(cluster, dim) average → arrays
+    * rebuilt by sorted collect). Centroids live in a k-row DataFrame that
+    * is localCheckpoint'ed per iteration — lineage stays flat and NOTHING
+    * is ever collected to the driver (the d6 iterate-and-checkpoint
+    * pattern; on a cluster the checkpoint is a reliable dir). A cluster
+    * that loses all members drops out, the standard Lloyd caveat.
+    * Rows-only checked: the per-dimension double averages are
+    * summation-order dependent, so no cross-engine hash oracle.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String,
+                   k: Int = 8, iters: Int = 3): DataFrame = {
+    val vecs = graft.CacheRegistry.persistTracked(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.normD(col("embedding")).as("nrm")))
+    var cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), _.cast("double")).as("c_emb"))
+      .withColumn("c_nrm", VectorFunctions.normD(col("c_emb")))
+      .localCheckpoint()
+
+    def assign(cs: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cs))
+        .withColumn("cos",
+          round(VectorFunctions.cosineWithNorms(
+            VectorFunctions.dotD(col("embedding"), col("c_emb")),
+            col("nrm"), col("c_nrm")), 9))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), (-col("best.neg_cid")).as("centroid_id"),
+          col("best.cos").as("cos"), col("embedding"))
+
+    for (_ <- 0 until iters) {
+      cents = assign(cents)
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_emb"))
+        .withColumn("c_nrm", VectorFunctions.normD(col("c_emb")))
+        .localCheckpoint()
+    }
+    assign(cents)
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("avg_cos"),
+        min(col("vec_id")).as("first_vec"))
+      .orderBy("centroid_id")
+  }
+
   /** k2: the full SemDedup chain — cluster the corpus (k1's assignment),
     * then exact cosine near-dup WITHIN each assigned cluster. The cluster
     * id becomes the block key of the pairwise join, so shuffle volume is

@@ -121,6 +121,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Set((0L, 2L), (0L, 3L), (2L, 3L)), s"got $got")
   }
 
+  test("k3 Lloyd refinement recovers both clusters from seeds inside one") {
+    // both seeds (vec 0, 1) start inside the first tight group; the mean
+    // update must pull one centroid over to the second group
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.99f, 0.01f), 0), (2L, Seq(0.98f, 0.02f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0.01f, 0.99f), 1), (5L, Seq(0.02f, 0.98f), 1)))
+    val got = Curation.kmeansRefine(spark, dir, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq == Seq((0L, 3L, 0L), (1L, 3L, 3L)),
+      s"got ${got.toSeq}")
+    assert(got.forall(_._3 > 0.999), s"tight clusters must score high, got ${got.toSeq}")
+  }
+
   test("k1 centroids assign to themselves with cosine 1") {
     val dir = writeEmbeddings(
       (0L to 3L).map(i => (i, Seq.tabulate(4)(j => if (j == i) 1f else 0f), 0)))
