@@ -72,6 +72,7 @@ object SparkEntry {
     "c1_contamination"     -> ((s: SparkSession, d: String) => Decontamination.contaminated(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "s3_ann_ivf_kmeans"    -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
     "x1_lang_id"           -> TextAnalysis.langId _,
     "x2_quality_score"     -> TextAnalysis.qualityScore _,
     "x3_token_stats"       -> TextAnalysis.tokenStats _,
@@ -499,6 +500,33 @@ object SparkEntry {
         |FROM c JOIN t USING (event_type)
         |WHERE CAST(n AS DOUBLE) / type_total >= 0.008
         |ORDER BY event_type, user_id""".stripMargin,
+
+    "s3_ann_ivf_kmeans" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < 16),
+        |a AS (SELECT v.vec_id, c.cell,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
+        |      FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+        |p AS (SELECT q_id, cell,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, cell) AS prn
+        |      FROM q CROSS JOIN c),
+        |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
+        |scored AS (
+        |  SELECT probes.q_id, asg.n_id,
+        |         round(list_cosine_similarity(qv.ve, nv.ve), 6) AS cosim
+        |  FROM probes JOIN asg USING (cell)
+        |  JOIN v qv ON qv.vec_id = probes.q_id
+        |  JOIN v nv ON nv.vec_id = asg.n_id
+        |  WHERE asg.n_id <> probes.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "p1_pipeline_decision" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

@@ -110,4 +110,60 @@ object Similarity {
       .select("q_id", "n_id", "cosim", "rnk")
       .orderBy("q_id", "rnk")
   }
+
+  /** s3: IVF with a DATA-ADAPTIVE coarse quantizer (the FAISS-IVF shape) —
+    * cells are nearest-centroid regions instead of s2's fixed random
+    * hyperplanes, so cell populations track the data distribution and each
+    * probe visits a region that actually contains neighbors. Every corpus
+    * vector is assigned to its argmax-cosine cell (one broadcast pass);
+    * each query probes its `nProbe` closest cells; candidates re-rank with
+    * the exact cosine. The cell id is the only join key, so the fleet
+    * shuffles once by cell — candidate volume ≈ nProbe/kCells of the
+    * corpus per query, and at 100 TB the seed centroids would first be
+    * Lloyd-refined (k3) and kCells raised to keep cells partition-sized.
+    * Unlike s2 (whose hyperplane constants are impractical to mirror in
+    * SQL), the quantizer here is data-derived, so the full algorithm has
+    * an exact DuckDB oracle.
+    */
+  def annIvfKmeans(spark: SparkSession, dir: String,
+                   kCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val cents = base.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val cand = base.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
+        first(col("embedding")).as("n_emb"),
+        first(col("nrm")).as("n_nrm"))
+      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"),
+        col("n_emb"), col("n_nrm"))
+    val probes = queryVectors(spark, dir)
+      .withColumn("q_nrm", normD(col("q_emb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        round(cosineWithNorms(dotD(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cell"))))
+      .filter(col("prnk") <= nProbe)
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosim",
+        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
+          .cast("long"))
+      .filter(col("rnk") <= K)
+      .select("q_id", "n_id", "cosim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -49,4 +49,33 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"clustered recall was $recall")
   }
+
+  test("s3 k-means IVF: probing more cells recovers the cross-cell neighbor") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // cells seed from vecs 0=(1,0), 1=(0,1); vec 2 lands in cell 0,
+    // vec 3=(0.68,0.73) is a decent neighbor of query 0 but lands in cell 1
+    Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(0.95f, 0.31f), 0), (3L, Array(0.68f, 0.73f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    def neighborsOfQ0(nProbe: Int): Seq[Long] =
+      Similarity.annIvfKmeans(spark, dir, kCells = 2, nProbe = nProbe)
+        .collect().filter(_.getLong(0) == 0L).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+    // one probe: only cell 0's member is visible — vec 3 missed by design
+    assert(neighborsOfQ0(1) == Seq(2L))
+    // two probes: the cross-cell neighbor appears, ranked by true cosine
+    assert(neighborsOfQ0(2) == Seq(2L, 3L, 1L))
+  }
+
+  test("s3 matches brute force on clustered vectors when probing enough cells") {
+    val dir = writeClustered()
+    val exact = Similarity.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvfKmeans(spark, dir, kCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall was $recall")
+  }
 }
