@@ -55,6 +55,8 @@ object SparkEntry {
     "q18_large_orders"     -> ((s: SparkSession, d: String) => DecisionSupport.largeOrders(s, d)),
     "q22_idle_rich"        -> DecisionSupport.idleRichCustomers _,
     "r1_value_brackets"    -> ((s: SparkSession, d: String) => Analytics.valueBrackets(s, d)),
+    "q_trend"              -> Analytics.valueTrend _,
+    "q_sketch_union"       -> Analytics.sketchUnion _,
     "n1_normalized_dedup"  -> Curation.normalizedDedup _,
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
     "k1_centroid_assign"   -> ((s: SparkSession, d: String) => Curation.centroidAssign(s, d)),
@@ -471,6 +473,13 @@ object SparkEntry {
         |  AND c_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q_trend" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(regr_slope(value, (epoch_us(ts)/1000000.0 - 1704067200)/3600.0), 4)
+        |    AS slope_per_hour,
+        |  round(regr_r2(value, (epoch_us(ts)/1000000.0 - 1704067200)/3600.0), 4) AS r2
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "r1_value_brackets" ->
       """WITH b AS (

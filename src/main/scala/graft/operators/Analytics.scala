@@ -380,6 +380,48 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q_trend: per-type linear trend of value over time — the built-in
+    * regression aggregates (partial-mergeable co-moments, one shuffle).
+    * The regressor is HOURS SINCE A FIXED ANCHOR, not raw epoch seconds:
+    * centering keeps the co-moment magnitudes small so the slope survives
+    * partial aggregation with no cancellation error (raw epoch values
+    * ~1.7e9 lose the slope's low digits to catastrophic cancellation).
+    * Slope and r² are dimensionless/small, so round(4) is engine-stable.
+    */
+  def valueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val xHours = (unix_micros(col("ts")).cast("double") / 1e6 - 1704067200d) / 3600d
+    Tables.events(spark, dir)
+      .withColumn("x", xHours)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col("value"), col("x")), 4).as("slope_per_hour"),
+        round(regr_r2(col("value"), col("x")), 4).as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** q_sketch_union: re-aggregatable distinct counting — the 100 TB
+    * pattern behind every "daily uniques" dashboard: per-day HLL sketches
+    * are precomputed ONCE (here: one shuffle to (type, day)), stored as
+    * binary columns, and any rollup window is answered later by unioning
+    * sketches — never rescanning raw data. The union is itself an
+    * aggregate, so weekly/monthly/all-time rollups cost |days| sketch
+    * merges each. Rows-only checked (sketch internals are
+    * implementation-defined); q7's exact count_distinct is the
+    * oracle-checked twin.
+    */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("event_type")
+  }
+
   /** r1_value_brackets: genuine range (non-equi) join — every event lands in
     * the bracket whose [lo, hi) interval contains its value. The bracket
     * table is tiny by construction, so the right plan is a broadcast
