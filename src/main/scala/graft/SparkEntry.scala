@@ -56,6 +56,8 @@ object SparkEntry {
     "q22_idle_rich"        -> DecisionSupport.idleRichCustomers _,
     "r1_value_brackets"    -> ((s: SparkSession, d: String) => Analytics.valueBrackets(s, d)),
     "q_trend"              -> Analytics.valueTrend _,
+    "q_cube_events"        -> Analytics.eventCube _,
+    "q_lag_delta"          -> Analytics.purchaseDeltas _,
     "q_sketch_union"       -> Analytics.sketchUnion _,
     "n1_normalized_dedup"  -> Curation.normalizedDedup _,
     "h1_heavy_hitters"     -> ((s: SparkSession, d: String) => Curation.heavyHitters(s, d)),
@@ -473,6 +475,28 @@ object SparkEntry {
         |  AND c_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q_cube_events" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_lag_delta" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(value) OVER w AS prev_value,
+        |         lag(ts) OVER w AS prev_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, prev_value,
+        |       round(value - prev_value, 2) AS delta,
+        |       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+        |FROM p WHERE prev_value IS NOT NULL
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_trend" ->
       """SELECT event_type, count(*) AS n,

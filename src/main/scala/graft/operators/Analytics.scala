@@ -166,6 +166,47 @@ object Analytics {
         col("n_events"), col("sum_value"))
       .orderBy("event_type", "day")
 
+  /** q_cube_events: every grain of (event_type, day) in one pass — CUBE
+    * adds the (day)-only grain that rollup's hierarchy skips. Spark plans
+    * grouping sets as one Expand + one aggregate: the fact table is read
+    * once no matter how many grains. NULL grain markers are coalesced so
+    * output is oracle-comparable.
+    */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy("event_type", "day")
+
+  /** q_lag_delta: window navigation — each purchase against the same
+    * user's previous one (lag): value delta and inter-purchase gap. The
+    * unique (ts, event_id) ordering key makes lag deterministic; the gap
+    * is integer microseconds (exact), the delta plain IEEE subtraction
+    * (identical in any engine).
+    */
+  def purchaseDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_value").isNotNull)
+      .select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("prev_value"),
+        round(col("value") - col("prev_value"), 2).as("delta"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
   /** q10_returned_items: revenue lost to returns per customer, top 20 —
     * fact⋈fact shuffle on orderkey, broadcast customer decoration, then
     * TakeOrdered top-k on the aggregated (small) relation.
