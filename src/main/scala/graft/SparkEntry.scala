@@ -47,6 +47,17 @@ object SparkEntry {
     "q_salted_purchases"   -> ((s: SparkSession, d: String) => Analytics.saltedPurchaseTotals(s, d)),
     "q_top_users_window"   -> Analytics.topUsers _,
     "q2_min_price_supplier" -> DecisionSupport.minPriceSupplier _,
+    "q8_market_share"      -> DecisionSupport.marketShare _,
+    "q11_important_stock"  -> DecisionSupport.importantStock _,
+    "q12_late_shipments"   -> DecisionSupport.lateShipments _,
+    "q20_stock_surplus"    -> DecisionSupport.stockSurplus _,
+    "q21_blame_supplier"   -> DecisionSupport.blameSupplier _,
+    "q_winsorize"          -> Analytics.winsorizedStats _,
+    "q_cohort_retention"   -> Analytics.cohortRetention _,
+    "x15_pii_scrub"        -> TextAnalysis.piiScrub _,
+    "x17_entropy"          -> TextAnalysis.docEntropy _,
+    "x18_zipf_slope"       -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "e1_quantize_error"    -> Curation.quantizeError _,
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -475,6 +486,180 @@ object SparkEntry {
         |  AND c_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT year(o_orderdate) AS o_year, s_nationkey,
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS r
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN s_nationkey = 3 THEN r
+        |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |        / CAST(sum(r) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(r) AS DOUBLE) AS total_rev
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH ns AS (SELECT count(*) AS n_supp FROM supplier),
+        |ps AS (
+        |  SELECT p_partkey,
+        |         (p_partkey * 7 + i * 13) % n_supp AS ps_suppkey,
+        |         (p_partkey * 31 + i * 17) % 1000 + 1 AS ps_availqty,
+        |         (p_partkey * 53 + i * 29) % 20000 + 100 AS ps_cost_cents
+        |  FROM part CROSS JOIN ns CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |stock AS (
+        |  SELECT p_partkey, ps_availqty * ps_cost_cents AS v_cents
+        |  FROM ps WHERE ps_suppkey IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)),
+        |tot AS (SELECT sum(v_cents) AS total_cents FROM stock)
+        |SELECT p_partkey, CAST(sum(v_cents) AS DOUBLE) / 100.0 AS stock_value
+        |FROM stock, tot
+        |GROUP BY p_partkey, total_cents
+        |HAVING sum(v_cents) * 1000 > total_cents
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT greatest(least(CAST(floor(date_diff('day', o_orderdate, l_shipdate)
+        |             / 30.0) AS BIGINT), 6), -1) AS months_late,
+        |       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |         AS high_line_count,
+        |       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |         AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY months_late ORDER BY months_late""".stripMargin,
+
+    "q20_stock_surplus" ->
+      """WITH ns AS (SELECT count(*) AS n_supp FROM supplier),
+        |ps AS (
+        |  SELECT p_partkey,
+        |         (p_partkey * 7 + i * 13) % n_supp AS ps_suppkey,
+        |         (p_partkey * 31 + i * 17) % 1000 + 1 AS ps_availqty
+        |  FROM part CROSS JOIN ns CROSS JOIN (SELECT unnest(range(4)) AS i)),
+        |shipped AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS shipped_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY l_partkey),
+        |surplus AS (
+        |  SELECT ps_suppkey, count(DISTINCT p_partkey) AS n_surplus_parts
+        |  FROM ps JOIN shipped ON p_partkey = l_partkey
+        |  WHERE CAST(ps_availqty AS DECIMAL(12,2)) * 2 > shipped_qty
+        |  GROUP BY ps_suppkey)
+        |SELECT s_suppkey, s_name, n_surplus_parts
+        |FROM supplier JOIN surplus ON s_suppkey = ps_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_blame_supplier" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |         count(DISTINCT l_suppkey) AS n_supp,
+        |         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                             THEN l_suppkey END) AS n_late,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                  THEN l_suppkey END) AS late_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT late_supp AS s_suppkey, s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type AS et,
+        |         quantile_cont(value, 0.01) AS p01,
+        |         quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |       round(avg(least(greatest(value, p01), p99)), 4) AS winsorized_mean,
+        |       count(*) FILTER (WHERE value < p01) AS n_clipped_low,
+        |       count(*) FILTER (WHERE value > p99) AS n_clipped_high,
+        |       round(min(p01), 4) AS p01, round(min(p99), 4) AS p99
+        |FROM events JOIN cuts ON event_type = et
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS uid, min(week) AS cohort_week FROM p GROUP BY 1)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |       CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM p JOIN c ON user_id = uid
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "x15_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+        |    AS n_ssns,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x17_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       round(ln(CAST(sum(c) AS DOUBLE))
+        |             - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
+        |         AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x18_zipf_slope" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT source, w, count(*) AS n FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, w, n,
+        |        row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rnk
+        |      FROM f)
+        |SELECT source, count(*) AS n_terms,
+        |       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+        |         AS zipf_slope,
+        |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS r2
+        |FROM r WHERE rnk <= 1000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "e1_quantize_error" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label, ve,
+        |         list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+        |  FROM v),
+        |e AS (
+        |  SELECT label, scale,
+        |         list_max(list_transform(ve,
+        |           x -> abs(x - floor(x / scale + 0.5) * scale))) AS err
+        |  FROM s WHERE scale > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(avg(err), 6) AS avg_max_err,
+        |       round(max(err), 6) AS max_err,
+        |       round(max(scale), 6) AS max_scale
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
 
     "q_cube_events" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,

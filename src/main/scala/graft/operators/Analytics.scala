@@ -508,4 +508,59 @@ object Analytics {
       .select("rnk", "user_id", "total_value", "n_purchases")
       .orderBy("rnk")
   }
+
+  /** q_winsorize: per-type robust statistics — exact p01/p99 percentiles,
+    * values clamped to that band, winsorized mean plus clip counts (the
+    * standard outlier-tamed KPI). Two passes over the fact: the percentile
+    * aggregate reduces to |event_type| rows and broadcasts back, the clamp
+    * and re-aggregate stay in one codegen'd stage. Both engines interpolate
+    * percentiles linearly, so rounded cutoffs match exactly. At fleet scale
+    * the exact percentile becomes the q8 sketch — the plan shape (tiny
+    * cutoff relation broadcast into a single fact pass) is the part that
+    * carries.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.01)).as("p01"),
+        percentile(col("value"), lit(0.99)).as("p99"))
+      .withColumnRenamed("event_type", "et")
+    Tables.events(spark, dir)
+      .select("event_type", "value")
+      .join(broadcast(cuts), col("event_type") === col("et"))
+      .select(col("event_type"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("w"),
+        (col("value") < col("p01")).as("lo"), (col("value") > col("p99")).as("hi"),
+        col("p01"), col("p99"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("w")), 4).as("winsorized_mean"),
+        sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        round(min(col("p01")), 4).as("p01"),
+        round(min(col("p99")), 4).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** q_cohort_retention: weekly retention triangle — users grouped by their
+    * first-purchase week (cohort), counted per week-offset they were active
+    * again. The cohort map aggregates the fact to |users| rows FIRST, then
+    * rides the activity shuffle keyed on user_id; the triangle itself is a
+    * second, tiny aggregate. No self-join of the raw fact, no window over
+    * the full table — the same two-aggregate shape survives any corpus size.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohorts = purchases
+      .groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      .withColumnRenamed("user_id", "uid")
+    purchases
+      .join(cohorts, col("user_id") === col("uid"))
+      .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

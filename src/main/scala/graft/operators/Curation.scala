@@ -253,4 +253,32 @@ object Curation {
       .select(col("centroid_id"), col("a_id"), col("b_id"), col("cosim"))
       .orderBy("a_id", "b_id")
   }
+
+  /** e1: int8 scalar quantization audit — per label, the reconstruction
+    * error of symmetric per-vector int8 quantization (scale = max|x|/127,
+    * the storage format that shrinks an embedding fleet 4x before ANN
+    * serving). Rounding is spelled floor(x/s + 0.5) so every engine bit-
+    * agrees on the quantized code (round() half-away vs half-even varies
+    * by engine; floor does not). One codegen'd projection per vector (the
+    * HOF lambdas are per-dimension arithmetic over a 64-wide array — tiny
+    * next to the scan), then one partial-mergeable aggregate keyed on the
+    * label. Nothing driver-side, nothing vocabulary-sized.
+    */
+  def quantizeError(spark: SparkSession, dir: String): DataFrame = {
+    val ve = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), ve.as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      .filter(col("scale") > 0)
+      .withColumn("err",
+        aggregate(col("v"), lit(0.0),
+          (m, x) => greatest(m, abs(x - floor(x / col("scale") + 0.5) * col("scale")))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("err")), 6).as("avg_max_err"),
+        round(max(col("err")), 6).as("max_err"),
+        round(max(col("scale")), 6).as("max_scale"))
+      .orderBy("label")
+  }
 }

@@ -196,6 +196,176 @@ object DecisionSupport {
       .limit(100)
   }
 
+  /** q8: national market share (TPC-H Q8) — of the revenue an ASIA-region
+    * customer base generates on ECONOMY parts, what fraction is supplied by
+    * NATION_3, per order year. Part/supplier/nation/region broadcast; the
+    * two fact-fact shuffles (lineitem ⋈ orders on the order key, then ⋈
+    * customer on the customer key — customer is fleet-scale, never
+    * broadcast) carry only pruned columns. The share divides two decimal
+    * sums once per year row, so partial-aggregation order can't move it.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val supNation = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").as("sup_nation"))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val rev = money(col("l_extendedprice")) * (one - rate(col("l_discount")))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("sup_nation") === 3, rev).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("nation_rev"),
+        sum(rev).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev").cast("double") / col("total_rev").cast("double"), 6)
+          .as("mkt_share"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** q12: shipping-lateness priority audit (TPC-H Q12 with lateness bands
+    * standing in for ship modes — the schema has no l_shipmode or commit
+    * date). Each line lands in a months-late band
+    * (floor(days(ship − order)/30), clamped to [-1, 6]) and the band counts how
+    * many of its lines belong to critical-priority orders vs not — Q12's
+    * exact high/low split. One fact-fact shuffle on the order key, then a
+    * 7-row aggregate; both aggregates partial-merge.
+    */
+  def lateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(greatest(
+          least(floor(datediff(col("l_shipdate"), col("o_orderdate")) / 30), lit(6L)),
+          lit(-1L)).as("months_late"),
+        high.as("is_high"))
+      .groupBy(col("months_late"))
+      .agg(sum(when(col("is_high"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("is_high"), 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("months_late")
+  }
+
+  /** q21: suppliers who single-handedly held up multi-supplier orders
+    * (TPC-H Q21's double-EXISTS, with shipdate > orderdate + 90 days
+    * standing in for receipt-past-commit). Instead of two correlated
+    * subqueries, ONE pass over the joined fact computes per order the
+    * distinct-supplier count, the distinct-late-supplier count, and the
+    * sole late supplier (max over a when() — well-defined exactly when the
+    * late count is 1); blame lands only when n_supp > 1 ∧ n_late = 1. The
+    * per-supplier tally is a second, tiny aggregate.
+    */
+  def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 90)
+    val perOrder = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+    perOrder
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+        .withColumnRenamed("s_suppkey", "sk")), col("s_suppkey") === col("sk"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** q11: important stock value (TPC-H Q11). The schema has no partsupp, so
+    * one is synthesized deterministically — 4 offers per part, all columns
+    * pure integer arithmetic on (p_partkey, i) — identically derivable by
+    * any engine (the oracle rebuilds it in SQL). Values stay in integer
+    * cents so every sum is exact, and the "more than 0.1% of total stock"
+    * cut is the cross-multiplied `part_value * 1000 > total` against a
+    * one-row broadcast — no float boundary anywhere. Scale shape: the
+    * synthetic dimension explodes from part (narrow), the one shuffle keys
+    * on the part key, and the threshold never materializes on the driver.
+    */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val nSupp = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
+    val ps = Tables.part(spark, dir).select("p_partkey")
+      .select(col("p_partkey"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .crossJoin(broadcast(nSupp))
+      .select(
+        col("p_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("n_supp")).as("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("i") * 17) % 1000 + 1).as("ps_availqty"),
+        ((col("p_partkey") * 53 + col("i") * 29) % 20000 + 100).as("ps_cost_cents"))
+    val natSupp = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+    val stock = ps
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("p_partkey"), (col("ps_availqty") * col("ps_cost_cents")).as("v_cents"))
+    val total = stock.agg(sum(col("v_cents")).as("total_cents"))
+    stock.groupBy(col("p_partkey"))
+      .agg(sum(col("v_cents")).as("part_cents"))
+      .crossJoin(broadcast(total))
+      .filter(col("part_cents") * 1000 > col("total_cents"))
+      .select(col("p_partkey"),
+        (col("part_cents").cast("double") / 100.0).as("stock_value"))
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
+
+  /** q20: suppliers holding surplus stock (TPC-H Q20's nested EXISTS chain,
+    * on the same synthesized partsupp as q11). A supplier qualifies when,
+    * for some part it stocks, availqty > half the quantity the fleet
+    * shipped of that part in 1996 — the restock-candidate list. The
+    * shipped-quantity rollup reduces lineitem to per-part totals FIRST
+    * (integer-cents discipline isn't needed: quantities are small ints;
+    * the half comparison cross-multiplies `2*avail > shipped` so there is
+    * no float boundary); the rollup joins the synthetic dimension on the
+    * part key; the per-supplier surplus-part count (instead of Q20's bare
+    * membership — every supplier stocks enough parts that membership alone
+    * is vacuous on this data) rides a tiny second aggregate into the
+    * supplier dim.
+    */
+  def stockSurplus(spark: SparkSession, dir: String): DataFrame = {
+    val nSupp = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
+    val ps = Tables.part(spark, dir).select("p_partkey")
+      .select(col("p_partkey"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .crossJoin(broadcast(nSupp))
+      .select(
+        col("p_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("n_supp")).as("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("i") * 17) % 1000 + 1).as("ps_availqty"))
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_quantity"))).as("shipped_qty"))
+    val surplus = ps
+      .join(shipped, col("p_partkey") === col("l_partkey"))
+      .filter(money(col("ps_availqty")) * 2 > col("shipped_qty"))
+      .groupBy(col("ps_suppkey"))
+      .agg(count_distinct(col("p_partkey")).as("n_surplus_parts"))
+    Tables.supplier(spark, dir)
+      .join(surplus, col("s_suppkey") === col("ps_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_surplus_parts"))
+      .orderBy("s_suppkey")
+  }
+
   /** q22: well-funded customers gone idle (TPC-H Q22 on nations instead of
     * phone prefixes). The positive-balance average arrives as a one-row
     * broadcast of (sum, count) and the comparison cross-multiplies in

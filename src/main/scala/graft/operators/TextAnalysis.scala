@@ -324,4 +324,76 @@ object TextAnalysis {
         RollingHash.polyHash(col("text")).as("fp64"),
         RollingHash.minWindowHash(col("text"), 32).as("min_win_fp"))
       .orderBy("doc_id")
+
+  /** x17: per-document unigram Shannon entropy (nats) — the
+    * vocabulary-diversity quality signal (low entropy = template/boilerplate,
+    * the repetition class x11 counts in a different basis). Computed as
+    * H = ln(n) − (Σ c·ln c)/n so the per-(doc, token) aggregate feeds one
+    * partial-mergeable per-doc aggregate — two shuffles, both keyed and
+    * bounded by document size, nothing vocabulary-sized on any single node.
+    */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  /** x18: Zipf slope per source — the log-log regression of token frequency
+    * against frequency rank, the classic natural-language sanity check on a
+    * corpus slice (≈ −1 for organic text; flat or cliff-shaped for
+    * machine-generated spam). Token counts shuffle once on (source, token);
+    * ranks come from a WindowGroupLimit-capped row_number over the
+    * per-source count relation (vocabulary-sized, never the corpus); the
+    * regression is Spark's partial-mergeable regr_slope/regr_r2 co-moments.
+    */
+  def zipfSlope(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("w"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(byFreq))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), log(col("rnk").cast("double")).as("lr"),
+        log(col("n").cast("double")).as("lf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(col("lf"), col("lr")), 4).as("zipf_slope"),
+        round(regr_r2(col("lf"), col("lr")), 4).as("r2"))
+      .orderBy("source")
+  }
+
+  /** x15: PII scrub — regex redaction of emails / NANP phone numbers /
+    * SSN-shaped ids, with per-document match counts and an md5 of the
+    * redacted text so the oracle verifies the actual rewrite, not just the
+    * counts. One codegen'd projection, no shuffle, no UDF; patterns are
+    * RE2-compatible so every engine in the pipeline (and the DuckDB oracle)
+    * agrees on matches. The synthetic corpus is PII-free (all counts 0 —
+    * the oracle still pins the regex dialect end to end); PiiScrubSpec
+    * drives the patterns over real fixtures.
+    */
+  private[operators] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[operators] val ssnRe   = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(ssnRe), lit(0))).cast("long").as("n_ssns"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            ssnRe, "<SSN>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
 }
