@@ -52,7 +52,7 @@ object SparkEntry {
     "q12_late_shipments"   -> DecisionSupport.lateShipments _,
     "q20_stock_surplus"    -> DecisionSupport.stockSurplus _,
     "q21_blame_supplier"   -> DecisionSupport.blameSupplier _,
-    "q_winsorize"          -> Analytics.winsorizedStats _,
+    "q_winsorize"          -> ((s: SparkSession, d: String) => Analytics.winsorizedStats(s, d)),
     "q_cohort_retention"   -> Analytics.cohortRetention _,
     "x15_pii_scrub"        -> TextAnalysis.piiScrub _,
     "x17_entropy"          -> TextAnalysis.docEntropy _,

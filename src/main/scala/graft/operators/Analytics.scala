@@ -509,21 +509,28 @@ object Analytics {
       .orderBy("rnk")
   }
 
-  /** q_winsorize: per-type robust statistics — exact p01/p99 percentiles,
-    * values clamped to that band, winsorized mean plus clip counts (the
-    * standard outlier-tamed KPI). Two passes over the fact: the percentile
-    * aggregate reduces to |event_type| rows and broadcasts back, the clamp
-    * and re-aggregate stay in one codegen'd stage. Both engines interpolate
-    * percentiles linearly, so rounded cutoffs match exactly. At fleet scale
-    * the exact percentile becomes the q8 sketch — the plan shape (tiny
-    * cutoff relation broadcast into a single fact pass) is the part that
-    * carries.
+  /** q_winsorize: per-type robust statistics — p01/p99 percentiles, values
+    * clamped to that band, winsorized mean plus clip counts (the standard
+    * outlier-tamed KPI). Two passes over the fact: the percentile aggregate
+    * reduces to |event_type| rows and broadcasts back, the clamp and
+    * re-aggregate stay in one codegen'd stage.
+    *
+    * `exact = true` (the oracle-checked form) uses Spark's exact
+    * `percentile`, which buffers every group value on one reducer — fine at
+    * test SF, NOT at fleet scale. The 100 TB call site is `exact = false`:
+    * `approx_percentile`'s fixed-size mergeable KLL-style sketch, same plan
+    * shape (tiny cutoff relation broadcast into one fact pass), bounded
+    * memory at any group size. Both engines interpolate exact percentiles
+    * linearly, so rounded cutoffs match the DuckDB oracle exactly.
     */
-  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+  def winsorizedStats(spark: SparkSession, dir: String,
+                      exact: Boolean = true): DataFrame = {
+    def pct(p: Double) =
+      if (exact) percentile(col("value"), lit(p))
+      else approx_percentile(col("value"), lit(p), lit(10000))
     val cuts = Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.01)).as("p01"),
-        percentile(col("value"), lit(0.99)).as("p99"))
+      .agg(pct(0.01).as("p01"), pct(0.99).as("p99"))
       .withColumnRenamed("event_type", "et")
     Tables.events(spark, dir)
       .select("event_type", "value")
