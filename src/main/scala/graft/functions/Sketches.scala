@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, CountInSet, EqualCountLong, HashEmbedding, MinHashSignature, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CountInSet, EqualCountLong, HashEmbedding, MinHashSignature, ShingleHash64, SimHash64, SortedIntersectCount}
 
 /** Column-API facade over the native sketch kernels (one codegen'd loop per
   * document instead of interpreted higher-order-function lambdas).
@@ -31,6 +31,12 @@ object Sketches {
   /** Tokens of a string-array column (with multiplicity) in a fixed set. */
   def countInSet(tokens: Column, words: Seq[String]): Column =
     ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
+
+  /** XXH64 of every k-token shingle of a space-delimited string column —
+    * one pass over the raw bytes, no per-shingle string materialization.
+    */
+  def shingleHash64(text: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHash64(ColumnBridge.expression(text), k))
 
   /** Positions where two long-array signatures agree. */
   def equalCount(a: Column, b: Column): Column =

@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Sketches
 
 /** Benchmark decontamination — the training-data hygiene operator: flag
   * corpus documents that share any contiguous k-token shingle with a
@@ -22,23 +23,19 @@ import graft.Tables
   */
 object Decontamination {
 
-  /** Contiguous k-token shingles of `textCol` as an array column. */
-  private def shingles(textCol: Column, k: Int): Column = {
-    val toks = split(textCol, " ")
-    transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-  }
-
   /** c1: documents outside `benchSource` sharing at least one k-shingle
     * with a `benchSource` document → (doc_id, source, n_hit_shingles).
+    * Shingle hashing is the native ShingleHash64 kernel — one pass over the
+    * document bytes, values bit-identical to xxhash64 of the concat_ws
+    * shingle strings (which the HOF spelling would rebuild per element,
+    * re-splitting the text each time).
     */
   def contaminated(spark: SparkSession, dir: String,
                    k: Int = 8, benchSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(transform(shingles(col("text"), k), s => xxhash64(s))))
-          .as("h"))
+        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
     val bench = docs.filter(col("source") === benchSource)
       .select(col("h")).distinct()
     docs.filter(col("source") =!= benchSource)

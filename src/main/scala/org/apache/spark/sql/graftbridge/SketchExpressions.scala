@@ -397,3 +397,89 @@ case class EqualCountLong(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): EqualCountLong =
     copy(left = newLeft, right = newRight)
 }
+
+/** XXH64(seed 42) of every k-token shingle of a space-delimited string, as
+  * one pass over the raw bytes. Because tokens are split on single spaces
+  * and shingles re-joined with single spaces, shingle i is EXACTLY the byte
+  * range of the input from token i's start to token i+k-1's end — so each
+  * hash reads the original buffer in place, no per-shingle string is ever
+  * materialized, and the values are bit-identical to
+  * `transform(shingles, s -> xxhash64(s))` over the concat_ws spelling
+  * (0x20 never occurs inside a multi-byte UTF-8 sequence, so the byte scan
+  * is codepoint-safe). The HOF spelling re-evaluates the split per element
+  * after projection collapse — O(n²) per document; this is O(n).
+  */
+case class ShingleHash64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash64"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val nb = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // token i starts at starts(i); a token count of t has t-1 separating
+    // spaces, so starts has at most nb+1 entries
+    val starts = new Array[Int](nb + 2)
+    var nTok = 1
+    starts(0) = 0
+    var p = 0
+    while (p < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20.toByte) {
+        starts(nTok) = p + 1
+        nTok += 1
+      }
+      p += 1
+    }
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nTok - k + 1)
+    var i = 0
+    while (i < out.length) {
+      val from = starts(i)
+      val to = if (i + k < nTok) starts(i + k) - 1 else nb
+      out(i) = XXH64.hashUnsafeBytes(base, off + from, to - from, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val platform = "org.apache.spark.unsafe.Platform"
+      val nb = ctx.freshName("nb")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      val starts = ctx.freshName("starts")
+      val nTok = ctx.freshName("nTok")
+      val p = ctx.freshName("p")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val from = ctx.freshName("from")
+      val to = ctx.freshName("to")
+      s"""
+         |int $nb = $c.numBytes();
+         |Object $base = $c.getBaseObject();
+         |long $off = $c.getBaseOffset();
+         |int[] $starts = new int[$nb + 2];
+         |int $nTok = 1;
+         |for (int $p = 0; $p < $nb; $p++) {
+         |  if ($platform.getByte($base, $off + $p) == (byte) 0x20) {
+         |    $starts[$nTok++] = $p + 1;
+         |  }
+         |}
+         |long[] $out = new long[$nTok < $k ? 0 : $nTok - $k + 1];
+         |for (int $i = 0; $i < $out.length; $i++) {
+         |  int $from = $starts[$i];
+         |  int $to = ($i + $k < $nTok) ? $starts[$i + $k] - 1 : $nb;
+         |  $out[$i] = $xxh.hashUnsafeBytes($base, $off + $from, $to - $from, 42L);
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.{RollingHash, VectorFunctions}
+import graft.functions.{RollingHash, Sketches, VectorFunctions}
 
 /** Property-style pins for the native kernels using ScalaCheck generators
   * under fixed seeds (deterministic; no scalatest bridge needed): the
@@ -23,6 +23,35 @@ class KernelPropertiesSpec extends SparkSpec {
 
   private def sample[T](gen: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("shingle-hash kernel matches xxhash64 of the concat_ws shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // word soups incl. empty tokens from doubled spaces, short docs (< k
+    // tokens -> empty result), and k boundary cases
+    val word = Gen.oneOf("a", "bb", "ccc", "δδ", "w1", "x")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = (sample(doc, 150) ++ Seq("", "a", "a b", "a  b c")).distinct
+    for (k <- Seq(1, 2, 3, 8)) {
+      val toks = split(col("text"), " ")
+      // reference spelling: concat_ws over slice windows, then xxhash64
+      // (sequence(1, 0) is DESCENDING in Spark, so guard the short case)
+      val ref = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<long>"))
+      val got = texts.toDF("text")
+        .select(col("text"),
+          Sketches.shingleHash64(col("text"), k).as("kern"),
+          ref.as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"k=$k text='${r.getString(0)}'")
+      }
+    }
+  }
 
   test("poly and min-window hashes match reference folds on generated strings") {
     import spark.implicits._
