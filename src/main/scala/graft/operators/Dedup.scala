@@ -255,8 +255,16 @@ object Dedup {
     // localCheckpoint (not persist) per superstep: iterative plans grow
     // superlinearly in lineage otherwise — planning alone dominated after a
     // few supersteps. On a cluster this would be a reliable checkpoint dir.
+    // Init fuses the first superstep: labels start at min(doc_id, min
+    // neighbor) instead of identity — for the near-clique components the
+    // d4 pairs produce, that alone is usually the fixpoint, so the loop
+    // runs one confirming superstep instead of propagate + confirm.
+    val vertexMin = edges.groupBy(col("a_id")).agg(min(col("b_id")).as("nmin0"))
     var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("group_id"))
+      .select(col("doc_id"))
+      .join(vertexMin, col("doc_id") === col("a_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nmin0"), col("doc_id"))).as("group_id"))
       .localCheckpoint()
     // Convergence signal: labels only ever decrease, so the label sum is
     // strictly monotone until the fixpoint — an unchanged sum IS
