@@ -140,6 +140,35 @@ object StreamOps {
         unix_micros(col("c_ts")).as("c_ts_us"), col("value"))
   }
 
+  /** Left-outer stream–stream interval join: every purchase emits, the
+    * unattributed ones with a null click — but only once the watermark
+    * passes the purchase's join window, because until then a matching
+    * click could still arrive. The inner join's correctness story plus the
+    * outer-emission timing is exactly what distinguishes streaming outer
+    * joins from batch; state stays bounded by the same watermark + range
+    * bounds as the inner form.
+    */
+  def purchaseAttributionOuter(purchases: DataFrame, clicks: DataFrame,
+                               intervalMinutes: Int = 10,
+                               watermark: String = "1 hour"): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $intervalMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_micros(col("p_ts")).as("p_ts_us"),
+        unix_micros(col("c_ts")).as("c_ts_us"), col("value"))
+  }
+
   /** Streaming exact dedup: first event per (user_id, event_type, value)
     * wins; watermark bounds the dedup state (the streaming twin of d1).
     */

@@ -380,6 +380,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unattributed purchases at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val df = input.toDF()
+    val q = StreamOps.purchaseAttributionOuter(df, df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        ev(1, 0, 1L, "click"),
+        ev(2, 5, 1L, "purchase", 42.0),   // attributed -> emits immediately
+        ev(3, 6, 2L, "purchase", 9.0)))   // no click: held until watermark
+      q.processAllAvailable()
+      val inner = spark.table("attr_outer_out").collect()
+      assert(inner.length == 1 && inner.head.getAs[Long]("purchase_id") == 2L,
+        "unmatched purchase must NOT emit while a click could still arrive")
+      // advance event time far past purchase_ts + interval + watermark —
+      // on BOTH sides: each side's watermark is computed after its filter,
+      // so a future click alone would not move the purchase-side watermark
+      // and the join's global (min) watermark would hold outer rows back
+      input.addData(Seq(ev(4, 120, 3L, "purchase"), ev(5, 121, 3L, "click")))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark produces the outer rows
+      input.addData(Seq(ev(6, 200, 5L, "purchase"), ev(7, 201, 5L, "click")))
+      q.processAllAvailable()
+      // purchase 3 (t=6) and purchase 4 (t=120, click arrived AFTER it, so
+      // outside c_ts <= p_ts) both emit null-click once the watermark
+      // passes their windows; purchase 6 (t=200) stays pending
+      val rows = spark.table("attr_outer_out").collect()
+      assert(rows.length == 3, s"got ${rows.mkString(";")}")
+      Seq(3L -> 9.0, 4L -> 1.0).foreach { case (pid, v) =>
+        val outer = rows.find(_.getAs[Long]("purchase_id") == pid).get
+        assert(outer.isNullAt(outer.fieldIndex("click_id")), s"null click for $pid")
+        assert(outer.getAs[Double]("value") == v)
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps the first of identical events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
