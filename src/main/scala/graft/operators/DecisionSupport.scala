@@ -263,25 +263,30 @@ object DecisionSupport {
   /** q21: suppliers who single-handedly held up multi-supplier orders
     * (TPC-H Q21's double-EXISTS, with shipdate > orderdate + 90 days
     * standing in for receipt-past-commit). Instead of two correlated
-    * subqueries, ONE pass over the joined fact computes per order the
-    * distinct-supplier count, the distinct-late-supplier count, and the
-    * sole late supplier (max over a when() — well-defined exactly when the
-    * late count is 1); blame lands only when n_supp > 1 ∧ n_late = 1. The
-    * per-supplier tally is a second, tiny aggregate.
+    * subqueries, the joined fact first collapses to one row per
+    * (order, supplier) — every aggregate after that is a plain count/sum,
+    * so no distinct-aggregate Expand ever doubles the fact shuffle — then
+    * per order: the supplier count, late-supplier count, and the sole late
+    * supplier (max over a when() — well-defined exactly when the late
+    * count is 1); blame lands only when n_supp > 1 ∧ n_late = 1. The
+    * per-supplier tally is a third, tiny aggregate.
     */
   def blameSupplier(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
       .select("o_orderkey", "o_orderdate")
     val late = col("l_shipdate") > date_add(col("o_orderdate").cast("date"), 90)
-    val perOrder = Tables.lineitem(spark, dir)
+    val perSupp = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(late, 1).otherwise(0)).as("is_late"))
+    val perOrder = perSupp
       .groupBy(col("l_orderkey"))
       .agg(
-        count_distinct(col("l_suppkey")).as("n_supp"),
-        count_distinct(when(late, col("l_suppkey"))).as("n_late"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("is_late")).as("n_late"),
+        max(when(col("is_late") === 1, col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
     perOrder
       .groupBy(col("late_supp").as("s_suppkey"))

@@ -89,6 +89,10 @@ object StreamBench {
       best("interval_join", () => {
         val s = stream()
         StreamOps.purchaseAttribution(s, stream())
+      }),
+      best("interval_join_outer", () => {
+        val s = stream()
+        StreamOps.purchaseAttributionOuter(s, stream())
       }))
 
     // transformWithState ops require the RocksDB provider. firstSeenTws is
