@@ -54,6 +54,7 @@ object SparkEntry {
     "q21_blame_supplier"   -> DecisionSupport.blameSupplier _,
     "q_winsorize"          -> ((s: SparkSession, d: String) => Analytics.winsorizedStats(s, d)),
     "q_cohort_retention"   -> Analytics.cohortRetention _,
+    "q_window_nav"         -> Analytics.windowNav _,
     "x15_pii_scrub"        -> TextAnalysis.piiScrub _,
     "x17_entropy"          -> TextAnalysis.docEntropy _,
     "x18_zipf_slope"       -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
@@ -600,6 +601,18 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM p JOIN c ON user_id = uid
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT user_id, event_id, value,
+        |  round(percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+        |    AS value_pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+        |    AS value_cume_dist,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_purchase
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "x15_pii_scrub" ->
       """SELECT doc_id,

@@ -549,6 +549,27 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** q_window_nav: the remaining window-navigation family in one pass —
+    * percent_rank and cume_dist of each purchase within its user's history
+    * (relative-standing functions), and the user's second-ever purchase via
+    * nth_value over the full frame (absolute-position function). One window
+    * shuffle keyed on user_id; both orderings share the partition, so
+    * Catalyst plans a single Window operator chain, and every ordering
+    * carries event_id so ties cannot reorder between engines.
+    */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        round(percent_rank().over(byValue), 6).as("value_pct_rank"),
+        round(cume_dist().over(byValue), 6).as("value_cume_dist"),
+        nth_value(col("value"), 2).over(byTime).as("second_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** q_cohort_retention: weekly retention triangle — users grouped by their
     * first-purchase week (cohort), counted per week-offset they were active
     * again. The cohort map aggregates the fact to |users| rows FIRST, then
