@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.CRC32
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -12,12 +13,18 @@ import graft.Tables
   * per-partition in batches (the Scala analog of a vectorized `mapInPandas`
   * decode stage).
   *
-  * The actual codec is STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`, which produces a deterministic fake
-  * header parse. Everything Spark-cares-about is real and load-bearing:
-  * the binary column, the typed batch boundary (`Dataset[MediaBlob]` →
-  * `mapPartitions` → `Dataset[MediaMeta]`), the encoder schemas, and the
-  * partition-parallel shape a real decoder would drop into unchanged.
+  * The decode is REAL for the two container formats whose headers parse
+  * with zero external libraries: BMP (BITMAPINFOHEADER → width/height/bpp)
+  * and WAV (RIFF chunk walk → channels/sample-rate/bit-depth/duration).
+  * The synthesized media column wraps each document's bytes in genuine
+  * containers — a byte-valid 24bpp BMP for "image" rows, a canonical PCM16
+  * WAV for "audio" rows — so the parser is exercised against real headers,
+  * not fixtures that mirror its own assumptions. "video" rows stay an
+  * opaque raw payload with a deterministic fallback (a real video decode
+  * needs a codec library this container does not have); the fan-out shape
+  * around it is real and load-bearing either way: binary columns, typed
+  * batch boundaries (`Dataset[MediaBlob]` → `mapPartitions` →
+  * `Dataset[...]`), encoder schemas, partition-parallel decode.
   */
 object Multimodal {
 
@@ -26,36 +33,123 @@ object Multimodal {
     */
   case class MediaBlob(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted metadata; `width`/`height`/`n_frames` come from the stubbed
-    * header parse.
+  /** Extracted metadata. `format` is what the header parse identified
+    * ("bmp" / "wav" / "raw"); dimension-ish fields are format-specific and
+    * 0 where not applicable (honest absence, not a fake).
     */
-  case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
-                       crc32: Long, width: Int, height: Int, n_frames: Int)
+  case class MediaMeta(doc_id: Long, media_type: String, format: String,
+                       byte_len: Long, crc32: Long, width: Int, height: Int,
+                       sample_rate: Int, n_frames: Int, duration_ms: Long)
 
-  /** STUB: a real implementation parses the codec header (JPEG SOF, WAV
-    * fmt, MP4 moov...). This fake derives deterministic dimensions from the
-    * payload bytes so the pipeline shape is testable without codecs.
+  // --- container synthesis (the test corpus's blob-store stand-in) ------
+
+  /** A byte-valid 24bpp BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + 4-byte-aligned rows, pixels tiled from `src`.
     */
-  private def decodeStub(b: MediaBlob): MediaMeta = {
+  private[graft] def buildBmp(width: Int, height: Int,
+                                  src: Array[Byte]): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataLen = rowSize * height
+    val bb = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < dataLen) {
+      bb.put(if (src.isEmpty) 0.toByte else src(i % src.length))
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** A canonical 44-byte-header mono PCM16 WAV with `src` (padded to a
+    * whole sample) as the data section.
+    */
+  private[graft] def buildWav(sampleRate: Int, src: Array[Byte]): Array[Byte] = {
+    val dataLen = src.length + (src.length & 1) // pad to 16-bit frames
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen).put(src)
+    bb.array() // trailing pad byte (if any) is already zero
+  }
+
+  // --- the real header parse --------------------------------------------
+
+  private def isBmp(p: Array[Byte]) =
+    p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+
+  private def isWav(p: Array[Byte]) =
+    p.length >= 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** WAV chunk walk → (sampleRate, channels, bitsPerSample, dataOff, dataLen),
+    * or None if the payload is not a parseable WAV.
+    */
+  private[graft] def parseWav(p: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (!isWav(p)) return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > p.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          channels = bb.getShort(off + 10)
+          rate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (rate > 0 && channels > 0 && bits > 0 && dataOff >= 0)
+      Some((rate, channels, bits, dataOff, dataLen))
+    else None
+  }
+
+  /** The decode stage: a genuine header parse for BMP and WAV; anything
+    * else is reported as an opaque "raw" payload with deterministic
+    * fallback framing (the video stand-in — a codec library would slot in
+    * here unchanged).
+    */
+  private[graft] def decode(b: MediaBlob): MediaMeta = {
     val crc = new CRC32()
     crc.update(b.payload)
     val c = crc.getValue
-    MediaMeta(
-      doc_id = b.doc_id,
-      media_type = b.media_type,
-      byte_len = b.payload.length.toLong,
-      crc32 = c,
-      width = (c % 1920L).toInt + 1,
-      height = ((c >> 16) % 1080L).toInt + 1,
-      n_frames = (b.payload.length / 1024) + 1)
+    val p = b.payload
+    if (isBmp(p)) {
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      MediaMeta(b.doc_id, b.media_type, "bmp", p.length.toLong, c,
+        width = bb.getInt(18), height = bb.getInt(22),
+        sample_rate = 0, n_frames = 1, duration_ms = 0L)
+    } else parseWav(p) match {
+      case Some((rate, channels, bits, _, dataLen)) =>
+        val nSamples = dataLen / (channels * (bits / 8))
+        MediaMeta(b.doc_id, b.media_type, "wav", p.length.toLong, c,
+          width = 0, height = 0, sample_rate = rate, n_frames = nSamples,
+          duration_ms = nSamples * 1000L / rate)
+      case None =>
+        MediaMeta(b.doc_id, b.media_type, "raw", p.length.toLong, c,
+          width = 0, height = 0, sample_rate = 0,
+          n_frames = p.length / 1024 + 1, duration_ms = 0L)
+    }
   }
 
-  /** One sampled frame of a (stubbed) video decode. */
+  /** One sampled frame of a video decode (raw fallback framing). */
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_crc: Long)
 
   /** m2: frame sampling — the one-to-many decode fan-out (video row →
-    * sampled frame rows) via a typed flatMap-style mapPartitions. The frame
-    * "decode" is the same deterministic stub; the fan-out shape, encoder
+    * sampled frame rows) via a typed flatMap-style mapPartitions. Video
+    * decode is the documented raw fallback; the fan-out shape, encoder
     * schemas, and per-partition batching are what a real ffmpeg stage
     * drops into.
     */
@@ -64,7 +158,7 @@ object Multimodal {
     import spark.implicits._
     val blobs = mediaBlobs(spark, dir).filter(_.media_type == "video")
     blobs.mapPartitions(_.flatMap { b =>
-      val meta = decodeStub(b)
+      val meta = decode(b)
       (0 until meta.n_frames by everyNth).map { i =>
         val crc = new CRC32()
         crc.update(b.payload, (i * 64) % math.max(1, b.payload.length),
@@ -74,19 +168,19 @@ object Multimodal {
     })
   }
 
-  /** One overlapping chunk of a (stubbed) audio decode. */
+  /** One overlapping chunk of an audio payload's PCM data section. */
   case class AudioChunk(doc_id: Long, chunk_idx: Int, start_byte: Long,
                         n_bytes: Int, chunk_crc: Long)
 
   /** m3: overlapping-window chunking — the ASR-style fixed-window-with-
     * stride fan-out (e.g. 30 s windows, 24 s stride, so chunk boundaries
     * never cut a word that a neighbor doesn't cover whole). Distinct from
-    * m2's strided *sampling*: every chunk here is a contiguous slice and
-    * consecutive chunks overlap by `chunk - stride` bytes. The slice
-    * arithmetic runs on the opaque payload (a real stage would resample
-    * PCM first); the fan-out, typed encoder schema, and per-partition
-    * batching are the load-bearing Spark parts. The final partial window
-    * is kept iff it starts before the payload ends.
+    * m2's strided *sampling*: every chunk is a contiguous slice and
+    * consecutive chunks overlap by `chunk - stride` bytes. Chunks cover the
+    * PARSED PCM data section (start_byte is data-relative), not the
+    * container header — the real-decode upgrade over chunking raw payload
+    * bytes. Non-WAV payloads chunk whole (robustness, not expected here).
+    * The final partial window is kept iff it starts before the data ends.
     */
   def audioChunks(spark: SparkSession, dir: String,
                   chunkBytes: Int = 256, strideBytes: Int = 192): Dataset[AudioChunk] = {
@@ -95,40 +189,51 @@ object Multimodal {
     import spark.implicits._
     mediaBlobs(spark, dir).filter(_.media_type == "audio")
       .mapPartitions(_.flatMap { b =>
-        val len = b.payload.length
-        val starts = 0 until math.max(1, len) by strideBytes
+        val (dataOff, dataLen) = parseWav(b.payload)
+          .map { case (_, _, _, off, len) => (off, len) }
+          .getOrElse((0, b.payload.length))
+        val starts = 0 until math.max(1, dataLen) by strideBytes
         starts.zipWithIndex.map { case (s, i) =>
-          val n = math.min(chunkBytes, len - s)
+          val n = math.min(chunkBytes, dataLen - s)
           val crc = new CRC32()
-          crc.update(b.payload, s, n)
+          crc.update(b.payload, dataOff + s, n)
           AudioChunk(b.doc_id, i, s.toLong, n, crc.getValue)
         }
       })
   }
 
-  /** The synthesized media column: documents' text bytes standing in for a
-    * blob-store payload, modality assigned deterministically by id.
+  /** The synthesized media column: documents' bytes wrapped in REAL
+    * containers (BMP for images, PCM16 WAV for audio; raw for video),
+    * modality assigned deterministically by id. Dimensions/rates are id-
+    * derived so parse-back equality is checkable per row.
     */
-  private def mediaBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+  private[graft] def mediaBlobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        element_at(
-          array(lit("image"), lit("audio"), lit("video")),
-          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaBlob]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            MediaBlob(id, "image",
+              buildBmp(width = 1 + (id % 31).toInt, height = 1 + (id % 17).toInt, bytes))
+          case 1 =>
+            MediaBlob(id, "audio",
+              buildWav(sampleRate = 8000 + 4000 * ((id / 3) % 3).toInt, bytes))
+          case _ =>
+            MediaBlob(id, "video", bytes)
+        }
+      })
   }
 
-  /** m1: metadata extraction over a synthesized media column (documents'
-    * text bytes standing in for a blob). One narrow `mapPartitions` pass —
-    * no shuffle, no driver involvement, decode parallelism = partition
-    * count.
+  /** m1: metadata extraction over the synthesized media column. One narrow
+    * `mapPartitions` pass — no shuffle, no driver involvement, decode
+    * parallelism = partition count.
     */
   def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
     mediaBlobs(spark, dir)
-      .mapPartitions(_.map(decodeStub))(
+      .mapPartitions(_.map(decode))(
         org.apache.spark.sql.Encoders.product[MediaMeta])
       .toDF()
       .orderBy("doc_id")

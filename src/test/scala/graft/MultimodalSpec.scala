@@ -4,10 +4,12 @@ import org.apache.spark.sql.SaveMode
 
 import graft.operators.Multimodal
 
-/** Multimodal plumbing semantics on crafted payloads: chunk/stride coverage
-  * arithmetic (m3), frame fan-out counts (m2), and metadata determinism
-  * (m1). The decode itself is a documented stub; these pin the Spark-side
-  * shape that a real codec drops into.
+/** Multimodal semantics on crafted payloads: chunk/stride coverage
+  * arithmetic over the parsed PCM data section (m3), frame fan-out counts
+  * (m2), and REAL header parsing (m1): synthesized byte-valid BMP/WAV
+  * containers must parse back to the exact dimensions/rates they were
+  * built with; malformed payloads must fall back to "raw" rather than
+  * misparse.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -62,12 +64,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(2L -> 1, 5L -> 3))
   }
 
-  test("m1 metadata is deterministic and typed") {
-    val dir = writeDocs(Seq((1L, "hello"), (2L, "hello"), (3L, "hello")))
+  test("m1 parses the synthesized containers back to their build parameters") {
+    val dir = writeDocs(Seq((1L, "hello"), (2L, "hello"), (3L, "hello"), (10L, "hi")))
     val rows = Multimodal.mediaMetadata(spark, dir).collect()
-    assert(rows.map(_.getString(1)).toSeq == Seq("audio", "video", "image"))
-    // same payload -> same crc regardless of modality
-    assert(rows.map(_.getLong(3)).distinct.length == 1)
-    assert(rows.map(_.getLong(2)).toSeq == Seq(5L, 5L, 5L))
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // doc 1 -> audio: mono PCM16 WAV at 8000 + 4000*((1/3)%3) = 8000 Hz;
+    // "hello" (5 bytes) pads to 6 -> 3 samples, 44+6 container bytes
+    val a = rows(1L)
+    assert(a.getAs[String]("media_type") == "audio" && a.getAs[String]("format") == "wav")
+    assert(a.getAs[Int]("sample_rate") == 8000)
+    assert(a.getAs[Long]("byte_len") == 50L)
+    assert(a.getAs[Int]("n_frames") == 3)
+
+    // doc 10 -> audio at 8000 + 4000*((10/3)%3) = 8000 Hz? 10/3=3, 3%3=0 -> 8000
+    assert(rows(10L).getAs[Int]("sample_rate") == 8000)
+
+    // doc 2 -> video: opaque raw payload, honest zero dims, fallback framing
+    val v = rows(2L)
+    assert(v.getAs[String]("format") == "raw")
+    assert(v.getAs[Long]("byte_len") == 5L && v.getAs[Int]("n_frames") == 1)
+    assert(v.getAs[Int]("width") == 0 && v.getAs[Int]("sample_rate") == 0)
+
+    // doc 3 -> image: 24bpp BMP, width 1+3%31=4, height 1+3%17=4,
+    // row size 12 -> 54 + 48 bytes
+    val i = rows(3L)
+    assert(i.getAs[String]("format") == "bmp")
+    assert(i.getAs[Int]("width") == 4 && i.getAs[Int]("height") == 4)
+    assert(i.getAs[Long]("byte_len") == 102L)
+  }
+
+  test("wav parse walks chunks and rejects malformed payloads") {
+    // parse-back across rates and odd/even data lengths
+    for ((rate, txt) <- Seq((8000, "abc"), (12000, "abcd"), (44100, ""))) {
+      val wav = Multimodal.buildWav(rate, txt.getBytes)
+      val Some((r, ch, bits, off, len)) = Multimodal.parseWav(wav)
+      assert(r == rate && ch == 1 && bits == 16 && off == 44)
+      assert(len == txt.length + (txt.length & 1), s"padded data for '$txt'")
+    }
+    // truncated RIFF, lying chunk size, and a BMP are all non-WAVs
+    assert(Multimodal.parseWav("RIFF".getBytes).isEmpty)
+    val lying = Multimodal.buildWav(8000, "abcd".getBytes)
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 9999) // data chunk claims more bytes than exist
+    assert(Multimodal.parseWav(lying).isEmpty)
+    assert(Multimodal.parseWav(Multimodal.buildBmp(2, 2, "x".getBytes)).isEmpty)
+  }
+
+  test("decode identifies a hand-built BMP and survives junk") {
+    val bmp = Multimodal.buildBmp(7, 5, "pix".getBytes)
+    val m = Multimodal.decode(Multimodal.MediaBlob(1L, "image", bmp))
+    assert(m.format == "bmp" && m.width == 7 && m.height == 5)
+    assert(m.byte_len == 54 + 24 * 5) // row size ((7*3+3)/4)*4 = 24, 5 rows
+    val junk = Multimodal.decode(Multimodal.MediaBlob(2L, "video", Array[Byte](1, 2, 3)))
+    assert(junk.format == "raw" && junk.n_frames == 1)
   }
 }
