@@ -58,6 +58,7 @@ object SparkEntry {
     "x15_pii_scrub"        -> TextAnalysis.piiScrub _,
     "x17_entropy"          -> TextAnalysis.docEntropy _,
     "x18_zipf_slope"       -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
+    "x19_source_overlap"   -> TextAnalysis.sourceOverlap _,
     "e1_quantize_error"    -> Curation.quantizeError _,
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
@@ -653,6 +654,23 @@ object SparkEntry {
         |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS r2
         |FROM r WHERE rnk <= 1000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "x19_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM v a JOIN v b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |       round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+        |         AS vocab_jaccard
+        |FROM inter
+        |JOIN sz sa ON source_a = sa.source
+        |JOIN sz sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "e1_quantize_error" ->
       """WITH v AS (

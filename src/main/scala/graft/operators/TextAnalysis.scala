@@ -379,6 +379,35 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** x19: source vocabulary overlap — pairwise Jaccard between every two
+    * sources' distinct-token vocabularies, the corpus-slice contamination /
+    * redundancy diagnostic run before mixing sources into a training blend.
+    * The token join fans out to at most |sources|² rows PER TOKEN (sources
+    * are a bounded catalog, not data-scaled), so candidate volume is
+    * |vocab| · |sources|² — linear in the vocabulary; the per-pair
+    * intersection aggregate and the tiny per-source size table cap the
+    * result at |sources|² rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    vocab.select(col("source").as("source_a"), col("w"))
+      .join(vocab.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(sizes.withColumnRenamed("source", "sa")
+        .withColumnRenamed("n", "na")), col("source_a") === col("sa"))
+      .join(broadcast(sizes.withColumnRenamed("source", "sb")
+        .withColumnRenamed("n", "nb")), col("source_b") === col("sb"))
+      .select(col("source_a"), col("source_b"), col("c").as("n_shared"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("vocab_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** x15: PII scrub — regex redaction of emails / NANP phone numbers /
     * SSN-shaped ids, with per-document match counts and an md5 of the
     * redacted text so the oracle verifies the actual rewrite, not just the

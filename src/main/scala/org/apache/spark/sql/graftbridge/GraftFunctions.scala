@@ -47,7 +47,11 @@ object GraftFunctions {
       (FunctionIdentifier("graft_hash_embedding"),
         new ExpressionInfo(classOf[HashEmbedding].getName, "graft_hash_embedding"),
         (args: Seq[Expression]) =>
-          HashEmbedding(args.head, intArg(args(1), "graft_hash_embedding(dim)"))))
+          HashEmbedding(args.head, intArg(args(1), "graft_hash_embedding(dim)"))),
+      (FunctionIdentifier("graft_shingle_hash64"),
+        new ExpressionInfo(classOf[ShingleHash64].getName, "graft_shingle_hash64"),
+        (args: Seq[Expression]) =>
+          ShingleHash64(args.head, intArg(args(1), "graft_shingle_hash64(k)"))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {

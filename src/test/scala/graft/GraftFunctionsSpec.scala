@@ -13,7 +13,9 @@ class GraftFunctionsSpec extends SparkSpec {
         |       graft_simhash64(array('a', 'b')) AS sh,
         |       graft_dot_double(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |       graft_equal_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq,
-        |       graft_hash_embedding(array('a', 'b'), 8) AS he
+        |       graft_hash_embedding(array('a', 'b'), 8) AS he,
+        |       graft_shingle_hash64('a b c', 2) AS sg,
+        |       xxhash64('a b') AS x1, xxhash64('b c') AS x2
         |""".stripMargin).collect().head
     // poly hash of "abc" = (('a'*31)+'b')*31+'c'
     val expected = ((97L * 31 + 98) * 31) + 99
@@ -23,6 +25,9 @@ class GraftFunctionsSpec extends SparkSpec {
     val he = r.getSeq[Double](r.fieldIndex("he"))
     assert(he.length == 8)
     assert(math.abs(math.sqrt(he.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(r.getSeq[Long](r.fieldIndex("sg")) ==
+      Seq(r.getAs[Long]("x1"), r.getAs[Long]("x2")),
+      "shingle hashes must equal xxhash64 of the joined shingles")
   }
 
   test("literal-int parameters are validated") {
