@@ -22,6 +22,18 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").csv(path)
 
+  /** JSON-lines output — the interchange format most text-pipeline tooling
+    * consumes; one JSONL file per partition at full parallelism.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** ORC output — parquet's columnar sibling, same pushdown/pruning story,
+    * for consumers standardized on the ORC stack.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Exactly one CSV *file* at `file` (not a directory) — byte-for-byte the
     * shape of the reference's `writeAsCsv(..., OVERWRITE).setParallelism(1)`
     * sink, so its downstream consumers need no change. Writes a temp

@@ -43,6 +43,17 @@ object EventSources {
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Batch JSONL read with an explicit schema — schema-on-read, no
+    * inference scan (an inference pass over 100 TB is a second full read).
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Batch ORC read — same pushdown/pruning story as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Deterministic synthetic event stream from the rate-micro-batch source
     * (fixed rows per batch, timestamps derived from a fixed epoch) — the
     * load-generator source for soak-testing operators without input files.

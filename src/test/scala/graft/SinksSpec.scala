@@ -72,6 +72,32 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 500)
   }
 
+  test("jsonl and orc round-trip the documents schema losslessly") {
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val jd = Files.createTempDirectory("jsonl-").toString
+    Sinks.writeJsonl(docs, jd)
+    val backJ = EventSources.jsonl(spark, jd, docSchema)
+    assert(backJ.count() == docs.count())
+    assert(backJ.exceptAll(docs).isEmpty && docs.exceptAll(backJ).isEmpty,
+      "jsonl round-trip must be lossless")
+
+    val od = Files.createTempDirectory("orc-").toString
+    Sinks.writeOrc(docs, od)
+    val backO = EventSources.orc(spark, od)
+    assert(backO.schema == docs.schema, "orc preserves the schema exactly")
+    assert(backO.exceptAll(docs).isEmpty && docs.exceptAll(backO).isEmpty)
+    // ORC scans take pushed filters like parquet
+    val plan = backO.filter(org.apache.spark.sql.functions.col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
+      s"expected pushdown in:\n$plan")
+  }
+
   test("streaming: csv file source -> radar -> csv sink") {
     val inDir = Files.createTempDirectory("stream-in-")
     val outDir = Files.createTempDirectory("stream-out-").toString
