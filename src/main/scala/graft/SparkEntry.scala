@@ -47,6 +47,7 @@ object SparkEntry {
     "q_salted_purchases"   -> ((s: SparkSession, d: String) => Analytics.saltedPurchaseTotals(s, d)),
     "q_top_users_window"   -> Analytics.topUsers _,
     "q2_min_price_supplier" -> DecisionSupport.minPriceSupplier _,
+    "q7_nation_trade"      -> ((s: SparkSession, d: String) => DecisionSupport.nationTrade(s, d)),
     "q8_market_share"      -> DecisionSupport.marketShare _,
     "q11_important_stock"  -> DecisionSupport.importantStock _,
     "q12_late_shipments"   -> DecisionSupport.lateShipments _,
@@ -488,6 +489,21 @@ object SparkEntry {
         |  AND c_custkey NOT IN
         |      (SELECT o_custkey FROM orders WHERE o_orderdate >= '1999-01-01')
         |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q7_nation_trade" ->
+      """SELECT CAST(s_nationkey AS INT) AS supp_nation,
+        |       CAST(c_nationkey AS INT) AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |         AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey IN (1, 2)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey IN (1, 2)
+        |WHERE s_nationkey <> c_nationkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q8_market_share" ->
       """WITH rev AS (

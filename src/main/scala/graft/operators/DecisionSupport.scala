@@ -196,6 +196,39 @@ object DecisionSupport {
       .limit(100)
   }
 
+  /** q7: trade volume between two nations (TPC-H Q7) — revenue shipped by
+    * NATION_1's suppliers to NATION_2's customers and vice versa, per ship
+    * year. The supplier dim broadcasts; customer is fleet-scale, so orders
+    * joins it on the customer key (shuffle, both sides nation-pruned
+    * first), and the nation-decorated orders join lineitem on the order
+    * key — the same two fact-fact shuffles as q8, with the cross-nation
+    * filter applied as soon as both nations are in scope. Decimal revenue
+    * sums; the (supp_nation, cust_nation, year) aggregate partial-merges.
+    */
+  def nationTrade(spark: SparkSession, dir: String,
+                  nationA: Int = 1, nationB: Int = 2): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey").isin(nationA, nationB))
+      .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nationA, nationB))
+      .select(col("c_custkey"), col("c_nationkey").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation").cast("int").as("supp_nation"),
+        col("cust_nation").cast("int").as("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** q8: national market share (TPC-H Q8) — of the revenue an ASIA-region
     * customer base generates on ECONOMY parts, what fraction is supplied by
     * NATION_3, per order year. Part/supplier/nation/region broadcast; the

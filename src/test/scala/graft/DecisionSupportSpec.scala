@@ -163,6 +163,24 @@ class DecisionSupportSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L, 30.0)))
   }
 
+  test("q7 keeps only cross-nation pairs between the two chosen nations") {
+    val dir = tempSfDir()
+    writeStar(dir,
+      suppliers = Seq((1L, "s1", 1, 0.0), (2L, "s2", 2, 0.0), (3L, "s3", 3, 0.0)),
+      customers = Seq((1L, "c1", 1, 0.0, "A"), (2L, "c2", 2, 0.0, "A")),
+      orders = Seq(
+        (10L, 1L, "O", 1.0, ts("1996-01-01"), "5-LOW"),
+        (11L, 2L, "O", 1.0, ts("1996-01-02"), "5-LOW")),
+      lineitems = Seq(
+        li(10L, 1L, 2L, 1, 100.0), // supp 2 -> cust 1: counted
+        li(10L, 1L, 1L, 1, 999.0), // supp 1 -> cust 1: same nation, dropped
+        li(11L, 1L, 1L, 1, 200.0), // supp 1 -> cust 2: counted
+        li(11L, 1L, 3L, 1, 999.0))) // supp nation 3: outside the pair, dropped
+    val got = DecisionSupport.nationTrade(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 2, 1996L, 200.0), (2, 1, 1996L, 100.0)))
+  }
+
   test("q9 groups revenue by nation and order year for the name-filtered part family") {
     val dir = tempSfDir()
     writeStar(dir,
