@@ -61,6 +61,9 @@ object SparkEntry {
     "x18_zipf_slope"       -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "x19_source_overlap"   -> TextAnalysis.sourceOverlap _,
     "e1_quantize_error"    -> Curation.quantizeError _,
+    "x20_pack_sequences"   -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
+    "x21_dsir_weights"     -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
+    "x22_doc_chunks"       -> ((s: SparkSession, d: String) => Curation.docChunks(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -687,6 +690,54 @@ object SparkEntry {
         |JOIN sz sa ON source_a = sa.source
         |JOIN sz sb ON source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x20_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS wc
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, wc,
+        |         coalesce(sum(wc) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT source, CAST(floor(prior / 512) AS BIGINT) AS bin_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(wc) AS BIGINT) AS bin_tokens,
+        |       round(CAST(sum(wc) AS DOUBLE) / 512, 4) AS fill_ratio
+        |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+
+    "x21_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |corpus AS (SELECT w, count(*) AS cc FROM tok GROUP BY w),
+        |target AS (SELECT w, count(*) AS tc FROM tok WHERE lang = 'en' GROUP BY w),
+        |vocab AS (
+        |  SELECT corpus.w, cc, coalesce(tc, 0) AS tc
+        |  FROM corpus LEFT JOIN target ON corpus.w = target.w),
+        |tot AS (
+        |  SELECT CAST(sum(cc) AS DOUBLE) AS ctot, CAST(sum(tc) AS DOUBLE) AS ttot,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(sum(ln((tc + 1.0) / (ttot + v)) - ln((cc + 1.0) / (ctot + v)))
+        |             / count(*), 4) AS dsir_weight
+        |FROM tok JOIN vocab USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x22_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, wc,
+        |         unnest(generate_series(0,
+        |           greatest(CAST(ceil((wc - 64) / 48.0) AS BIGINT) * 48, 0),
+        |           48)) AS start
+        |  FROM t)
+        |SELECT doc_id, wc, CAST(start / 48 AS BIGINT) AS chunk_idx, start,
+        |       least(wc - start, 64) AS chunk_len
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "e1_quantize_error" ->
       """WITH v AS (

@@ -281,4 +281,95 @@ object Curation {
         round(max(col("scale")), 6).as("max_scale"))
       .orderBy("label")
   }
+
+  /** x20: sequence packing — the concat-and-chunk step that turns a doc
+    * stream into fixed-token training bins. Docs are laid end-to-end per
+    * source in doc_id order; a doc lands in the bin where its first token
+    * falls (bin = floor(prior_tokens / binTokens)), so bins fill greedily
+    * and only the bin-crossing doc spills its tail — the standard
+    * pretraining packing discipline. One shuffle: the running-total window
+    * keyed on source. Per-source ordering is inherently sequential, which
+    * is why real pipelines pack per shard; at 100 TB the partition key
+    * becomes (source, shard) and each shard packs independently — same
+    * plan, narrower sort. Output is the per-bin audit: doc count, token
+    * fill, and fill ratio against the bin size.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+                    binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("wc"))
+      .withColumn("prior", coalesce(sum(col("wc")).over(w), lit(0L)))
+      .groupBy(col("source"),
+        floor(col("prior") / binTokens).as("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wc")).as("bin_tokens"),
+        round(sum(col("wc")).cast("double") / binTokens, 4).as("fill_ratio"))
+      .orderBy("source", "bin_id")
+  }
+
+  /** x21: DSIR-style importance weights — data selection by distribution
+    * matching (Xie et al., NeurIPS'23 shape, unigram features). Score each
+    * doc by avg log(p_target(w) / p_corpus(w)) where the target model is
+    * the English slice and the raw model is the whole corpus; high scores
+    * mark docs that look like the target distribution and survive the
+    * resample. Both frequency tables are token-keyed aggregates joined back
+    * on `w` — a plain shuffle join, because at 100 TB the vocabulary is
+    * unbounded and can never broadcast (the one-row totals can and do).
+    * Laplace +1 smoothing keeps target-unseen tokens finite, and the same
+    * arithmetic runs verbatim in any SQL engine — the oracle recomputes it.
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+                  targetLang: String = "en"): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val corpus = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+    val target = tok.filter(col("lang") === targetLang)
+      .groupBy("w").agg(count(lit(1)).as("tc"))
+    val vocab = corpus.join(target, Seq("w"), "left")
+      .select(col("w"), col("cc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = vocab.agg(
+      sum(col("cc")).cast("double").as("ctot"),
+      sum(col("tc")).cast("double").as("ttot"),
+      count(lit(1)).cast("double").as("v"))
+    tok.join(vocab, "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((col("tc") + 1.0) / (col("ttot") + col("v"))) -
+          log((col("cc") + 1.0) / (col("ctot") + col("v")))).as("lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")) / count(lit(1)), 4).as("dsir_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** x22: token-window chunking — fixed-size overlapping windows (size W,
+    * stride S) over each doc's token stream, the retrieval/embedding
+    * chunking shape. Chunk starts are generated declaratively
+    * (`sequence(0, lastStart, S)` + explode) so the fan-out is a narrow
+    * per-row operation — no shuffle at all until the audit aggregate; at
+    * 100 TB this is embarrassingly parallel and the explode output streams
+    * straight into the downstream embed/write stage. The last chunk is the
+    * only short one (standard ceil((wc−W)/S)+1 chunk count).
+    */
+  def docChunks(spark: SparkSession, dir: String,
+                window: Int = 64, stride: Int = 48): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("wc"))
+    val lastStart = greatest(
+      ceil((col("wc") - window).cast("double") / stride).cast("long") * stride,
+      lit(0L))
+    docs
+      .select(col("doc_id"), col("wc"),
+        explode(sequence(lit(0L), lastStart, lit(stride.toLong))).as("start"))
+      .select(col("doc_id"), col("wc"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start"),
+        least(col("wc") - col("start"), lit(window.toLong)).as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

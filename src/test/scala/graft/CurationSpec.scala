@@ -141,4 +141,54 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == (0L to 3L).map(i => (i, 1L, 1.0)).toSeq)
   }
+
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  test("x20 bins fill greedily in doc_id order and sources pack independently") {
+    val dir = writeDocs(Seq(
+      (1L, words(4), "s0"), (2L, words(5), "s0"), (3L, words(3), "s0"),
+      (4L, words(12), "s0"), (5L, words(2), "s0"),
+      (6L, words(7), "s1")))
+    val got = Curation.packSequences(spark, dir, binTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s0: docs 1-3 start under token 10 -> bin 0 (12 tokens: the crossing
+    // doc spills); doc 4 starts at 12 -> bin 1; doc 5 at 24 -> bin 2
+    assert(got.toSeq == Seq(
+      ("s0", 0L, 3L, 12L), ("s0", 1L, 1L, 12L), ("s0", 2L, 1L, 2L),
+      ("s1", 0L, 1L, 7L)))
+  }
+
+  test("x21 weights rank target-like docs above off-target docs") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq((1L, "x x", "en", "s0", 3L), (2L, "y y", "fr", "s0", 3L),
+        (3L, "x y", "fr", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Curation.dsirWeights(spark, dir, targetLang = "en")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // x: cc=3 tc=2; y: cc=3 tc=0; ctot=6 ttot=2 v=2
+    // lr(x) = ln(3/4) - ln(4/8) = ln 1.5; lr(y) = ln(1/4) - ln(4/8) = ln 0.5
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0.4055), (2L, 2L, -0.6931), (3L, 2L, -0.1438)))
+  }
+
+  test("x22 chunk grid covers every token and only the last chunk is short") {
+    val dir = writeDocs(Seq(
+      (1L, words(10), "s0"), // exact multiple of stride past the window
+      (2L, words(11), "s0"), // short tail chunk
+      (3L, words(2), "s0"))) // shorter than one window
+    val got = Curation.docChunks(spark, dir, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 4L), (2L, 1L, 3L, 4L), (2L, 2L, 6L, 4L), (2L, 3L, 9L, 2L),
+      (3L, 0L, 0L, 2L)))
+    // coverage: the last chunk of every doc ends exactly at the doc's end
+    val wc = Map(1L -> 10L, 2L -> 11L, 3L -> 2L)
+    got.groupBy(_._1).foreach { case (doc, chunks) =>
+      val (_, _, start, len) = chunks.maxBy(_._2)
+      assert(start + len == wc(doc), s"doc $doc last chunk must end at ${wc(doc)}")
+    }
+  }
 }
