@@ -117,4 +117,43 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .outputMode("append")
       .start()
+
+  /** The idempotent per-batch write `foreachBatchIdempotent` replays: the
+    * batch lands in its own `batch_id=<n>` directory under dynamic
+    * partition overwrite, so re-delivering a batch (a restart replays the
+    * last uncommitted one) overwrites that partition in place instead of
+    * appending duplicates. Exposed separately so the replay path is
+    * directly testable.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long,
+                           path: String): Unit = {
+    val prev = batch.sparkSession.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try batch
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    finally prev match {
+      case Some(p) => batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", p)
+      case None => batch.sparkSession.conf
+        .unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** foreachBatch parquet sink with exactly-once *output* on top of the
+    * engine's at-least-once batch delivery — the idempotent-writer
+    * discipline a transactional table format (Delta/Iceberg MERGE) wraps in
+    * a commit log. Each micro-batch overwrites only its own partition, so
+    * the sink is deterministic under replay; readers see `batch_id` as an
+    * ordinary partition column and prune on it.
+    */
+  def streamIdempotentParquet(df: DataFrame, path: String,
+                              checkpoint: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, id, path))
+      .option("checkpointLocation", checkpoint)
+      .start()
 }
