@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Curation, Decontamination, DecisionSupport, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
+import graft.operators.{Analytics, Curation, DataOps, Decontamination, DecisionSupport, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -61,6 +61,8 @@ object SparkEntry {
     "x18_zipf_slope"       -> ((s: SparkSession, d: String) => TextAnalysis.zipfSlope(s, d)),
     "x19_source_overlap"   -> TextAnalysis.sourceOverlap _,
     "e1_quantize_error"    -> Curation.quantizeError _,
+    "v1_table_profile"     -> DataOps.tableProfile _,
+    "cdc1_snapshot_diff"   -> ((s: SparkSession, d: String) => DataOps.snapshotDiff(s, d)),
     "x20_pack_sequences"   -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "x21_dsir_weights"     -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
     "x22_doc_chunks"       -> ((s: SparkSession, d: String) => Curation.docChunks(s, d)),
@@ -690,6 +692,49 @@ object SparkEntry {
         |JOIN sz sa ON source_a = sa.source
         |JOIN sz sb ON source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "v1_table_profile" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_qty,
+        |    count(DISTINCT l_quantity) AS nd_qty,
+        |    min(CAST(l_quantity AS DOUBLE)) AS mn_qty,
+        |    max(CAST(l_quantity AS DOUBLE)) AS mx_qty,
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_disc,
+        |    count(DISTINCT l_discount) AS nd_disc,
+        |    min(CAST(l_discount AS DOUBLE)) AS mn_disc,
+        |    max(CAST(l_discount AS DOUBLE)) AS mx_disc,
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_rf,
+        |    count(DISTINCT l_returnflag) AS nd_rf
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS column_name, n_rows, nn_disc AS n_nulls,
+        |       nd_disc AS n_distinct, mn_disc AS min_val, mx_disc AS max_val FROM a
+        |UNION ALL
+        |SELECT 'l_quantity', n_rows, nn_qty, nd_qty, mn_qty, mx_qty FROM a
+        |UNION ALL
+        |SELECT 'l_returnflag', n_rows, nn_rf, nd_rf,
+        |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
+        |ORDER BY column_name""".stripMargin,
+
+    "cdc1_snapshot_diff" ->
+      """WITH n AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY 1),
+        |o AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders WHERE o_orderdate < DATE '1997-01-01' GROUP BY 1),
+        |d AS (
+        |  SELECT coalesce(n.o_custkey, o.o_custkey) AS o_custkey,
+        |         CASE WHEN o.n_orders IS NULL THEN 'insert'
+        |              WHEN n.n_orders <> o.n_orders OR n.spend <> o.spend THEN 'update'
+        |              ELSE 'unchanged' END AS change_type,
+        |         n.n_orders AS n_orders, CAST(n.spend AS DOUBLE) AS spend,
+        |         coalesce(o.n_orders, 0) AS prev_orders
+        |  FROM n FULL OUTER JOIN o ON n.o_custkey = o.o_custkey)
+        |SELECT * FROM d WHERE change_type <> 'unchanged'
+        |ORDER BY o_custkey""".stripMargin,
 
     "x20_pack_sequences" ->
       """WITH t AS (

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-ops utilities a 100 TB lakehouse needs around the analytics
+  * themselves: one-pass table profiling (the validation/expectations
+  * input) and snapshot change capture (the incremental-ingest primitive).
+  */
+object DataOps {
+
+  /** v1: one-pass column profile of the fact table — null counts, distinct
+    * counts, numeric min/max — the raw material for data-quality
+    * expectations (deequ-style checks are assertions over exactly these
+    * numbers). Everything is computed in a SINGLE aggregate over one scan:
+    * all metrics are partial-mergeable, so the plan is scan → partial agg →
+    * 1-row merge, and the per-column unpivot happens on that one row.
+    * The distinct counts here are exact, which costs a ×4 Expand at the
+    * scan site (3 distinct groups + 1 plain) — pure map-side CPU; the two
+    * exchanges carry only aggregate state keyed by the low-cardinality
+    * distinct values. For unbounded-cardinality columns the same frame
+    * takes `approx_count_distinct` — the q8_approx_stats sketch path —
+    * which drops the Expand entirely.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("nn_qty"),
+      countDistinct(col("l_quantity")).as("nd_qty"),
+      min(col("l_quantity").cast("double")).as("mn_qty"),
+      max(col("l_quantity").cast("double")).as("mx_qty"),
+      sum(col("l_discount").isNull.cast("long")).as("nn_disc"),
+      countDistinct(col("l_discount")).as("nd_disc"),
+      min(col("l_discount").cast("double")).as("mn_disc"),
+      max(col("l_discount").cast("double")).as("mx_disc"),
+      sum(col("l_returnflag").isNull.cast("long")).as("nn_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"))
+    agg.select(col("n_rows"), expr(
+      """stack(3,
+        |'l_quantity',   nn_qty,  nd_qty,  mn_qty,  mx_qty,
+        |'l_discount',   nn_disc, nd_disc, mn_disc, mx_disc,
+        |'l_returnflag', nn_rf,   nd_rf,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |AS (column_name, n_nulls, n_distinct, min_val, max_val)""".stripMargin))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+      .orderBy("column_name")
+  }
+
+  /** cdc1: snapshot change capture — diff two keyed snapshots of derived
+    * customer state (spend/order-count as of two cutoff dates) and emit
+    * only inserts and updates, the merge input every incremental pipeline
+    * feeds downstream. The classic CDC-without-a-changelog pattern: full
+    * outer join on the key, row-compare to classify. Each snapshot is one
+    * keyed aggregate; the join shuffles both sides on the same customer
+    * key, so AQE plans a co-partitioned join with no extra exchange. At
+    * 100 TB the compare column set is wide, so production folds it into a
+    * single row-hash first — same plan, one column.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String,
+                   oldCutoff: String = "1997-01-01",
+                   newCutoff: String = "1999-01-01"): DataFrame = {
+    def snap(cutoff: String): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(col("o_orderdate") < lit(cutoff).cast("date"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    snap(newCutoff).as("n")
+      .join(snap(oldCutoff).as("o"), Seq("o_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("o.n_orders").isNull, lit("insert"))
+          .when(col("n.n_orders") =!= col("o.n_orders") ||
+            col("n.spend") =!= col("o.spend"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("o_custkey"), col("change_type"),
+        col("n.n_orders").as("n_orders"),
+        col("n.spend").cast("double").as("spend"),
+        coalesce(col("o.n_orders"), lit(0L)).as("prev_orders"))
+      .orderBy("o_custkey")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.DataOps
+
+/** Semantics of the data-ops utilities: null/distinct accounting in the
+  * one-pass profile, and insert/update/unchanged classification in the
+  * snapshot diff.
+  */
+class DataOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("v1 counts nulls and distincts per column in one pass") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      (1L, Option(2.0), Option(0.1), Option("N")),
+      (2L, Option(2.0), Option(0.2), None),
+      (3L, None, Option(0.1), Option("R")))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    val got = DataOps.tableProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("l_discount", 3L, 0L, 2L),
+      ("l_quantity", 3L, 1L, 1L),
+      ("l_returnflag", 3L, 1L, 2L)))
+  }
+
+  test("cdc1 classifies new customers as inserts, changed as updates, drops unchanged") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      // c1: one order before both cutoffs -> unchanged, dropped
+      (10L, 1L, "O", 100.0, ts("1996-06-01"), "5-LOW"),
+      // c2: order before old cutoff + another between cutoffs -> update
+      (11L, 2L, "O", 100.0, ts("1996-06-01"), "5-LOW"),
+      (12L, 2L, "O", 50.0, ts("1998-06-01"), "5-LOW"),
+      // c3: first order between the cutoffs -> insert
+      (13L, 3L, "O", 75.0, ts("1998-01-01"), "5-LOW"),
+      // c4: order after BOTH cutoffs -> in neither snapshot, absent
+      (14L, 4L, "O", 75.0, ts("1999-06-01"), "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    val got = DataOps.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (2L, "update", 2L, 150.0, 1L),
+      (3L, "insert", 1L, 75.0, 0L)))
+  }
+}
