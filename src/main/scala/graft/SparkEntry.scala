@@ -66,6 +66,7 @@ object SparkEntry {
     "x20_pack_sequences"   -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "x21_dsir_weights"     -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
     "x22_doc_chunks"       -> ((s: SparkSession, d: String) => Curation.docChunks(s, d)),
+    "x23_bpe_merges"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -503,9 +504,9 @@ object SparkEntry {
         |         (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
         |         AS DOUBLE) AS revenue
         |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey IN (1, 2)
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey IN (2, 3)
         |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey AND c_nationkey IN (1, 2)
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey IN (2, 3)
         |WHERE s_nationkey <> c_nationkey
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,

@@ -206,7 +206,7 @@ object DecisionSupport {
     * sums; the (supp_nation, cust_nation, year) aggregate partial-merges.
     */
   def nationTrade(spark: SparkSession, dir: String,
-                  nationA: Int = 1, nationB: Int = 2): DataFrame = {
+                  nationA: Int = 2, nationB: Int = 3): DataFrame = {
     val sup = Tables.supplier(spark, dir)
       .filter(col("s_nationkey").isin(nationA, nationB))
       .select(col("s_suppkey"), col("s_nationkey").as("supp_nation"))

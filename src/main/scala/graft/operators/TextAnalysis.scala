@@ -433,4 +433,63 @@ object TextAnalysis {
             ssnRe, "<SSN>"),
           phoneRe, "<PHONE>")).as("redacted_md5"))
       .orderBy("doc_id")
+
+  /** x23: distributed BPE tokenizer training — learn `merges` byte-pair
+    * merges from the corpus (Sennrich et al., ACL'16). The scale shape is
+    * the whole point: ONE corpus scan folds the text down to the
+    * (word, freq) vocabulary table, and every merge iteration — adjacent-
+    * pair counting, argmax, merge rewrite — runs on that vocabulary-sized
+    * frame, never re-touching the corpus. At 100 TB the corpus scan is the
+    * only big job; the loop is as cheap as the vocabulary. Pair counting is
+    * declarative (zip_with over shifted slices + explode); the merge
+    * rewrite is a per-row symbol fold (typed map — genuinely imperative,
+    * the mapPartitions-class exception). Only the 1-row argmax reaches the
+    * driver per step (loop control, like d6's convergence scalar); ties
+    * break by pair text so runs are deterministic. Output is the learned
+    * merge table in rank order — the tokenizer artifact itself.
+    */
+  def bpeMerges(spark: SparkSession, dir: String,
+                merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pairCol = explode(zip_with(
+      slice(col("sym"), lit(1), size(col("sym")) - 1),
+      slice(col("sym"), lit(2), size(col("sym")) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("sym"), col("freq"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      val top = vocab.toDF("sym", "freq")
+        .filter(size(col("sym")) > 1)
+        .select(pairCol.as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val Array(l, r) = top.head.getString(0).split(' ')
+        learned += ((step, l, r, top.head.getLong(1)))
+        vocab = vocab.map { case (sym, freq) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < sym.length) {
+            if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          (out.toSeq, freq)
+        }.localCheckpoint()
+        step += 1
+      }
+    }
+    learned.result()
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
 }

@@ -106,6 +106,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bounds(0)._2 <= bounds(1)._1)
   }
 
+  test("x23 BPE learns merges in frequency order with greedy left-to-right rewrite") {
+    // words: "aaab" x2, "ab" x1.
+    // step 0: pairs aa:4 (two per "aaab"), ab:3 -> merge (a,a)
+    //   "aaab" -> [aa, a, b] (greedy: no overlapping second aa)
+    // step 1: (aa,a):2, (a,b):2+1 -> merge (a,b)
+    // step 2: (aa,ab):2 -> merge (aa,ab)
+    val dir = writeDocs(Seq(
+      (1L, "aaab aaab", "s0"), (2L, "ab", "s0")))
+    val got = TextAnalysis.bpeMerges(spark, dir, merges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, "a", "a", 4L), (1, "a", "b", 3L), (2, "aa", "ab", 2L)),
+      s"got ${got.toSeq}")
+    // step 3 finds no pair left (all words are single symbols): loop stops
+    // early at 3 learned merges even though 5 were requested
+  }
+
   test("x11 repetition fractions are exact, single-token docs score zero") {
     val dir = writeDocs(Seq(
       (1L, "a a a a", "s0"),   // 1 distinct of 4 words; bigrams: "a a" x3 -> 2/3 dup
