@@ -95,6 +95,7 @@ object SparkEntry {
     "g1_triangle_counts"   -> ((s: SparkSession, d: String) => Dedup.triangleCounts(s, d)),
     "c1_contamination"     -> ((s: SparkSession, d: String) => Decontamination.contaminated(s, d)),
     "s1_ann_topk"          -> Similarity.annTopK _,
+    "s4_hard_negatives"    -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s3_ann_ivf_kmeans"    -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
     "x1_lang_id"           -> TextAnalysis.langId _,
@@ -1049,6 +1050,18 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round($cosExpr, 6) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "s4_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+        |         round($qCosExpr, 6) AS cosim
+        |  FROM q JOIN embeddings e ON e.label <> q.q_label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
+        |      FROM scored)
+        |SELECT q_id, q_label, n_id, n_label, cosim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),

@@ -166,4 +166,35 @@ object Similarity {
       .select("q_id", "n_id", "cosim", "rnk")
       .orderBy("q_id", "rnk")
   }
+
+  /** s4: hard-negative mining — for each query vector, the top-k most
+    * similar embeddings with a DIFFERENT label (the contrastive-training
+    * negative sampler: negatives that are hard precisely because they are
+    * close). Same plan as s1 — broadcast queries, one fleet pass, partial
+    * per-partition top-k — plus one cross-label predicate pushed into the
+    * broadcast join, so the mined set never materializes same-label pairs
+    * at all. At fleet scale the s2/s3 bucketed variants substitute for the
+    * cross scan unchanged; the label predicate rides along.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .withColumn("q_nrm", normD(col("q_emb")))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
+      .join(broadcast(q), col("n_label") =!= col("q_label"))
+      .withColumn("cosim",
+        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
+          .cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -40,6 +40,18 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to 10L)))
   }
 
+  test("s4 hard negatives come only from other labels, nearest first") {
+    val dir = writeClustered()
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(5)))
+    assert(got.length == 5 * 5)
+    // queries are cluster A (label 0): every mined negative is cluster B
+    assert(got.forall { case (_, ql, nid, nl, _) =>
+      ql == 0 && nl == 1 && nid >= 30L })
+    got.groupBy(_._1).values.foreach(rs =>
+      assert(rs.map(_._5).sorted.toSeq == (1L to 5L)))
+  }
+
   test("s2 bucketed ANN reaches full recall on clustered vectors") {
     val dir = writeClustered()
     val exact = Similarity.annTopK(spark, dir)
