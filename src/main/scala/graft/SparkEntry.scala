@@ -67,6 +67,8 @@ object SparkEntry {
     "x21_dsir_weights"     -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
     "x22_doc_chunks"       -> ((s: SparkSession, d: String) => Curation.docChunks(s, d)),
     "x23_bpe_merges"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
+    "x24_token_compression" -> ((s: SparkSession, d: String) => TextAnalysis.tokenCompression(s, d)),
+    "x25_mixture_weights"  -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -737,6 +739,14 @@ object SparkEntry {
         |  FROM n FULL OUTER JOIN o ON n.o_custkey = o.o_custkey)
         |SELECT * FROM d WHERE change_type <> 'unchanged'
         |ORDER BY o_custkey""".stripMargin,
+
+    "x25_mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot_docs,
+        |             sum(power(CAST(n_docs AS DOUBLE), 0.3)) AS tot_pow FROM c)
+        |SELECT source, n_docs, round(n_docs / tot_docs, 6) AS raw_share,
+        |       round(power(CAST(n_docs AS DOUBLE), 0.3) / tot_pow, 6) AS temp_share
+        |FROM c CROSS JOIN t ORDER BY source""".stripMargin,
 
     "x20_pack_sequences" ->
       """WITH t AS (

@@ -310,6 +310,28 @@ object Curation {
       .orderBy("source", "bin_id")
   }
 
+  /** x25: temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling-rate schedule (rate ∝ n^α, α < 1 upweights small sources;
+    * the mT5/XLM-R recipe). One partial-mergeable per-source aggregate, a
+    * one-row total broadcast back, and a projection — nothing scales with
+    * the corpus beyond the first count. Emits raw vs temperature share so
+    * the rebalancing factor per source is directly readable.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String,
+                     alpha: Double = 0.3): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      sum(col("n_docs")).cast("double").as("tot_docs"),
+      sum(pow(col("n_docs").cast("double"), alpha)).as("tot_pow"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("n_docs") / col("tot_docs"), 6).as("raw_share"),
+        round(pow(col("n_docs").cast("double"), alpha) / col("tot_pow"), 6)
+          .as("temp_share"))
+      .orderBy("source")
+  }
+
   /** x21: DSIR-style importance weights — data selection by distribution
     * matching (Xie et al., NeurIPS'23 shape, unigram features). Score each
     * doc by avg log(p_target(w) / p_corpus(w)) where the target model is

@@ -492,4 +492,55 @@ object TextAnalysis {
       .toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
   }
+
+  /** Apply a BPE merge list (rank order) to one word's symbol sequence —
+    * the tokenizer-apply inner loop, shared by x24 and its spec.
+    */
+  private[operators] def applyMerges(word: String,
+                                     ms: Seq[(String, String)]): Seq[String] = {
+    var sym: Seq[String] = word.split("").toSeq
+    ms.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      sym = out.toSeq
+    }
+    sym
+  }
+
+  /** x24: tokenizer apply + compression accounting — tokenize the corpus
+    * under the x23-learned merge table and report per-source token counts
+    * and the chars-per-token compression ratio (the number that prices
+    * training and sizes packing). The learned merge table is the model: a
+    * bounded artifact (≤ `merges` rows) collected once and closed over —
+    * exactly how a trained tokenizer ships to a cluster — while the apply
+    * pass stays on the vocabulary-sized (source, word, freq) frame; the
+    * corpus is scanned once for the count and never re-touched.
+    */
+  def tokenCompression(spark: SparkSession, dir: String,
+                       merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val ms: Seq[(String, String)] = bpeMerges(spark, dir, merges)
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+      .as[(String, String, Long)]
+      .map { case (source, w, freq) =>
+        (source, freq, w.length.toLong * freq,
+          applyMerges(w, ms).length.toLong * freq)
+      }
+      .toDF("source", "ws_tokens", "chars", "bpe_tokens")
+      .groupBy("source")
+      .agg(sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("chars")).as("chars"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("chars").cast("double") / col("bpe_tokens"), 4))
+      .orderBy("source")
+  }
 }

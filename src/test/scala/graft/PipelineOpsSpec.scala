@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SaveMode
 
-import graft.operators.{Decontamination, Dedup, TextAnalysis}
+import graft.operators.{Curation, Decontamination, Dedup, TextAnalysis}
 
 /** Semantics of the round-2 pipeline operators (keep-list, decontamination,
   * n-gram profile, repetition signals) on crafted documents.
@@ -121,6 +121,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
     // step 3 finds no pair left (all words are single symbols): loop stops
     // early at 3 learned merges even though 5 were requested
+  }
+
+  test("x24 applies the learned merges and accounts compression per source") {
+    // same corpus as the x23 spec: after its 3 learned merges every word
+    // collapses to a single token
+    val dir = writeDocs(Seq(
+      (1L, "aaab aaab", "s0"), (2L, "ab", "s0")))
+    val got = TextAnalysis.tokenCompression(spark, dir, merges = 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // ws 3 words, 10 chars, 3 bpe tokens -> 10/3 chars per token
+    assert(got.toSeq == Seq(("s0", 3L, 10L, 3L, 3.3333)))
+  }
+
+  test("x25 temperature mixing upweights small sources") {
+    val dir = writeDocs(
+      (1L to 16L).map(i => (i, "w", "big")) :+ (17L, "w", "small"))
+    val got = Curation.mixtureWeights(spark, dir, alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val pb = math.pow(16, 0.3); val ps = math.pow(1, 0.3)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      ("big", 16L, r6(16.0 / 17), r6(pb / (pb + ps))),
+      ("small", 1L, r6(1.0 / 17), r6(ps / (pb + ps)))))
+    // the whole point: small's sampled share rises above its raw share
+    assert(got(1)._4 > got(1)._3)
   }
 
   test("x11 repetition fractions are exact, single-token docs score zero") {
