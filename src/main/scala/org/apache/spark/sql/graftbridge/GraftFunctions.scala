@@ -16,6 +16,22 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 object GraftFunctions {
 
+  /** A literal array-of-strings argument: accepts both the pre-folding
+    * `array('a','b')` form (CreateArray of string literals) and an
+    * already-folded array literal.
+    */
+  private def stringSeqArg(e: Expression, name: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.forall(_.isInstanceOf[Literal]) =>
+      children.map(_.asInstanceOf[Literal].value.toString)
+    case Literal(data: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, _)) =>
+      data.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal string array, got $other")
+  }
+
   private def intArg(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
@@ -51,7 +67,14 @@ object GraftFunctions {
       (FunctionIdentifier("graft_shingle_hash64"),
         new ExpressionInfo(classOf[ShingleHash64].getName, "graft_shingle_hash64"),
         (args: Seq[Expression]) =>
-          ShingleHash64(args.head, intArg(args(1), "graft_shingle_hash64(k)"))))
+          ShingleHash64(args.head, intArg(args(1), "graft_shingle_hash64(k)"))),
+      (FunctionIdentifier("graft_sorted_intersect"),
+        new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_sorted_intersect"),
+        (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))),
+      (FunctionIdentifier("graft_count_in_set"),
+        new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in_set"),
+        (args: Seq[Expression]) =>
+          CountInSet(args.head, stringSeqArg(args(1), "graft_count_in_set(words)"))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -176,7 +176,7 @@ class DecisionSupportSpec extends SparkSpec {
         li(10L, 1L, 1L, 1, 999.0), // supp 1 -> cust 1: same nation, dropped
         li(11L, 1L, 1L, 1, 200.0), // supp 1 -> cust 2: counted
         li(11L, 1L, 3L, 1, 999.0))) // supp nation 3: outside the pair, dropped
-    val got = DecisionSupport.nationTrade(spark, dir)
+    val got = DecisionSupport.nationTrade(spark, dir, nationA = 1, nationB = 2)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1, 2, 1996L, 200.0), (2, 1, 1996L, 100.0)))
   }

@@ -30,6 +30,16 @@ class GraftFunctionsSpec extends SparkSpec {
       "shingle hashes must equal xxhash64 of the joined shingles")
   }
 
+  test("set-membership and sorted-intersect kernels are callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_sorted_intersect(array('a','b','c'), array('b','c','d')) AS si,
+        |       graft_count_in_set(array('the','x','the'), array('the','a')) AS cs
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("si") == 2L)
+    assert(r.getAs[Long]("cs") == 2L, "multiplicity counts")
+  }
+
   test("literal-int parameters are validated") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
