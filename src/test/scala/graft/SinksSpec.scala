@@ -114,6 +114,29 @@ class SinksSpec extends SparkSpec {
     assert(rows.head.getString(4) == "95.0")
   }
 
+  test("checkpoint recovery: a restarted query resumes without reprocessing") {
+    val inDir = Files.createTempDirectory("ckpt-in-")
+    val outDir = Files.createTempDirectory("ckpt-out-").toString
+    val cpDir = Files.createTempDirectory("ckpt-cp-").toString
+    def run(): Unit = {
+      val events = EventSources.carDataAsEvents(
+        EventSources.carDataCsvStream(spark, inDir.toString))
+      val q = Sinks.streamToCsv(
+        graft.streaming.StreamOps.speedRadar(events), outDir, cpDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    Files.writeString(inDir.resolve("a.csv"), "10,1,95,1,0,0,50,1000")
+    run()
+    assert(spark.read.csv(outDir).count() == 1)
+    // second lifecycle: same checkpoint, one new file — the old file's
+    // offsets are committed, so only the new row is processed
+    Files.writeString(inDir.resolve("b.csv"), "11,2,97,1,0,0,50,2000")
+    run()
+    val rows = spark.read.csv(outDir).collect().map(_.getString(4)).sorted
+    assert(rows.toSeq == Seq("95.0", "97.0"),
+      s"exactly one output row per input event, got ${rows.toSeq}")
+  }
+
   test("idempotent batch sink: replaying a batch overwrites, never duplicates") {
     import spark.implicits._
     val out = Files.createTempDirectory("idem-out-").toString
