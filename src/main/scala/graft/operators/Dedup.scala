@@ -278,11 +278,14 @@ object Dedup {
         .join(labels, edges("b_id") === labels("doc_id"))
         .groupBy(edges("a_id").as("n_id"))
         .agg(min(col("group_id")).as("nmin"))
+      // checkpointed before the self-join below — both sides of the
+      // pointer-double would otherwise recompute the two joins above
       val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("n_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id")))
             .as("group_id"))
+        .localCheckpoint()
       // pointer-doubling shortcut (group_id := label of my label) turns
       // linear chain propagation into logarithmic convergence
       val updated = propagated.as("x")
