@@ -69,6 +69,7 @@ object SparkEntry {
     "x23_bpe_merges"       -> ((s: SparkSession, d: String) => TextAnalysis.bpeMerges(s, d)),
     "x24_token_compression" -> ((s: SparkSession, d: String) => TextAnalysis.tokenCompression(s, d)),
     "x25_mixture_weights"  -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
+    "x26_dup_spans"        -> ((s: SparkSession, d: String) => Decontamination.dupShingleFraction(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -1028,6 +1029,21 @@ object SparkEntry {
         |FROM sh JOIN bench ON sh.s = bench.s
         |WHERE sh.source <> 'src0'
         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
+    "x26_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |           i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |c AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+        |       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |         AS dup_frac
+        |FROM sh JOIN c USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x10_top_bigrams" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2),

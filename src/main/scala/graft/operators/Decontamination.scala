@@ -44,4 +44,34 @@ object Decontamination {
       .agg(count(lit(1)).as("n_hit_shingles"))
       .orderBy("doc_id")
   }
+
+  /** x26: duplicated-span fraction — for each doc, the share of its
+    * distinct k-shingles that also occur in at least one OTHER document
+    * (the memorization-risk signal behind exact-substring dedup, Lee et
+    * al., ACL'22, approximated at shingle granularity). Corpus-internal
+    * twin of c1: same codegen'd shingle-hash kernel, but instead of a
+    * benchmark join the shingle occurrence counts come from one keyed
+    * aggregate over the whole corpus. A hot shingle (boilerplate in a
+    * million docs) stays one counter row — counts, never pair fanout, so
+    * there is no O(n²) cliff. The oracle recomputes over shingle STRINGS:
+    * the fraction is hash-agnostic, so the SQL match also certifies the
+    * kernel's 64-bit keys collide on nothing in this corpus.
+    */
+  def dupShingleFraction(spark: SparkSession, dir: String,
+                         k: Int = 8): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+    // shingles are distinct within a doc, so the per-hash row count IS the
+    // number of docs containing that shingle
+    val occ = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    sh.join(occ, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("nd") > 1).cast("long")).as("n_dup_shingles"))
+      .withColumn("dup_frac",
+        round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
 }

@@ -106,6 +106,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bounds(0)._2 <= bounds(1)._1)
   }
 
+  test("x26 dup-span fraction counts shingles shared across docs, once per doc") {
+    // docs 1 and 2 share their full 8-token span; doc 3 is unique; doc 4
+    // repeats its own span twice (within-doc repeat, distinct-collapsed,
+    // shared with no other doc -> NOT a duplicate)
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val dir = writeDocs(Seq(
+      (1L, shared, "s0"),
+      (2L, shared + " x9", "s0"), // 2 shingles, 1 of them the shared span
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "s0"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8", "s0")))
+    val got = Decontamination.dupShingleFraction(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 1.0),      // its only shingle is in doc 2 as well
+      (2L, 2L, 1L, 0.5),      // the shared span, plus a unique tail shingle
+      (3L, 1L, 0L, 0.0),
+      (4L, 8L, 0L, 0.0)),     // 9 positions, 8 distinct (the repeat period
+                              // wraps); self-repeats don't count as dup
+      s"got ${got.toSeq}")
+  }
+
   test("x23 BPE learns merges in frequency order with greedy left-to-right rewrite") {
     // words: "aaab" x2, "ab" x1.
     // step 0: pairs aa:4 (two per "aaab"), ab:3 -> merge (a,a)
