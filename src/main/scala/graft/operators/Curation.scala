@@ -348,11 +348,11 @@ object Curation {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
-    val corpus = tok.groupBy("w").agg(count(lit(1)).as("cc"))
-    val target = tok.filter(col("lang") === targetLang)
-      .groupBy("w").agg(count(lit(1)).as("tc"))
-    val vocab = corpus.join(target, Seq("w"), "left")
-      .select(col("w"), col("cc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    // both models in ONE tokenize pass: the target count is a conditional
+    // aggregate of the same shuffle, not a second corpus scan + left join
+    val vocab = tok.groupBy("w").agg(
+      count(lit(1)).as("cc"),
+      sum((col("lang") === targetLang).cast("long")).as("tc"))
     val totals = vocab.agg(
       sum(col("cc")).cast("double").as("ctot"),
       sum(col("tc")).cast("double").as("ttot"),
