@@ -70,6 +70,7 @@ object SparkEntry {
     "x24_token_compression" -> ((s: SparkSession, d: String) => TextAnalysis.tokenCompression(s, d)),
     "x25_mixture_weights"  -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x26_dup_spans"        -> ((s: SparkSession, d: String) => Decontamination.dupShingleFraction(s, d)),
+    "x27_pack_segments"    -> ((s: SparkSession, d: String) => Curation.packSegments(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -763,6 +764,26 @@ object SparkEntry {
         |       CAST(sum(wc) AS BIGINT) AS bin_tokens,
         |       round(CAST(sum(wc) AS DOUBLE) / 512, 4) AS fill_ratio
         |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+
+    "x27_pack_segments" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, wc,
+        |         coalesce(sum(wc) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t),
+        |s AS (
+        |  SELECT source,
+        |         unnest(generate_series(CAST(floor(prior / 512) AS BIGINT),
+        |           CAST(floor((prior + wc - 1) / 512) AS BIGINT))) AS bin_id,
+        |         prior, wc
+        |  FROM c)
+        |SELECT source, bin_id, count(*) AS n_segments,
+        |       CAST(sum(least((bin_id + 1) * 512, prior + wc) -
+        |                greatest(bin_id * 512, prior)) AS BIGINT) AS bin_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
 
     "x21_dsir_weights" ->
       """WITH tok AS (

@@ -310,6 +310,36 @@ object Curation {
       .orderBy("source", "bin_id")
   }
 
+  /** x27: concat-and-split packing — x20's strict form: the bin-crossing
+    * document SPLITS, contributing its token span to every bin it crosses,
+    * so every bin holds exactly `binTokens` tokens (the last bin per source
+    * excepted) — the invariant a fixed-context training loader requires.
+    * Same single window shuffle as x20; the fan-out to crossed bins is a
+    * narrow declarative `sequence` + `explode` (a doc crosses
+    * ⌈wc/B⌉+1 bins at most), and the per-(source,bin) rollup is
+    * partial-mergeable. Same 100 TB posture as x20: partition the window
+    * by (source, shard) and pack shards independently.
+    */
+  def packSegments(spark: SparkSession, dir: String,
+                   binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(binTokens.toLong)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("wc"))
+      .withColumn("prior", coalesce(sum(col("wc")).over(w), lit(0L)))
+      .withColumn("bin_id", explode(sequence(
+        floor(col("prior") / b), floor((col("prior") + col("wc") - 1) / b))))
+      .withColumn("seg_tokens",
+        least((col("bin_id") + 1) * b, col("prior") + col("wc")) -
+          greatest(col("bin_id") * b, col("prior")))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg_tokens")).as("bin_tokens"))
+      .orderBy("source", "bin_id")
+  }
+
   /** x25: temperature-scaled mixture weights — the multilingual/multi-source
     * sampling-rate schedule (rate ∝ n^α, α < 1 upweights small sources;
     * the mT5/XLM-R recipe). One partial-mergeable per-source aggregate, a

@@ -158,6 +158,22 @@ class CurationSpec extends SparkSpec {
       ("s1", 0L, 1L, 7L)))
   }
 
+  test("x27 split packing fills every bin exactly except the last per source") {
+    val dir = writeDocs(Seq(
+      (1L, words(4), "s0"), (2L, words(5), "s0"), (3L, words(3), "s0"),
+      (4L, words(12), "s0"), (5L, words(2), "s0"), // 26 tokens total
+      (6L, words(7), "s1")))
+    val got = Curation.packSegments(spark, dir, binTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // s0 layout: d1[0,4) d2[4,9) d3[9,12) d4[12,24) d5[24,26)
+    // bin0: d1(4) d2(5) d3(1 of 3)          = 10
+    // bin1: d3(2) d4(8 of 12)               = 10
+    // bin2: d4(4) d5(2)                     = 6 (last bin, short)
+    assert(got.toSeq == Seq(
+      ("s0", 0L, 3L, 10L), ("s0", 1L, 2L, 10L), ("s0", 2L, 2L, 6L),
+      ("s1", 0L, 1L, 7L)), s"got ${got.toSeq}")
+  }
+
   test("x21 weights rank target-like docs above off-target docs") {
     import spark.implicits._
     val dir = tempSfDir()
