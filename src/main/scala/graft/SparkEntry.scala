@@ -71,6 +71,7 @@ object SparkEntry {
     "x25_mixture_weights"  -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x26_dup_spans"        -> ((s: SparkSession, d: String) => Decontamination.dupShingleFraction(s, d)),
     "x27_pack_segments"    -> ((s: SparkSession, d: String) => Curation.packSegments(s, d)),
+    "q_topk_agg"           -> ((s: SparkSession, d: String) => Analytics.topKPerType(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
     "q13_order_distribution" -> DecisionSupport.orderCountDistribution _,
     "q15_top_supplier"     -> DecisionSupport.topSupplier _,
@@ -764,6 +765,15 @@ object SparkEntry {
         |       CAST(sum(wc) AS BIGINT) AS bin_tokens,
         |       round(CAST(sum(wc) AS DOUBLE) / 512, 4) AS fill_ratio
         |FROM c GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH r AS (
+        |  SELECT event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, value, event_id
+        |FROM r WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
 
     "x27_pack_segments" ->
       """WITH t AS (

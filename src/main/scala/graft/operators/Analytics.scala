@@ -591,4 +591,24 @@ object Analytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** q_topk_agg: per-type top-k rows via the custom mergeable `Aggregator`
+    * (graft.functions.TopKAggregator) — the programmable top-k path. The
+    * buffer IS the top-k list, so every partition contributes at most k
+    * rows per group to the shuffle (map-side combine), where the window
+    * form would shuffle the whole fact before rank-filtering (Spark's
+    * WindowGroupLimit recovers some of that; the Aggregator guarantees it,
+    * and generalizes to orderings a window can't express).
+    */
+  def topKPerType(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator.topK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._1").as("value"), col("col._2").as("event_id"))
+      .orderBy("event_type", "rnk")
+  }
 }

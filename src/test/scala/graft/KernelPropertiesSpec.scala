@@ -157,4 +157,23 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(r.getDouble(0) == r.getDouble(1), "dot must be symmetric")
     }
   }
+
+  test("top-k aggregator equals global sort-take under arbitrary partition merges") {
+    import graft.functions.TopKAggregator
+    val agg = TopKAggregator.topK(5)
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-5, 5).map(_.toDouble)) // dense ties
+    } yield vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+    sample(gen, 60).zipWithIndex.foreach { case (rows, i) =>
+      val ref = rows.sortBy { case (v, id) => (-v, id) }.take(5)
+      // arbitrary split into partitions, reduce each, merge in order
+      val splitAt = if (rows.isEmpty) 0 else (i * 7) % (rows.length + 1)
+      val (p1, p2) = rows.splitAt(splitAt)
+      val merged = agg.merge(
+        p1.foldLeft(agg.zero)(agg.reduce),
+        p2.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == ref, s"case $i: $rows")
+    }
+  }
 }
