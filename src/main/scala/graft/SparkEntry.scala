@@ -110,6 +110,7 @@ object SparkEntry {
     "x5_unigram_logprob"   -> TextAnalysis.unigramLogProb _,
     "x7_hash_embedding"    -> ((s: SparkSession, d: String) => TextAnalysis.hashEmbeddings(s, d)),
     "x8_stratified_sample" -> TextAnalysis.stratifiedSample _,
+    "x28_weighted_sample"  -> ((s: SparkSession, d: String) => TextAnalysis.weightedSample(s, d)),
     "x10_top_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.topBigrams(s, d)),
     "x11_repetition"       -> TextAnalysis.repetitionSignals _,
     "x12_tfidf_terms"      -> ((s: SparkSession, d: String) => TextAnalysis.tfidfTerms(s, d)),
@@ -1175,6 +1176,17 @@ object SparkEntry {
         |WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100
         |      < 25 + (length(source) * 17) % 50
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "x28_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         ((((doc_id * 1103515245 + 12345) // 65536) % 32768) + 1.0)
+        |           / 32768.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       round(power(u, 1.0 / n_tokens), 9) AS key
+        |FROM s ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     "x12_tfidf_terms" ->
       """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

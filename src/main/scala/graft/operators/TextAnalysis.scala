@@ -150,6 +150,32 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** x28: weighted sampling without replacement — the Efraimidis–Spirakis
+    * one-pass scheme (key = u^(1/w), keep the top-k keys), here weighted by
+    * token count so the kept subset is token-budget-proportional (long docs
+    * proportionally likelier — the "sample N docs worth ~M tokens" shape).
+    * The uniform u is the same engine-portable integer LCG x8 uses (pure
+    * arithmetic on doc_id: reproducible across runs AND engines, so the
+    * oracle recomputes it exactly). Scoring is one narrow projection; the
+    * only shuffle is the global top-k, which plans as TakeOrdered — no
+    * full sort. At 100 TB: per-partition partial top-k, k rows per
+    * partition to the driver-side merge, the same mergeable-top-k shape as
+    * q_topk_agg.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    // u in (0,1]: 15-bit LCG output + 1, scaled — never exactly 0, so the
+    // pow is finite for any weight
+    val u = (expr("((doc_id * 1103515245 + 12345) div 65536) % 32768") + 1.0) / 32768.0
+    val wc = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), wc.as("n_tokens"), u.as("u"))
+      .withColumn("key", round(pow(col("u"), lit(1.0) / col("n_tokens")), 9))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"), col("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+  }
+
   /** x7: feature-hashing text embedding — the deterministic featurizer that
     * gives every document a fixed-size L2-normalized vector (the "hashing
     * trick") with no model or vocabulary, as one codegen'd pass. Output

@@ -106,6 +106,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(bounds(0)._2 <= bounds(1)._1)
   }
 
+  test("x28 weighted-sample keys follow u^(1/w) with the portable LCG") {
+    val dir = writeDocs(Seq(
+      (1L, "w", "s0"),             // 1 token: key = u(1)
+      (2L, "w w w w", "s0")))      // 4 tokens: key = u(2)^(1/4) > u(2)
+    def u(id: Long) = ((((id * 1103515245L + 12345L) / 65536L) % 32768L) + 1.0) / 32768.0
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val got = TextAnalysis.weightedSample(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, 1L, r9(u(1))),
+      (2L, 4L, r9(math.pow(u(2), 0.25)))), s"got $got")
+  }
+
   test("x26 dup-span fraction counts shingles shared across docs, once per doc") {
     // docs 1 and 2 share their full 8-token span; doc 3 is unique; doc 4
     // repeats its own span twice (within-doc repeat, distinct-collapsed,
