@@ -477,13 +477,31 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, dir: String,
                 merges: Int = 10): DataFrame = {
     import spark.implicits._
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    learnMerges(spark, wordFreq, merges)
+      .toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
+  // pair separator inside the argmax key: NUL can never occur in a symbol
+  // (symbols are substrings of whitespace-split words)
+  private val PairSep = ' '
+
+  /** The merge-learning loop over an already-aggregated (w, freq)
+    * vocabulary frame — shared by x23 (which builds the vocab from the
+    * corpus) and x24 (which derives it from its per-source frequency
+    * table, so train + apply together cost ONE corpus scan).
+    */
+  private def learnMerges(spark: SparkSession, wordFreq: DataFrame,
+                          merges: Int): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
     val pairCol = explode(zip_with(
       slice(col("sym"), lit(1), size(col("sym")) - 1),
       slice(col("sym"), lit(2), size(col("sym")) - 1),
-      (a, b) => concat(a, lit(" "), b)))
-    var vocab = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
+      (a, b) => concat(a, lit(PairSep.toString), b)))
+    var vocab = wordFreq
       .select(split(col("w"), "").as("sym"), col("freq"))
       .as[(Seq[String], Long)]
       .localCheckpoint()
@@ -499,7 +517,7 @@ object TextAnalysis {
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val Array(l, r) = top.head.getString(0).split(' ')
+        val Array(l, r) = top.head.getString(0).split(PairSep)
         learned += ((step, l, r, top.head.getLong(1)))
         vocab = vocab.map { case (sym, freq) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -515,8 +533,6 @@ object TextAnalysis {
       }
     }
     learned.result()
-      .toDF("rank", "left", "right", "pair_count")
-      .orderBy("rank")
   }
 
   /** Apply a BPE merge list (rank order) to one word's symbol sequence —
@@ -550,11 +566,17 @@ object TextAnalysis {
   def tokenCompression(spark: SparkSession, dir: String,
                        merges: Int = 10): DataFrame = {
     import spark.implicits._
-    val ms: Seq[(String, String)] = bpeMerges(spark, dir, merges)
-      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
-    Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    // one corpus scan for the whole train+apply pipeline: the per-source
+    // frequency table is cached (vocabulary-sized — the cacheable tier),
+    // the training vocab re-aggregates it, and the apply pass re-reads it
+    val srcFreq = graft.CacheRegistry.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("freq")))
+    val wordFreq = srcFreq.groupBy("w").agg(sum(col("freq")).as("freq"))
+    val ms: Seq[(String, String)] =
+      learnMerges(spark, wordFreq, merges).map(t => (t._2, t._3))
+    srcFreq
       .as[(String, String, Long)]
       .map { case (source, w, freq) =>
         (source, freq, w.length.toLong * freq,
