@@ -125,6 +125,28 @@ class DedupSpec extends SparkSpec {
       s"expected exactly the three near-dup pairs, got $pairs")
   }
 
+  test("d2 LSH recall vs exact d4 pairs follows the banding curve on real sf0.001 data") {
+    // the rows-only d2 hardened against the oracle-checked d4: recall must
+    // follow the (8 bands x 4 rows + 32-hash estimate>=0.8 filter) theory —
+    // certain at high similarity, estimator-limited at the 0.8 boundary
+    // (sigma ~= 0.07 there, so borderline pairs fall below the cut).
+    // Everything is seeded/deterministic, so the curve is stable.
+    val dir = "/root/testdata/sf0.001"
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.size > 1000, "fixture must contain many exact near-dup pairs")
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(minJ: Double): Double = {
+      val sel = exact.filter(_._2 >= minJ).keySet
+      (sel intersect lsh).size.toDouble / sel.size
+    }
+    assert(recall(0.95) == 1.0, s"J>=0.95 must be fully recalled, got ${recall(0.95)}")
+    assert(recall(0.90) >= 0.95, s"J>=0.90 recall ${recall(0.90)}")
+    assert(recall(0.80) >= 0.78, s"J>=0.80 recall ${recall(0.80)}")
+  }
+
   test("d5 embedding near-dup pairs are blocked by label") {
     import spark.implicits._
     val dir = tempSfDir()
