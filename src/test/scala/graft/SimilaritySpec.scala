@@ -52,6 +52,27 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._5).sorted.toSeq == (1L to 5L)))
   }
 
+  test("s2/s3 recall floors vs exact s1 on real sf0.001 embeddings") {
+    // rows-only ANN paths hardened against the oracle-checked brute force.
+    // The synthetic vectors are near-uniform — SRP's worst case (weak
+    // locality; 0.54 while probing ~34% of the fleet is still 1.6x chance)
+    // — while the k-means cells adapt to the data and recall 0.88. All
+    // seeds fixed: these are regression floors, not statistical bounds.
+    val dir = "/root/testdata/sf0.001"
+    val exact = Similarity.annTopK(spark, dir).select("q_id", "n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "n_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val s2 = recall(Similarity.annIvf(spark, dir))
+    val s3 = recall(Similarity.annIvfKmeans(spark, dir))
+    assert(s2 >= 0.5, s"s2 recall $s2")
+    assert(s3 >= 0.85, s"s3 recall $s3")
+    assert(s3 > s2, "data-adaptive cells must beat fixed hyperplanes here")
+  }
+
   test("s2 bucketed ANN reaches full recall on clustered vectors") {
     val dir = writeClustered()
     val exact = Similarity.annTopK(spark, dir)
