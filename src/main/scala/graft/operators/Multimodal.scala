@@ -237,4 +237,85 @@ object Multimodal {
         org.apache.spark.sql.Encoders.product[MediaMeta])
       .toDF()
       .orderBy("doc_id")
+
+  /** 64-bit average-hash (aHash) over the DECODED pixel grid of a BMP
+    * payload: sample an 8×8 luminance grid (nearest-pixel, honoring the
+    * format's bottom-up 4-byte-aligned rows), threshold at the grid mean,
+    * one bit per cell. The standard perceptual-dedup fingerprint — robust
+    * to re-encode/resample, cheap enough to run at scan speed — computed
+    * from real pixels with zero codec libraries.
+    */
+  private[graft] def aHash64(p: Array[Byte]): Option[Long] = {
+    if (!isBmp(p)) return None
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val off = bb.getInt(10)
+    if (w <= 0 || h <= 0 || off < 0) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val lum = new Array[Int](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val x = i * w / 8; val y = j * h / 8
+        val pix = off + (h - 1 - y) * rowSize + x * 3 // rows stored bottom-up
+        if (pix < 0 || pix + 2 >= p.length) return None
+        val b = p(pix) & 0xff; val g = p(pix + 1) & 0xff; val r = p(pix + 2) & 0xff
+        lum(j * 8 + i) = (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    val mean = lum.sum / 64
+    var bits = 0L
+    var k = 0
+    while (k < 64) { if (lum(k) > mean) bits |= (1L << k); k += 1 }
+    Some(bits)
+  }
+
+  /** One image's perceptual fingerprint. */
+  case class ImageHash(doc_id: Long, width: Int, height: Int, ahash64: Long)
+
+  /** m4: perceptual image fingerprints — decode the BMP payloads and emit
+    * the aHash per image (the dedup key a multimodal curation pipeline
+    * stores next to the blob). Narrow mapPartitions, no shuffle.
+    */
+  def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBlobs(spark, dir).filter(_.media_type == "image")
+      .mapPartitions(_.flatMap { b =>
+        aHash64(b.payload).map { hsh =>
+          val bb = ByteBuffer.wrap(b.payload).order(ByteOrder.LITTLE_ENDIAN)
+          ImageHash(b.doc_id, bb.getInt(18), bb.getInt(22), hsh)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual near-dup pairs over a (doc_id, ahash64) frame: the d3
+    * discipline on image fingerprints — 4×16-bit band blocking (pigeonhole
+    * guarantees every pair at hamming ≤ 3 shares a band), exact hamming
+    * verify inside the join, distinct after. Shuffle tracks band
+    * collisions, never n².
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("ahash64"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash64"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("ahash64"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("doc_id").as("a_id"), col("ahash64").as("a_h"))
+    val b = banded.select(col("band"), col("bits"),
+      col("doc_id").as("b_id"), col("ahash64").as("b_h"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
 }

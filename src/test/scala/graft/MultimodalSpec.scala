@@ -119,4 +119,41 @@ class MultimodalSpec extends SparkSpec {
     val junk = Multimodal.decode(Multimodal.MediaBlob(2L, "video", Array[Byte](1, 2, 3)))
     assert(junk.format == "raw" && junk.n_frames == 1)
   }
+
+  test("m4 aHash is a pixel fingerprint: same pixels same hash, inverted pixels differ") {
+    val a = Multimodal.aHash64(Multimodal.buildBmp(16, 16, "some pixel soup".getBytes)).get
+    val b = Multimodal.aHash64(Multimodal.buildBmp(16, 16, "some pixel soup".getBytes)).get
+    assert(a == b, "identical pixels must fingerprint identically")
+    // different content at the same dimensions moves many grid cells
+    val c = Multimodal.aHash64(Multimodal.buildBmp(16, 16,
+      "completely different content here!!".getBytes)).get
+    assert(java.lang.Long.bitCount(a ^ c) > 3, s"hamming ${java.lang.Long.bitCount(a ^ c)}")
+    // non-BMP payloads produce no hash (honest absence)
+    assert(Multimodal.aHash64("not a bmp".getBytes).isEmpty)
+  }
+
+  test("m4 banded join finds near-identical images and skips distinct ones") {
+    import spark.implicits._
+    // two identical-pixel images (hamming 0), one same-size different image,
+    // one noisy twin of doc 1 with a single flipped low bit (hamming 1)
+    val h1 = Multimodal.aHash64(Multimodal.buildBmp(16, 16, "soup".getBytes)).get
+    val hashes = Seq(
+      (1L, 16, 16, h1),
+      (2L, 16, 16, h1),
+      (3L, 16, 16, Multimodal.aHash64(
+        Multimodal.buildBmp(16, 16, "other stuff".getBytes)).get),
+      (4L, 16, 16, h1 ^ 1L))
+      .toDF("doc_id", "width", "height", "ahash64")
+    val got = Multimodal.imageNearDupPairs(hashes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 0L), (1L, 4L, 1L), (2L, 4L, 1L)), s"got $got")
+  }
+
+  test("m4 image hashes are emitted for every image-modality doc") {
+    val dir = writeDocs(Seq((0L, "img zero"), (3L, "img three"), (1L, "audio")))
+    val got = Multimodal.imageHashes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // ids 0 and 3 are images (id % 3 == 0); dims are id-derived
+    assert(got.toSeq == Seq((0L, 1, 1), (3L, 4, 4)))
+  }
 }
