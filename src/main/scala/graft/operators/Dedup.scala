@@ -220,7 +220,12 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    minJaccard: Double = 0.8): DataFrame = {
-    val sets = wordSets(Tables.documents(spark, dir))
+    // cached: the candidate generator reads it once and BOTH verification
+    // rejoins read it again with different join keys (a_id / b_id), so the
+    // split+distinct+sort pass over every document would otherwise run
+    // three times
+    val sets = graft.CacheRegistry.persistTracked(
+      wordSets(Tables.documents(spark, dir)))
     jaccardCandidates(sets, minJaccard)
       .join(sets.select(col("doc_id").as("a_id"), col("ws").as("a_ws"),
         col("n").as("na")), "a_id")
