@@ -198,13 +198,13 @@ object Dedup {
     // the required overlap ⌈t/(1+t)·(na+nb)⌉ — for a true pair the first
     // common token in the global order always passes, so recall is
     // lossless while the in-join fanout shrinks before the pair distinct.
-    val a = prefix.select(col("source"), col("w"),
+    val a = prefix.select(col("source").as("a_source"), col("w").as("a_w"),
       col("doc_id").as("a_id"), col("n").as("na"), col("rnk").as("ra"))
-    val b = prefix.select(col("source"), col("w"),
+    val b = prefix.select(col("source").as("b_source"), col("w").as("b_w"),
       col("doc_id").as("b_id"), col("n").as("nb"), col("rnk").as("rb"))
     a.join(b,
         col("a_id") < col("b_id") &&
-          a("source") === b("source") && a("w") === b("w") &&
+          col("a_source") === col("b_source") && col("a_w") === col("b_w") &&
           col("nb") >= ceil(col("na") * minJaccard) &&
           col("nb") <= floor(col("na") / minJaccard) &&
           least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
