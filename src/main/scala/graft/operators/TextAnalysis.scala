@@ -415,9 +415,13 @@ object TextAnalysis {
     * result at |sources|² rows.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+    // cached: the per-source size aggregate and BOTH sides of the overlap
+    // self-join read it — without the persist the corpus-wide distinct
+    // runs three times
+    val vocab = graft.CacheRegistry.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct())
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n"))
     vocab.select(col("source").as("source_a"), col("w"))
       .join(vocab.select(col("source").as("source_b"), col("w")), "w")
