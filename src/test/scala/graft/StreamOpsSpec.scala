@@ -321,6 +321,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("congestion daily drops events that arrive behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamOps.congestionDaily(input.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("daily_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "purchase", 10.0)))
+      q.processAllAvailable()
+      // two days later: watermark passes day one, its window emits (count 1)
+      input.addData(Seq(ev(9, 60 * 48, 9L, "purchase", 1.0)))
+      q.processAllAvailable()
+      assert(spark.table("daily_late_out").count() == 1)
+      // a LATE day-one event arrives behind the watermark: dropped — the
+      // closed window must not re-emit or revise
+      input.addData(Seq(ev(2, 30, 2L, "purchase", 99.0)))
+      q.processAllAvailable()
+      // push the watermark further so any (incorrect) revision would flush
+      input.addData(Seq(ev(10, 60 * 96, 10L, "purchase", 1.0)))
+      q.processAllAvailable()
+      val day1 = spark.table("daily_late_out").collect()
+        .filter(_.getAs[String]("day") == "2024/01/01")
+      assert(day1.length == 1, "closed window must emit exactly once")
+      assert(day1.head.getAs[Long]("n_trips") == 1L,
+        "late event must not be counted")
+    } finally q.stop()
+  }
+
   test("rate of change updates per key as batches arrive") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
