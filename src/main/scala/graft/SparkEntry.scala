@@ -63,6 +63,7 @@ object SparkEntry {
     "e1_quantize_error"    -> Curation.quantizeError _,
     "v1_table_profile"     -> DataOps.tableProfile _,
     "cdc1_snapshot_diff"   -> ((s: SparkSession, d: String) => DataOps.snapshotDiff(s, d)),
+    "v2_integrity_check"   -> DataOps.integrityCheck _,
     "x20_pack_sequences"   -> ((s: SparkSession, d: String) => Curation.packSequences(s, d)),
     "x21_dsir_weights"     -> ((s: SparkSession, d: String) => Curation.dsirWeights(s, d)),
     "x22_doc_chunks"       -> ((s: SparkSession, d: String) => Curation.docChunks(s, d)),
@@ -724,6 +725,29 @@ object SparkEntry {
         |SELECT 'l_returnflag', n_rows, nn_rf, nd_rf,
         |       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a
         |ORDER BY column_name""".stripMargin,
+
+    "v2_integrity_check" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |       (SELECT count(*) FROM lineitem) AS n_child,
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |         AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |          ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |          ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |ORDER BY relationship""".stripMargin,
 
     "cdc1_snapshot_diff" ->
       """WITH n AS (

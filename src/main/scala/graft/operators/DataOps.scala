@@ -47,6 +47,34 @@ object DataOps {
       .orderBy("column_name")
   }
 
+  /** v2: referential-integrity audit — orphan counts for every foreign-key
+    * relationship in the star schema (fact keys with no matching dim row),
+    * the join-safety precondition v1's column profile doesn't see. Each
+    * relationship is one LEFT ANTI join on its key — the same shuffle the
+    * real join would do, so the audit costs what one pass of the pipeline
+    * costs and parallelizes identically. Emitting zero counts is the
+    * point: the audit row IS the evidence.
+    */
+  def integrityCheck(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, childKey: String,
+            parent: DataFrame, parentKey: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    }
+    rel("lineitem->orders", Tables.lineitem(spark, dir), "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey")
+      .unionAll(rel("lineitem->part", Tables.lineitem(spark, dir), "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(rel("lineitem->supplier", Tables.lineitem(spark, dir), "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(rel("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy("relationship")
+  }
+
   /** cdc1: snapshot change capture — diff two keyed snapshots of derived
     * customer state (spend/order-count as of two cutoff dates) and emit
     * only inserts and updates, the merge input every incremental pipeline

@@ -31,6 +31,31 @@ class DataOpsSpec extends SparkSpec {
       ("l_returnflag", 3L, 1L, 2L)))
   }
 
+  test("v2 integrity audit counts orphans per relationship") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // third lineitem row references order 99, which doesn't exist
+    Seq((1L, 1L, 1L), (2L, 1L, 1L), (99L, 1L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L), (2L, 7L)) // order 2 references missing customer 7
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(1L)).toDF("p_partkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/part.parquet")
+    Seq(Tuple1(1L)).toDF("s_suppkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    val got = DataOps.integrityCheck(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("lineitem->orders", 3L, 1L),   // l_orderkey 99 dangles
+      ("lineitem->part", 3L, 0L),
+      ("lineitem->supplier", 3L, 0L),
+      ("orders->customer", 2L, 1L)))  // o_custkey 7 dangles
+  }
+
   test("q8 sketch stats track exact distincts and percentiles on real sf0.001 data") {
     // rows-only q8 hardened against exact aggregates: HLL++ at rsd=0.01
     // must land within 3% of true distincts, and the quantile sketch at
