@@ -500,11 +500,16 @@ object Analytics {
       .agg(
         sum(money(col("value"))).cast("double").as("total_value"),
         count(lit(1)).as("n_purchases"))
+    // top-k FIRST (orderBy+limit plans as TakeOrdered: per-partition
+    // partial top-10, merge of 10-row heads — no global single-partition
+    // sort), THEN the rank window over just those 10 rows. The ordering is
+    // total (value desc, id), so the rank is deterministic.
     totals
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(10)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("total_value").desc, col("user_id")))
           .cast("long"))
-      .filter(col("rnk") <= 10)
       .select("rnk", "user_id", "total_value", "n_purchases")
       .orderBy("rnk")
   }
