@@ -82,6 +82,11 @@ object GraftFunctions {
     functions.foreach { case (id, info, builder) =>
       registry.registerFunction(id, info, builder)
     }
+    // typed Aggregators go through the udf registry (they are UDAFs, not
+    // expression builders): per-group top-5 (value, id) pairs
+    spark.udf.register("graft_top5",
+      org.apache.spark.sql.functions.udaf(graft.functions.TopKAggregator.topK(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]()))
   }
 
   /** Extension hook: inject every graft function. */

@@ -40,6 +40,20 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getAs[Long]("cs") == 2L, "multiplicity counts")
   }
 
+  test("the top-k aggregator is callable from SQL group-bys") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 9.0, 3L), ("b", 1.0, 4L))
+      .toDF("g", "v", "id").createOrReplaceTempView("topk_in")
+    val got = spark.sql(
+      "SELECT g, graft_top5(v, id) AS top FROM topk_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))))
+    assert(got.toSeq == Seq(
+      ("a", Seq((9.0, 2L), (9.0, 3L), (5.0, 1L))), // value desc, tie by id
+      ("b", Seq((1.0, 4L)))))
+  }
+
   test("literal-int parameters are validated") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
