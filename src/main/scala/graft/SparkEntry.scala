@@ -395,8 +395,8 @@ object SparkEntry {
 
     "q7_user_stats" ->
       """SELECT event_type, count(DISTINCT user_id) AS nd_users,
-        |       round(quantile_cont(value, 0.5), 6) AS med_value,
-        |       round(quantile_cont(value, 0.95), 6) AS p95_value
+        |       round(quantile_cont(value, 0.5), 6) + 0.0 AS med_value,
+        |       round(quantile_cont(value, 0.95), 6) + 0.0 AS p95_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_salted_purchases" ->
@@ -616,10 +616,10 @@ object SparkEntry {
         |         quantile_cont(value, 0.99) AS p99
         |  FROM events GROUP BY 1)
         |SELECT event_type, count(*) AS n,
-        |       round(avg(least(greatest(value, p01), p99)), 4) AS winsorized_mean,
+        |       round(avg(least(greatest(value, p01), p99)), 4) + 0.0 AS winsorized_mean,
         |       count(*) FILTER (WHERE value < p01) AS n_clipped_low,
         |       count(*) FILTER (WHERE value > p99) AS n_clipped_high,
-        |       round(min(p01), 4) AS p01, round(min(p99), 4) AS p99
+        |       round(min(p01), 4) + 0.0 AS p01, round(min(p99), 4) + 0.0 AS p99
         |FROM events JOIN cuts ON event_type = et
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -669,7 +669,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |       round(ln(CAST(sum(c) AS DOUBLE))
         |             - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE), 6)
-        |         AS entropy
+        |         + 0.0 AS entropy
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x18_zipf_slope" ->
@@ -681,8 +681,8 @@ object SparkEntry {
         |      FROM f)
         |SELECT source, count(*) AS n_terms,
         |       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
-        |         AS zipf_slope,
-        |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) AS r2
+        |         + 0.0 AS zipf_slope,
+        |       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4) + 0.0 AS r2
         |FROM r WHERE rnk <= 1000
         |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -836,7 +836,7 @@ object SparkEntry {
         |  FROM vocab)
         |SELECT doc_id, count(*) AS n_tokens,
         |       round(sum(ln((tc + 1.0) / (ttot + v)) - ln((cc + 1.0) / (ctot + v)))
-        |             / count(*), 4) AS dsir_weight
+        |             / count(*), 4) + 0.0 AS dsir_weight
         |FROM tok JOIN vocab USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -891,7 +891,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, prev_value,
-        |       round(value - prev_value, 2) AS delta,
+        |       round(value - prev_value, 2) + 0.0 AS delta,
         |       epoch_us(ts) - epoch_us(prev_ts) AS gap_us
         |FROM p WHERE prev_value IS NOT NULL
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
@@ -899,8 +899,8 @@ object SparkEntry {
     "q_trend" ->
       """SELECT event_type, count(*) AS n,
         |  round(regr_slope(value, (epoch_us(ts)/1000000.0 - 1704067200)/3600.0), 4)
-        |    AS slope_per_hour,
-        |  round(regr_r2(value, (epoch_us(ts)/1000000.0 - 1704067200)/3600.0), 4) AS r2
+        |    + 0.0 AS slope_per_hour,
+        |  round(regr_r2(value, (epoch_us(ts)/1000000.0 - 1704067200)/3600.0), 4) + 0.0 AS r2
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "r1_value_brackets" ->
@@ -949,7 +949,7 @@ object SparkEntry {
         |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
         |scored AS (
         |  SELECT probes.q_id, asg.n_id,
-        |         round(list_cosine_similarity(qv.ve, nv.ve), 6) AS cosim
+        |         round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
         |  FROM probes JOIN asg USING (cell)
         |  JOIN v qv ON qv.vec_id = probes.q_id
         |  JOIN v nv ON nv.vec_id = asg.n_id
@@ -997,7 +997,7 @@ object SparkEntry {
       s"""$kAssignSql
         |SELECT centroid_id, count(*) AS n_vecs,
         |       round(CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-        |         AS avg_cos,
+        |         + 0.0 AS avg_cos,
         |       min(vec_id) AS first_vec
         |FROM b WHERE rn = 1
         |GROUP BY 1 ORDER BY centroid_id""".stripMargin,
@@ -1139,7 +1139,7 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 5),
         |scored AS (
         |  SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
-        |         round($qCosExpr, 6) AS cosim
+        |         round($qCosExpr, 6) + 0.0 AS cosim
         |  FROM q JOIN embeddings e ON e.label <> q.q_label),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
         |      FROM scored)
@@ -1149,7 +1149,7 @@ object SparkEntry {
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |scored AS (
-        |  SELECT q.q_id, e.vec_id AS n_id, round($qCosExpr, 6) AS cosim
+        |  SELECT q.q_id, e.vec_id AS n_id, round($qCosExpr, 6) + 0.0 AS cosim
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
         |      FROM scored)
@@ -1190,7 +1190,7 @@ object SparkEntry {
         |freq AS (SELECT w, count(*) AS wc FROM tok GROUP BY w),
         |tot AS (SELECT count(*) AS n FROM tok)
         |SELECT doc_id, count(*) AS n_tokens,
-        |       round(sum(ln(CAST(wc AS DOUBLE) / (SELECT n FROM tot))) / count(*), 4) AS avg_logprob
+        |       round(sum(ln(CAST(wc AS DOUBLE) / (SELECT n FROM tot))) / count(*), 4) + 0.0 AS avg_logprob
         |FROM tok JOIN freq USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -1198,7 +1198,7 @@ object SparkEntry {
       """SELECT source, CAST(25 + (length(source) * 17) % 50 AS BIGINT) AS rate_pct,
         |       count(*) AS n_sampled, min(doc_id) AS first_kept
         |FROM documents
-        |WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100
+        |WHERE ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100
         |      < 25 + (length(source) * 17) % 50
         |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1206,7 +1206,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         ((((doc_id * 1103515245 + 12345) // 65536) % 32768) + 1.0)
+        |         ((((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 32768) + 1.0)
         |           / 32768.0 AS u
         |  FROM documents)
         |SELECT doc_id, n_tokens,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Doubles
 
 /** Batch analytics over the TPC-H-ish tables. The reference ships only
   * skeleton batch jobs (VehicleTelematics BatchJob.java, YellowTaxi
@@ -202,7 +203,7 @@ object Analytics {
         col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("value"), col("prev_value"),
-        round(col("value") - col("prev_value"), 2).as("delta"),
+        Doubles.roundZ(col("value") - col("prev_value"), 2).as("delta"),
         (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
       .orderBy("user_id", "ts_us", "event_id")
   }
@@ -240,8 +241,8 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         count_distinct(col("user_id")).as("nd_users"),
-        round(expr("percentile(value, 0.5D)"), 6).as("med_value"),
-        round(expr("percentile(value, 0.95D)"), 6).as("p95_value"))
+        Doubles.roundZ(expr("percentile(value, 0.5D)"), 6).as("med_value"),
+        Doubles.roundZ(expr("percentile(value, 0.95D)"), 6).as("p95_value"))
       .orderBy("event_type")
 
   /** q8_approx_stats: the sketch versions — HyperLogLog++ distinct counts
@@ -436,8 +437,8 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(regr_slope(col("value"), col("x")), 4).as("slope_per_hour"),
-        round(regr_r2(col("value"), col("x")), 4).as("r2"))
+        Doubles.roundZ(regr_slope(col("value"), col("x")), 4).as("slope_per_hour"),
+        Doubles.roundZ(regr_r2(col("value"), col("x")), 4).as("r2"))
       .orderBy("event_type")
   }
 
@@ -546,11 +547,11 @@ object Analytics {
         col("p01"), col("p99"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("w")), 4).as("winsorized_mean"),
+        Doubles.roundZ(avg(col("w")), 4).as("winsorized_mean"),
         sum(when(col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
         sum(when(col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
-        round(min(col("p01")), 4).as("p01"),
-        round(min(col("p99")), 4).as("p99"))
+        Doubles.roundZ(min(col("p01")), 4).as("p01"),
+        Doubles.roundZ(min(col("p99")), 4).as("p99"))
       .orderBy("event_type")
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Sketches, VectorFunctions}
+import graft.functions.{Doubles, Sketches, VectorFunctions}
 
 /** Corpus-curation operators beyond the dedup family: normalization-aware
   * duplicate collapse, frequency heavy hitters, and the centroid-assignment
@@ -159,7 +159,7 @@ object Curation {
         count(lit(1)).as("n_vecs"),
         // rounded cosines sum exactly in decimal, so the mean is
         // partial-aggregation-order independent
-        round(sum(col("cos").cast("decimal(18,6)")).cast("double")
+        Doubles.roundZ(sum(col("cos").cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 6).as("avg_cos"),
         min(col("vec_id")).as("first_vec"))
       .orderBy("centroid_id")
@@ -394,7 +394,9 @@ object Curation {
           log((col("cc") + 1.0) / (col("ctot") + col("v")))).as("lr"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lr")) / count(lit(1)), 4).as("dsir_weight"))
+        // roundZ: a tiny negative log-ratio sum rounds to -0.0 in DuckDB but
+        // 0.0 here — normalize so the byte-hash oracle compare agrees
+        Doubles.roundZ(sum(col("lr")) / count(lit(1)), 4).as("dsir_weight"))
       .orderBy("doc_id")
   }
 

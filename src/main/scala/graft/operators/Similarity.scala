@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Doubles
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -41,7 +42,7 @@ object Similarity {
       .join(broadcast(queryVectors(spark, dir)
         .withColumn("q_nrm", normD(col("q_emb")))), col("n_id") =!= col("q_id"))
       .withColumn("cosim",
-        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
           col("q_nrm"), col("n_nrm")), 6))
     scored
       .withColumn("rnk",
@@ -100,7 +101,7 @@ object Similarity {
     cand.join(broadcast(probes), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosim",
-        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
           col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rnk",
         row_number().over(
@@ -156,7 +157,7 @@ object Similarity {
     cand.join(broadcast(probes), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosim",
-        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
           col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rnk",
         row_number().over(
@@ -187,7 +188,7 @@ object Similarity {
         col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
       .join(broadcast(q), col("n_label") =!= col("q_label"))
       .withColumn("cosim",
-        round(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
           col("q_nrm"), col("n_nrm")), 6))
       .withColumn("rnk",
         row_number().over(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{RollingHash, Sketches}
+import graft.functions.{Doubles, RollingHash, Sketches}
 
 /** Text-analysis operators over the `documents` table: language ID, quality
   * scoring, token statistics, and content fingerprinting. All per-document
@@ -125,7 +125,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
+        Doubles.roundZ(sum(col("lp")) / count(lit(1)), 4).as("avg_logprob"))
       .select("doc_id", "n_tokens", "avg_logprob")
       .orderBy("doc_id")
   }
@@ -138,7 +138,13 @@ object TextAnalysis {
     * no shuffle until the tiny per-source audit aggregate.
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = expr("((doc_id * 1103515245 + 12345) div 65536) % 100")
+    // the product is reduced mod 2^31 BEFORE the bit extraction: doc_id is
+    // first folded into [0, 2^31) so the multiply can never overflow a Long
+    // (2^31 * 1103515245 < 2^62), and the low 31 bits of a modular product
+    // equal the low 31 bits of the true product — so bits 16+ used below are
+    // unchanged for every doc_id where the unmasked form didn't overflow
+    val bucket = expr(
+      "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 100")
     val rate = lit(25) + pmod(length(col("source")) * 17, lit(50))
     Tables.documents(spark, dir)
       .withColumn("rate_pct", rate.cast("long"))
@@ -165,7 +171,12 @@ object TextAnalysis {
   def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     // u in (0,1]: 15-bit LCG output + 1, scaled — never exactly 0, so the
     // pow is finite for any weight
-    val u = (expr("((doc_id * 1103515245 + 12345) div 65536) % 32768") + 1.0) / 32768.0
+    // same overflow-proof mod-2^31 LCG as x8: bits 16..30 of the product,
+    // unchanged by the masking (see x8), but defined for all 2^63 doc_ids —
+    // the unmasked multiply overflows at doc_id ~8.4e9, going negative (NaN
+    // keys that sort first) or throwing under ANSI mode
+    val u = (expr(
+      "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 32768") + 1.0) / 32768.0
     val wc = size(split(col("text"), " ")).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"), wc.as("n_tokens"), u.as("u"))
@@ -375,7 +386,7 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
       .select(col("doc_id"), col("n_tokens"),
-        round(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 6)
+        Doubles.roundZ(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 6)
           .as("entropy"))
       .orderBy("doc_id")
 
@@ -400,8 +411,8 @@ object TextAnalysis {
         log(col("n").cast("double")).as("lf"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_terms"),
-        round(regr_slope(col("lf"), col("lr")), 4).as("zipf_slope"),
-        round(regr_r2(col("lf"), col("lr")), 4).as("r2"))
+        Doubles.roundZ(regr_slope(col("lf"), col("lr")), 4).as("zipf_slope"),
+        Doubles.roundZ(regr_r2(col("lf"), col("lr")), 4).as("r2"))
       .orderBy("source")
   }
 
