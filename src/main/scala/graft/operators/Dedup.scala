@@ -327,32 +327,82 @@ object Dedup {
         (col("doc_id") === col("group_id")).as("keep"))
       .orderBy("doc_id")
 
+  /** Degree-oriented directed edge list from an undirected pair list
+    * (a_id < b_id, each pair once): every edge points from its
+    * lower-degree endpoint to its higher-degree endpoint, ties broken by
+    * id, so (deg, id) is a total order and each edge appears exactly once.
+    * Emits (src, dst, dd) where dd is dst's (deg, id) rank carrier —
+    * wedge enumeration needs it to order a source's out-neighbors without
+    * re-joining degrees.
+    */
+  private[graft] def orientByDegree(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("a_id").as("v"))
+      .union(pairs.select(col("b_id").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    pairs
+      .join(deg.select(col("v").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("v").as("b_id"), col("deg").as("db")), "b_id")
+      .select(
+        when(struct(col("da"), col("a_id")) < struct(col("db"), col("b_id")),
+          struct(col("a_id").as("src"), col("b_id").as("dst"), col("db").as("dd")))
+          .otherwise(
+            struct(col("b_id").as("src"), col("a_id").as("dst"), col("da").as("dd")))
+          .as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"))
+  }
+
+  /** Wedges (u; v ≺ w) over a degree-oriented edge list: two out-edges of a
+    * common source, the out-neighbors ordered by the same (deg, id) total
+    * order the orientation used. Each triangle {a ≺ b ≺ c} yields exactly
+    * one wedge (a; b, c), closed by the oriented edge b → c.
+    */
+  private[graft] def wedgesOf(oriented: DataFrame): DataFrame =
+    oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")),
+        Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .select("u", "v", "w")
+
+  /** Triangle participation counts from an undirected pair list — the
+    * degree-oriented wedge join (Suri & Vassilvitskii, WWW'11 "Counting
+    * triangles and the curse of the last reducer"). Orienting every edge
+    * low-degree → high-degree caps each vertex's out-degree at O(√m), so
+    * wedge volume is O(m^1.5) even on skewed graphs: a hub of degree d
+    * contributes 0 wedges (all its edges point IN) instead of the C(d, 2)
+    * an id orientation can produce when the hub draws a low id.
+    */
+  private[graft] def triangleCountsFromPairs(pairs: DataFrame): DataFrame = {
+    // both wedge-join branches and the closing semi-join read the oriented
+    // edge list; materialize it once (degree agg + two joins otherwise
+    // recompute three times)
+    val oriented = graft.CacheRegistry.persistTracked(orientByDegree(pairs))
+    wedgesOf(oriented)
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** g1: per-document triangle participation over the d4 near-dup graph —
     * the local-density signal that separates tight duplicate cliques from
     * incidental pairwise matches (a doc in many triangles is inside a
     * near-clique; a doc in none hangs off a chain). Triangle enumeration is
     * the graph-analytics shuffle pattern CC doesn't exercise: an edge-edge
-    * wedge join closed by a second edge join. Edges here are oriented
-    * low-id → high-id, so each triangle is enumerated exactly once; at
-    * fleet scale the orientation should be by DEGREE (low-degree endpoint
-    * first), which bounds wedge fanout at O(m^1.5) even on skewed graphs —
-    * id order is the same join with a different orientation column.
+    * wedge join closed by a second edge semi-join, with edges DEGREE-
+    * oriented (see triangleCountsFromPairs) so wedge fanout stays bounded
+    * on the near-clique-heavy graphs dedup produces. Triangle counts are
+    * orientation-invariant, so the output is identical to the id-oriented
+    * round-3 plan — only the worst-case shuffle volume changed.
     */
   def triangleCounts(spark: SparkSession, dir: String,
                      minJaccard: Double = 0.8): DataFrame = {
-    // three self-join branches read the pair list; materialize it once
+    // the orientation join and both wedge-join branches read the pair
+    // list; materialize it once
     val pairs = graft.CacheRegistry.persistTracked(
       ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
-    val wedges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .join(pairs.select(col("a_id").as("y"), col("b_id").as("z")), "y")
-    val tris = wedges
-      .join(pairs.select(col("a_id").as("x"), col("b_id").as("z")),
-        Seq("x", "z"), "left_semi")
-    tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_triangles"))
-      .orderBy("doc_id")
+    triangleCountsFromPairs(pairs)
   }
 
   /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse

@@ -194,4 +194,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == (1L to 4L).map(i => (i, 3L)).toSeq, s"got ${got.toSeq}")
   }
+
+  test("g1 degree orientation produces zero wedges on a hub star") {
+    import spark.implicits._
+    // A hub (id 0) with 1000 leaves — the id-orientation worst case: the
+    // hub's low id would put all 1000 edges OUT of it, producing
+    // C(1000,2) = 499500 wedges, none of which close. Degree orientation
+    // points every edge INTO the hub, so the wedge join emits nothing.
+    val star = (1L to 1000L).map(i => (0L, i)).toDF("a_id", "b_id")
+    assert(Dedup.wedgesOf(Dedup.orientByDegree(star)).count() == 0L)
+  }
+
+  test("g1 wedge volume on a planted 50-clique is the triangle floor") {
+    import spark.implicits._
+    val n = 50
+    val clique = (for { a <- 0 until n; b <- a + 1 until n }
+      yield (a.toLong, b.toLong)).toDF("a_id", "b_id")
+    val oriented = Dedup.orientByDegree(clique)
+    // in a clique every wedge closes, so C(n,3) wedges is the floor — the
+    // oriented join hits it exactly (Σ C(outdeg,2) with outdegs n-1..0)
+    // where an unoriented neighbor join would pay n·C(n-1,2), 3× more
+    assert(Dedup.wedgesOf(oriented).count() ==
+      n.toLong * (n - 1) * (n - 2) / 6)
+    val counts = Dedup.triangleCountsFromPairs(clique)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.length == n &&
+      counts.forall(_._2 == (n - 1).toLong * (n - 2) / 2),
+      "every clique vertex participates in C(n-1,2) triangles")
+  }
 }
