@@ -405,21 +405,72 @@ object Dedup {
     triangleCountsFromPairs(pairs)
   }
 
-  /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
-    * cluster id); cosine computed in double so it hash-matches the DuckDB
-    * oracle after round(6). At 100 TB the block key becomes an LSH/IVF
-    * bucket (see Similarity.annIvf) instead of a given label.
+  /** Block assignment for the d5 pair join: (label, cell, vec_id,
+    * embedding, nrm). Labels at or under `maxBlockSize` keep one block
+    * (cell 0) and the output is identical to plain label blocking; a HOT
+    * label — one whose population would make the within-label self-join
+    * quadratic-explode — is sub-bucketed by nearest-centroid assignment
+    * (the k1/SemDedup quantizer): its `subCells` lowest-id vectors seed
+    * the cells, every member lands in its argmax-cosine cell, and the
+    * pair join keys on (label, cell). Candidate volume per hot label
+    * drops from C(n,2) to Σ C(cell,2); the trade is SemDedup's — a
+    * cross-cell near-dup inside a hot label is missed by design, which
+    * is the published recipe's accepted recall bound (Abbas et al.,
+    * 2023). Seeds come from a per-label row_number capped at `subCells`,
+    * which Spark plans as WindowGroupLimit — partial top-k per partition
+    * before the shuffle, so no hot label is ever sorted whole.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String,
-                       minCosine: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("label"), col("vec_id"), col("embedding"),
-        VectorFunctions.normD(col("embedding")).as("nrm"))
-    val a = e.select(col("label"), col("vec_id").as("a_id"),
+  private[graft] def blockedEmbeddings(emb: DataFrame, maxBlockSize: Int,
+                                       subCells: Int): DataFrame = {
+    val e0 = emb.select(col("label"), col("vec_id"), col("embedding"),
+      VectorFunctions.normD(col("embedding")).as("nrm"))
+    val hot = e0.groupBy("label").agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") > maxBlockSize)
+      .select(col("label"), lit(true).as("is_hot"))
+    // three readers below (cold branch, seed extraction, hot assignment);
+    // label cardinality is tiny next to the corpus, so the hot list
+    // broadcasts
+    val e = graft.CacheRegistry.persistTracked(
+      e0.join(broadcast(hot), Seq("label"), "left")
+        .withColumn("is_hot", coalesce(col("is_hot"), lit(false))))
+    val cold = e.filter(!col("is_hot"))
+      .select(col("label"), lit(0).as("cell"), col("vec_id"),
+        col("embedding"), col("nrm"))
+    val seeds = e.filter(col("is_hot"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy("label").orderBy("vec_id")))
+      .filter(col("srnk") <= subCells)
+      .select(col("label"), (col("srnk") - 1).as("cell"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val hotAssigned = e.filter(col("is_hot"))
+      .join(broadcast(seeds), Seq("label"))
+      .withColumn("cos",
+        VectorFunctions.cosineWithNorms(
+          VectorFunctions.dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
+        first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"))
+      .select(col("label"), (-col("best.neg_cell")).as("cell"),
+        col("vec_id"), col("embedding"), col("nrm"))
+    cold.unionByName(hotAssigned)
+  }
+
+  /** d5 core on an arbitrary embeddings frame — see blockedEmbeddings for
+    * the hot-label guard; the exact double cosine re-scores every
+    * candidate, so precision is exact regardless of blocking.
+    */
+  private[graft] def embeddingNearDupFrom(emb: DataFrame, minCosine: Double,
+                                          maxBlockSize: Int,
+                                          subCells: Int): DataFrame = {
+    val e = blockedEmbeddings(emb, maxBlockSize, subCells)
+    val a = e.select(col("label"), col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"),
+    val b = e.select(col("label"), col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosim",
         round(VectorFunctions.cosineWithNorms(
@@ -429,4 +480,20 @@ object Dedup {
       .select("a_id", "b_id", "cosim")
       .orderBy("a_id", "b_id")
   }
+
+  /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse
+    * cluster id); cosine computed in double so it hash-matches the DuckDB
+    * oracle after round(6). Labels larger than `maxBlockSize` are
+    * sub-bucketed by centroid cell before the pair join (see
+    * blockedEmbeddings) so one hot label can never make the self-join
+    * quadratic — at sf scales no label crosses the default cap and the
+    * output is bit-identical to plain label blocking, which keeps the
+    * exact SQL oracle. At 100 TB the label/cell key becomes an LSH/IVF
+    * bucket (see Similarity.annIvf) with the same guard.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       minCosine: Double = 0.4, maxBlockSize: Int = 4096,
+                       subCells: Int = 16): DataFrame =
+    embeddingNearDupFrom(Tables.embeddings(spark, dir), minCosine,
+      maxBlockSize, subCells)
 }

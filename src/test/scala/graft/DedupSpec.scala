@@ -195,6 +195,43 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == (1L to 4L).map(i => (i, 3L)).toSeq, s"got ${got.toSeq}")
   }
 
+  test("d5 hot-label guard bounds candidate volume and keeps planted dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val n = 10000
+    val dim = 8
+    // deterministic pseudo-random unit-ish vectors (seeded LCG, no runtime
+    // randomness)
+    def vec(i: Long): Array[Float] = {
+      var s = i * 6364136223846793005L + 1442695040888963407L
+      Array.fill(dim) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5).toFloat
+      }
+    }
+    // one hot label holding the whole corpus — the skew case the guard
+    // exists for — plus a planted exact duplicate pair
+    val dup = vec(42L)
+    val emb = ((0 until n).map(i => (i.toLong, vec(i.toLong), 7)) ++
+      Seq((n.toLong, dup, 7), (n.toLong + 1, dup, 7)))
+      .toDF("vec_id", "embedding", "label")
+    val blocked = Dedup.blockedEmbeddings(emb, maxBlockSize = 1000, subCells = 16)
+    val cells = blocked.groupBy("label", "cell").agg(count(lit(1)).as("m"))
+      .collect().map(_.getAs[Long]("m"))
+    val candidates = cells.map(m => m * (m - 1) / 2).sum
+    val unblocked = (n.toLong + 2) * (n + 1) / 2
+    assert(candidates < unblocked / 5,
+      s"sub-bucketing must cut candidates ≥5×: $candidates vs $unblocked")
+    assert(cells.sum == n.toLong + 2, "every vector lands in exactly one cell")
+    // identical vectors score identically against every seed, so they
+    // share an argmax cell and the guard cannot split a true duplicate
+    val pairs = Dedup.embeddingNearDupFrom(emb, minCosine = 0.999,
+      maxBlockSize = 1000, subCells = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((n.toLong, n.toLong + 1)),
+      "planted duplicate must survive sub-bucketing")
+  }
+
   test("g1 degree orientation produces zero wedges on a hub star") {
     import spark.implicits._
     // A hub (id 0) with 1000 leaves — the id-orientation worst case: the
