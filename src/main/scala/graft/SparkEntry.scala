@@ -1185,6 +1185,92 @@ object SparkEntry {
         |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS quality_score
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // x4: the poly-31 rolling hashes replayed in SQL — prefix hashes via a
+    // recursive CTE over byte positions (HUGEINT mod 2^64 mirrors the
+    // kernel's wraparound long), window hashes as P[i] − P[i−32]·31³²,
+    // min over the SIGNED interpretation exactly like the kernel.
+    "x4_fingerprint" ->
+      """WITH RECURSIVE pre AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS p, length(text) AS n, text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i+1,
+        |         (p*31 + unicode(text[i+1])) % CAST(18446744073709551616 AS HUGEINT),
+        |         n, text
+        |  FROM pre WHERE i < n),
+        |fin AS (SELECT doc_id, p AS pfull FROM pre WHERE i = n),
+        |wins AS (
+        |  SELECT a.doc_id,
+        |         ((a.p - b.p * CAST(3671467063254694913 AS HUGEINT))
+        |            % CAST(18446744073709551616 AS HUGEINT)
+        |          + CAST(18446744073709551616 AS HUGEINT))
+        |           % CAST(18446744073709551616 AS HUGEINT) AS w
+        |  FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i - 32),
+        |minwin AS (
+        |  SELECT doc_id,
+        |    min(CAST(CASE WHEN w >= 9223372036854775808 THEN w - CAST(18446744073709551616 AS HUGEINT) ELSE w END AS BIGINT)) AS mw
+        |  FROM wins GROUP BY doc_id)
+        |SELECT f.doc_id,
+        |  CAST(CASE WHEN pfull >= 9223372036854775808 THEN pfull - CAST(18446744073709551616 AS HUGEINT) ELSE pfull END AS BIGINT) AS fp64,
+        |  COALESCE(m.mw,
+        |    CAST(CASE WHEN pfull >= 9223372036854775808 THEN pfull - CAST(18446744073709551616 AS HUGEINT) ELSE pfull END AS BIGINT)) AS min_win_fp
+        |FROM fin f LEFT JOIN minwin m USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // x7: the feature-hashing embedding replayed end-to-end — per-token
+    // poly-31 + xorshift64 (HUGEINT mod 2^64), ±1 accumulation per
+    // dimension, L2 normalization, and the ordered digest fold, all
+    // bit-exact against the kernel (sums of ±1 and of squared integers
+    // are exact in double regardless of order; the normalized components
+    // and their squares fold in dimension order via list_reduce).
+    "x7_hash_embedding" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+        |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
+        |  FROM toks),
+        |m1 AS (SELECT doc_id, xor(u, (u*8192) % CAST(18446744073709551616 AS HUGEINT)) AS u FROM h0),
+        |m2 AS (SELECT doc_id, xor(u, u // 128) AS u FROM m1),
+        |m3 AS (SELECT doc_id, xor(u, (u*131072) % CAST(18446744073709551616 AS HUGEINT)) AS u FROM m2),
+        |feats AS (
+        |  SELECT doc_id, CAST(u % 64 AS BIGINT) AS idx,
+        |         CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) THEN -1.0 ELSE 1.0 END AS sgn
+        |  FROM m3),
+        |acc AS (SELECT doc_id, idx, sum(sgn) AS a FROM feats GROUP BY doc_id, idx),
+        |ssq AS (SELECT doc_id, sum(a*a) AS ss FROM acc GROUP BY doc_id),
+        |comp AS (
+        |  SELECT acc.doc_id, idx,
+        |         CASE WHEN ssq.ss > 0 THEN a / sqrt(ssq.ss) ELSE a END AS v
+        |  FROM acc JOIN ssq ON acc.doc_id = ssq.doc_id),
+        |nz AS (SELECT doc_id, idx, v FROM comp WHERE v <> 0),
+        |stats AS (
+        |  SELECT doc_id,
+        |    count(*) AS nnz,
+        |    round(sqrt(list_reduce(list_prepend(0.0, list(v*v ORDER BY idx)), (s, x) -> s + x)), 6) AS l2_norm,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list(CAST(idx AS HUGEINT) * 4294967296 + CAST(CAST(floor(v*1e6 + 0.5) AS BIGINT) AS HUGEINT) + 2147483648 ORDER BY idx)),
+        |      (h, e) -> (((h*31 + e // 4294967296) * 31 + e % 4294967296 - 2147483648)
+        |                   % CAST(18446744073709551616 AS HUGEINT)
+        |                 + CAST(18446744073709551616 AS HUGEINT))
+        |                  % CAST(18446744073709551616 AS HUGEINT)) AS dig
+        |  FROM nz GROUP BY doc_id),
+        |ntok AS (
+        |  SELECT doc_id, CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT n.doc_id, n.n_tokens,
+        |  COALESCE(s.nnz, 0) AS nnz,
+        |  COALESCE(s.l2_norm, 0.0) AS l2_norm,
+        |  CAST(CASE WHEN COALESCE(s.dig, CAST(0 AS HUGEINT)) >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN COALESCE(s.dig, CAST(0 AS HUGEINT)) - CAST(18446744073709551616 AS HUGEINT)
+        |       ELSE COALESCE(s.dig, CAST(0 AS HUGEINT)) END AS BIGINT) AS vec_digest
+        |FROM ntok n LEFT JOIN stats s ON n.doc_id = s.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
     "x5_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |freq AS (SELECT w, count(*) AS wc FROM tok GROUP BY w),

@@ -196,10 +196,14 @@ object TextAnalysis {
     * The driver-checked surface emits scalar columns only (the raw
     * array<double> is not sortable/hashable by the compare harness):
     * token count, non-zero dimension count, L2 norm (1.0 or 0.0 by
-    * construction — the kernel normalizes), and an xxhash64 digest of the
-    * full vector, which changes if any component changes. Exact component
-    * semantics stay pinned by KernelPropertiesSpec; `hashEmbeddingVectors`
-    * below returns the raw vectors for composition with d5/s1/s2.
+    * construction — the kernel normalizes), and a digest of the full
+    * vector, which changes if any component changes. The digest is an
+    * ordered poly-31 fold over the non-zero (dimension, ⌊v·10⁶+0.5⌋)
+    * pairs — wraparound long arithmetic both engines reproduce exactly,
+    * so the whole query has a bit-exact DuckDB oracle (xxhash64 would
+    * not). Exact component semantics stay pinned by
+    * KernelPropertiesSpec; `hashEmbeddingVectors` below returns the raw
+    * vectors for composition with d5/s1/s2.
     */
   def hashEmbeddings(spark: SparkSession, dir: String, dim: Int = 64): DataFrame =
     hashEmbeddingVectors(spark, dir, dim)
@@ -209,7 +213,24 @@ object TextAnalysis {
         size(filter(col("embedding"), v => v =!= lit(0.0))).cast("long").as("nnz"),
         round(sqrt(aggregate(col("embedding"), lit(0.0), (acc, v) => acc + v * v)), 6)
           .as("l2_norm"),
-        xxhash64(col("embedding")).as("vec_digest"))
+        aggregate(
+          zip_with(sequence(lit(0L), lit(dim - 1L)), col("embedding"),
+            (i, v) => struct(i.as("i"), v.as("v"))),
+          // fold state is DECIMAL(38,0) reduced mod 2^64 each step: ANSI
+          // mode forbids wraparound long multiply, and decimal keeps the
+          // arithmetic exact and engine-portable (DuckDB mirrors it in
+          // HUGEINT)
+          lit(new java.math.BigDecimal(0)).cast("decimal(38,0)"),
+          (h, s) => when(s("v") === 0.0, h).otherwise(
+            pmod(
+              (h * 31 + s("i").cast("decimal(38,0)")) * 31 +
+                floor(s("v") * 1e6 + 0.5).cast("decimal(38,0)"),
+              lit(new java.math.BigDecimal("18446744073709551616")))
+              .cast("decimal(38,0)")),
+          h => when(h >= lit(new java.math.BigDecimal("9223372036854775808")),
+            h - lit(new java.math.BigDecimal("18446744073709551616")))
+            .otherwise(h).cast("long"))
+          .as("vec_digest"))
       .orderBy("doc_id")
 
   /** The raw-vector form of x7 — embedding column usable as d5/s1/s2 input. */

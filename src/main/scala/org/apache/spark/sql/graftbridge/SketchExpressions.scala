@@ -188,12 +188,20 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Feature-hashing embedding of a string array: each token's XXH64 picks a
+/** Feature-hashing embedding of a string array: each token's hash picks a
   * dimension (`hash mod dim`) and a sign (top hash bit), accumulating a
   * signed bag-of-words vector that is then L2-normalized — the "hashing
   * trick" featurizer. Deterministic, fixed-size, one pass; the text-side
   * input to the embedding dedup / ANN operators when no model embedding
   * exists.
+  *
+  * The token hash is a poly-31 fold over the UTF-8 bytes followed by one
+  * xorshift64 avalanche step (Marsaglia 2003: h ^= h<<13; h ^= h>>>7;
+  * h ^= h<<17) — only wraparound multiply, logical shift, and xor, so any
+  * engine with 64-bit modular integer arithmetic reproduces it
+  * bit-for-bit (the DuckDB oracle does, via HUGEINT mod-2^64); a raw
+  * poly-31 hash would leave short tokens' sign bit always clear and the
+  * bag heavily (+1)-biased, which the avalanche fixes.
   */
 case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
   require(dim > 0)
@@ -205,8 +213,13 @@ case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
     val acc = new Array[Double](dim)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      h ^= h << 13
+      h ^= h >>> 7
+      h ^= h << 17
       val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
       acc(idx) += (if (h < 0) -1.0 else 1.0)
       i += 1
@@ -224,13 +237,11 @@ case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
-      val utf8 = classOf[UTF8String].getName
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val idx = ctx.freshName("idx")
       val ss = ctx.freshName("ss")
@@ -238,8 +249,12 @@ case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
       s"""
          |double[] $acc = new double[$dim];
          |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  $utf8 $s = $c.getUTF8String($i);
-         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  byte[] $b = $c.getUTF8String($i).getBytes();
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $b.length; $j++) { $h = $h * 31L + ($b[$j] & 0xffL); }
+         |  $h ^= $h << 13;
+         |  $h ^= $h >>> 7;
+         |  $h ^= $h << 17;
          |  int $idx = (int) java.lang.Math.floorMod($h, (long) $dim);
          |  $acc[$idx] += ($h < 0L) ? -1.0 : 1.0;
          |}

@@ -81,8 +81,11 @@ class KernelPropertiesSpec extends SparkSpec {
     def ref(tokens: Seq[String]): Array[Double] = {
       val acc = new Array[Double](dim)
       tokens.foreach { t =>
-        val u = UTF8String.fromString(t)
-        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var h = 0L
+        t.getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xffL))
+        h ^= h << 13
+        h ^= h >>> 7
+        h ^= h << 17
         acc(java.lang.Math.floorMod(h, dim.toLong).toInt) += (if (h < 0) -1.0 else 1.0)
       }
       val ss = acc.map(x => x * x).sum
