@@ -56,8 +56,15 @@ object Bench {
       }
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    def onePass(): Seq[(String, Double)] =
-      sorted.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Shared keyed caches (the d4 pair list / d6 labels reused by d6, d7
+    // and g1) live for one pass — so within a pass the similarity-join
+    // chain runs once, but every pass still pays the build exactly once
+    // and per-query minima stay comparable across passes.
+    def onePass(): Seq[(String, Double)] = {
+      val r = sorted.map { case (name, fn) => name -> timeOne(name, fn) }
+      CacheRegistry.releaseShared()
+      r
+    }
     val twoPass = (onePass() ++ onePass())
       .groupBy(_._1).map { case (n, rs) => n -> rs.map(_._2).min }
     val slowThreshold = 2.5
@@ -70,6 +77,7 @@ object Bench {
       }
       name -> best
     }
+    CacheRegistry.releaseShared()
     val failed = results.collect { case (n, v) if v.isInfinite => n }
     val ok = results.filter(!_._2.isInfinite)
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }

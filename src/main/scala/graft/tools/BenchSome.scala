@@ -36,28 +36,34 @@ object BenchSome {
         catch { case _: Throwable => () }
       }
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Pass-structured like graft.Bench (iteration = one pass over the
+    // query set) with the same cache discipline: per-query releaseAll,
+    // per-pass releaseShared — so cross-query shared memos (d4 pairs /
+    // d6 labels) help within a pass but every pass pays the build once
+    // and per-pass minima stay honest.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.isEmpty || names(n) }
-      .foreach { case (name, fn) =>
-        (1 to iters).foreach { i =>
-          val gc0 = gcMillis()
-          val t0 = System.nanoTime()
-          val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-          val watchdog = new Thread(() => {
-            Thread.sleep(20000)
-            if (!done.get()) dumpStacks(s"$name#$i")
-          })
-          watchdog.setDaemon(true)
-          watchdog.start()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench-some] $name failed: ${e.getMessage}")
-          }
-          done.set(true)
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"TIMING $name#$i $sec%.2f s gc=${(gcMillis() - gc0) / 1000.0}%.2f s end=${System.currentTimeMillis()}")
-        }
+    (1 to iters).foreach { i =>
+      selected.foreach { case (name, fn) =>
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val watchdog = new Thread(() => {
+          Thread.sleep(20000)
+          if (!done.get()) dumpStacks(s"$name#$i")
+        })
+        watchdog.setDaemon(true)
+        watchdog.start()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-some] $name failed: ${e.getMessage}")
+        } finally graft.CacheRegistry.releaseAll()
+        done.set(true)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"TIMING $name#$i $sec%.2f s gc=${(gcMillis() - gc0) / 1000.0}%.2f s end=${System.currentTimeMillis()}")
       }
+      graft.CacheRegistry.releaseShared()
+    }
     spark.stop()
   }
 
