@@ -1284,7 +1284,7 @@ object SparkEntry {
       """SELECT source, CAST(25 + (length(source) * 17) % 50 AS BIGINT) AS rate_pct,
         |       count(*) AS n_sampled, min(doc_id) AS first_kept
         |FROM documents
-        |WHERE ((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100
+        |WHERE (((((doc_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 100
         |      < 25 + (length(source) * 17) % 50
         |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1292,7 +1292,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT doc_id,
         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         ((((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 32768) + 1.0)
+        |         (((((((doc_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 12345) % 2147483648) // 65536) % 32768) + 1.0)
         |           / 32768.0 AS u
         |  FROM documents)
         |SELECT doc_id, n_tokens,

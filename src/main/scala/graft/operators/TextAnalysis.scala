@@ -139,12 +139,15 @@ object TextAnalysis {
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     // the product is reduced mod 2^31 BEFORE the bit extraction: doc_id is
-    // first folded into [0, 2^31) so the multiply can never overflow a Long
-    // (2^31 * 1103515245 < 2^62), and the low 31 bits of a modular product
-    // equal the low 31 bits of the true product — so bits 16+ used below are
-    // unchanged for every doc_id where the unmasked form didn't overflow
+    // first folded into [0, 2^31) with pmod (nonnegative even for negative
+    // ids) so the multiply can never overflow a Long (2^31 * 1103515245 <
+    // 2^62). The masking intentionally CHANGES bucket values relative to an
+    // unmasked product — the final % 100 reads bits above bit 30 — but it
+    // changes them identically on every engine (the oracle applies the same
+    // fold), which is what the cross-engine gate needs; only x28's pure
+    // bits-16..30 extraction is value-preserving under the mask
     val bucket = expr(
-      "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 100")
+      "(((pmod(doc_id, 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 100")
     val rate = lit(25) + pmod(length(col("source")) * 17, lit(50))
     Tables.documents(spark, dir)
       .withColumn("rate_pct", rate.cast("long"))
@@ -171,12 +174,16 @@ object TextAnalysis {
   def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     // u in (0,1]: 15-bit LCG output + 1, scaled — never exactly 0, so the
     // pow is finite for any weight
-    // same overflow-proof mod-2^31 LCG as x8: bits 16..30 of the product,
-    // unchanged by the masking (see x8), but defined for all 2^63 doc_ids —
-    // the unmasked multiply overflows at doc_id ~8.4e9, going negative (NaN
-    // keys that sort first) or throwing under ANSI mode
+    // same overflow-proof mod-2^31 LCG as x8: the % 32768 here reads only
+    // bits 16..30 of the product, which the mod-2^31 fold preserves, so
+    // this value matches the unmasked LCG wherever that one didn't
+    // overflow (doc_id ~8.4e9, where it goes negative — NaN keys that
+    // sort first — or throws under ANSI mode). pmod keeps the folded id
+    // nonnegative even for negative doc_ids, where a signed % would make
+    // Spark's div (truncating) and DuckDB's // (flooring) diverge and u
+    // could reach 0
     val u = (expr(
-      "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 32768") + 1.0) / 32768.0
+      "(((pmod(doc_id, 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 32768") + 1.0) / 32768.0
     val wc = size(split(col("text"), " ")).cast("long")
     Tables.documents(spark, dir)
       .select(col("doc_id"), wc.as("n_tokens"), u.as("u"))
