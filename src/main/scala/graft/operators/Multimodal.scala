@@ -147,24 +147,57 @@ object Multimodal {
   /** One sampled frame of a video decode (raw fallback framing). */
   case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long, frame_crc: Long)
 
-  /** m2: frame sampling — the one-to-many decode fan-out (video row →
-    * sampled frame rows) via a typed flatMap-style mapPartitions. Video
-    * decode is the documented raw fallback; the fan-out shape, encoder
-    * schemas, and per-partition batching are what a real ffmpeg stage
-    * drops into.
+  /** One decoded frame as the codec seam hands it to the operator: index,
+    * presentation timestamp, and a digest standing in for the pixel buffer
+    * (a real decoder would carry the buffer; the operator only persists
+    * derived columns, so the digest is the schema-stable projection).
     */
-  def frameSamples(spark: SparkSession, dir: String,
-                   everyNth: Int = 4): Dataset[FrameSample] = {
+  final case class DecodedFrame(frame_idx: Int, ts_ms: Long, frame_crc: Long)
+
+  /** THE CODEC SEAM for m2: a real decoder (ffmpeg/jcodec) drops in by
+    * implementing this one method — the operator, its schema, its
+    * partitioning and its fan-out plan do not change. Instances ship to
+    * executors inside the mapPartitions closure, hence Serializable; the
+    * iterator is consumed lazily per payload so a streaming decoder never
+    * materializes all frames at once. Frame-sampling POLICY (every Nth)
+    * stays in the operator: decode order is the codec's concern, which
+    * frames to keep is the pipeline's.
+    */
+  trait FrameDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Iterator[DecodedFrame]
+  }
+
+  /** Default decoder: the honest raw fallback (no codec libs in this
+    * container) — 1024-byte groups as "frames" at 25 fps, frame digest =
+    * CRC32 over a strided 64-byte slice of the payload.
+    */
+  object RawFrameDecoder extends FrameDecoder {
+    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+      val nFrames = payload.length / 1024 + 1
+      Iterator.range(0, nFrames).map { i =>
+        val crc = new CRC32()
+        crc.update(payload, (i * 64) % math.max(1, payload.length),
+          math.min(64, payload.length))
+        DecodedFrame(i, i * 40L, crc.getValue) // 25 fps -> 40ms/frame
+      }
+    }
+  }
+
+  /** m2: frame sampling — the one-to-many decode fan-out (video row →
+    * sampled frame rows) via a typed flatMap-style mapPartitions. The
+    * decode step sits behind the FrameDecoder seam (RawFrameDecoder by
+    * default — see MultimodalSpec for a fake codec exercising the same
+    * path); the fan-out shape, encoder schemas, and per-partition
+    * batching are what a real ffmpeg stage drops into.
+    */
+  def frameSamples(spark: SparkSession, dir: String, everyNth: Int = 4,
+                   decoder: FrameDecoder = RawFrameDecoder): Dataset[FrameSample] = {
     import spark.implicits._
     val blobs = mediaBlobs(spark, dir).filter(_.media_type == "video")
     blobs.mapPartitions(_.flatMap { b =>
-      val meta = decode(b)
-      (0 until meta.n_frames by everyNth).map { i =>
-        val crc = new CRC32()
-        crc.update(b.payload, (i * 64) % math.max(1, b.payload.length),
-          math.min(64, b.payload.length))
-        FrameSample(b.doc_id, i, i * 40L, crc.getValue) // 25 fps -> 40ms/frame
-      }
+      decoder.decode(b.payload)
+        .filter(_.frame_idx % everyNth == 0)
+        .map(f => FrameSample(b.doc_id, f.frame_idx, f.ts_ms, f.frame_crc))
     })
   }
 

@@ -11,6 +11,19 @@ import graft.operators.Multimodal
   * built with; malformed payloads must fall back to "raw" rather than
   * misparse.
   */
+/** Top-level fixtures so decoder instances serialize without dragging the
+  * (non-serializable) suite into the mapPartitions closure.
+  */
+object MultimodalSpecFixtures {
+  /** A stand-in codec: 6 fixed "frames" at 1-second timestamps with
+    * synthetic digests — exercises the FrameDecoder seam end to end.
+    */
+  object FakeDecoder extends Multimodal.FrameDecoder {
+    override def decode(payload: Array[Byte]): Iterator[Multimodal.DecodedFrame] =
+      Iterator.range(0, 6).map(i => Multimodal.DecodedFrame(i, i * 1000L, i * 7L))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   /** doc_id chosen so pmod(id,3) lands the wanted modality:
@@ -62,6 +75,18 @@ class MultimodalSpec extends SparkSpec {
       .collect().groupBy(_.doc_id).view.mapValues(_.length).toMap
     // doc 2: 1 frame -> idx 0 only; doc 5: 5000/1024+1 = 5 frames -> 0,2,4
     assert(got == Map(2L -> 1, 5L -> 3))
+  }
+
+  test("m2 codec seam: a fake decoder slots in without operator changes") {
+    // same operator, same schema, same fan-out plan — only the decoder
+    // swaps, which is the real-codec upgrade path
+    val dir = writeDocs(Seq((2L, "x" * 100))) // doc 2 -> video
+    val got = Multimodal.frameSamples(spark, dir, everyNth = 2,
+      decoder = MultimodalSpecFixtures.FakeDecoder)
+      .collect().sortBy(_.frame_idx)
+      .map(f => (f.frame_idx, f.ts_ms, f.frame_crc))
+    assert(got.toSeq == Seq((0, 0L, 0L), (2, 2000L, 14L), (4, 4000L, 28L)),
+      s"got ${got.toSeq}")
   }
 
   test("m1 parses the synthesized containers back to their build parameters") {
