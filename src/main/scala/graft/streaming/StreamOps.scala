@@ -451,6 +451,175 @@ object StreamOps {
                     key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 
+  // --- Streaming twins of the round-2 curation analytics ---------------
+
+  case class Doc(doc_id: Long, ts: Timestamp, source: String, n_tokens: Long)
+
+  case class PackState(binId: Long, cumTokens: Long, nDocs: Long,
+                       binTokens: Long)
+
+  case class PackedBin(source: String, bin_id: Long, n_docs: Long,
+                       bin_tokens: Long, fill_ratio: Double)
+
+  /** Streaming sequence packing (the x20 twin): documents arriving per
+    * source accumulate into fixed-token-budget bins by cumulative token
+    * count — a doc's bin is ⌊prior/B⌋ exactly like the batch window form,
+    * so a replay of the same per-source doc order reproduces the batch
+    * bins. A bin is emitted the moment the cumulative count crosses into
+    * a later bin; the final open bin flushes when the event-time timer at
+    * (last event + flushGap) passes the watermark, so an idle source
+    * drains without waiting for its next document. State per key is one
+    * O(1) PackState — the 100 TB posture: keys shard by (source) or
+    * (source, shard) with no cross-key coordination, identical to the
+    * batch operator's partitioning note.
+    */
+  class PackSequencesProcessor(binTokens: Long, flushGapMs: Long)
+      extends StatefulProcessor[String, Doc, PackedBin] {
+    @transient private var pack: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pack = getHandle.getValueState[PackState](
+        "pack", Encoders.product[PackState], TTLConfig.NONE)
+
+    private def emit(source: String, s: PackState): PackedBin =
+      PackedBin(source, s.binId, s.nDocs, s.binTokens,
+        math.round(s.binTokens.toDouble / binTokens * 10000.0) / 10000.0)
+
+    override def handleInputRows(source: String, rows: Iterator[Doc],
+                                 tv: TimerValues): Iterator[PackedBin] = {
+      // within a batch, docs pack in doc_id order (the batch op's window
+      // order); across batches, arrival order IS the pack order
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      var cur = if (pack.exists()) Some(pack.get()) else None
+      val out = Seq.newBuilder[PackedBin]
+      var lastMs = 0L
+      sorted.foreach { d =>
+        val prior = cur.map(_.cumTokens).getOrElse(0L)
+        val bin = Math.floorDiv(prior, binTokens)
+        cur match {
+          case Some(s) if s.nDocs == 0L => // flushed cursor: bin reserved
+            cur = Some(PackState(bin, prior + d.n_tokens, 1L, d.n_tokens))
+          case Some(s) if s.binId == bin =>
+            cur = Some(PackState(bin, prior + d.n_tokens, s.nDocs + 1,
+              s.binTokens + d.n_tokens))
+          case Some(s) =>
+            out += emit(source, s)
+            cur = Some(PackState(bin, prior + d.n_tokens, 1L, d.n_tokens))
+          case None =>
+            cur = Some(PackState(bin, d.n_tokens, 1L, d.n_tokens))
+        }
+        lastMs = math.max(lastMs, d.ts.getTime)
+      }
+      cur.foreach { s =>
+        pack.update(s)
+        // one live flush timer per key, re-armed at the new horizon
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(lastMs + flushGapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(source: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PackedBin] =
+      if (pack.exists() && pack.get().nDocs > 0) {
+        val s = pack.get()
+        // close the idle bin but KEEP the cursor at the next bin boundary,
+        // so bin ids stay monotone per source across flushes (an idle
+        // flush is the one deliberate divergence from the batch window
+        // form, which has no idleness to drain)
+        pack.update(
+          PackState(s.binId + 1, (s.binId + 1) * binTokens, 0L, 0L))
+        Iterator.single(emit(source, s))
+      } else Iterator.empty
+  }
+
+  /** x20 as a stream: per-source token-budget packing with idle flush. */
+  def packSequencesStream(spark: SparkSession, docs: Dataset[Doc],
+                          binTokens: Long = 512L,
+                          flushGapMs: Long = 60000L,
+                          watermark: String = "10 seconds"): Dataset[PackedBin] = {
+    import spark.implicits._
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .transformWithState(new PackSequencesProcessor(binTokens, flushGapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class HeavyHitter(event_type: String, user_id: Long, est_count: Long,
+                         type_total: Long, est_share: Double)
+
+  /** Streaming heavy hitters (the h1 twin) as a Misra–Gries summary per
+    * key — the fixed-state sketch form the batch operator's Scaladoc
+    * names as its streaming upgrade. Per event type the state is at most
+    * `k` candidate counters plus the running type total, REGARDLESS of
+    * how many distinct users the stream ever sees — the 100 TB posture
+    * for unbounded-cardinality frequency tracking (an exact streaming
+    * groupBy count would grow state with every new user forever).
+    *
+    * Misra–Gries guarantee: any user with true count > n/k is always
+    * among the candidates, and estimates undercount by at most n/k.
+    * After each batch the processor emits the candidates currently at or
+    * above `minShare` of the type total — a per-batch monitor stream
+    * (the latest emission per (type, user) is the current estimate), not
+    * an append-only fact stream.
+    */
+  class HeavyHittersProcessor(k: Int, minShare: Double)
+      extends StatefulProcessor[String, Event, HeavyHitter] {
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long](
+        "total", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(eventType: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[HeavyHitter] = {
+      // batch-local mirror of the (≤ k-entry) counter map: one state read
+      // per key per batch, one write per surviving counter
+      val local = scala.collection.mutable.Map.empty[Long, Long]
+      counts.iterator().foreach { p => local(p._1) = p._2 }
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { e =>
+        n += 1
+        local.get(e.user_id) match {
+          case Some(c) => local(e.user_id) = c + 1
+          case None if local.size < k => local(e.user_id) = 1L
+          case None => // decrement-all: the Misra–Gries eviction step
+            local.keys.toSeq.foreach { u =>
+              val c = local(u) - 1
+              if (c == 0) local.remove(u) else local(u) = c
+            }
+        }
+      }
+      total.update(n)
+      counts.clear()
+      local.foreach { case (u, c) => counts.updateValue(u, c) }
+      local.toSeq.sortBy(_._1).iterator
+        .filter { case (_, c) => c.toDouble / n >= minShare }
+        .map { case (u, c) =>
+          HeavyHitter(eventType, u, c, n,
+            math.round(c.toDouble / n * 1e6) / 1e6)
+        }
+    }
+  }
+
+  /** h1 as a stream: Misra–Gries candidates at `minShare` of each type's
+    * running total, re-emitted per batch.
+    */
+  def heavyHittersStream(spark: SparkSession, events: Dataset[Event],
+                         k: Int = 32,
+                         minShare: Double = 0.008): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(k, minShare),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is
     * under `maxGapUs`. State is just the previous event time.
     */

@@ -106,7 +106,15 @@ object StreamBench {
       best("sessionize_tws_timers", () =>
         StreamOps.sessionizeTws(spark, stream().as[StreamOps.Event]).toDF()),
       best("windowed_counts_tws", () =>
-        StreamOps.windowedCountsTws(spark, stream().as[StreamOps.Event]).toDF()))
+        StreamOps.windowedCountsTws(spark, stream().as[StreamOps.Event]).toDF()),
+      best("heavy_hitters_tws", () =>
+        StreamOps.heavyHittersStream(spark, stream().as[StreamOps.Event]).toDF()),
+      best("pack_sequences_tws", () =>
+        StreamOps.packSequencesStream(spark,
+          stream().select(col("event_id").as("doc_id"), col("ts"),
+            col("event_type").as("source"),
+            (pmod(col("user_id"), lit(96)) + 5).as("n_tokens"))
+            .as[StreamOps.Doc]).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }

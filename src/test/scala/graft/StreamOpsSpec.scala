@@ -462,6 +462,86 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def doc(id: Long, minute: Int, source: String, nTokens: Long): Doc =
+    Doc(id,
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      source, nTokens)
+
+  test("streaming x20: bins close on budget crossing and idle sources flush by timer") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Doc]
+      val q = StreamOps.packSequencesStream(spark, input.toDS(),
+          binTokens = 10L, flushGapMs = 30L * 60 * 1000, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("pack_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // s0: 4+4+4 tokens, priors 0,4,8 -> all bin 0 (like the batch
+        // window form: a doc's bin is floor(prior/B))
+        input.addData(Seq(doc(1, 0, "s0", 4), doc(2, 1, "s0", 4),
+          doc(3, 2, "s0", 4)))
+        q.processAllAvailable()
+        assert(spark.table("pack_out").count() == 0, "bin 0 still open")
+        // next doc has prior 12 -> bin 1: bin 0 closes and emits
+        input.addData(Seq(doc(4, 3, "s0", 5)))
+        q.processAllAvailable()
+        val closed = spark.table("pack_out").collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+            r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+            r.getAs[Double]("fill_ratio")))
+        assert(closed.toSeq == Seq(("s0", 0L, 3L, 12L, 1.2)),
+          s"got ${closed.toSeq}")
+        // s1 at minute 90 advances the watermark past s0's flush horizon
+        // (minute 3 + 30 min); the next batch discharges the timer
+        input.addData(Seq(doc(5, 90, "s1", 2)))
+        q.processAllAvailable()
+        input.addData(Seq(doc(6, 95, "s1", 2)))
+        q.processAllAvailable()
+        val all = spark.table("pack_out").collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+            r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens")))
+        assert(all.toSet.contains(("s0", 1L, 1L, 5L)),
+          s"idle open bin must flush by timer, got ${all.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming h1: Misra-Gries keeps the true heavy hitter in fixed state") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[Event]
+      val q = StreamOps.heavyHittersStream(spark, input.toDS(),
+          k = 4, minShare = 0.3)
+        .writeStream.format("memory").queryName("hh_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // user 7 is 50% of the click stream; 10 distinct noise users share
+        // the rest — more distinct users than the k=4 counters can hold
+        val heavy = (1 to 10).map(i => ev(i, i, 7L, "click"))
+        val noise = (1 to 10).map(i => ev(100 + i, 10 + i, 100L + i, "click"))
+        input.addData(heavy ++ noise)
+        q.processAllAvailable()
+        val rows = spark.table("hh_out").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("est_count"),
+            r.getAs[Long]("type_total")))
+        // MG guarantee: true count 10 > n/k = 5, so user 7 MUST survive,
+        // undercounted by at most n/k
+        assert(rows.map(_._1).contains(7L),
+          s"true heavy hitter evicted, got ${rows.toSeq}")
+        val (_, est, tot) = rows.find(_._1 == 7L).get
+        assert(tot == 20L, s"running total $tot")
+        assert(est >= 5L && est <= 10L, s"estimate $est outside MG bounds")
+        assert(rows.length <= 4, "at most k candidates ever emitted")
+        // next batch: totals continue from state, estimate grows
+        input.addData((1 to 5).map(i => ev(200 + i, 40 + i, 7L, "click")))
+        q.processAllAvailable()
+        val again = spark.table("hh_out").collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("type_total")))
+        assert(again.contains((7L, 25L)), s"got ${again.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
