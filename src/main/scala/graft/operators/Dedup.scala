@@ -217,9 +217,17 @@ object Dedup {
     * candidate generation (linear in true candidates, stopword-immune), then
     * exact verification by intersecting the two word-set arrays per
     * candidate pair. The SQL-oracle-checkable exact counterpart of d2.
+    * Memo-shared on (dir, threshold): d6/d7/g1 all start from this frame,
+    * so one harness pass runs the similarity-join chain exactly once.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   minJaccard: Double = 0.8): DataFrame = {
+                   minJaccard: Double = 0.8): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"d4scored:${spark.sparkContext.applicationId}:$dir:$minJaccard")(
+      computeNgramJaccard(spark, dir, minJaccard))
+
+  private def computeNgramJaccard(spark: SparkSession, dir: String,
+                                  minJaccard: Double): DataFrame = {
     // cached: the candidate generator reads it once and BOTH verification
     // rejoins read it again with different join keys (a_id / b_id), so the
     // split+distinct+sort pass over every document would otherwise run
@@ -239,19 +247,15 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Shared-memo key for the d4 near-dup pair list — d6, d7 and g1 all
-    * start from exactly this frame, so within one harness process it is
-    * computed once and reused (the applicationId scopes the entry to its
-    * SparkSession; per-query correctness is unaffected because the frame
-    * is deterministic).
+  /** The d4 near-dup pair list d6/d7/g1 start from — a projection of the
+    * memo-shared scored frame, so within one harness process the
+    * similarity-join chain runs once no matter which family member runs
+    * first (per-query correctness is unaffected: the frame is
+    * deterministic).
     */
-  private def pairsKey(spark: SparkSession, dir: String, t: Double): String =
-    s"d4pairs:${spark.sparkContext.applicationId}:$dir:$t"
-
   private[graft] def sharedPairs(spark: SparkSession, dir: String,
                                  minJaccard: Double): DataFrame =
-    graft.CacheRegistry.memoShared(pairsKey(spark, dir, minJaccard))(
-      ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id"))
+    ngramJaccard(spark, dir, minJaccard).select("a_id", "b_id")
 
   /** d6: transitive dedup groups — connected components over the d4
     * near-dup pairs, so A~B and B~C land in one group even when A~C was
