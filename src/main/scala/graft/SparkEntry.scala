@@ -165,6 +165,20 @@ object SparkEntry {
       |FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
       |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8""".stripMargin
 
+  /** The s2 SRP plane constants as a DuckDB VALUES list (p, j, w) — the
+    * exact doubles the Spark kernel uses, interpolated as round-trip
+    * literals so the oracle's hyperplanes are bit-identical. The dot
+    * products that decide each SRP sign bit are replayed as ORDERED
+    * list_reduce folds (the kernel sums ascending), because a sign
+    * threshold tolerates no summation-order error.
+    */
+  private val srpPlaneValues: String =
+    operators.Similarity.srpPlanes(6, 64).zipWithIndex.flatMap {
+      case (row, p) => row.zipWithIndex.map {
+        case (w, j) => s"($p,${j + 1},$w)"
+      }
+    }.mkString(",")
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
     "t1_speed_radar" ->
@@ -931,6 +945,40 @@ object SparkEntry {
         |FROM c JOIN t USING (event_type)
         |WHERE CAST(n AS DOUBLE) / type_total >= 0.008
         |ORDER BY event_type, user_id""".stripMargin,
+
+    // s2: the full multi-probe SRP pipeline replayed in SQL — plane
+    // constants interpolated from the kernel (see srpPlaneValues), sign
+    // bits from ordered-fold dots, probes = code XOR every mask within
+    // hamming 2, exact cosine re-rank identical to s1's.
+    "s2_ann_ivf" ->
+      s"""WITH plane(p, j, w) AS (VALUES $srpPlaneValues),
+        |v AS (SELECT vec_id, embedding FROM embeddings),
+        |comp AS (SELECT vec_id, CAST(r.range AS BIGINT) AS j,
+        |         CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        |         FROM v, range(1, 65) r),
+        |dots AS (
+        |  SELECT c.vec_id, pl.p,
+        |    list_reduce(list_prepend(0.0, list(c.x * pl.w ORDER BY c.j)), (s, y) -> s + y) AS dot
+        |  FROM comp c JOIN plane pl ON pl.j = c.j
+        |  GROUP BY c.vec_id, pl.p),
+        |codes AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS code
+        |  FROM dots GROUP BY vec_id),
+        |masks AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, 64) WHERE bit_count(CAST(range AS BIGINT)) <= 2),
+        |probes AS (
+        |  SELECT c.vec_id AS q_id, xor(c.code, m.m) AS bucket
+        |  FROM codes c, masks m WHERE c.vec_id < 5),
+        |scored AS (
+        |  SELECT p.q_id, n.vec_id AS n_id,
+        |         round(list_cosine_similarity(list_transform(qv.embedding, x -> CAST(x AS DOUBLE)),
+        |                                      list_transform(nv.embedding, x -> CAST(x AS DOUBLE))), 6) + 0.0 AS cosim
+        |  FROM probes p
+        |  JOIN codes n ON n.code = p.bucket
+        |  JOIN v qv ON qv.vec_id = p.q_id
+        |  JOIN v nv ON nv.vec_id = n.vec_id
+        |  WHERE n.vec_id <> p.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
 
     "s3_ann_ivf_kmeans" ->
       """WITH v AS (SELECT vec_id,

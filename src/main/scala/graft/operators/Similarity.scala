@@ -56,8 +56,11 @@ object Similarity {
 
   /** Fixed SRP hyperplanes: `nBits` x `dim` pseudo-random components from a
     * seeded LCG (deterministic across runs; no runtime randomness).
+    * private[graft] so SparkEntry can interpolate the SAME constants into
+    * the s2 DuckDB oracle as double literals (Double.toString round-trips,
+    * so both engines see bit-identical plane components).
     */
-  private[operators] def srpPlanes(nBits: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def srpPlanes(nBits: Int, dim: Int): Array[Array[Double]] = {
     var state = 0x9E3779B97F4A7C15L
     def next(): Double = {
       state = state * 6364136223846793005L + 1442695040888963407L
