@@ -179,6 +179,24 @@ object SparkEntry {
       }
     }.mkString(",")
 
+  /** The engine-portable token hash (poly-31 fold + splitmix64 finalizer,
+    * the d3/x7 kernels' hash) as DuckDB CTEs: expects `h0(doc_id, u)` with
+    * u the poly-31 value in [0, 2^64) HUGEINT, yields `m5(doc_id, u)` with
+    * the finalized hash. Shifts are integer divides; the two 64-bit
+    * constant multiplies are split hi/lo by 2^32 so no intermediate
+    * exceeds HUGEINT.
+    */
+  private val splitmixCtes: String = {
+    def mulmod(c: String) =
+      s"((((u // 4294967296) * CAST('$c' AS HUGEINT)) % 4294967296) * 4294967296" +
+        s" + (u % 4294967296) * CAST('$c' AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)"
+    s"""m1 AS (SELECT doc_id, xor(u, u // 1073741824) AS u FROM h0),
+       |m2 AS (SELECT doc_id, ${mulmod("13787848793156543929")} AS u FROM m1),
+       |m3 AS (SELECT doc_id, xor(u, u // 134217728) AS u FROM m2),
+       |m4 AS (SELECT doc_id, ${mulmod("10723151780598845931")} AS u FROM m3),
+       |m5 AS (SELECT doc_id, xor(u, u // 2147483648) AS u FROM m4)""".stripMargin
+  }
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
     "t1_speed_radar" ->
@@ -1069,6 +1087,41 @@ object SparkEntry {
     "d4_ngram_jaccard" -> s"""$d4PairsSql
         |ORDER BY a_id, b_id""".stripMargin,
 
+    // d3: the simhash pipeline replayed bit-for-bit — per-token poly-31 +
+    // splitmix64 (splitmixCtes), per-bit majority votes, fingerprint
+    // reassembly, 4x16-bit banding, hamming verify. Token rows carry
+    // MULTIPLICITY (simhash votes per occurrence), unlike d4's DISTINCT.
+    "d3_simhash" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+        |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
+        |  FROM toks),
+        |$splitmixCtes,
+        |bits AS (
+        |  SELECT doc_id, CAST(b.range AS INT) AS b,
+        |         CASE WHEN (u // CAST(power(2, b.range) AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM m5, range(0, 64) b),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS ufp
+        |  FROM (SELECT doc_id, b, sum(vote) AS cnt FROM bits GROUP BY doc_id, b)
+        |  GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, ufp, CAST(bb.range AS INT) AS band,
+        |         (ufp // CAST(power(2, 16*bb.range) AS HUGEINT)) % 65536 AS bits16
+        |  FROM fp, range(0, 4) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.ufp AS fa, b.ufp AS fb
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bits16 = b.bits16 AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "g1_triangle_counts" ->
       s"""WITH pairs AS ($d4PairsSql),
         |tri AS (
@@ -1272,7 +1325,7 @@ object SparkEntry {
     // are exact in double regardless of order; the normalized components
     // and their squares fold in dimension order via list_reduce).
     "x7_hash_embedding" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h0 AS (
         |  SELECT doc_id,
@@ -1281,13 +1334,11 @@ object SparkEntry {
         |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
         |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
         |  FROM toks),
-        |m1 AS (SELECT doc_id, xor(u, (u*8192) % CAST(18446744073709551616 AS HUGEINT)) AS u FROM h0),
-        |m2 AS (SELECT doc_id, xor(u, u // 128) AS u FROM m1),
-        |m3 AS (SELECT doc_id, xor(u, (u*131072) % CAST(18446744073709551616 AS HUGEINT)) AS u FROM m2),
+        |$splitmixCtes,
         |feats AS (
         |  SELECT doc_id, CAST(u % 64 AS BIGINT) AS idx,
         |         CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) THEN -1.0 ELSE 1.0 END AS sgn
-        |  FROM m3),
+        |  FROM m5),
         |acc AS (SELECT doc_id, idx, sum(sgn) AS a FROM feats GROUP BY doc_id, idx),
         |ssq AS (SELECT doc_id, sum(a*a) AS ss FROM acc GROUP BY doc_id),
         |comp AS (

@@ -117,8 +117,8 @@ object Dedup {
   // --- SimHash machinery (d3) -----------------------------------------
 
   /** 64-bit SimHash of a token array — the native codegen'd kernel (one
-    * xxhash64 per token, bit votes read from that hash; see
-    * graftbridge.SimHash64).
+    * engine-portable poly-31 + xorshift64 hash per token, bit votes read
+    * from that hash; see graftbridge.SimHash64).
     */
   def simHash64(tokens: Column): Column = Sketches.simHash64(tokens)
 

@@ -127,8 +127,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /** 64-bit SimHash of a string array: per-bit majority vote over the
-  * XXH64(seed 42) hashes of the elements. One hash per token; the 64 bit
-  * votes read that hash's bits directly.
+  * token hashes. One hash per token — poly-31 over the UTF-8 bytes plus
+  * the splitmix64 finalizer, the same engine-portable hash HashEmbedding
+  * uses, so the d3 DuckDB oracle replays the fingerprints bit-for-bit —
+  * with the 64 bit votes reading that hash's bits directly.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -139,8 +141,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = 0L
+      var j = 0
+      while (j < bytes.length) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+      h ^= h >>> 30
+      h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27
+      h *= 0x94d049bb133111ebL
+      h ^= h >>> 31
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -159,19 +168,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val xxh = classOf[XXH64].getName
-      val utf8 = classOf[UTF8String].getName
       val counts = ctx.freshName("counts")
       val i = ctx.freshName("i")
       val b = ctx.freshName("b")
-      val s = ctx.freshName("s")
+      val bs = ctx.freshName("bs")
+      val j = ctx.freshName("j")
       val h = ctx.freshName("h")
       val fp = ctx.freshName("fp")
       s"""
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  $utf8 $s = $c.getUTF8String($i);
-         |  long $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  byte[] $bs = $c.getUTF8String($i).getBytes();
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $bs.length; $j++) { $h = $h * 31L + ($bs[$j] & 0xffL); }
+         |  $h ^= $h >>> 30;
+         |  $h *= 0xbf58476d1ce4e5b9L;
+         |  $h ^= $h >>> 27;
+         |  $h *= 0x94d049bb133111ebL;
+         |  $h ^= $h >>> 31;
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
@@ -195,13 +209,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * input to the embedding dedup / ANN operators when no model embedding
   * exists.
   *
-  * The token hash is a poly-31 fold over the UTF-8 bytes followed by one
-  * xorshift64 avalanche step (Marsaglia 2003: h ^= h<<13; h ^= h>>>7;
-  * h ^= h<<17) — only wraparound multiply, logical shift, and xor, so any
-  * engine with 64-bit modular integer arithmetic reproduces it
-  * bit-for-bit (the DuckDB oracle does, via HUGEINT mod-2^64); a raw
-  * poly-31 hash would leave short tokens' sign bit always clear and the
-  * bag heavily (+1)-biased, which the avalanche fixes.
+  * The token hash is a poly-31 fold over the UTF-8 bytes followed by the
+  * splitmix64 finalizer (Steele et al., the murmur-grade avalanche:
+  * xor-shift-30, *0xbf58476d1ce4e5b9, xor-shift-27, *0x94d049bb133111eb,
+  * xor-shift-31) — only wraparound multiply, logical shift, and xor, so
+  * any engine with 64-bit modular arithmetic reproduces it bit-for-bit
+  * (the DuckDB oracle does, via HUGEINT mod-2^64 with a split mulmod).
+  * A raw poly-31 hash is GF(2)-structured and leaves short tokens'
+  * high bits nearly constant; the nonlinear multiplies decorrelate
+  * every output bit, which SimHash's per-bit votes require.
   */
 case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
   require(dim > 0)
@@ -217,9 +233,11 @@ case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
       var h = 0L
       var j = 0
       while (j < bytes.length) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
-      h ^= h << 13
-      h ^= h >>> 7
-      h ^= h << 17
+      h ^= h >>> 30
+      h *= 0xbf58476d1ce4e5b9L
+      h ^= h >>> 27
+      h *= 0x94d049bb133111ebL
+      h ^= h >>> 31
       val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
       acc(idx) += (if (h < 0) -1.0 else 1.0)
       i += 1
@@ -252,9 +270,11 @@ case class HashEmbedding(child: Expression, dim: Int) extends UnaryExpression {
          |  byte[] $b = $c.getUTF8String($i).getBytes();
          |  long $h = 0L;
          |  for (int $j = 0; $j < $b.length; $j++) { $h = $h * 31L + ($b[$j] & 0xffL); }
-         |  $h ^= $h << 13;
-         |  $h ^= $h >>> 7;
-         |  $h ^= $h << 17;
+         |  $h ^= $h >>> 30;
+         |  $h *= 0xbf58476d1ce4e5b9L;
+         |  $h ^= $h >>> 27;
+         |  $h *= 0x94d049bb133111ebL;
+         |  $h ^= $h >>> 31;
          |  int $idx = (int) java.lang.Math.floorMod($h, (long) $dim);
          |  $acc[$idx] += ($h < 0L) ? -1.0 : 1.0;
          |}

@@ -83,9 +83,11 @@ class KernelPropertiesSpec extends SparkSpec {
       tokens.foreach { t =>
         var h = 0L
         t.getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xffL))
-        h ^= h << 13
-        h ^= h >>> 7
-        h ^= h << 17
+        h ^= h >>> 30
+        h *= 0xbf58476d1ce4e5b9L
+        h ^= h >>> 27
+        h *= 0x94d049bb133111ebL
+        h ^= h >>> 31
         acc(java.lang.Math.floorMod(h, dim.toLong).toInt) += (if (h < 0) -1.0 else 1.0)
       }
       val ss = acc.map(x => x * x).sum
