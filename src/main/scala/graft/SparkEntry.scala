@@ -186,16 +186,18 @@ object SparkEntry {
     * constant multiplies are split hi/lo by 2^32 so no intermediate
     * exceeds HUGEINT.
     */
-  private val splitmixCtes: String = {
+  private def mixCtes(src: String, pfx: String): String = {
     def mulmod(c: String) =
       s"((((u // 4294967296) * CAST('$c' AS HUGEINT)) % 4294967296) * 4294967296" +
         s" + (u % 4294967296) * CAST('$c' AS HUGEINT)) % CAST(18446744073709551616 AS HUGEINT)"
-    s"""m1 AS (SELECT doc_id, xor(u, u // 1073741824) AS u FROM h0),
-       |m2 AS (SELECT doc_id, ${mulmod("13787848793156543929")} AS u FROM m1),
-       |m3 AS (SELECT doc_id, xor(u, u // 134217728) AS u FROM m2),
-       |m4 AS (SELECT doc_id, ${mulmod("10723151780598845931")} AS u FROM m3),
-       |m5 AS (SELECT doc_id, xor(u, u // 2147483648) AS u FROM m4)""".stripMargin
+    s"""${pfx}1 AS (SELECT * REPLACE (xor(u, u // 1073741824) AS u) FROM $src),
+       |${pfx}2 AS (SELECT * REPLACE (${mulmod("13787848793156543929")} AS u) FROM ${pfx}1),
+       |${pfx}3 AS (SELECT * REPLACE (xor(u, u // 134217728) AS u) FROM ${pfx}2),
+       |${pfx}4 AS (SELECT * REPLACE (${mulmod("10723151780598845931")} AS u) FROM ${pfx}3),
+       |${pfx}5 AS (SELECT * REPLACE (xor(u, u // 2147483648) AS u) FROM ${pfx}4)""".stripMargin
   }
+
+  private val splitmixCtes: String = mixCtes("h0", "m")
 
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
@@ -1086,6 +1088,55 @@ object SparkEntry {
 
     "d4_ngram_jaccard" -> s"""$d4PairsSql
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d2: the full MinHash-LSH pipeline replayed bit-for-bit — per-shingle
+    // base hash (poly-31 + splitmix64), 32 golden-ratio-incremented remix
+    // hashes, per-position SIGNED minima, band buckets as raw 4-long
+    // signature slices (no engine hash), the over-full-bucket cap, pair
+    // dedup, and the equal-position estimate.
+    "d2_minhash_lsh" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+        |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
+        |  FROM tok),
+        |${mixCtes("h0", "b")},
+        |j0 AS (
+        |  SELECT doc_id, CAST(r.range AS INT) AS j,
+        |    (u + CAST(r.range AS HUGEINT) * CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST(18446744073709551616 AS HUGEINT) AS u
+        |  FROM b5, range(0, 32) r),
+        |${mixCtes("j0", "n")},
+        |sigs AS (
+        |  SELECT doc_id, j,
+        |    min(CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+        |        THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END AS BIGINT)) AS v
+        |  FROM n5 GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigs GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, CAST(b.range AS INT) AS band,
+        |         sig[CAST(b.range*4+1 AS INT):CAST(b.range*4+4 AS INT)] AS bucket
+        |  FROM sig, range(0, 8) b),
+        |overfull AS (
+        |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 2000),
+        |bounded AS (SELECT b.* FROM banded b ANTI JOIN overfull o USING (band, bucket)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bounded a JOIN bounded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT p.a_id, p.b_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      k -> CASE WHEN sa.sig[CAST(k AS INT)] = sb.sig[CAST(k AS INT)] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.a_id
+        |  JOIN sig sb ON sb.doc_id = p.b_id)
+        |SELECT a_id, b_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.8 ORDER BY a_id, b_id""".stripMargin,
 
     // d3: the simhash pipeline replayed bit-for-bit — per-token poly-31 +
     // splitmix64 (splitmixCtes), per-bit majority votes, fingerprint

@@ -73,6 +73,10 @@ object Dedup {
         .select(col("doc_id"),
           minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig")))
 
+    // the bucket key is the band's raw signature slice, not a hash of it:
+    // array equality is the same collision predicate, joins/groups take
+    // array keys fine in both engines, and the DuckDB oracle can replay
+    // it without an engine-specific hash function
     val banded = graft.CacheRegistry.persistTracked(
       docs.select(
         col("doc_id"),
@@ -81,7 +85,7 @@ object Dedup {
             sequence(lit(0), lit(bands - 1)),
             b => struct(
               b.as("band"),
-              xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bucket"))))
+              slice(col("sig"), b * rows + 1, lit(rows)).as("bucket"))))
           .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")))
 

@@ -65,11 +65,36 @@ case class DotProductDouble(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** k-hash MinHash signature of a string array. Hash j of shingle s is
-  * XXH64(j-as-long, seed = XXH64(bytes(s), 42)) — the same composition as
-  * Spark's `xxhash64(s, j)` — but the shingle bytes are hashed ONCE and the
-  * k per-j hashes are cheap hashLong mixes, instead of k full re-hashes of
-  * the string.
+/** The shared engine-portable 64-bit primitives: a poly-31 byte fold and
+  * the splitmix64 finalizer. Scala object methods get static forwarders,
+  * so generated Java calls `GraftHash.mix(...)` directly. Any engine with
+  * 64-bit modular arithmetic reproduces both (the DuckDB oracles do, via
+  * HUGEINT with split hi/lo mulmods for the 64-bit constant multiplies).
+  */
+object GraftHash {
+  @inline def poly31(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  @inline def mix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 30
+    h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27
+    h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    h
+  }
+}
+
+/** k-hash MinHash signature of a string array. The shingle bytes are
+  * hashed ONCE (poly-31 + splitmix64, the shared engine-portable hash);
+  * hash j is one further splitmix64 of base + j·φ64 (the golden-ratio
+  * increment splitmix64 streams use), instead of k full re-hashes of the
+  * string — and every step replays exactly in the d2 DuckDB oracle.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -83,11 +108,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = GraftHash.mix(GraftHash.poly31(arr.getUTF8String(i).getBytes))
       var j = 0
       while (j < numHashes) {
-        val h = XXH64.hashLong(j.toLong, base)
+        val h = GraftHash.mix(base + j * 0x9E3779B97F4A7C15L)
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -98,23 +122,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val xxh = classOf[XXH64].getName
+      val gh = "org.apache.spark.sql.graftbridge.GraftHash"
       val gad = classOf[GenericArrayData].getName
-      val utf8 = classOf[UTF8String].getName
       val mins = ctx.freshName("mins")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
       val base = ctx.freshName("base")
       val h = ctx.freshName("h")
       s"""
          |long[] $mins = new long[$numHashes];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $c.numElements(); $i++) {
-         |  $utf8 $s = $c.getUTF8String($i);
-         |  long $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  long $base = $gh.mix($gh.poly31($c.getUTF8String($i).getBytes()));
          |  for (int $j = 0; $j < $numHashes; $j++) {
-         |    long $h = $xxh.hashLong((long) $j, $base);
+         |    long $h = $gh.mix($base + $j * 0x9E3779B97F4A7C15L);
          |    if ($h < $mins[$j]) $mins[$j] = $h;
          |  }
          |}
