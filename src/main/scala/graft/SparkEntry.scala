@@ -199,8 +199,53 @@ object SparkEntry {
 
   private val splitmixCtes: String = mixCtes("h0", "m")
 
+  /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
+    * unrolled — assignment cosines as ORDERED list folds (round-9 leaves
+    * no room for summation-order error, so no list_cosine_similarity
+    * here), centroid updates as exact quantized-long component means, and
+    * the final rollup with decimal cosine sums, mirroring the kernel
+    * op-for-op.
+    */
+  private val k3OracleSql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"j -> $a[CAST(j AS INT)] * $b[CAST(j AS INT)])), (s, x) -> s + x)"
+    def assignCte(cents: String, name: String) =
+      s"""$name AS (
+         |  SELECT vn.vec_id, c.cid, vn.ve,
+         |    round(${dot("vn.ve", "c.ce")} / (vn.nv * c.nc), 9) AS cos,
+         |    row_number() OVER (PARTITION BY vn.vec_id
+         |      ORDER BY round(${dot("vn.ve", "c.ce")} / (vn.nv * c.nc), 9) DESC, c.cid) AS rn
+         |  FROM vn CROSS JOIN $cents c)""".stripMargin
+    def updateCte(asg: String, name: String) =
+      s"""${name}m AS (
+         |  SELECT cid, CAST(r.range AS INT) AS pos,
+         |    (CAST(sum(CAST(floor(ve[CAST(r.range AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*)) / 1000000.0 AS m
+         |  FROM $asg, range(1, 65) r WHERE rn = 1
+         |  GROUP BY cid, r.range),
+         |${name}l AS (SELECT cid, list(m ORDER BY pos) AS ce FROM ${name}m GROUP BY cid),
+         |$name AS (SELECT cid, ce, sqrt(${dot("ce", "ce")}) AS nc FROM ${name}l)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |vn AS (SELECT vec_id, ve, sqrt(${dot("ve", "ve")}) AS nv FROM v),
+       |c0 AS (SELECT vec_id AS cid, ve AS ce, sqrt(${dot("ve", "ve")}) AS nc FROM v WHERE vec_id < 8),
+       |${assignCte("c0", "a0")},
+       |${updateCte("a0", "c1")},
+       |${assignCte("c1", "a1")},
+       |${updateCte("a1", "c2")},
+       |${assignCte("c2", "a2")},
+       |${updateCte("a2", "c3")},
+       |${assignCte("c3", "a3")}
+       |SELECT cid AS centroid_id, count(*) AS n_vecs,
+       |  round(CAST(sum(CAST(cos AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) + 0.0 AS avg_cos,
+       |  min(vec_id) AS first_vec
+       |FROM a3 WHERE rn = 1
+       |GROUP BY cid ORDER BY centroid_id""".stripMargin
+  }
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
+    "k3_kmeans_refine" -> k3OracleSql,
     "t1_speed_radar" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE value >= 90 ORDER BY event_id""".stripMargin,

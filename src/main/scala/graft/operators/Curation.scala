@@ -174,8 +174,10 @@ object Curation {
     * is ever collected to the driver (the d6 iterate-and-checkpoint
     * pattern; on a cluster the checkpoint is a reliable dir). A cluster
     * that loses all members drops out, the standard Lloyd caveat.
-    * Rows-only checked: the per-dimension double averages are
-    * summation-order dependent, so no cross-engine hash oracle.
+    * Every aggregate is summation-order independent (quantized-long
+    * component sums, decimal cosine sums), so the full 3-iteration
+    * refinement has an exact DuckDB oracle — the unrolled SQL twin is
+    * generated in SparkEntry.
     */
   def kmeansRefine(spark: SparkSession, dir: String,
                    k: Int = 8, iters: Int = 3): DataFrame = {
@@ -206,7 +208,13 @@ object Curation {
       cents = assign(cents)
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
+        // quantized mean: components fold to ⌊x·10⁶+0.5⌋ longs first, so
+        // the sum is exact and partial-aggregation-order independent —
+        // the change that gives Lloyd an exact cross-engine oracle (a
+        // double avg() differs by summation order); 1e-6 quantization is
+        // the e1 storage grid, far below embedding noise
+        .agg((sum(floor(col("col") * 1e6 + 0.5).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -218,7 +226,10 @@ object Curation {
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(avg(col("cos")), 6).as("avg_cos"),
+        // rounded-9 cosines sum exactly in decimal (the k1 pattern), so
+        // the mean is partial-aggregation-order independent too
+        Doubles.roundZ(sum(col("cos").cast("decimal(28,9)")).cast("double")
+          / count(lit(1)), 6).as("avg_cos"),
         min(col("vec_id")).as("first_vec"))
       .orderBy("centroid_id")
   }
