@@ -243,9 +243,82 @@ object SparkEntry {
        |GROUP BY cid ORDER BY centroid_id""".stripMargin
   }
 
+  /** x23/x24's BPE training replayed in SQL: the 10 merge steps unrolled,
+    * each = adjacent-pair count (lead window) over the current symbol
+    * state, argmax (count desc, pair asc), and the kernel's leftmost-
+    * non-overlapping rewrite expressed with windows — inside a run of
+    * consecutive matches (only possible when left = right) exactly the
+    * alternating offsets from the run head merge, which is what the
+    * sequential scan does. States and argmaxes are MATERIALIZED so the
+    * chained references don't re-inline exponentially. The final state
+    * doubles as the trained tokenizer: x24 joins its per-word symbol
+    * counts back to the per-source frequency table.
+    */
+  private val bpeSt0Cte: String =
+    """st0 AS MATERIALIZED (
+      |  SELECT wd, pos, wd[pos] AS sym FROM (
+      |    SELECT wd, CAST(unnest(range(1, length(wd)+1)) AS INT) AS pos FROM f))""".stripMargin
+
+  private val bpeChainCtes: String = (0 until 10).map { k =>
+    s"""pc$k AS (
+       |  SELECT sym AS l, nx AS r, sum(freq) AS n
+       |  FROM (SELECT wd, sym, lead(sym) OVER (PARTITION BY wd ORDER BY pos) AS nx FROM st$k) sx
+       |  JOIN f ON f.wd = sx.wd
+       |  WHERE nx IS NOT NULL GROUP BY sym, nx),
+       |bp$k AS MATERIALIZED (SELECT l, r, n FROM pc$k ORDER BY n DESC, l, r LIMIT 1),
+       |mt$k AS (
+       |  SELECT sx.wd, sx.pos, sx.sym, b.l, b.r,
+       |         coalesce(sx.sym = b.l AND lead(sx.sym) OVER (PARTITION BY sx.wd ORDER BY sx.pos) = b.r, false) AS m
+       |  FROM st$k sx CROSS JOIN bp$k b),
+       |hd$k AS (
+       |  SELECT *, (m AND NOT coalesce(lag(m) OVER (PARTITION BY wd ORDER BY pos), false)) AS is_head
+       |  FROM mt$k),
+       |rn$k AS (
+       |  SELECT *, max(CASE WHEN is_head THEN pos END)
+       |           OVER (PARTITION BY wd ORDER BY pos ROWS UNBOUNDED PRECEDING) AS head
+       |  FROM hd$k),
+       |mg$k AS (SELECT *, (m AND (pos - head) % 2 = 0) AS mg FROM rn$k),
+       |pm$k AS (
+       |  SELECT *, coalesce(lag(mg) OVER (PARTITION BY wd ORDER BY pos), false) AS pm FROM mg$k),
+       |st${k + 1} AS MATERIALIZED (
+       |  SELECT wd, CAST(row_number() OVER (PARTITION BY wd ORDER BY pos) AS INT) AS pos,
+       |         CASE WHEN mg THEN l || r ELSE sym END AS sym
+       |  FROM pm$k WHERE NOT pm)""".stripMargin
+  }.mkString(",\n")
+
+  private val x23OracleSql: String = {
+    val out = (0 until 10).map { k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", CAST(n AS BIGINT) AS pair_count FROM bp$k"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT wd, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents) GROUP BY wd),
+       |$bpeSt0Cte,
+       |$bpeChainCtes
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
+
+  private val x24OracleSql: String =
+    s"""WITH srcf AS MATERIALIZED (
+       |  SELECT source, wd, count(*) AS freq
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents) GROUP BY source, wd),
+       |f AS MATERIALIZED (SELECT wd, sum(freq) AS freq FROM srcf GROUP BY wd),
+       |$bpeSt0Cte,
+       |$bpeChainCtes,
+       |lens AS (SELECT wd, count(*) AS toks FROM st10 GROUP BY wd)
+       |SELECT source,
+       |  CAST(sum(freq) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(length(wd) * freq) AS BIGINT) AS chars,
+       |  CAST(sum(toks * freq) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(length(wd) * freq) AS DOUBLE) / sum(toks * freq), 4) AS chars_per_token
+       |FROM srcf JOIN lens USING (wd)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
     "k3_kmeans_refine" -> k3OracleSql,
+    "x23_bpe_merges" -> x23OracleSql,
+    "x24_token_compression" -> x24OracleSql,
     "t1_speed_radar" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE value >= 90 ORDER BY event_id""".stripMargin,
