@@ -314,11 +314,160 @@ object SparkEntry {
        |FROM srcf JOIN lens USING (wd)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The m-family oracles rebuild the synthesized media payloads in SQL —
+    * byte-exact BMP/WAV containers as integer lists from (doc_id, text),
+    * little-endian header fields spelled as div/mod arithmetic — and run
+    * CRC32 (reflected 0xEDB88320, java.util.zip semantics) as a
+    * list_reduce fold over a 256-entry literal table. Everything the
+    * mapPartitions decoders emit (headers parsed back, chunk/frame CRCs,
+    * decoded-pixel aHashes) is thereby replayed bit-for-bit.
+    */
+  private val crcTableLiteral: String = {
+    val tbl = (0 until 256).map { i =>
+      var c = i.toLong
+      (0 until 8).foreach { _ =>
+        c = if ((c & 1) == 1) (c >>> 1) ^ 0xEDB88320L else c >>> 1
+      }
+      c
+    }
+    tbl.mkString("[", ",", "]")
+  }
+
+  private def crc32Sql(listExpr: String): String =
+    s"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), " +
+      s"list_transform($listExpr, x -> CAST(x AS BIGINT))), " +
+      s"(c, b) -> xor(tbl[CAST(xor(c, b) % 256 AS INT) + 1], c // 256)), 4294967295)"
+
+  private def le4(v: String): String =
+    s"[($v) % 256, (($v) // 256) % 256, (($v) // 65536) % 256, (($v) // 16777216) % 256]"
+  private def le2(v: String): String = s"[($v) % 256, (($v) // 256) % 256]"
+
+  /** documents → (doc_id, n, tb): text as a byte list (ASCII corpus, so
+    * codepoints are UTF-8 bytes), optionally filtered by modality.
+    */
+  private def textBytesCte(mod: String): String =
+    s"""d AS (SELECT doc_id, length(text) AS n,
+       |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT)) AS tb
+       |      FROM documents$mod)""".stripMargin
+
+  private val m1OracleSql: String =
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |${textBytesCte("")},
+       |img0 AS (
+       |  SELECT doc_id, n, tb,
+       |    CAST(1 + (doc_id % 31) AS BIGINT) AS w,
+       |    CAST(1 + (doc_id % 17) AS BIGINT) AS h
+       |  FROM d WHERE doc_id % 3 = 0),
+       |img1 AS (SELECT *, (((w*3 + 3) // 4) * 4) * h AS dataLen FROM img0),
+       |img AS (
+       |  SELECT doc_id, 'image' AS media_type, 'bmp' AS format,
+       |    54 + dataLen AS byte_len,
+       |    [66, 77] || ${le4("54 + dataLen")} || [0,0,0,0] || ${le4("54")}
+       |      || ${le4("40")} || ${le4("w")} || ${le4("h")} || ${le2("1")} || ${le2("24")}
+       |      || ${le4("0")} || ${le4("dataLen")} || ${le4("2835")} || ${le4("2835")} || ${le4("0")} || ${le4("0")}
+       |      || list_transform(range(0, dataLen), i -> tb[CAST(i % n AS INT) + 1]) AS payload,
+       |    CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |    0 AS sample_rate, 1 AS n_frames, CAST(0 AS BIGINT) AS duration_ms
+       |  FROM img1),
+       |aud0 AS (
+       |  SELECT doc_id, n, tb,
+       |    8000 + 4000 * CAST((doc_id // 3) % 3 AS BIGINT) AS rate,
+       |    n + (n % 2) AS dataLen
+       |  FROM d WHERE doc_id % 3 = 1),
+       |aud AS (
+       |  SELECT doc_id, 'audio' AS media_type, 'wav' AS format,
+       |    44 + dataLen AS byte_len,
+       |    [82,73,70,70] || ${le4("36 + dataLen")} || [87,65,86,69]
+       |      || [102,109,116,32] || ${le4("16")} || ${le2("1")} || ${le2("1")}
+       |      || ${le4("rate")} || ${le4("rate * 2")} || ${le2("2")} || ${le2("16")}
+       |      || [100,97,116,97] || ${le4("dataLen")}
+       |      || tb || CASE WHEN n % 2 = 1 THEN [CAST(0 AS BIGINT)] ELSE [] END AS payload,
+       |    0 AS width, 0 AS height, CAST(rate AS INT) AS sample_rate,
+       |    CAST(dataLen // 2 AS INT) AS n_frames,
+       |    CAST((dataLen // 2) * 1000 // rate AS BIGINT) AS duration_ms
+       |  FROM aud0),
+       |vid AS (
+       |  SELECT doc_id, 'video' AS media_type, 'raw' AS format,
+       |    CAST(n AS BIGINT) AS byte_len, tb AS payload,
+       |    0 AS width, 0 AS height, 0 AS sample_rate,
+       |    CAST(n // 1024 + 1 AS INT) AS n_frames, CAST(0 AS BIGINT) AS duration_ms
+       |  FROM d WHERE doc_id % 3 = 2),
+       |allm AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+       |SELECT doc_id, media_type, format, byte_len,
+       |  ${crc32Sql("payload")} AS crc32,
+       |  width, height, sample_rate, n_frames, duration_ms
+       |FROM allm, ct
+       |ORDER BY doc_id""".stripMargin
+
+  private val m2OracleSql: String =
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |${textBytesCte(" WHERE doc_id % 3 = 2")},
+       |fr AS (
+       |  SELECT doc_id, n, tb, CAST(f.range AS INT) AS frame_idx
+       |  FROM d, range(0, 600) f
+       |  WHERE f.range <= n // 1024 AND f.range % 4 = 0)
+       |SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       |  ${crc32Sql("tb[CAST((frame_idx*64) % greatest(1, n) AS INT) + 1 : CAST((frame_idx*64) % greatest(1, n) AS INT) + least(64, n)]")} AS frame_crc
+       |FROM fr, ct
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  private val m3OracleSql: String =
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |${textBytesCte(" WHERE doc_id % 3 = 1")},
+       |a AS (SELECT doc_id, n + (n % 2) AS dataLen,
+       |      tb || CASE WHEN n % 2 = 1 THEN [CAST(0 AS BIGINT)] ELSE [] END AS db FROM d),
+       |ch AS (
+       |  SELECT doc_id, dataLen, db, CAST(s.range AS INT) AS chunk_idx,
+       |         CAST(s.range * 192 AS BIGINT) AS start_byte
+       |  FROM a, range(0, 600) s
+       |  WHERE s.range * 192 < greatest(1, dataLen))
+       |SELECT doc_id, chunk_idx, start_byte,
+       |  CAST(least(256, dataLen - start_byte) AS INT) AS n_bytes,
+       |  ${crc32Sql("db[CAST(start_byte AS INT) + 1 : CAST(start_byte AS INT) + CAST(least(256, dataLen - start_byte) AS INT)]")} AS chunk_crc
+       |FROM ch, ct
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val m4OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, length(text) AS n,
+       |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS INT)) AS tb
+       |      FROM documents WHERE doc_id % 3 = 0),
+       |geo AS (
+       |  SELECT doc_id, n, tb,
+       |    CAST(1 + (doc_id % 31) AS INT) AS w, CAST(1 + (doc_id % 17) AS INT) AS h,
+       |    CAST((((1 + (doc_id % 31))*3 + 3) // 4) * 4 AS INT) AS rowSize
+       |  FROM d),
+       |grid AS (
+       |  SELECT doc_id, w, h, CAST(g.range AS INT) AS k,
+       |    (h - 1 - (CAST(g.range AS INT) // 8) * h // 8) * rowSize
+       |      + ((CAST(g.range AS INT) % 8) * w // 8) * 3 AS pix,
+       |    n, tb
+       |  FROM geo, range(0, 64) g),
+       |lum AS (
+       |  SELECT doc_id, w, h, k,
+       |    (299 * tb[(pix + 2) % n + 1] + 587 * tb[(pix + 1) % n + 1]
+       |      + 114 * tb[pix % n + 1]) // 1000 AS l
+       |  FROM grid),
+       |mn AS (SELECT doc_id, sum(l) // 64 AS mn FROM lum GROUP BY doc_id),
+       |bits AS (
+       |  SELECT lum.doc_id, w, h,
+       |    sum(CASE WHEN l > mn.mn THEN CAST(power(2, k) AS HUGEINT)
+       |        ELSE CAST(0 AS HUGEINT) END) AS ub
+       |  FROM lum JOIN mn ON lum.doc_id = mn.doc_id
+       |  GROUP BY lum.doc_id, w, h)
+       |SELECT doc_id, w AS width, h AS height,
+       |  CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
+       |       THEN ub - CAST(18446744073709551616 AS HUGEINT) ELSE ub END AS BIGINT) AS ahash64
+       |FROM bits ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
     "k3_kmeans_refine" -> k3OracleSql,
     "x23_bpe_merges" -> x23OracleSql,
     "x24_token_compression" -> x24OracleSql,
+    "m1_multimodal_meta" -> m1OracleSql,
+    "m2_frame_sample" -> m2OracleSql,
+    "m3_audio_chunks" -> m3OracleSql,
+    "m4_image_phash" -> m4OracleSql,
     "t1_speed_radar" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events WHERE value >= 90 ORDER BY event_id""".stripMargin,
