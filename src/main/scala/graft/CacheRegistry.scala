@@ -44,9 +44,22 @@ object CacheRegistry {
     frames.clear()
   }
 
+  private val sharedValues =
+    scala.collection.mutable.LinkedHashMap.empty[String, Any]
+
+  /** Keyed memo for small driver-side artifacts shared across queries —
+    * e.g. the ≤10-row BPE merge table x23 trains and x24 re-trains from
+    * the same corpus frequencies. Same lifecycle as memoShared: survives
+    * releaseAll, cleared by releaseShared.
+    */
+  def memoSharedValue[A](key: String)(build: => A): A = synchronized {
+    sharedValues.getOrElseUpdate(key, build).asInstanceOf[A]
+  }
+
   /** Unpersist the keyed shared frames too — harness end-of-pass hygiene. */
   def releaseShared(): Unit = synchronized {
     shared.values.foreach(_.unpersist(blocking = false))
     shared.clear()
+    sharedValues.clear()
   }
 }

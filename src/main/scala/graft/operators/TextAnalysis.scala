@@ -523,10 +523,22 @@ object TextAnalysis {
     val wordFreq = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    learnMerges(spark, wordFreq, merges)
+    sharedMerges(spark, dir, merges, wordFreq)
       .toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
   }
+
+  /** The learned merge table, memo-shared per (dir, merges): x23 and x24
+    * train over the same corpus-global word frequencies, so within one
+    * harness pass the 10-step loop (and its 10 driver argmaxes) runs
+    * once. The table is the ≤`merges`-row model artifact — exactly the
+    * kind of small driver-side value CacheRegistry.memoSharedValue holds.
+    */
+  private def sharedMerges(spark: SparkSession, dir: String, merges: Int,
+                           wordFreq: => DataFrame): Seq[(Int, String, String, Long)] =
+    graft.CacheRegistry.memoSharedValue(
+      s"bpe:${spark.sparkContext.applicationId}:$dir:$merges")(
+      learnMerges(spark, wordFreq, merges))
 
   // pair separator inside the argmax key: NUL can never occur in a symbol
   // (symbols are substrings of whitespace-split words)
@@ -618,7 +630,7 @@ object TextAnalysis {
         .groupBy("source", "w").agg(count(lit(1)).as("freq")))
     val wordFreq = srcFreq.groupBy("w").agg(sum(col("freq")).as("freq"))
     val ms: Seq[(String, String)] =
-      learnMerges(spark, wordFreq, merges).map(t => (t._2, t._3))
+      sharedMerges(spark, dir, merges, wordFreq).map(t => (t._2, t._3))
     srcFreq
       .as[(String, String, Long)]
       .map { case (source, w, freq) =>
