@@ -32,8 +32,27 @@ object CacheRegistry {
     * when the harness finishes a pass. Callers embed the applicationId in
     * the key so no frame outlives its SparkSession.
     */
-  def memoShared(key: String)(build: => DataFrame): DataFrame = synchronized {
-    shared.getOrElseUpdate(key, build.persist())
+  def memoShared(key: String)(build: => DataFrame): DataFrame = {
+    // Double-checked: the build (a whole plan-construction chain, possibly
+    // with its own persistTracked calls) runs OUTSIDE the monitor so a slow
+    // build never blocks other registry users. If two threads race, the
+    // first insert wins and the loser's persist is released — builds are
+    // deterministic, so either frame is correct.
+    synchronized(shared.get(key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build.persist()
+        synchronized {
+          shared.get(key) match {
+            case Some(winner) =>
+              built.unpersist(blocking = false)
+              winner
+            case None =>
+              shared.update(key, built)
+              built
+          }
+        }
+    }
   }
 
   /** Unpersist every unkeyed tracked frame (non-blocking); shared keyed
@@ -52,8 +71,16 @@ object CacheRegistry {
     * the same corpus frequencies. Same lifecycle as memoShared: survives
     * releaseAll, cleared by releaseShared.
     */
-  def memoSharedValue[A](key: String)(build: => A): A = synchronized {
-    sharedValues.getOrElseUpdate(key, build).asInstanceOf[A]
+  def memoSharedValue[A](key: String)(build: => A): A = {
+    // Same double-checked shape as memoShared: the build can be a
+    // multi-job loop (x23's BPE training), so it must not run while
+    // holding the registry monitor.
+    synchronized(sharedValues.get(key)) match {
+      case Some(v) => v.asInstanceOf[A]
+      case None =>
+        val v = build
+        synchronized(sharedValues.getOrElseUpdate(key, v)).asInstanceOf[A]
+    }
   }
 
   /** Unpersist the keyed shared frames too — harness end-of-pass hygiene. */
