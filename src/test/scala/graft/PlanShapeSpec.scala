@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.operators.Dedup
+import graft.tools.PlanCounts
+
+/** Plan-SHAPE regression gate for the memo-backed d4→(d6,d7,g1) family:
+  * asserts, via tree-walked PlanCounts (which stops at InMemoryTableScan
+  * leaves, the way the runtime does), that each family member's executed
+  * plan reads the shared memo instead of re-running the similarity-join
+  * chain, and that its own exchange count stays at the designed handful.
+  * If someone drops the CacheRegistry memoization — or a Spark upgrade
+  * stops collapsing the shared frame — these ceilings fail a unit test
+  * instead of a fleet bill.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Static (AQE-off) executed-plan counts — the same introspection mode
+    * PlanAudit uses for PLANS.md, so the spec pins what the audit reports.
+    */
+  private def staticCounts(df: => DataFrame): PlanCounts = {
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try PlanCounts(df.queryExecution.executedPlan)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("g1/d6/d7 runtime plans read the shared d4 memo; exchanges stay bounded") {
+    // three near-dup docs (a chain) + one outlier: enough for real pairs,
+    // groups and triangles to flow through every branch of the plans
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wa"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wb"
+    val c = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 wc"
+    val dir = writeDocs(Seq(
+      (1L, a, "s0"), (2L, b, "s0"), (3L, c, "s0"),
+      (4L, "totally different words entirely", "s0")))
+    try {
+      // d4 builds the shared scored-pair memo (the expensive chain)
+      assert(Dedup.ngramJaccard(spark, dir).count() == 3L)
+
+      // d6: the converged label frame IS the memo — its runtime plan is one
+      // cached read, zero exchanges (the iteration's shuffles happened once,
+      // in the build).
+      val d6 = staticCounts(Dedup.dedupGroups(spark, dir))
+      assert(d6.cachedReads == 1, s"d6 must read the memo frame, got $d6")
+      assert(d6.exchanges == 0, s"d6 runtime plan must be a pure memo read, got $d6")
+
+      // d7: memo read + the keep projection + one output sort.
+      val d7 = staticCounts(Dedup.keepList(spark, dir))
+      assert(d7.cachedReads >= 1, s"d7 must read the d6 memo, got $d7")
+      assert(d7.shuffles <= 2, s"d7 is a projection over the memo, got $d7")
+
+      // g1: wedge join (2) + closing semi-join (2) + count agg (1) + output
+      // sort (1) over the CACHED oriented edge list — the d4 chain and the
+      // degree orientation must not be re-planned inline.
+      val g1 = staticCounts(Dedup.triangleCounts(spark, dir))
+      assert(g1.cachedReads >= 2,
+        s"g1 must read the cached oriented edge list in every branch, got $g1")
+      assert(g1.shuffles <= 8,
+        s"g1 should shuffle only for wedge join, semi-join, agg and sort, got $g1")
+      assert(g1.exchanges <= 10, s"g1 exchange total regressed, got $g1")
+    } finally CacheRegistry.releaseShared()
+  }
+}
