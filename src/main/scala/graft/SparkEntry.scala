@@ -403,9 +403,12 @@ object SparkEntry {
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |${textBytesCte(" WHERE doc_id % 3 = 2")},
        |fr AS (
-       |  SELECT doc_id, n, tb, CAST(f.range AS INT) AS frame_idx
-       |  FROM d, range(0, 600) f
-       |  WHERE f.range <= n // 1024 AND f.range % 4 = 0)
+       |  -- per-doc frame bound via the scalar list form: the table
+       |  -- function range() only takes constants, and a global literal
+       |  -- bound would silently truncate long documents
+       |  SELECT doc_id, n, tb, CAST(f AS INT) AS frame_idx
+       |  FROM (SELECT doc_id, n, tb, unnest(range(0, n // 1024 + 1)) AS f FROM d)
+       |  WHERE f % 4 = 0)
        |SELECT doc_id, frame_idx, CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
        |  ${crc32Sql("tb[CAST((frame_idx*64) % greatest(1, n) AS INT) + 1 : CAST((frame_idx*64) % greatest(1, n) AS INT) + least(64, n)]")} AS frame_crc
        |FROM fr, ct
@@ -417,10 +420,12 @@ object SparkEntry {
        |a AS (SELECT doc_id, n + (n % 2) AS dataLen,
        |      tb || CASE WHEN n % 2 = 1 THEN [CAST(0 AS BIGINT)] ELSE [] END AS db FROM d),
        |ch AS (
-       |  SELECT doc_id, dataLen, db, CAST(s.range AS INT) AS chunk_idx,
-       |         CAST(s.range * 192 AS BIGINT) AS start_byte
-       |  FROM a, range(0, 600) s
-       |  WHERE s.range * 192 < greatest(1, dataLen))
+       |  -- per-doc chunk bound (scalar-list range): ceil(dataLen/192)
+       |  -- strided starts, never truncated by a global literal
+       |  SELECT doc_id, dataLen, db, CAST(s AS INT) AS chunk_idx,
+       |         CAST(s * 192 AS BIGINT) AS start_byte
+       |  FROM (SELECT doc_id, dataLen, db,
+       |        unnest(range(0, (greatest(1, dataLen) + 191) // 192)) AS s FROM a))
        |SELECT doc_id, chunk_idx, start_byte,
        |  CAST(least(256, dataLen - start_byte) AS INT) AS n_bytes,
        |  ${crc32Sql("db[CAST(start_byte AS INT) + 1 : CAST(start_byte AS INT) + CAST(least(256, dataLen - start_byte) AS INT)]")} AS chunk_crc
@@ -1363,6 +1368,10 @@ object SparkEntry {
     // dedup, and the equal-position estimate.
     "d2_minhash_lsh" ->
       s"""WITH tok AS (
+        |  -- ASCII corpus assumed: unicode(char) folds equal the kernel's
+        |  -- UTF-8 byte fold only while every codepoint is single-byte
+        |  -- (same assumption as textBytesCte; the testdata generator
+        |  -- emits ASCII). A multi-byte corpus needs a per-byte expansion.
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h0 AS (
         |  SELECT doc_id,
@@ -1411,6 +1420,7 @@ object SparkEntry {
     // MULTIPLICITY (simhash votes per occurrence), unlike d4's DISTINCT.
     "d3_simhash" ->
       s"""WITH toks AS (
+        |  -- ASCII corpus assumed (see d2's note): codepoint fold == byte fold
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h0 AS (
         |  SELECT doc_id,
@@ -1608,6 +1618,7 @@ object SparkEntry {
     // recursive CTE over byte positions (HUGEINT mod 2^64 mirrors the
     // kernel's wraparound long), window hashes as P[i] − P[i−32]·31³²,
     // min over the SIGNED interpretation exactly like the kernel.
+    // ASCII corpus assumed (see d2's note): unicode(text[i]) == byte i.
     "x4_fingerprint" ->
       """WITH RECURSIVE pre AS (
         |  SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS p, length(text) AS n, text
@@ -1644,6 +1655,7 @@ object SparkEntry {
     // and their squares fold in dimension order via list_reduce).
     "x7_hash_embedding" ->
       s"""WITH toks AS (
+        |  -- ASCII corpus assumed (see d2's note): codepoint fold == byte fold
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |h0 AS (
         |  SELECT doc_id,

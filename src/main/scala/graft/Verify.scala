@@ -28,6 +28,26 @@ object Verify {
       finally CacheRegistry.releaseAll()
     }
     CacheRegistry.releaseShared()
+    // d5 oracle attribution guard: the DuckDB oracle models plain label
+    // blocking, while the engine sub-buckets labels over the cap (a
+    // deliberate SemDedup-style recall trade). If a label crosses the cap
+    // at this scale, say so LOUDLY — a d5 hash mismatch is then the guard
+    // activating, not a silent correctness bug.
+    if (only.isEmpty || only("d5_embedding_neardup")) {
+      try {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val hot = Tables.embeddings(spark, sfDir)
+          .groupBy("label").agg(count(lit(1)).as("n"))
+          .filter(col("n") > operators.Dedup.D5MaxBlockSize).count()
+        if (hot > 0) System.err.println(
+          s"[verify] WARNING: $hot embedding label(s) exceed the d5 " +
+            s"sub-bucket cap (${operators.Dedup.D5MaxBlockSize}) at $sfDir — " +
+            "the hot-label guard is active; a d5 oracle mismatch at this " +
+            "scale is the guard's documented recall trade, not a bug")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] d5 guard check failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -515,8 +515,14 @@ object Dedup {
     * exact SQL oracle. At 100 TB the label/cell key becomes an LSH/IVF
     * bucket (see Similarity.annIvf) with the same guard.
     */
+  /** Default d5 hot-label cap — shared with Verify's attribution guard:
+    * the DuckDB oracle models PLAIN label blocking, so at any scale where
+    * a label crosses this cap the guard (not a bug) explains a mismatch.
+    */
+  val D5MaxBlockSize = 4096
+
   def embeddingNearDup(spark: SparkSession, dir: String,
-                       minCosine: Double = 0.4, maxBlockSize: Int = 4096,
+                       minCosine: Double = 0.4, maxBlockSize: Int = D5MaxBlockSize,
                        subCells: Int = 16): DataFrame =
     embeddingNearDupFrom(Tables.embeddings(spark, dir), minCosine,
       maxBlockSize, subCells)
