@@ -246,28 +246,48 @@ object Analytics {
       .orderBy("event_type")
 
   /** q8_approx_stats: the sketch versions — HyperLogLog++ distinct counts
-    * and t-digest-style quantiles. At 100 TB these replace their exact
-    * counterparts: fixed-size state, partial-mergeable, one pass. Rows-only
-    * checked (sketch internals differ across engines by design); the exact
-    * twin q7 is the oracle-checked baseline.
+    * and QuantileSummaries quantiles. At 100 TB these replace their exact
+    * counterparts: fixed-size state, partial-mergeable, one pass. Sketch
+    * internals differ across engines by design, so the PUBLISHED columns
+    * are the engine-stable projection: the exact values (same discipline
+    * as q7) plus one within-tolerance verdict per estimate, computed
+    * against the exact twin INSIDE the entry. The DuckDB oracle recomputes
+    * the exact columns and expects every verdict true, which turns the
+    * previously rows-only row into a full hash-checked one — the driver
+    * now machine-verifies that the sketches track their exact twins.
+    * Tolerances are generous multiples of the sketches' error bounds
+    * (rsd 0.01 → ±5 %; accuracy 2000 → rank ±0.0005, checked at ±0.01),
+    * and the estimates are deterministic functions of the data, so the
+    * booleans are stable, not flaky.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_nd_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("a_nd"),
+        count_distinct(col("user_id")).as("nd_users"),
         // one QuantileSummaries sketch serves both quantiles — two separate
         // percentile_approx calls each build and merge their own sketch, and
         // at accuracy 10000 the per-partition merges dominated the whole
         // bench (16 s); accuracy 2000 keeps the estimate well inside the
-        // rows-only tolerance at a fraction of the merge cost
+        // tolerance brackets at a fraction of the merge cost
         percentile_approx(col("value"), array(lit(0.5), lit(0.95)), lit(2000))
-          .as("approx_q"))
+          .as("aq"),
+        // exact quantiles at the targets AND the ±0.01-rank bracket edges
+        // the approx values are checked against
+        expr("percentile(value, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+          .as("eq"))
       .select(
         col("event_type"),
-        col("approx_nd_users"),
-        element_at(col("approx_q"), 1).as("approx_med"),
-        element_at(col("approx_q"), 2).as("approx_p95"))
+        col("nd_users"),
+        Doubles.roundZ(element_at(col("eq"), 2), 6).as("med_value"),
+        Doubles.roundZ(element_at(col("eq"), 5), 6).as("p95_value"),
+        (abs(col("a_nd") - col("nd_users")) <=
+          greatest(col("nd_users") * 0.05, lit(5.0))).as("nd_ok"),
+        (element_at(col("aq"), 1) >= element_at(col("eq"), 1) &&
+          element_at(col("aq"), 1) <= element_at(col("eq"), 3)).as("med_ok"),
+        (element_at(col("aq"), 2) >= element_at(col("eq"), 4) &&
+          element_at(col("aq"), 2) <= element_at(col("eq"), 6)).as("p95_ok"))
       .orderBy("event_type")
 
   /** q_salted_purchases: skew-safe two-phase aggregation — pre-aggregate on
@@ -448,19 +468,30 @@ object Analytics {
     * binary columns, and any rollup window is answered later by unioning
     * sketches — never rescanning raw data. The union is itself an
     * aggregate, so weekly/monthly/all-time rollups cost |days| sketch
-    * merges each. Rows-only checked (sketch internals are
-    * implementation-defined); q7's exact count_distinct is the
-    * oracle-checked twin.
+    * merges each. The sketch estimate itself is implementation-defined, so
+    * the published columns are engine-stable: day count, the EXACT distinct
+    * count (the verification twin, computed in the same entry), and a
+    * within-5 % verdict comparing the unioned-sketch estimate against it —
+    * so the driver hash-checks that the union pipeline actually works
+    * (default lgConfigK=12 → rsd ≈ 1.6 %, and the estimate is a
+    * deterministic function of the data, so the verdict is stable).
     */
   def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    daily
+    val rolled = daily
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("nd_users"))
+    rolled.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("nd_users"),
+        (abs(col("est") - col("nd_users")) <=
+          greatest(col("nd_users") * 0.05, lit(5.0))).as("union_ok"))
       .orderBy("event_type")
   }
 

@@ -40,8 +40,9 @@ class TrendSketchSpec extends SparkSpec {
       (3L, "2024-01-01 11:00:00", 2L, "A", 1.0),
       (4L, "2024-01-03 10:00:00", 3L, "B", 1.0)))
     val got = Analytics.sketchUnion(spark, dir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // HLL is exact at this cardinality: A has 2 users over 2 days, B 1 over 1
-    assert(got.toSeq == Seq(("A", 2L, 2L), ("B", 1L, 1L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // HLL is exact at this cardinality: A has 2 users over 2 days, B 1 over
+    // 1 — the published exact twin plus the union-vs-exact verdict
+    assert(got.toSeq == Seq(("A", 2L, 2L, true), ("B", 1L, 1L, true)))
   }
 }
