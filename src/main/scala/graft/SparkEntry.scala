@@ -118,7 +118,7 @@ object SparkEntry {
     "x14_quality_bins"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityBins(s, d)),
     "i1_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
-    "m4_image_phash"       -> Multimodal.imageHashes _,
+    "m4_image_phash"       -> ((s, d) => Multimodal.imageHashes(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
     "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>

@@ -183,6 +183,70 @@ object Multimodal {
     }
   }
 
+  /** JDK `javax.imageio` ANIMATED-GIF frame decoder — a real multi-frame
+    * codec behind the m2 seam with zero new dependencies, proving the
+    * FrameDecoder contract against an actual container format rather than
+    * a fake. Frame timestamps accumulate each frame's
+    * GraphicControlExtension delay (centiseconds; non-positive delays fall
+    * back to 40 ms = 25 fps); frame_crc digests the packed top-down RGB
+    * raster so identical frames hash identically across encoders. Frames
+    * are decoded eagerly per payload — GIF animations are small by
+    * construction; a streaming video codec would keep the iterator lazy.
+    */
+  object ImageIoGifFrameDecoder extends FrameDecoder {
+    private def delayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+      val root = meta.getAsTree("javax_imageio_gif_image_1.0")
+      var n = root.getFirstChild
+      var cs = 0L
+      while (n != null) {
+        if (n.getNodeName == "GraphicControlExtension") {
+          val attr = n.getAttributes.getNamedItem("delayTime")
+          if (attr != null) cs = attr.getNodeValue.toLong
+        }
+        n = n.getNextSibling
+      }
+      if (cs > 0) cs * 10 else 40L
+    }
+
+    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) { in.close(); return Iterator.empty }
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false)
+        if (reader.getFormatName.toLowerCase != "gif") return Iterator.empty
+        val n = reader.getNumImages(true)
+        var ts = 0L
+        val frames = Vector.newBuilder[DecodedFrame]
+        var i = 0
+        while (i < n) {
+          val img = reader.read(i)
+          val crc = new CRC32()
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val v = img.getRGB(x, y) & 0xFFFFFF
+              crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          frames += DecodedFrame(i, ts, crc.getValue)
+          ts += delayMs(reader.getImageMetadata(i))
+          i += 1
+        }
+        frames.result().iterator
+      } finally {
+        reader.dispose()
+        in.close()
+      }
+    }
+  }
+
   /** m2: frame sampling — the one-to-many decode fan-out (video row →
     * sampled frame rows) via a typed flatMap-style mapPartitions. The
     * decode step sits behind the FrameDecoder seam (RawFrameDecoder by
@@ -271,29 +335,89 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
 
-  /** 64-bit average-hash (aHash) over the DECODED pixel grid of a BMP
-    * payload: sample an 8×8 luminance grid (nearest-pixel, honoring the
-    * format's bottom-up 4-byte-aligned rows), threshold at the grid mean,
-    * one bit per cell. The standard perceptual-dedup fingerprint — robust
-    * to re-encode/resample, cheap enough to run at scan speed — computed
-    * from real pixels with zero codec libraries.
+  // --- the pixel seam (m4) ----------------------------------------------
+
+  /** A decoded still image as the pixel seam hands it to the fingerprint:
+    * dimensions plus packed 0xRRGGBB access in TOP-DOWN raster coordinates
+    * (the BufferedImage convention; the BMP decoder converts its bottom-up
+    * rows). Created executor-side, never shipped.
     */
-  private[graft] def aHash64(p: Array[Byte]): Option[Long] = {
-    if (!isBmp(p)) return None
-    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
-    val w = bb.getInt(18); val h = bb.getInt(22)
-    val off = bb.getInt(10)
-    if (w <= 0 || h <= 0 || off < 0) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
+  trait DecodedImage {
+    def width: Int
+    def height: Int
+    def rgb(x: Int, y: Int): Int
+  }
+
+  /** THE PIXEL SEAM for m4 — the still-image analog of m2's FrameDecoder:
+    * a codec turns an opaque payload into pixel access and the fingerprint
+    * math, operator, schema and partitioning never change. Implementations
+    * ship to executors inside the mapPartitions closure, hence
+    * Serializable.
+    */
+  trait PixelDecoder extends Serializable {
+    def decode(payload: Array[Byte]): Option[DecodedImage]
+  }
+
+  /** Zero-library 24bpp BMP pixel decode (bottom-up 4-byte-aligned rows) —
+    * the default, producing exactly the pixels the original hand parser
+    * read. Truncated pixel arrays decode to None rather than misread.
+    */
+  object BmpPixelDecoder extends PixelDecoder {
+    override def decode(p: Array[Byte]): Option[DecodedImage] = {
+      if (!isBmp(p)) return None
+      val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18); val h = bb.getInt(22)
+      val off = bb.getInt(10)
+      if (w <= 0 || h <= 0 || off < 0) return None
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (off.toLong + h.toLong * rowSize > p.length) return None
+      Some(new DecodedImage {
+        val width: Int = w
+        val height: Int = h
+        def rgb(x: Int, y: Int): Int = {
+          val pix = off + (h - 1 - y) * rowSize + x * 3 // rows stored bottom-up
+          val b = p(pix) & 0xff; val g = p(pix + 1) & 0xff; val r = p(pix + 2) & 0xff
+          (r << 16) | (g << 8) | b
+        }
+      })
+    }
+  }
+
+  /** JDK `javax.imageio` pixel decode — PNG/JPEG/GIF/BMP with zero new
+    * dependencies: the real-codec upgrade of BmpPixelDecoder behind the
+    * same seam. On lossless pixels (BMP, PNG) it produces bit-identical
+    * aHash fingerprints to the zero-lib path (spec-pinned); lossy formats
+    * land within aHash's re-encode robustness.
+    */
+  object ImageIoPixelDecoder extends PixelDecoder {
+    override def decode(p: Array[Byte]): Option[DecodedImage] = {
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        .filter(img => img.getWidth > 0 && img.getHeight > 0)
+        .map { img =>
+          new DecodedImage {
+            val width: Int = img.getWidth
+            val height: Int = img.getHeight
+            def rgb(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFFFFFF
+          }
+        }
+    }
+  }
+
+  /** 64-bit average-hash (aHash) over a decoded pixel grid: sample an 8×8
+    * luminance grid (nearest-pixel), threshold at the grid mean, one bit
+    * per cell. The standard perceptual-dedup fingerprint — robust to
+    * re-encode/resample, cheap enough to run at scan speed. Identical math
+    * regardless of which PixelDecoder produced the pixels.
+    */
+  private[graft] def aHash64(img: DecodedImage): Long = {
     val lum = new Array[Int](64)
     var j = 0
     while (j < 8) {
       var i = 0
       while (i < 8) {
-        val x = i * w / 8; val y = j * h / 8
-        val pix = off + (h - 1 - y) * rowSize + x * 3 // rows stored bottom-up
-        if (pix < 0 || pix + 2 >= p.length) return None
-        val b = p(pix) & 0xff; val g = p(pix + 1) & 0xff; val r = p(pix + 2) & 0xff
+        val v = img.rgb(i * img.width / 8, j * img.height / 8)
+        val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
         lum(j * 8 + i) = (299 * r + 587 * g + 114 * b) / 1000
         i += 1
       }
@@ -303,23 +427,32 @@ object Multimodal {
     var bits = 0L
     var k = 0
     while (k < 64) { if (lum(k) > mean) bits |= (1L << k); k += 1 }
-    Some(bits)
+    bits
   }
+
+  /** BMP-payload aHash via the default pixel seam (the shape m4's oracle
+    * replays in SQL).
+    */
+  private[graft] def aHash64(p: Array[Byte]): Option[Long] =
+    BmpPixelDecoder.decode(p).map(aHash64)
 
   /** One image's perceptual fingerprint. */
   case class ImageHash(doc_id: Long, width: Int, height: Int, ahash64: Long)
 
-  /** m4: perceptual image fingerprints — decode the BMP payloads and emit
-    * the aHash per image (the dedup key a multimodal curation pipeline
-    * stores next to the blob). Narrow mapPartitions, no shuffle.
+  /** m4: perceptual image fingerprints — decode the image payloads through
+    * the pixel seam and emit the aHash per image (the dedup key a
+    * multimodal curation pipeline stores next to the blob). Narrow
+    * mapPartitions, no shuffle. `decoder` defaults to the zero-lib BMP
+    * path (the oracle-checked shape); ImageIoPixelDecoder slots in for
+    * PNG/JPEG/GIF corpora without any operator change.
     */
-  def imageHashes(spark: SparkSession, dir: String): DataFrame = {
+  def imageHashes(spark: SparkSession, dir: String,
+                  decoder: PixelDecoder = BmpPixelDecoder): DataFrame = {
     import spark.implicits._
     mediaBlobs(spark, dir).filter(_.media_type == "image")
       .mapPartitions(_.flatMap { b =>
-        aHash64(b.payload).map { hsh =>
-          val bb = ByteBuffer.wrap(b.payload).order(ByteOrder.LITTLE_ENDIAN)
-          ImageHash(b.doc_id, bb.getInt(18), bb.getInt(22), hsh)
+        decoder.decode(b.payload).map { img =>
+          ImageHash(b.doc_id, img.width, img.height, aHash64(img))
         }
       })
       .toDF()

@@ -181,4 +181,97 @@ class MultimodalSpec extends SparkSpec {
     // ids 0 and 3 are images (id % 3 == 0); dims are id-derived
     assert(got.toSeq == Seq((0L, 1, 1), (3L, 4, 4)))
   }
+
+  test("ImageIO pixel seam matches the zero-lib BMP decoder bit for bit, BMP and PNG") {
+    // a real JDK codec behind the same PixelDecoder seam: same payload,
+    // same pixels, same fingerprint — and a lossless PNG re-encode of the
+    // same pixels fingerprints identically too
+    val bmp = Multimodal.buildBmp(23, 11, "lossless pixel soup fixture".getBytes)
+    val viaZeroLib = Multimodal.aHash64(bmp).get
+    val viaImageIo = Multimodal.ImageIoPixelDecoder.decode(bmp)
+      .map(Multimodal.aHash64).get
+    assert(viaZeroLib == viaImageIo, "ImageIO BMP pixels must match the hand parser")
+
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    val png = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", png))
+    val viaPng = Multimodal.ImageIoPixelDecoder.decode(png.toByteArray)
+      .map(Multimodal.aHash64).get
+    assert(viaPng == viaZeroLib, "PNG is lossless: identical pixels, identical aHash")
+    // the seam still reports honest absence on junk
+    assert(Multimodal.ImageIoPixelDecoder.decode("not an image".getBytes).isEmpty)
+  }
+
+  test("JPEG decodes through the pixel seam; aHash survives the lossy re-encode") {
+    // smooth horizontal gradient: sampled grid luminances are 32 apart, so
+    // JPEG's small smooth-region error cannot cross the mean threshold
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val v = x * 4
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val png = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", png)
+    val jpg = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", jpg))
+    val hPng = Multimodal.ImageIoPixelDecoder.decode(png.toByteArray)
+      .map(Multimodal.aHash64).get
+    val hJpg = Multimodal.ImageIoPixelDecoder.decode(jpg.toByteArray)
+      .map(Multimodal.aHash64).get
+    assert(java.lang.Long.bitCount(hPng ^ hJpg) <= 2,
+      s"aHash must be robust to JPEG re-encode, hamming ${java.lang.Long.bitCount(hPng ^ hJpg)}")
+  }
+
+  test("m4 through the operator: ImageIO decoder reproduces the zero-lib hashes") {
+    // the full distributed path with the real codec swapped in at the
+    // seam — identical rows on the synthesized BMP corpus
+    val dir = writeDocs(Seq((0L, "img zero pixels"), (3L, "img three pixels"),
+      (6L, "a third image with longer text"), (1L, "audio")))
+    val zeroLib = Multimodal.imageHashes(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val imageIo = Multimodal.imageHashes(spark, dir, Multimodal.ImageIoPixelDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(zeroLib.nonEmpty && zeroLib.toSeq == imageIo.toSeq,
+      s"zero-lib ${zeroLib.toSeq} vs ImageIO ${imageIo.toSeq}")
+  }
+
+  test("animated GIF decodes to per-frame digests through the m2 FrameDecoder seam") {
+    import javax.imageio.{IIOImage, ImageIO}
+    // three 16x16 solid-primary frames: pure colors survive GIF
+    // palettization exactly, so frame digests are predictable
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    val frames = colors.map { c =>
+      val f = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) f.setRGB(x, y, c)
+      f
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+
+    val got = Multimodal.ImageIoGifFrameDecoder.decode(baos.toByteArray).toSeq
+    assert(got.map(_.frame_idx) == Seq(0, 1, 2))
+    // no per-frame delay metadata was written -> 40 ms/frame fallback
+    assert(got.map(_.ts_ms) == Seq(0L, 40L, 80L), s"got ${got.map(_.ts_ms)}")
+    val expectedCrcs = colors.map { c =>
+      val crc = new java.util.zip.CRC32()
+      for (_ <- 0 until 256) {
+        crc.update((c >> 16) & 0xff); crc.update((c >> 8) & 0xff); crc.update(c & 0xff)
+      }
+      crc.getValue
+    }
+    assert(got.map(_.frame_crc) == expectedCrcs,
+      "decoded rasters must digest to the source colors")
+    assert(got.map(_.frame_crc).distinct.size == 3, "distinct frames, distinct digests")
+    // a non-GIF payload yields no frames instead of misparsing
+    assert(Multimodal.ImageIoGifFrameDecoder.decode("raw video bytes".getBytes).isEmpty)
+  }
 }
