@@ -509,21 +509,26 @@ object TextAnalysis {
     * (word, freq) vocabulary table, and every merge iteration — adjacent-
     * pair counting, argmax, merge rewrite — runs on that vocabulary-sized
     * frame, never re-touching the corpus. At 100 TB the corpus scan is the
-    * only big job; the loop is as cheap as the vocabulary. Pair counting is
-    * declarative (zip_with over shifted slices + explode); the merge
-    * rewrite is a per-row symbol fold (typed map — genuinely imperative,
-    * the mapPartitions-class exception). Only the 1-row argmax reaches the
-    * driver per step (loop control, like d6's convergence scalar); ties
-    * break by pair text so runs are deterministic. Output is the learned
-    * merge table in rank order — the tokenizer artifact itself.
+    * only big job; the loop is as cheap as the vocabulary — and because
+    * that training state is vocabulary-sized (Heaps' law: millions of
+    * distinct words, not the corpus), the merge loop itself runs
+    * INCREMENTALLY ON THE DRIVER (Sennrich's reference algorithm: live
+    * pair counts + an occurrence index), so a merge step costs CPU, not a
+    * cluster job round-trip — 32k merges no longer pay 32k job latencies.
+    * A corpus whose distinct-word count exceeds `driverVocabCap` falls
+    * back to the fully distributed per-step loop with identical semantics
+    * (spec-pinned equal). Ties break by pair text so runs are
+    * deterministic. Output is the learned merge table in rank order — the
+    * tokenizer artifact itself.
     */
   def bpeMerges(spark: SparkSession, dir: String,
-                merges: Int = 10): DataFrame = {
+                merges: Int = 10,
+                driverVocabCap: Long = DriverVocabCap): DataFrame = {
     import spark.implicits._
     val wordFreq = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    sharedMerges(spark, dir, merges, wordFreq)
+    sharedMerges(spark, dir, merges, wordFreq, driverVocabCap)
       .toDF("rank", "left", "right", "pair_count")
       .orderBy("rank")
   }
@@ -535,31 +540,141 @@ object TextAnalysis {
     * kind of small driver-side value CacheRegistry.memoSharedValue holds.
     */
   private def sharedMerges(spark: SparkSession, dir: String, merges: Int,
-                           wordFreq: => DataFrame): Seq[(Int, String, String, Long)] =
+                           wordFreq: => DataFrame,
+                           driverVocabCap: Long = DriverVocabCap): Seq[(Int, String, String, Long)] =
     graft.CacheRegistry.memoSharedValue(
-      s"bpe:${spark.sparkContext.applicationId}:$dir:$merges")(
-      learnMerges(spark, wordFreq, merges))
+      s"bpe:${spark.sparkContext.applicationId}:$dir:$merges:$driverVocabCap")(
+      learnMerges(spark, wordFreq, merges, driverVocabCap))
 
   // pair separator inside the argmax key: NUL can never occur in a symbol
   // (symbols are substrings of whitespace-split words)
   private val PairSep = ' '
 
+  /** Vocabulary cap for the driver-side incremental trainer. BPE training
+    * state after the corpus aggregation is VOCABULARY-sized, so the merge
+    * loop belongs on the driver for the common case — like k3's k-row
+    * centroid table, it is a bounded model artifact, not data. Above the
+    * cap the fully distributed loop takes over.
+    */
+  private[operators] val DriverVocabCap = 1000000L
+
   /** The merge-learning loop over an already-aggregated (w, freq)
     * vocabulary frame — shared by x23 (which builds the vocab from the
     * corpus) and x24 (which derives it from its per-source frequency
-    * table, so train + apply together cost ONE corpus scan).
+    * table, so train + apply together cost ONE corpus scan). The split
+    * symbol table is built once (cached, released by the harness); the
+    * incremental driver trainer takes it when the vocabulary fits
+    * `driverVocabCap`, the distributed loop otherwise. Both paths
+    * implement identical semantics — argmax by (count desc, pair text
+    * asc), greedy leftmost rewrite — and are spec-pinned equal.
     */
-  private def learnMerges(spark: SparkSession, wordFreq: DataFrame,
-                          merges: Int): Seq[(Int, String, String, Long)] = {
+  private[graft] def learnMerges(spark: SparkSession, wordFreq: DataFrame,
+                                 merges: Int,
+                                 driverVocabCap: Long = DriverVocabCap): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    val vocab0 = graft.CacheRegistry.persistTracked(
+      wordFreq.select(split(col("w"), "").as("sym"), col("freq")))
+    if (vocab0.count() <= driverVocabCap)
+      learnMergesIncremental(vocab0.as[(Seq[String], Long)].collect(), merges)
+    else
+      learnMergesDistributed(spark, vocab0, merges)
+  }
+
+  /** Greedy leftmost non-overlapping single-merge rewrite — the one
+    * rewrite rule both trainers share.
+    */
+  private def mergeOnce(sym: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-side incremental BPE trainer (Sennrich et al.'s reference
+    * algorithm): pair counts are maintained UNDER the merges — each step
+    * pays one argmax over the live count table plus a rewrite of only the
+    * words containing the merged pair (found via an occurrence index) —
+    * so large merge budgets cost CPU, never per-step cluster round-trips.
+    */
+  private def learnMergesIncremental(vocab: Array[(Seq[String], Long)],
+                                     merges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words = vocab.map(_._1.toArray)
+    val freqs = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // occurrence index: pair -> indices of words that contained it when
+    // last indexed; entries go stale after rewrites and are re-validated
+    // (cheap contains scan) before use
+    val occurs = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def bump(p: (String, String), f: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + f
+      if (n == 0L) counts.remove(p) else counts.update(p, n)
+    }
+    def index(wi: Int): Unit = {
+      val w = words(wi); val f = freqs(wi)
+      var k = 0
+      while (k < w.length - 1) {
+        val p = (w(k), w(k + 1))
+        bump(p, f)
+        occurs.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi
+        k += 1
+      }
+    }
+    def deindex(wi: Int): Unit = {
+      val w = words(wi); val f = freqs(wi)
+      var k = 0
+      while (k < w.length - 1) { bump((w(k), w(k + 1)), -f); k += 1 }
+    }
+    words.indices.foreach(index)
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    while (step < merges && counts.nonEmpty) {
+      // the distributed loop's exact argmax: count desc, then the
+      // PairSep-joined pair text ascending
+      var bl: String = null; var br: String = null
+      var bn = Long.MinValue; var bk: String = null
+      counts.foreach { case ((l, r), n) =>
+        val k = l + PairSep + r
+        if (n > bn || (n == bn && k < bk)) { bl = l; br = r; bn = n; bk = k }
+      }
+      learned += ((step, bl, br, bn))
+      occurs.getOrElse((bl, br), mutable.ArrayBuffer.empty).distinct.foreach { wi =>
+        val w = words(wi)
+        var contains = false
+        var k = 0
+        while (!contains && k < w.length - 1) {
+          if (w(k) == bl && w(k + 1) == br) contains = true
+          k += 1
+        }
+        if (contains) { // skip stale index entries
+          deindex(wi)
+          words(wi) = mergeOnce(w, bl, br)
+          index(wi)
+        }
+      }
+      occurs.remove((bl, br))
+      step += 1
+    }
+    learned.result()
+  }
+
+  /** The distributed merge loop — the unbounded-vocabulary fallback: one
+    * declarative adjacent-pair count + 1-row argmax + typed merge rewrite
+    * per step. Each step is a cluster job, which is exactly why the
+    * driver trainer owns the common case.
+    */
+  private def learnMergesDistributed(spark: SparkSession, vocab0: DataFrame,
+                                     merges: Int): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     val pairCol = explode(zip_with(
       slice(col("sym"), lit(1), size(col("sym")) - 1),
       slice(col("sym"), lit(2), size(col("sym")) - 1),
       (a, b) => concat(a, lit(PairSep.toString), b)))
-    var vocab = wordFreq
-      .select(split(col("w"), "").as("sym"), col("freq"))
-      .as[(Seq[String], Long)]
-      .localCheckpoint()
+    var vocab = vocab0.as[(Seq[String], Long)].localCheckpoint()
     val learned = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var exhausted = false
@@ -575,14 +690,7 @@ object TextAnalysis {
         val Array(l, r) = top.head.getString(0).split(PairSep)
         learned += ((step, l, r, top.head.getLong(1)))
         vocab = vocab.map { case (sym, freq) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < sym.length) {
-            if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
-              out += l + r; i += 2
-            } else { out += sym(i); i += 1 }
-          }
-          (out.toSeq, freq)
+          (mergeOnce(sym.toArray, l, r).toSeq, freq)
         }.localCheckpoint()
         step += 1
       }
