@@ -60,7 +60,6 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
                  minEstJaccard: Double = 0.8, maxBucketSize: Int = 2000): DataFrame = {
-    val rows = numHashes / bands
     // The signature is the expensive kernel and is reused by three branches
     // (banding + both sides of the pair rejoin) — persist it once. At fleet
     // scale this is a MEMORY_AND_DISK cache of (id, 32 longs), a tiny
@@ -73,10 +72,38 @@ object Dedup {
         .select(col("doc_id"),
           minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig")))
 
-    // the bucket key is the band's raw signature slice, not a hash of it:
-    // array equality is the same collision predicate, joins/groups take
-    // array keys fine in both engines, and the DuckDB oracle can replay
-    // it without an engine-specific hash function
+    val pairs = minhashCandidatePairs(docs, numHashes, bands, maxBucketSize)
+
+    pairs
+      .join(docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (Sketches.equalCount(col("a_sig"), col("b_sig")).cast("double") / numHashes)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** LSH candidate pairs (banded, capped, deduped — UNscored) from a
+    * (doc_id, sig) frame — split out of minhashLsh so skew specs can
+    * assert CANDIDATE VOLUME, the quantity the bucket cap bounds,
+    * independently of scoring.
+    *
+    * The bucket key is the band's raw signature slice, not a hash of it:
+    * array equality is the same collision predicate, joins/groups take
+    * array keys fine in both engines, and the DuckDB oracle can replay
+    * it without an engine-specific hash function.
+    *
+    * Standard LSH hygiene: cap bucket size. An over-full bucket means the
+    * band carries no discriminating information there (stop-shingle
+    * territory) but would cost O(size²) pairs — the worst-case skew killer
+    * at fleet scale. Recall is preserved by the other bands. The handful of
+    * over-cap buckets is found with a partial-aggregable count and removed
+    * with a broadcast anti-join — no sort-based window over every row.
+    */
+  private[graft] def minhashCandidatePairs(docs: DataFrame, numHashes: Int,
+                                           bands: Int, maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
     val banded = graft.CacheRegistry.persistTracked(
       docs.select(
         col("doc_id"),
@@ -89,33 +116,18 @@ object Dedup {
           .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")))
 
-    // Standard LSH hygiene: cap bucket size. An over-full bucket means the
-    // band carries no discriminating information there (stop-shingle
-    // territory) but would cost O(size²) pairs — the worst-case skew killer
-    // at fleet scale. Recall is preserved by the other bands. The handful of
-    // over-cap buckets is found with a partial-aggregable count and removed
-    // with a broadcast anti-join — no sort-based window over every row.
     val overfull = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bkt_n"))
       .filter(col("bkt_n") > maxBucketSize)
       .select("band", "bucket")
     val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
 
-    val pairs = bounded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    bounded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
       .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
         Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-
-    pairs
-      .join(docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (Sketches.equalCount(col("a_sig"), col("b_sig")).cast("double") / numHashes)
-          .as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEstJaccard)
-      .orderBy("a_id", "b_id")
   }
 
   // --- SimHash machinery (d3) -----------------------------------------

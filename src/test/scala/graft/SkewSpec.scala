@@ -57,6 +57,69 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  // --- candidate-volume matrix -------------------------------------------
+  // Numeric ceilings on CANDIDATE counts under crafted hot keys, so a guard
+  // regression fails a unit test instead of a fleet. The d4 stopword bomb,
+  // d5 hot-label bomb and g1 1000-leaf star live in DedupSpec with their
+  // own count assertions; d2 and k2 are covered here.
+
+  test("d2 bucket cap: 100 identical docs produce zero pairs, a planted dup still collides") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 byte-identical documents: every band bucket holds all 100, the
+    // classic stop-shingle bomb that would cost C(100,2) = 4950 candidate
+    // pairs per band. With the cap at 50 every bomb bucket is dropped
+    // (recall on REAL near-dups is preserved by discriminating bands —
+    // here the planted pair's buckets have size 2 and survive).
+    val bomb = (1L to 100L).map(i =>
+      (i, "all these tokens identical in every single document"))
+    val planted = Seq(
+      (201L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      (202L, "p1 p2 p3 p4 p5 p6 p7 p8"))
+    val sigs = (bomb ++ planted).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.operators.Dedup.minHashSignature(
+          array_distinct(split(col("text"), " ")), 32).as("sig"))
+    try {
+      val capped = graft.operators.Dedup
+        .minhashCandidatePairs(sigs, numHashes = 32, bands = 8, maxBucketSize = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(capped.toSet == Set((201L, 202L)),
+        s"cap must drop the bomb buckets and keep the planted pair, got ${capped.toSet}")
+      // without the cap the same fixture explodes — the volume the guard removes
+      val uncapped = graft.operators.Dedup
+        .minhashCandidatePairs(sigs, numHashes = 32, bands = 8, maxBucketSize = 100000)
+        .count()
+      assert(uncapped == 100L * 99 / 2 + 1,
+        s"uncapped bomb should cost C(100,2)+1 candidates, got $uncapped")
+    } finally CacheRegistry.releaseAll()
+  }
+
+  test("k2 cluster blocking keeps the pair join at within-cluster volume") {
+    import spark.implicits._
+    val dim = 8
+    // 100 vectors in 4 tight orthogonal clusters of 25; ids 0-3 are one
+    // per cluster, so the deterministic lowest-id seeds land one per
+    // cluster and the argmax assignment recovers the planted partition.
+    def vec(cluster: Int, i: Long): Array[Float] = {
+      val v = Array.fill(dim)(0.001f * ((i % 7) + 1))
+      v(cluster) = 1.0f
+      v
+    }
+    val emb = (0L until 100L).map(i => (i, vec((i % 4).toInt, i), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val dir = tempSfDir()
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      // minCosine = -1 keeps every candidate, so the row count IS the
+      // post-blocking candidate volume: 4 * C(25,2) = 1200, not C(100,2)
+      val volume = graft.operators.Curation
+        .semDedupPairs(spark, dir, k = 4, minCosine = -1.0).count()
+      assert(volume == 4L * 25 * 24 / 2,
+        s"expected within-cluster volume 1200, got $volume (all-pairs would be 4950)")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("salted two-phase aggregation equals plain groupBy on a skewed key") {
     import spark.implicits._
     val dir = tempSfDir()
