@@ -12,6 +12,82 @@ import graft.streaming.StreamOps._
   * cross-batch state (open runs, previous-event timestamps, watermarked
   * windows) is actually exercised.
   */
+/** Top-level so the evolved processor serializes without dragging the
+  * suite into the closure: the V2 PackState adds a field to the V1 schema
+  * (the state-schema upgrade path a long-lived streaming job takes when a
+  * new requirement lands mid-stream).
+  */
+object StreamEvolutionFixtures {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  import graft.streaming.StreamOps.{Doc, PackedBin}
+
+  /** V1's PackState plus a new OPTIONAL field — Avro state encoding fills
+    * it with None when reading V1 checkpoint rows (added fields must be
+    * nullable; a primitive would be rejected by the schema checker).
+    */
+  case class PackStateV2(binId: Long, cumTokens: Long, nDocs: Long,
+                         binTokens: Long, maxDocTokens: Option[Long])
+
+  /** The V2 processor: identical packing semantics, one new tracked
+    * statistic. Reads V1 state transparently under Avro schema evolution.
+    */
+  class PackSequencesProcessorV2(binTokens: Long, flushGapMs: Long)
+      extends StatefulProcessor[String, Doc, PackedBin] {
+    @transient private var pack: ValueState[PackStateV2] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pack = getHandle.getValueState[PackStateV2](
+        "pack", Encoders.product[PackStateV2], TTLConfig.NONE)
+
+    private def emit(source: String, s: PackStateV2): PackedBin =
+      PackedBin(source, s.binId, s.nDocs, s.binTokens,
+        math.round(s.binTokens.toDouble / binTokens * 10000.0) / 10000.0)
+
+    override def handleInputRows(source: String, rows: Iterator[Doc],
+                                 tv: TimerValues): Iterator[PackedBin] = {
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      var cur = if (pack.exists()) Some(pack.get()) else None
+      val out = Seq.newBuilder[PackedBin]
+      var lastMs = 0L
+      sorted.foreach { d =>
+        val prior = cur.map(_.cumTokens).getOrElse(0L)
+        val bin = Math.floorDiv(prior, binTokens)
+        val mx = Some(math.max(d.n_tokens, cur.flatMap(_.maxDocTokens).getOrElse(0L)))
+        cur match {
+          case Some(s) if s.nDocs == 0L =>
+            cur = Some(PackStateV2(bin, prior + d.n_tokens, 1L, d.n_tokens, mx))
+          case Some(s) if s.binId == bin =>
+            cur = Some(PackStateV2(bin, prior + d.n_tokens, s.nDocs + 1,
+              s.binTokens + d.n_tokens, mx))
+          case Some(s) =>
+            out += emit(source, s)
+            cur = Some(PackStateV2(bin, prior + d.n_tokens, 1L, d.n_tokens, mx))
+          case None =>
+            cur = Some(PackStateV2(bin, d.n_tokens, 1L, d.n_tokens, mx))
+        }
+        lastMs = math.max(lastMs, d.ts.getTime)
+      }
+      cur.foreach { s =>
+        pack.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(lastMs + flushGapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(source: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[PackedBin] =
+      if (pack.exists() && pack.get().nDocs > 0) {
+        val s = pack.get()
+        pack.update(PackStateV2(s.binId + 1, (s.binId + 1) * binTokens,
+          0L, 0L, s.maxDocTokens))
+        Iterator.single(emit(source, s))
+      } else Iterator.empty
+  }
+}
+
 class StreamOpsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -503,6 +579,59 @@ class StreamOpsSpec extends SparkSpec {
         assert(all.toSet.contains(("s0", 1L, 1L, 5L)),
           s"idle open bin must flush by timer, got ${all.toSeq}")
       } finally q.stop()
+    }
+  }
+
+  test("streaming x20 state schema evolves: a V2 processor resumes a V1 checkpoint losslessly") {
+    // the upgrade path a long-lived streaming job takes: stop on a
+    // checkpoint written by the V1 PackState schema, restart with a
+    // processor whose state carries a NEW (nullable) field. Avro state
+    // encoding (set at the FIRST run; unsaferow does not evolve) fills the
+    // added field with None when reading old rows — no state loss, bins
+    // keep accumulating mid-bin across the upgrade.
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val prevEnc = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
+      spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+      try {
+        val input = MemoryStream[Doc]
+        val ckpt = tempSfDir(); val outDir = tempSfDir()
+        val flushGap = 30L * 60 * 1000
+        def runOnce(out: org.apache.spark.sql.Dataset[PackedBin]): Unit = {
+          val q = out.writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .outputMode(OutputMode.Append).start()
+          try q.awaitTermination() finally q.stop()
+        }
+        // run 1 — production V1 processor: 4+4 tokens leave bin 0 OPEN
+        input.addData(Seq(doc(1, 0, "s0", 4), doc(2, 1, "s0", 4)))
+        runOnce(StreamOps.packSequencesStream(spark, input.toDS(),
+          binTokens = 10L, flushGapMs = flushGap, watermark = "0 seconds"))
+        val afterV1 = scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)
+        assert(afterV1 == 0L, s"bin 0 must still be open after run 1, got $afterV1 rows")
+
+        // run 2 — V2 processor on the same checkpoint: doc 3 extends the
+        // V1 bin (prior 8 -> still bin 0), doc 4 crosses into bin 1 and
+        // closes it. n_docs=3 / bin_tokens=12 are only possible if the V1
+        // state row was read through the evolved schema.
+        input.addData(Seq(doc(3, 2, "s0", 4), doc(4, 3, "s0", 5)))
+        runOnce(input.toDS().withWatermark("ts", "0 seconds")
+          .groupByKey(_.source)
+          .transformWithState(
+            new StreamEvolutionFixtures.PackSequencesProcessorV2(10L, flushGap),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            OutputMode.Append()))
+        val rows = spark.read.parquet(outDir).collect()
+          .map(r => (r.getAs[String]("source"), r.getAs[Long]("bin_id"),
+            r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"),
+            r.getAs[Double]("fill_ratio")))
+        assert(rows.toSeq == Seq(("s0", 0L, 3L, 12L, 1.2)),
+          s"V1 state must survive the schema upgrade, got ${rows.toSeq}")
+      } finally prevEnc match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
+      }
     }
   }
 
