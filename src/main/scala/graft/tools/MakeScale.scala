@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an m-fold documents+embeddings slice from a base SF dir for
+  * scaling-curve measurements (the driver's generator tops out at 5k docs,
+  * which cannot distinguish linear from quadratic).
+  *
+  * Replication is NAMESPACE-DISJOINT so the near-dup structure scales the
+  * way a real corpus grows instead of manufacturing m-1 exact duplicates
+  * of every document: replica k prefixes every token with "rk·" (disjoint
+  * vocabularies → zero cross-replica shingle/token/band collisions, so d2/
+  * d3/d4/c1 candidate volume scales like m independent corpora), offsets
+  * doc_id/vec_id far past the base range (ANN query vectors vec_id<5 stay
+  * exactly the original five), and offsets embedding labels (d5 block
+  * count scales, block SIZE stays constant — the guarded design's
+  * assumption). Embedding values are reused unchanged: identical point
+  * clouds mean k-means cells keep constant population when the seed count
+  * scales with m, which is how SemDedup is provisioned at fleet scale.
+  *
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/sfx10 10"
+  */
+object MakeScale {
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, outDir, mStr) = args.take(3)
+    val m = mStr.toInt
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val replicas = (0 until m).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), t => concat(lit(s"r${k}q"), t)), " ")
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        text.as("text"),
+        col("lang"),
+        col("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+    replicas.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    (0 until m).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k.toLong * 10000000L)).as("vec_id"),
+        col("embedding"),
+        (col("label") + lit(k * 100000)).as("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"[make-scale] wrote $outDir at ${m}x $baseDir")
+    spark.stop()
+  }
+}

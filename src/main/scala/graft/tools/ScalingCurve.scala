@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.CacheRegistry
+import graft.operators.{Curation, Decontamination, Dedup, Similarity}
+
+/** Scaling-curve measurement for the guarded dedup/ANN/graph operators:
+  * times each at every supplied scale slice (see MakeScale) and prints
+  * per-(query, scale) minima so exponents can be fit offline.
+  *
+  * Pass discipline mirrors graft.Bench: releaseAll per query, releaseShared
+  * per pass — so d4 carries its shared chain's build cost and d6/d7/g1 time
+  * their marginals, matching BASELINE.md's family-sum convention.
+  *
+  * k2 is provisioned the way SemDedup is at fleet scale: the cluster count
+  * scales with the corpus (k = 8m for an m-fold slice), keeping cell
+  * population constant — with fixed k its within-cluster volume is n²/k by
+  * design, which no guard can (or should) hide.
+  *
+  *   sbt "runMain graft.tools.ScalingCurve 3 1:/root/testdata/sf0.1 10:/tmp/sfx10"
+  */
+object ScalingCurve {
+  def main(args: Array[String]): Unit = {
+    val iters = args.headOption.map(_.toInt).getOrElse(3)
+    val slices: Seq[(Int, String)] = args.drop(1).toSeq.map { a =>
+      val Array(m, dir) = a.split(":", 2)
+      (m.toInt, dir)
+    }
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def queries(m: Int): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d1_exact_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
+      "d2_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+      "d3_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+      "d4_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+      "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+      "d6_dedup_groups" -> ((s, d) => Dedup.dedupGroups(s, d)),
+      "d7_keep_list" -> ((s, d) => Dedup.keepList(s, d)),
+      "g1_triangle_counts" -> ((s, d) => Dedup.triangleCounts(s, d)),
+      "c1_contamination" -> ((s, d) => Decontamination.contaminated(s, d)),
+      "x26_dup_spans" -> ((s, d) => Decontamination.dupShingleFraction(s, d)),
+      "k1_centroid_assign" -> ((s, d) => Curation.centroidAssign(s, d)),
+      "k2_semdedup_pairs" -> ((s, d) => Curation.semDedupPairs(s, d, k = 8 * m)),
+      "k3_kmeans_refine" -> ((s, d) => Curation.kmeansRefine(s, d)),
+      "s1_ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
+      "s2_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+      "s3_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+      "s4_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)))
+
+    slices.foreach { case (m, dir) =>
+      Seq("documents", "embeddings").foreach { t =>
+        try spark.read.parquet(s"$dir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+      (1 to iters).foreach { i =>
+        queries(m).foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scaling] $name@${m}x failed: ${e.getMessage}")
+              false
+            } finally CacheRegistry.releaseAll()
+          if (ok) {
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"SCALING $name m=$m iter=$i $sec%.3f s")
+          }
+        }
+        CacheRegistry.releaseShared()
+      }
+    }
+    spark.stop()
+  }
+}
