@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Doubles, Sketches, VectorFunctions}
+import graft.Output._
 
 /** Corpus-curation operators beyond the dedup family: normalization-aware
   * duplicate collapse, frequency heavy hitters, and the centroid-assignment
@@ -35,7 +36,7 @@ object Curation {
         count_distinct(col("text")).as("n_variants"))
       .select(col("keep_id"), col("n_copies"), col("n_variants"),
         length(col("norm")).cast("long").as("norm_len"))
-      .orderBy("keep_id")
+      .orderedBy("keep_id")
 
   /** h1: frequency heavy hitters — (event_type, user_id) pairs whose count
     * is at least `minShare` of their type's total. Exact two-aggregate form:
@@ -262,7 +263,7 @@ object Curation {
           col("a_nrm"), col("b_nrm")), 6))
       .filter(col("cosim") >= minCosine)
       .select(col("centroid_id"), col("a_id"), col("b_id"), col("cosim"))
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 
   /** e1: int8 scalar quantization audit — per label, the reconstruction
@@ -408,7 +409,7 @@ object Curation {
         // roundZ: a tiny negative log-ratio sum rounds to -0.0 in DuckDB but
         // 0.0 here — normalize so the byte-hash oracle compare agrees
         Doubles.roundZ(sum(col("lr")) / count(lit(1)), 4).as("dsir_weight"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** x22: token-window chunking — fixed-size overlapping windows (size W,
@@ -435,6 +436,6 @@ object Curation {
         (col("start") / stride).cast("long").as("chunk_idx"),
         col("start"),
         least(col("wc") - col("start"), lit(window.toLong)).as("chunk_len"))
-      .orderBy("doc_id", "chunk_idx")
+      .orderedBy("doc_id", "chunk_idx")
   }
 }

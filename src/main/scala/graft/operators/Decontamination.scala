@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Sketches
+import graft.Output._
 
 /** Benchmark decontamination — the training-data hygiene operator: flag
   * corpus documents that share any contiguous k-token shingle with a
@@ -42,7 +43,7 @@ object Decontamination {
       .join(broadcast(bench), "h")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hit_shingles"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** x26: duplicated-span fraction — for each doc, the share of its
@@ -72,6 +73,6 @@ object Decontamination {
         sum((col("nd") > 1).cast("long")).as("n_dup_shingles"))
       .withColumn("dup_frac",
         round(col("n_dup_shingles").cast("double") / col("n_shingles"), 6))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Sketches, VectorFunctions}
+import graft.Output._
 
 /** Deduplication family over the `documents` / `embeddings` tables — the
   * operators a large-scale training-data pipeline runs before anything else.
@@ -26,7 +27,7 @@ object Dedup {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
-      .orderBy("keep_id")
+      .orderedBy("keep_id")
 
   // --- MinHash machinery (d2) -----------------------------------------
 
@@ -81,7 +82,7 @@ object Dedup {
         (Sketches.equalCount(col("a_sig"), col("b_sig")).cast("double") / numHashes)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 
   /** LSH candidate pairs (banded, capped, deduped — UNscored) from a
@@ -170,7 +171,7 @@ object Dedup {
       // shrinks the distinct's shuffle to true near-dups only
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 
   /** Distinct word sets per document, lexicographically sorted (the order
@@ -260,7 +261,7 @@ object Dedup {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 
   /** The d4 near-dup pair list d6/d7/g1 start from — a projection of the
@@ -351,7 +352,7 @@ object Dedup {
         .warn(s"dedupGroups stopped at maxIters=$maxIters without converging — " +
           "group labels may be partially propagated; raise maxIters " +
           "(pointer doubling needs ~log2(component diameter) supersteps)")
-    labels.orderBy("doc_id")
+    labels.orderedBy("doc_id")
   }
 
   /** d7: the dedup *decision* — one row per document with its transitive
@@ -364,7 +365,7 @@ object Dedup {
     dedupGroups(spark, dir, minJaccard)
       .select(col("doc_id"), col("group_id"),
         (col("doc_id") === col("group_id")).as("keep"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   /** Degree-oriented directed edge list from an undirected pair list
     * (a_id < b_id, each pair once): every edge points from its
@@ -421,7 +422,7 @@ object Dedup {
       .select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** g1: per-document triangle participation over the d4 near-dup graph —
@@ -514,7 +515,7 @@ object Dedup {
           col("a_nrm"), col("b_nrm")), 6))
       .filter(col("cosim") >= minCosine)
       .select("a_id", "b_id", "cosim")
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 
   /** d5: embedding-cosine near-dup pairs, blocked by label (the coarse

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Output._
 
 /** Multimodal-column plumbing: media payloads travel as opaque `binary`
   * columns with typed metadata alongside; decode / feature-extraction runs
@@ -333,7 +334,7 @@ object Multimodal {
       .mapPartitions(_.map(decode))(
         org.apache.spark.sql.Encoders.product[MediaMeta])
       .toDF()
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
 
   // --- the pixel seam (m4) ----------------------------------------------
 
@@ -456,7 +457,7 @@ object Multimodal {
         }
       })
       .toDF()
-      .orderBy("doc_id")
+      .orderedBy("doc_id")
   }
 
   /** Perceptual near-dup pairs over a (doc_id, ahash64) frame: the d3
@@ -482,6 +483,6 @@ object Multimodal {
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderBy("a_id", "b_id")
+      .orderedBy("a_id", "b_id")
   }
 }

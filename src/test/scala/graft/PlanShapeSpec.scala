@@ -74,4 +74,35 @@ class PlanShapeSpec extends SparkSpec {
       assert(g1.exchanges <= 10, s"g1 exchange total regressed, got $g1")
     } finally CacheRegistry.releaseShared()
   }
+
+  test("spark.graft.orderedOutput=false drops the global output sort, same rows") {
+    import org.apache.spark.sql.execution.SortExec
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta", "s0"), (2L, "alpha beta", "s0"),
+      (3L, "gamma delta", "s0"), (4L, "epsilon zeta", "s0")))
+    // AQE-off like staticCounts: pre-execution, AdaptiveSparkPlanExec hides
+    // its children from collect, so introspect the static physical plan
+    def globalSorts(df: => DataFrame): Int = {
+      val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan.collect {
+        case s: SortExec if s.global => s
+      }.size
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    val ordered = Dedup.exactDedup(spark, dir)
+    assert(globalSorts(ordered) == 1,
+      "harness default must keep the deterministic output sort")
+    spark.conf.set(Output.OrderedKey, "false")
+    try {
+      val unordered = Dedup.exactDedup(spark, dir)
+      assert(globalSorts(unordered) == 0,
+        "production mode must not range-partition the output")
+      assert(unordered.collect().toSet == ordered.collect().toSet,
+        "the seam must change presentation order only")
+    } finally spark.conf.unset(Output.OrderedKey)
+  }
 }
