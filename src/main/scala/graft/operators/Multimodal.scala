@@ -20,12 +20,15 @@ import graft.Output._
   * The synthesized media column wraps each document's bytes in genuine
   * containers — a byte-valid 24bpp BMP for "image" rows, a canonical PCM16
   * WAV for "audio" rows — so the parser is exercised against real headers,
-  * not fixtures that mirror its own assumptions. "video" rows stay an
-  * opaque raw payload with a deterministic fallback (a real video decode
-  * needs a codec library this container does not have); the fan-out shape
-  * around it is real and load-bearing either way: binary columns, typed
-  * batch boundaries (`Dataset[MediaBlob]` → `mapPartitions` →
-  * `Dataset[...]`), encoder schemas, partition-parallel decode.
+  * not fixtures that mirror its own assumptions. "video" rows in the
+  * driver corpus stay an opaque raw payload with a deterministic
+  * fallback, but the seam itself has a REAL video-container path:
+  * AviMjpegFrameDecoder demuxes RIFF/AVI and decodes MJPEG frames via
+  * JDK ImageIO with zero added dependencies (the GIF decoder covers the
+  * multi-frame-image case). The fan-out shape around the seam is real
+  * and load-bearing either way: binary columns, typed batch boundaries
+  * (`Dataset[MediaBlob]` → `mapPartitions` → `Dataset[...]`), encoder
+  * schemas, partition-parallel decode.
   */
 object Multimodal {
 
@@ -184,6 +187,104 @@ object Multimodal {
     }
   }
 
+  /** CRC32 over a BufferedImage's packed top-down RGB raster — the shared
+    * frame-digest convention of every ImageIO-backed decoder here, so the
+    * same pixels hash identically whatever container carried them.
+    */
+  private def rasterCrc(img: java.awt.image.BufferedImage): Long = {
+    val crc = new CRC32()
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val v = img.getRGB(x, y) & 0xFFFFFF
+        crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    crc.getValue
+  }
+
+  /** AVI/MJPEG demuxer behind the m2 seam — the real VIDEO-container path
+    * with zero new dependencies: AVI is RIFF (the same chunk discipline as
+    * the WAV parser above, down to the word-alignment pad), and an MJPEG
+    * stream's frames are standalone JPEGs, which JDK `javax.imageio`
+    * decodes. The header walk reads `avih.dwMicroSecPerFrame` for the
+    * frame cadence; the 'movi' list's `##dc`/`##db` chunks are then
+    * iterated LAZILY — one JPEG decode per pulled frame, so an every-Nth
+    * sampling policy upstream never pays for the frames it drops.
+    * frame_crc digests the decoded RGB raster via `rasterCrc`, the same
+    * convention as the GIF decoder. Non-AVI payloads (including the
+    * synthesized raw "video" rows of the driver corpus) yield no frames
+    * instead of misparsing — RawFrameDecoder remains the contract default.
+    */
+  object AviMjpegFrameDecoder extends FrameDecoder {
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+      if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") return Iterator.empty
+      var usPerFrame = 40000L // 25 fps unless avih says otherwise
+      var moviStart = -1
+      var moviEnd = -1
+      def walk(from: Int, to: Int): Unit = {
+        var o = from
+        while (o + 8 <= to) {
+          val id = fourcc(payload, o)
+          val sz = u32(payload, o + 4).toInt
+          val body = o + 8
+          if (id == "LIST" && body + 4 <= to) {
+            val listType = fourcc(payload, body)
+            val listEnd = math.min(body + sz, to)
+            if (listType == "movi") { moviStart = body + 4; moviEnd = listEnd }
+            else walk(body + 4, listEnd)
+          } else if (id == "avih" && body + 4 <= to) {
+            val v = u32(payload, body)
+            if (v > 0) usPerFrame = v
+          }
+          o = body + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+      }
+      walk(12, payload.length)
+      if (moviStart < 0) return Iterator.empty
+
+      val cadence = usPerFrame
+      new Iterator[DecodedFrame] {
+        private var off = moviStart
+        private var idx = 0
+        private var nextFrame: DecodedFrame = null
+        private def advance(): Unit = {
+          nextFrame = null
+          while (nextFrame == null && off + 8 <= moviEnd) {
+            val id = fourcc(payload, off)
+            val sz = u32(payload, off + 4).toInt
+            val body = off + 8
+            off = body + sz + (sz & 1)
+            if (id.endsWith("dc") || id.endsWith("db")) {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(payload, body,
+                  math.min(sz, payload.length - body)))
+              if (img != null) {
+                nextFrame = DecodedFrame(idx, idx * cadence / 1000L, rasterCrc(img))
+                idx += 1
+              }
+            }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextFrame != null
+        override def next(): DecodedFrame = {
+          val f = nextFrame; advance(); f
+        }
+      }
+    }
+  }
+
   /** JDK `javax.imageio` ANIMATED-GIF frame decoder — a real multi-frame
     * codec behind the m2 seam with zero new dependencies, proving the
     * FrameDecoder contract against an actual container format rather than
@@ -224,19 +325,7 @@ object Multimodal {
         val frames = Vector.newBuilder[DecodedFrame]
         var i = 0
         while (i < n) {
-          val img = reader.read(i)
-          val crc = new CRC32()
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val v = img.getRGB(x, y) & 0xFFFFFF
-              crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          frames += DecodedFrame(i, ts, crc.getValue)
+          frames += DecodedFrame(i, ts, rasterCrc(reader.read(i)))
           ts += delayMs(reader.getImageMetadata(i))
           i += 1
         }
@@ -256,9 +345,18 @@ object Multimodal {
     * batching are what a real ffmpeg stage drops into.
     */
   def frameSamples(spark: SparkSession, dir: String, everyNth: Int = 4,
-                   decoder: FrameDecoder = RawFrameDecoder): Dataset[FrameSample] = {
-    import spark.implicits._
-    val blobs = mediaBlobs(spark, dir).filter(_.media_type == "video")
+                   decoder: FrameDecoder = RawFrameDecoder): Dataset[FrameSample] =
+    frameSamplesFrom(
+      mediaBlobs(spark, dir).filter(_.media_type == "video"), everyNth, decoder)
+
+  /** The blob-level m2 kernel: same fan-out, any `Dataset[MediaBlob]`
+    * source — what a pipeline with its own blob store calls directly, and
+    * what specs drive with real containers (AVI, GIF) the synthesized
+    * corpus does not carry.
+    */
+  def frameSamplesFrom(blobs: Dataset[MediaBlob], everyNth: Int,
+                       decoder: FrameDecoder): Dataset[FrameSample] = {
+    import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { b =>
       decoder.decode(b.payload)
         .filter(_.frame_idx % everyNth == 0)

@@ -274,4 +274,101 @@ class MultimodalSpec extends SparkSpec {
     // a non-GIF payload yields no frames instead of misparsing
     assert(Multimodal.ImageIoGifFrameDecoder.decode("raw video bytes".getBytes).isEmpty)
   }
+
+  // --- AVI/MJPEG: the real video-container path through the m2 seam ------
+
+  private def jpegBytes(color: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, color)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal structurally-valid AVI-MJPEG: RIFF(AVI ) → LIST hdrl
+    * (avih + LIST strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)) →
+    * LIST movi ('00dc' chunks, word-aligned). Little-endian throughout.
+    */
+  private def aviMjpeg(frames: Seq[Array[Byte]], usPerFrame: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val bb = ByteBuffer.allocate(8 + body.length + pad).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: String, bodies: Array[Byte]*): Array[Byte] = {
+      val payload = bodies.flatten.toArray
+      val bb = ByteBuffer.allocate(12 + payload.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(listType.getBytes("US-ASCII")).put(payload)
+      bb.array()
+    }
+    val avih = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(16).putInt(16) // dwWidth, dwHeight
+    val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(if (usPerFrame > 0) 1000000 / usPerFrame else 0) // dwScale, dwRate
+      .putInt(0).putInt(frames.size)
+    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(16).putInt(16).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII"))
+    val hdrl = list("hdrl", chunk("avih", avih.array()),
+      list("strl", chunk("strh", strh.array()), chunk("strf", strf.array())))
+    val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+    val body = hdrl ++ movi
+    val bb = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("AVI ".getBytes("US-ASCII")).put(body)
+    bb.array()
+  }
+
+  test("AVI/MJPEG demuxes and decodes real JPEG frames through the m2 seam") {
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF)
+    val jpegs = colors.map(jpegBytes)
+    val avi = aviMjpeg(jpegs, usPerFrame = 100000) // 10 fps
+    val got = Multimodal.AviMjpegFrameDecoder.decode(avi).toSeq
+
+    assert(got.map(_.frame_idx) == Seq(0, 1, 2))
+    assert(got.map(_.ts_ms) == Seq(0L, 100L, 200L),
+      s"avih cadence must drive timestamps, got ${got.map(_.ts_ms)}")
+    // JPEG is lossy, so digests are pinned by round-trip: CRC of each
+    // frame's independently decoded raster, same rasterCrc convention
+    val expected = jpegs.map { j =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
+      val crc = new java.util.zip.CRC32()
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = img.getRGB(x, y) & 0xFFFFFF
+        crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
+      }
+      crc.getValue
+    }
+    assert(got.map(_.frame_crc) == expected,
+      "decoded frame digests must match an independent decode of each JPEG")
+    assert(got.map(_.frame_crc).distinct.size == 3,
+      "distinct source colors must survive as distinct digests")
+    // the default 25 fps cadence applies when avih carries no rate
+    val noRate = Multimodal.AviMjpegFrameDecoder.decode(aviMjpeg(jpegs, 0)).toSeq
+    assert(noRate.map(_.ts_ms) == Seq(0L, 40L, 80L))
+    // non-AVI payloads (e.g. the driver corpus's raw video rows) are empty
+    assert(Multimodal.AviMjpegFrameDecoder.decode("raw video bytes".getBytes).isEmpty)
+    assert(Multimodal.AviMjpegFrameDecoder.decode(Array[Byte]()).isEmpty)
+  }
+
+  test("m2 frame sampling runs end-to-end over AVI payloads via the seam") {
+    import spark.implicits._
+    // 8 frames at 10 fps; every 4th sampled → frames 0 and 4
+    val colors = (0 until 8).map(i => (i * 32) << 16 | (255 - i * 32))
+    val avi = aviMjpeg(colors.map(jpegBytes), usPerFrame = 100000)
+    val blobs = Seq(Multimodal.MediaBlob(1L, "video", avi)).toDS()
+    val sampled = Multimodal
+      .frameSamplesFrom(blobs, everyNth = 4, Multimodal.AviMjpegFrameDecoder)
+      .collect().toSeq
+    assert(sampled.map(f => (f.frame_idx, f.ts_ms)) == Seq((0, 0L), (4, 400L)))
+    assert(sampled.map(_.frame_crc).distinct.size == 2)
+  }
 }
