@@ -30,8 +30,10 @@ object Output {
       * to false — use for outputs whose row count scales with the corpus.
       */
     def orderedBy(first: String, rest: String*): DataFrame =
-      if (df.sparkSession.conf.get(OrderedKey, "true").toBoolean)
-        df.orderBy(first, rest: _*)
-      else df
+      // ordered unless EXPLICITLY false: a mistyped conf value must fall
+      // back to the (safe, deterministic) harness contract, not throw at
+      // plan time or silently drop the sort
+      if (df.sparkSession.conf.get(OrderedKey, "true").equalsIgnoreCase("false")) df
+      else df.orderBy(first, rest: _*)
   }
 }

@@ -234,20 +234,27 @@ object Multimodal {
       var moviEnd = -1
       def walk(from: Int, to: Int): Unit = {
         var o = from
-        while (o + 8 <= to) {
+        var ok = true
+        while (ok && o + 8 <= to) {
           val id = fourcc(payload, o)
-          val sz = u32(payload, o + 4).toInt
+          // u32 kept as Long: a crafted 0xFFFFFFFF size must terminate the
+          // walk, not wrap negative and stall the cursor in place
+          val sz = u32(payload, o + 4)
           val body = o + 8
-          if (id == "LIST" && body + 4 <= to) {
-            val listType = fourcc(payload, body)
-            val listEnd = math.min(body + sz, to)
-            if (listType == "movi") { moviStart = body + 4; moviEnd = listEnd }
-            else walk(body + 4, listEnd)
-          } else if (id == "avih" && body + 4 <= to) {
-            val v = u32(payload, body)
-            if (v > 0) usPerFrame = v
+          if (sz < 0 || body + sz > to) ok = false
+          else {
+            val szi = sz.toInt
+            if (id == "LIST" && body + 4 <= to) {
+              val listType = fourcc(payload, body)
+              val listEnd = body + szi
+              if (listType == "movi") { moviStart = body + 4; moviEnd = listEnd }
+              else walk(body + 4, listEnd)
+            } else if (id == "avih" && body + 4 <= to) {
+              val v = u32(payload, body)
+              if (v > 0) usPerFrame = v
+            }
+            o = body + szi + (szi & 1) // RIFF chunks are word-aligned
           }
-          o = body + sz + (sz & 1) // RIFF chunks are word-aligned
         }
       }
       walk(12, payload.length)
@@ -262,13 +269,14 @@ object Multimodal {
           nextFrame = null
           while (nextFrame == null && off + 8 <= moviEnd) {
             val id = fourcc(payload, off)
-            val sz = u32(payload, off + 4).toInt
+            val sz = u32(payload, off + 4) // Long: see walk()'s size guard
             val body = off + 8
-            off = body + sz + (sz & 1)
+            if (sz < 0 || body + sz > moviEnd) { off = moviEnd; return }
+            val szi = sz.toInt
+            off = body + szi + (szi & 1)
             if (id.endsWith("dc") || id.endsWith("db")) {
               val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(payload, body,
-                  math.min(sz, payload.length - body)))
+                new java.io.ByteArrayInputStream(payload, body, szi))
               if (img != null) {
                 nextFrame = DecodedFrame(idx, idx * cadence / 1000L, rasterCrc(img))
                 idx += 1

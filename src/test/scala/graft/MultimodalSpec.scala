@@ -357,6 +357,14 @@ class MultimodalSpec extends SparkSpec {
     // non-AVI payloads (e.g. the driver corpus's raw video rows) are empty
     assert(Multimodal.AviMjpegFrameDecoder.decode("raw video bytes".getBytes).isEmpty)
     assert(Multimodal.AviMjpegFrameDecoder.decode(Array[Byte]()).isEmpty)
+    // malformed chunk sizes must terminate, not loop or throw: 0xFFFFFFFF
+    // wraps negative as an Int, and an over-length size overruns the buffer
+    val bomb = avi.clone()
+    bomb(16) = -1; bomb(17) = -1; bomb(18) = -1; bomb(19) = -1 // hdrl LIST size
+    assert(Multimodal.AviMjpegFrameDecoder.decode(bomb).isEmpty,
+      "a wrapped-negative chunk size must end the walk cleanly")
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    Multimodal.AviMjpegFrameDecoder.decode(truncated).toSeq // must not throw
   }
 
   test("m2 frame sampling runs end-to-end over AVI payloads via the seam") {
