@@ -71,6 +71,7 @@ object SparkEntry {
     "x24_token_compression" -> ((s: SparkSession, d: String) => TextAnalysis.tokenCompression(s, d)),
     "x25_mixture_weights"  -> ((s: SparkSession, d: String) => Curation.mixtureWeights(s, d)),
     "x26_dup_spans"        -> ((s: SparkSession, d: String) => Decontamination.dupShingleFraction(s, d)),
+    "x29_dup_span_removal" -> ((s: SparkSession, d: String) => Decontamination.dupSpanRemoval(s, d)),
     "x27_pack_segments"    -> ((s: SparkSession, d: String) => Curation.packSegments(s, d)),
     "q_topk_agg"           -> ((s: SparkSession, d: String) => Analytics.topKPerType(s, d)),
     "q9_nation_revenue"    -> DecisionSupport.nationRevenue _,
@@ -1547,6 +1548,35 @@ object SparkEntry {
         |         AS dup_frac
         |FROM sh JOIN c USING (s)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x29: first occurrence per shingle STRING (row_number over (doc_id,
+    // start)) vs the kernel's min-struct per 64-bit hash — agreement
+    // certifies collision-freedom, same as x26. Positions are 1-based
+    // here, 0-based in the kernel; only coverage spans must agree.
+    "x29_dup_span_removal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |       FROM toks WHERE len(t) >= 8),
+        |occ AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 7), ' ') AS s
+        |        FROM sh),
+        |marked AS (SELECT doc_id, i,
+        |             row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+        |           FROM occ),
+        |removed AS (SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+        |            FROM marked WHERE rn > 1),
+        |rm AS (SELECT doc_id, list(p) AS ps FROM removed GROUP BY doc_id),
+        |out AS (SELECT toks.doc_id, toks.t, COALESCE(rm.ps, []) AS ps
+        |        FROM toks LEFT JOIN rm ON toks.doc_id = rm.doc_id),
+        |kept AS (SELECT doc_id,
+        |           CAST(len(t) AS BIGINT) AS n_tokens,
+        |           list_transform(
+        |             list_filter(range(1, len(t) + 1), p -> NOT list_contains(ps, p)),
+        |             p -> t[p]) AS ks
+        |         FROM out)
+        |SELECT doc_id, n_tokens, CAST(len(ks) AS BIGINT) AS n_kept,
+        |       -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |       COALESCE(array_to_string(ks, ' '), '') AS text_clean
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     "x10_top_bigrams" ->
       """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents WHERE len(string_split(text, ' ')) >= 2),

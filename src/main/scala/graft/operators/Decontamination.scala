@@ -58,6 +58,46 @@ object Decontamination {
     * the fraction is hash-agnostic, so the SQL match also certifies the
     * kernel's 64-bit keys collide on nothing in this corpus.
     */
+  /** x29: duplicated-span REMOVAL — the rewrite x26 only measures: every
+    * token covered solely because its k-shingle span occurs earlier in the
+    * corpus is dropped, keeping each span's GLOBAL FIRST occurrence (by
+    * (doc_id, start) order — the ExactSubstr dedup of Lee et al., ACL'22,
+    * at shingle granularity). Scale shape: one keyed aggregate finds each
+    * shingle's first occurrence (shuffle ∝ occurrences, like x26), dup
+    * occurrences fan out to their k covered positions (∝ duplicated
+    * volume, never pairs), positions collect into ONE per-doc array, and
+    * the rewrite itself is NARROW — `array_except` on a position sequence
+    * plus an `element_at` transform inside the doc row, no token explode,
+    * no per-token shuffle. The oracle replays it over shingle STRINGS
+    * (row_number per string vs the kernel's min-struct per hash agree iff
+    * the 64-bit keys collide on nothing — the same certification x26
+    * carries), so the rewritten text matches byte-for-byte.
+    */
+  def dupSpanRemoval(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val occ = docs.filter(col("n") >= k)
+      .select(col("doc_id"), posexplode(Sketches.shingleHash64(col("text"), k)))
+      .toDF("doc_id", "s", "h")
+    val first = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"))
+    val removed = occ.join(first, "h")
+      .filter(col("f.doc_id") =!= col("doc_id") || col("f.s") =!= col("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
+      .groupBy("doc_id").agg(collect_set(col("p")).as("rm"))
+    val rm = coalesce(col("rm"), array().cast("array<int>"))
+    val keptPos = array_except(sequence(lit(0), col("n") - 1), rm)
+    val kept = transform(keptPos, p => element_at(col("t"), p + 1))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("text_clean"))
+      .orderedBy("doc_id")
+  }
+
   def dupShingleFraction(spark: SparkSession, dir: String,
                          k: Int = 8): DataFrame = {
     val sh = Tables.documents(spark, dir)

@@ -140,6 +140,28 @@ class PipelineOpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("x29 dup-span removal keeps the global first occurrence, drops later copies") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val dir = writeDocs(Seq(
+      (1L, shared, "s0"),                         // first occurrence: kept whole
+      (2L, shared + " x9", "s0"),                 // copy + unique tail
+      (3L, "u1 u2 u3 u4 u5 u6 u7", "s0"),         // 7 tokens < k: untouched
+      (4L, shared, "s0")))                        // exact later copy: emptied
+    val got = Decontamination.dupSpanRemoval(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 2: the start-0 shingle is a later copy of doc 1's, so the
+    // positions it covers (0..7) are dropped — coverage by ANY dup
+    // occurrence removes a token, even though the start-1 shingle
+    // ("s2..x9") is globally unique. Position 8 (x9) is covered only by
+    // that unique shingle and survives.
+    assert(got.toSeq == Seq(
+      (1L, 8L, 8L, shared),
+      (2L, 9L, 1L, "x9"),
+      (3L, 7L, 7L, "u1 u2 u3 u4 u5 u6 u7"),
+      (4L, 8L, 0L, "")),
+      s"got ${got.toSeq}")
+  }
+
   test("x23 BPE learns merges in frequency order with greedy left-to-right rewrite") {
     // words: "aaab" x2, "ab" x1.
     // step 0: pairs aa:4 (two per "aaab"), ab:3 -> merge (a,a)
