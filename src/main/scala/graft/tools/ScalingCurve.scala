@@ -48,6 +48,7 @@ object ScalingCurve {
       "g1_triangle_counts" -> ((s, d) => Dedup.triangleCounts(s, d)),
       "c1_contamination" -> ((s, d) => Decontamination.contaminated(s, d)),
       "x26_dup_spans" -> ((s, d) => Decontamination.dupShingleFraction(s, d)),
+      "x29_dup_span_removal" -> ((s, d) => Decontamination.dupSpanRemoval(s, d)),
       "k1_centroid_assign" -> ((s, d) => Curation.centroidAssign(s, d)),
       "k2_semdedup_pairs" -> ((s, d) => Curation.semDedupPairs(s, d, k = 8 * m)),
       "k3_kmeans_refine" -> ((s, d) => Curation.kmeansRefine(s, d)),
