@@ -64,10 +64,12 @@ object Decontamination {
     * (doc_id, start) order — the ExactSubstr dedup of Lee et al., ACL'22,
     * at shingle granularity). Scale shape: one keyed aggregate finds each
     * shingle's first occurrence (shuffle ∝ occurrences, like x26), dup
-    * occurrences fan out to their k covered positions (∝ duplicated
-    * volume, never pairs), positions collect into ONE per-doc array, and
-    * the rewrite itself is NARROW — `array_except` on a position sequence
-    * plus an `element_at` transform inside the doc row, no token explode,
+    * occurrences collect their START positions into ONE per-doc array
+    * (shuffle ∝ dup occurrences — the k-fold covered-position fan-out is
+    * expanded doc-locally AFTER the aggregate, since `array_except`
+    * ignores duplicates in its removal argument), and the rewrite itself
+    * is NARROW — `array_except` on a position sequence plus an
+    * `element_at` transform inside the doc row, no token explode,
     * no per-token shuffle. The oracle replays it over shingle STRINGS
     * (row_number per string vs the kernel's min-struct per hash agree iff
     * the 64-bit keys collide on nothing — the same certification x26
@@ -84,10 +86,12 @@ object Decontamination {
       .agg(min(struct(col("doc_id"), col("s"))).as("f"))
     val removed = occ.join(first, "h")
       .filter(col("f.doc_id") =!= col("doc_id") || col("f.s") =!= col("s"))
-      .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (k - 1))).as("p"))
-      .groupBy("doc_id").agg(collect_set(col("p")).as("rm"))
-    val rm = coalesce(col("rm"), array().cast("array<int>"))
+      .groupBy("doc_id").agg(collect_set(col("s")).as("starts"))
+    // Expand dup-span starts to covered positions doc-locally: array_except
+    // drops every occurrence of a removal element, so overlapping spans'
+    // repeated positions need no distinct pass.
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val rm = flatten(transform(starts, st => sequence(st, st + k - 1)))
     val keptPos = array_except(sequence(lit(0), col("n") - 1), rm)
     val kept = transform(keptPos, p => element_at(col("t"), p + 1))
     docs.join(removed, Seq("doc_id"), "left")
