@@ -89,4 +89,24 @@ object CacheRegistry {
     shared.clear()
     sharedValues.clear()
   }
+
+  /** Every live shared key (frames + driver-side values) — lets a harness
+    * diff the registry around a query to learn which keys that query
+    * publishes.
+    */
+  def sharedKeys: Set[String] = synchronized {
+    shared.keySet.toSet ++ sharedValues.keySet
+  }
+
+  /** Release exactly `keys`, leaving other shared entries cached — the
+    * surgical form of `releaseShared()` for retries that must re-time one
+    * query's own build without dropping upstream frames the pass
+    * convention says it reuses.
+    */
+  def releaseSharedKeys(keys: Set[String]): Unit = synchronized {
+    keys.foreach { k =>
+      shared.remove(k).foreach(_.unpersist(blocking = false))
+      sharedValues.remove(k)
+    }
+  }
 }

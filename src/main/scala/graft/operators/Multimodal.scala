@@ -193,6 +193,14 @@ object Multimodal {
     */
   private def rasterCrc(img: java.awt.image.BufferedImage): Long = {
     val crc = new CRC32()
+    // shape folded in first: equal pixel streams of different WxH (a 2x8
+    // and an 8x2 of the same bytes) must not collide
+    var d = img.getWidth
+    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
+    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
+    d = img.getHeight
+    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
+    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -232,28 +240,37 @@ object Multimodal {
       var usPerFrame = 40000L // 25 fps unless avih says otherwise
       var moviStart = -1
       var moviEnd = -1
-      def walk(from: Int, to: Int): Unit = {
-        var o = from
-        var ok = true
-        while (ok && o + 8 <= to) {
-          val id = fourcc(payload, o)
-          // u32 kept as Long: a crafted 0xFFFFFFFF size must terminate the
-          // walk, not wrap negative and stall the cursor in place
-          val sz = u32(payload, o + 4)
-          val body = o + 8
-          if (sz < 0 || body + sz > to) ok = false
-          else {
-            val szi = sz.toInt
-            if (id == "LIST" && body + 4 <= to) {
-              val listType = fourcc(payload, body)
-              val listEnd = body + szi
-              if (listType == "movi") { moviStart = body + 4; moviEnd = listEnd }
-              else walk(body + 4, listEnd)
-            } else if (id == "avih" && body + 4 <= to) {
-              val v = u32(payload, body)
-              if (v > 0) usPerFrame = v
+      // Explicit work stack, not recursion: a crafted payload nesting one
+      // 12-byte LIST header per level would otherwise recurse ~payload/12
+      // frames deep and overflow the task stack. Each pushed range is
+      // strictly inside its parent and the parent cursor skips the whole
+      // LIST body, so every byte is scanned at most once — linear walk.
+      def walk(from: Int, until: Int): Unit = {
+        var pending = List((from, until))
+        while (pending.nonEmpty) {
+          var (o, to) = pending.head
+          pending = pending.tail
+          var ok = true
+          while (ok && o + 8 <= to) {
+            val id = fourcc(payload, o)
+            // u32 kept as Long: a crafted 0xFFFFFFFF size must terminate the
+            // walk, not wrap negative and stall the cursor in place
+            val sz = u32(payload, o + 4)
+            val body = o + 8
+            if (sz < 0 || body + sz > to) ok = false
+            else {
+              val szi = sz.toInt
+              if (id == "LIST" && body + 4 <= to) {
+                val listType = fourcc(payload, body)
+                val listEnd = body + szi
+                if (listType == "movi") { moviStart = body + 4; moviEnd = listEnd }
+                else pending = (body + 4, listEnd) :: pending
+              } else if (id == "avih" && body + 4 <= to) {
+                val v = u32(payload, body)
+                if (v > 0) usPerFrame = v
+              }
+              o = body + szi + (szi & 1) // RIFF chunks are word-aligned
             }
-            o = body + szi + (szi & 1) // RIFF chunks are word-aligned
           }
         }
       }
@@ -296,29 +313,69 @@ object Multimodal {
   /** JDK `javax.imageio` ANIMATED-GIF frame decoder — a real multi-frame
     * codec behind the m2 seam with zero new dependencies, proving the
     * FrameDecoder contract against an actual container format rather than
-    * a fake. Frame timestamps accumulate each frame's
-    * GraphicControlExtension delay (centiseconds; non-positive delays fall
-    * back to 40 ms = 25 fps); frame_crc digests the packed top-down RGB
-    * raster so identical frames hash identically across encoders. Frames
-    * are decoded eagerly per payload — GIF animations are small by
-    * construction; a streaming video codec would keep the iterator lazy.
+    * a fake. Each stored raster is COMPOSITED onto the logical-screen
+    * canvas at its ImageDescriptor offset before digesting, honoring the
+    * GraphicControlExtension disposal method — an optimized GIF stores
+    * partial frames, and the frame a viewer shows (and that frame_crc must
+    * digest) is the canvas, not the stored sub-raster. Frame timestamps
+    * accumulate each frame's GCE delay (centiseconds; non-positive delays
+    * fall back to 40 ms = 25 fps); frame_crc digests the composited
+    * top-down RGB raster so identical frames hash identically across
+    * encoders. Frames are decoded eagerly per payload — GIF animations are
+    * small by construction; a streaming video codec would keep the
+    * iterator lazy.
     */
   object ImageIoGifFrameDecoder extends FrameDecoder {
-    private def delayMs(meta: javax.imageio.metadata.IIOMetadata): Long = {
+    private case class GifFrameMeta(left: Int, top: Int, disposal: String,
+                                    delayMs: Long)
+
+    private def frameMeta(meta: javax.imageio.metadata.IIOMetadata): GifFrameMeta = {
       val root = meta.getAsTree("javax_imageio_gif_image_1.0")
       var n = root.getFirstChild
-      var cs = 0L
+      var left = 0; var top = 0; var disposal = "none"; var cs = 0L
+      def intAttr(node: org.w3c.dom.Node, k: String): Int = {
+        val a = node.getAttributes.getNamedItem(k)
+        if (a == null) 0
+        else try a.getNodeValue.toInt catch { case _: NumberFormatException => 0 }
+      }
       while (n != null) {
-        if (n.getNodeName == "GraphicControlExtension") {
-          val attr = n.getAttributes.getNamedItem("delayTime")
-          if (attr != null) cs = attr.getNodeValue.toLong
+        n.getNodeName match {
+          case "ImageDescriptor" =>
+            left = intAttr(n, "imageLeftPosition")
+            top = intAttr(n, "imageTopPosition")
+          case "GraphicControlExtension" =>
+            cs = intAttr(n, "delayTime").toLong
+            val d = n.getAttributes.getNamedItem("disposalMethod")
+            if (d != null) disposal = d.getNodeValue
+          case _ => ()
         }
         n = n.getNextSibling
       }
-      if (cs > 0) cs * 10 else 40L
+      GifFrameMeta(left, top, disposal, if (cs > 0) cs * 10 else 40L)
+    }
+
+    /** Logical screen size from the stream metadata; falls back to frame 0's
+      * dimensions when the descriptor is absent or degenerate.
+      */
+    private def screenSize(reader: javax.imageio.ImageReader): (Int, Int) = {
+      try {
+        val root = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        var n = root.getFirstChild
+        while (n != null) {
+          if (n.getNodeName == "LogicalScreenDescriptor") {
+            val a = n.getAttributes
+            val w = a.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+            val h = a.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            if (w > 0 && h > 0) return (w, h)
+          }
+          n = n.getNextSibling
+        }
+      } catch { case _: Exception => () }
+      (reader.getWidth(0), reader.getHeight(0))
     }
 
     override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+      import java.awt.image.BufferedImage
       javax.imageio.ImageIO.setUseCache(false)
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -329,12 +386,39 @@ object Multimodal {
         reader.setInput(in, false)
         if (reader.getFormatName.toLowerCase != "gif") return Iterator.empty
         val n = reader.getNumImages(true)
+        if (n <= 0) return Iterator.empty
+        val (w, h) = screenSize(reader)
+        val canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
         var ts = 0L
         val frames = Vector.newBuilder[DecodedFrame]
         var i = 0
         while (i < n) {
-          frames += DecodedFrame(i, ts, rasterCrc(reader.read(i)))
-          ts += delayMs(reader.getImageMetadata(i))
+          val raster = reader.read(i)
+          val md = frameMeta(reader.getImageMetadata(i))
+          val saved =
+            if (md.disposal == "restoreToPrevious") {
+              val c = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+              val g = c.createGraphics(); g.drawImage(canvas, 0, 0, null); g.dispose()
+              c
+            } else null
+          val g = canvas.createGraphics()
+          g.drawImage(raster, md.left, md.top, null)
+          g.dispose()
+          frames += DecodedFrame(i, ts, rasterCrc(canvas))
+          ts += md.delayMs
+          md.disposal match {
+            case "restoreToBackgroundColor" =>
+              val g2 = canvas.createGraphics()
+              g2.setComposite(java.awt.AlphaComposite.Clear)
+              g2.fillRect(md.left, md.top, raster.getWidth, raster.getHeight)
+              g2.dispose()
+            case "restoreToPrevious" =>
+              val g2 = canvas.createGraphics()
+              g2.setComposite(java.awt.AlphaComposite.Src)
+              g2.drawImage(saved, 0, 0, null)
+              g2.dispose()
+            case _ => ()
+          }
           i += 1
         }
         frames.result().iterator

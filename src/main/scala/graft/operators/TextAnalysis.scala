@@ -600,6 +600,23 @@ object TextAnalysis {
     * words containing the merged pair (found via an occurrence index) —
     * so large merge budgets cost CPU, never per-step cluster round-trips.
     */
+  /** Unsigned UTF-8 byte-order "a < b" — Spark's UTF8String binary
+    * collation, shared by both merge-learning paths so their tie-breaks
+    * can never diverge.
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def learnMergesIncremental(vocab: Array[(Seq[String], Long)],
                                      merges: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
@@ -634,12 +651,16 @@ object TextAnalysis {
     var step = 0
     while (step < merges && counts.nonEmpty) {
       // the distributed loop's exact argmax: count desc, then the
-      // PairSep-joined pair text ascending
+      // PairSep-joined pair text ascending in UTF-8 BYTE order — the same
+      // collation as the fallback's Spark orderBy (UTF8String binary).
+      // Java String '<' compares UTF-16 code units, which disagrees on
+      // supplementary-plane characters (surrogates 0xD800+ sort below
+      // 0xE000+ BMP text that UTF-8 places first).
       var bl: String = null; var br: String = null
       var bn = Long.MinValue; var bk: String = null
       counts.foreach { case ((l, r), n) =>
         val k = l + PairSep + r
-        if (n > bn || (n == bn && k < bk)) { bl = l; br = r; bn = n; bk = k }
+        if (n > bn || (n == bn && utf8Less(k, bk))) { bl = l; br = r; bn = n; bk = k }
       }
       learned += ((step, bl, br, bn))
       occurs.getOrElse((bl, br), mutable.ArrayBuffer.empty).distinct.foreach { wi =>

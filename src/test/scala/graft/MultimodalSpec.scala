@@ -236,6 +236,26 @@ class MultimodalSpec extends SparkSpec {
       s"zero-lib ${zeroLib.toSeq} vs ImageIO ${imageIo.toSeq}")
   }
 
+  /** Independent replica of the decoders' rasterCrc convention: logical
+    * width/height big-endian, then the packed top-down RGB raster.
+    */
+  private def refRasterCrc(img: java.awt.image.BufferedImage): Long = {
+    val crc = new java.util.zip.CRC32()
+    crcDims(crc, img.getWidth, img.getHeight)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val v = img.getRGB(x, y) & 0xFFFFFF
+      crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
+    }
+    crc.getValue
+  }
+
+  private def crcDims(crc: java.util.zip.CRC32, w: Int, h: Int): Unit = {
+    crc.update((w >>> 24) & 0xff); crc.update((w >>> 16) & 0xff)
+    crc.update((w >>> 8) & 0xff); crc.update(w & 0xff)
+    crc.update((h >>> 24) & 0xff); crc.update((h >>> 16) & 0xff)
+    crc.update((h >>> 8) & 0xff); crc.update(h & 0xff)
+  }
+
   test("animated GIF decodes to per-frame digests through the m2 FrameDecoder seam") {
     import javax.imageio.{IIOImage, ImageIO}
     // three 16x16 solid-primary frames: pure colors survive GIF
@@ -263,6 +283,7 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.ts_ms) == Seq(0L, 40L, 80L), s"got ${got.map(_.ts_ms)}")
     val expectedCrcs = colors.map { c =>
       val crc = new java.util.zip.CRC32()
+      crcDims(crc, 16, 16)
       for (_ <- 0 until 256) {
         crc.update((c >> 16) & 0xff); crc.update((c >> 8) & 0xff); crc.update(c & 0xff)
       }
@@ -273,6 +294,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.frame_crc).distinct.size == 3, "distinct frames, distinct digests")
     // a non-GIF payload yields no frames instead of misparsing
     assert(Multimodal.ImageIoGifFrameDecoder.decode("raw video bytes".getBytes).isEmpty)
+  }
+
+  test("optimized GIF partial frames composite onto the logical-screen canvas") {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.BufferedImage
+    // frame 0: full 16x16 red; frame 1: an 8x8 green PATCH at (4,4) — the
+    // optimized-GIF shape. The frame a viewer shows (and the digest must
+    // cover) is red with a green center, not the bare 8x8 sub-raster.
+    def solid(w: Int, h: Int, c: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      img
+    }
+    val full = solid(16, 16, 0xFF0000)
+    val patch = solid(8, 8, 0x00FF00)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    val spec = ImageTypeSpecifier.createFromBufferedImageType(
+      BufferedImage.TYPE_INT_RGB)
+    def metaAt(left: Int, top: Int, w: Int, h: Int) = {
+      val m = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = new IIOMetadataNode(fmt)
+      val desc = new IIOMetadataNode("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      desc.setAttribute("imageWidth", w.toString)
+      desc.setAttribute("imageHeight", h.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      root.appendChild(desc)
+      m.mergeTree(fmt, root)
+      m
+    }
+    writer.prepareWriteSequence(null)
+    writer.writeToSequence(new IIOImage(full, null, metaAt(0, 0, 16, 16)), null)
+    writer.writeToSequence(new IIOImage(patch, null, metaAt(4, 4, 8, 8)), null)
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+
+    val got = Multimodal.ImageIoGifFrameDecoder.decode(baos.toByteArray).toSeq
+    assert(got.map(_.frame_idx) == Seq(0, 1))
+    val composed = solid(16, 16, 0xFF0000)
+    for (y <- 4 until 12; x <- 4 until 12) composed.setRGB(x, y, 0x00FF00)
+    assert(got(0).frame_crc == refRasterCrc(full),
+      "first frame digests the full canvas")
+    assert(got(1).frame_crc == refRasterCrc(composed),
+      "partial frame must digest the composited canvas, not the sub-raster")
   }
 
   // --- AVI/MJPEG: the real video-container path through the m2 seam ------
@@ -340,12 +412,7 @@ class MultimodalSpec extends SparkSpec {
     // frame's independently decoded raster, same rasterCrc convention
     val expected = jpegs.map { j =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(j))
-      val crc = new java.util.zip.CRC32()
-      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
-        val v = img.getRGB(x, y) & 0xFFFFFF
-        crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
-      }
-      crc.getValue
+      refRasterCrc(img)
     }
     assert(got.map(_.frame_crc) == expected,
       "decoded frame digests must match an independent decode of each JPEG")
