@@ -32,6 +32,15 @@ import graft.Output._
   */
 object Multimodal {
 
+  /** Decoded-raster area ceiling (pixels) for every ImageIO-backed path:
+    * ImageIO allocates the full raster from the DECLARED header dimensions
+    * before validating pixel data, so without this cap a few crafted
+    * header bytes could demand a multi-GB allocation per executor task.
+    * 2^26 px ≈ 8192×8192 ARGB ≈ 256 MB — far above any real thumbnail or
+    * frame, far below an executor heap.
+    */
+  private[graft] val MaxDecodePixels: Long = 1L << 26
+
   /** An opaque media payload: what a real pipeline reads from a blob store
     * column.
     */
@@ -102,7 +111,9 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = new String(p, off, 4, "US-ASCII")
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > p.length) return None
+      // Long compare: a crafted size near 2^31 wraps off+8+size negative
+      // as an Int, sailing past the bound and walking off the buffer
+      if (size < 0 || off.toLong + 8 + size > p.length) return None
       id match {
         case "fmt " if size >= 16 =>
           channels = bb.getShort(off + 10)
@@ -136,12 +147,15 @@ object Multimodal {
         width = bb.getInt(18), height = bb.getInt(22),
         sample_rate = 0, n_frames = 1, duration_ms = 0L)
     } else parseWav(p) match {
-      case Some((rate, channels, bits, _, dataLen)) =>
+      // bits 1..7 would make bytesPerFrame 0 — a crafted header must land
+      // in the raw fallback, not divide by zero in an executor task
+      case Some((rate, channels, bits, _, dataLen))
+          if channels * (bits / 8) > 0 =>
         val nSamples = dataLen / (channels * (bits / 8))
         MediaMeta(b.doc_id, b.media_type, "wav", p.length.toLong, c,
           width = 0, height = 0, sample_rate = rate, n_frames = nSamples,
           duration_ms = nSamples * 1000L / rate)
-      case None =>
+      case _ =>
         MediaMeta(b.doc_id, b.media_type, "raw", p.length.toLong, c,
           width = 0, height = 0, sample_rate = 0,
           n_frames = p.length / 1024 + 1, duration_ms = 0L)
@@ -206,6 +220,30 @@ object Multimodal {
       var x = 0
       while (x < img.getWidth) {
         val v = img.getRGB(x, y) & 0xFFFFFF
+        crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    crc.getValue
+  }
+
+  /** Same digest convention over the PixelDecoder seam type — identical
+    * pixels produce identical CRCs whichever wrapper carried them.
+    */
+  private def rasterCrc(img: DecodedImage): Long = {
+    val crc = new CRC32()
+    var d = img.width
+    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
+    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
+    d = img.height
+    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
+    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val v = img.rgb(x, y) & 0xFFFFFF
         crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
         x += 1
       }
@@ -292,8 +330,15 @@ object Multimodal {
             val szi = sz.toInt
             off = body + szi + (szi & 1)
             if (id.endsWith("dc") || id.endsWith("db")) {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(payload, body, szi))
+              // per-frame decode failures (corrupt embedded JPEG with a
+              // valid SOI) skip the frame, never fail the task; the dims
+              // cap stops a crafted header demanding a multi-GB raster
+              val img =
+                try {
+                  val pd = ImageIoPixelDecoder.decode(
+                    java.util.Arrays.copyOfRange(payload, body, body + szi))
+                  pd.orNull
+                } catch { case _: Throwable => null }
               if (img != null) {
                 nextFrame = DecodedFrame(idx, idx * cadence / 1000L, rasterCrc(img))
                 idx += 1
@@ -382,17 +427,25 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) { in.close(); return Iterator.empty }
       val reader = readers.next()
+      val frames = Vector.newBuilder[DecodedFrame]
       try {
         reader.setInput(in, false)
         if (reader.getFormatName.toLowerCase != "gif") return Iterator.empty
         val n = reader.getNumImages(true)
         if (n <= 0) return Iterator.empty
         val (w, h) = screenSize(reader)
+        // crafted logical-screen dims must not size the canvas allocation
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels)
+          return Iterator.empty
         val canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
         var ts = 0L
-        val frames = Vector.newBuilder[DecodedFrame]
         var i = 0
         while (i < n) {
+          // per-frame dims check BEFORE read(i): a sub-raster can declare
+          // dimensions far beyond the logical screen
+          if (reader.getWidth(i) <= 0 || reader.getHeight(i) <= 0 ||
+            reader.getWidth(i).toLong * reader.getHeight(i) > MaxDecodePixels)
+            return frames.result().iterator
           val raster = reader.read(i)
           val md = frameMeta(reader.getImageMetadata(i))
           val saved =
@@ -422,6 +475,12 @@ object Multimodal {
           i += 1
         }
         frames.result().iterator
+      } catch {
+        // a recognized-but-corrupt body (valid GIF magic, broken LZW or
+        // truncated frame table) keeps the frames decoded so far — honest
+        // partial output, never a task failure
+        case _: java.io.IOException | _: RuntimeException =>
+          frames.result().iterator
       } finally {
         reader.dispose()
         in.close()
@@ -560,8 +619,14 @@ object Multimodal {
       val w = bb.getInt(18); val h = bb.getInt(22)
       val off = bb.getInt(10)
       if (w <= 0 || h <= 0 || off < 0) return None
-      val rowSize = ((w * 3 + 3) / 4) * 4
-      if (off.toLong + h.toLong * rowSize > p.length) return None
+      // row size in Long: a crafted width near 2^30 overflows w*3 to a
+      // NEGATIVE row size, which would pass the bound check and misindex
+      val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+      // bound check by DIVISION: h and rowSizeL can each be ~2^31-scale,
+      // so their product overflows even a Long and would wrap positive-small
+      val avail = p.length.toLong - off
+      if (avail < 0 || rowSizeL > avail / h) return None
+      val rowSize = rowSizeL.toInt // fits: bounded by p.length above
       Some(new DecodedImage {
         val width: Int = w
         val height: Int = h
@@ -583,15 +648,33 @@ object Multimodal {
   object ImageIoPixelDecoder extends PixelDecoder {
     override def decode(p: Array[Byte]): Option[DecodedImage] = {
       javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
-        .filter(img => img.getWidth > 0 && img.getHeight > 0)
-        .map { img =>
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) { in.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(in, true)
+        // dimension check BEFORE read: ImageIO allocates the full raster up
+        // front, so a 100-byte payload declaring 50000x50000 would OOM the
+        // executor before any pixel data is validated
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+        Option(reader.read(0)).map { img =>
           new DecodedImage {
             val width: Int = img.getWidth
             val height: Int = img.getHeight
             def rgb(x: Int, y: Int): Int = img.getRGB(x, y) & 0xFFFFFF
           }
         }
+      } catch {
+        // recognized-but-corrupt payloads (valid magic, broken body) are
+        // honest absence at the seam, never a task failure
+        case _: java.io.IOException | _: RuntimeException => None
+      } finally {
+        reader.dispose()
+        in.close()
+      }
     }
   }
 
