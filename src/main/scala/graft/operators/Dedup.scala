@@ -32,7 +32,7 @@ object Dedup {
   // --- MinHash machinery (d2) -----------------------------------------
 
   /** Word shingles of size `k` as an array column (k=1 → word set). */
-  private def shingles(text: Column, k: Int): Column = {
+  private[graft] def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     if (k == 1) array_distinct(toks)
     else array_distinct(

@@ -620,6 +620,131 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // --- Streaming MinHash-LSH near-dup detection (the d2 twin) -----------
+
+  case class TextDoc(doc_id: Long, ts: Timestamp, text: String)
+
+  case class BandedSig(bkey: String, doc_id: Long, ts: Timestamp,
+                       sig: Array[Long])
+
+  case class SigEntry(sig: Array[Long])
+
+  case class NearDupPair(a_id: Long, b_id: Long, est_jaccard: Double,
+                         ts: Timestamp)
+
+  /** One LSH band bucket as a transformWithState key: arriving documents
+    * score against the signatures already RESIDENT in the bucket (MapState
+    * doc_id → signature), emit near-dup pairs at est_jaccard ≥ the
+    * threshold, then join the residency — so pairs surface ACROSS
+    * micro-batches, the property the batch operator cannot give a live
+    * ingest feed.
+    *
+    * The same two guards as batch d2, restated for unbounded input:
+    *  - the bucket CAP: once a bucket holds `maxBucketSize` signatures it
+    *    goes dark (no store, no emit) — a hot band bucket is stop-shingle
+    *    territory whose O(n²) pair volume the cap exists to prevent;
+    *    recall is preserved by the doc's other bands. Batch drops the
+    *    whole bucket retroactively; a stream cannot retract, so the cap is
+    *    reached-then-dark — the first `maxBucketSize` arrivals still pair.
+    *  - per-state TTL (processing-time, RocksDB-native) expires idle
+    *    buckets, bounding total state to the active working set exactly
+    *    like FirstSeenProcessor's infinite-retention posture. TTL state
+    *    requires TimeMode.ProcessingTime, whose maintenance work keeps
+    *    shouldRunAnotherBatch true perpetually (same constraint
+    *    FirstSeenProcessor documents) — so `ttl = ZERO` selects EventTime
+    *    mode with no TTL instead: watermark-bounded harness/bench runs
+    *    terminate under AvailableNow, and the production deployment opts
+    *    into TTL with a nonzero duration.
+    *
+    * State per bucket is ≤ cap signatures of `numHashes` longs plus one
+    * count — with the 32-hash default and the 2000 cap, ≤ 512 KB worst
+    * case, shardable by bucket key with no cross-key coordination.
+    */
+  class LshDedupProcessor(numHashes: Int, minEstJaccard: Double,
+                          maxBucketSize: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[String, BandedSig, NearDupPair] {
+    @transient private var sigs: MapState[Long, SigEntry] = _
+    @transient private var bucketN: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      sigs = getHandle.getMapState[Long, SigEntry](
+        "sigs", Encoders.scalaLong, Encoders.product[SigEntry], cfg)
+      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(bkey: String, rows: Iterator[BandedSig],
+                                 tv: TimerValues): Iterator[NearDupPair] = {
+      var n = if (bucketN.exists()) bucketN.get() else 0L
+      val out = Seq.newBuilder[NearDupPair]
+      // within a batch, docs score in doc_id order so a replay of the same
+      // batch boundaries reproduces the same pair set
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
+        if (n < maxBucketSize && !sigs.containsKey(d.doc_id)) {
+          sigs.iterator().foreach { case (otherId, e) =>
+            var eq = 0
+            var i = 0
+            while (i < numHashes) {
+              if (e.sig(i) == d.sig(i)) eq += 1
+              i += 1
+            }
+            val est = eq.toDouble / numHashes
+            if (est >= minEstJaccard) {
+              val (a, b) = if (otherId < d.doc_id) (otherId, d.doc_id)
+                           else (d.doc_id, otherId)
+              out += NearDupPair(a, b, math.round(est * 1e6) / 1e6, d.ts)
+            }
+          }
+          sigs.updateValue(d.doc_id, SigEntry(d.sig))
+          n += 1
+        }
+      }
+      bucketN.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** d2 as a stream: MinHash signatures band into bucket keys exactly like
+    * the batch operator (same kernel, same raw-slice bucket identity, here
+    * rendered to a string key), then LshDedupProcessor emits near-dup
+    * pairs against bucket-resident signatures across micro-batches.
+    *
+    * Output is one detection per COLLIDING BAND: a pair caught by several
+    * bands emits once per band (identically scored). The batch operator
+    * dedups bands with a shuffle `distinct`; a consumer that needs
+    * exactly-one-row-per-pair chains `dropDuplicatesWithinWatermark
+    * ("a_id", "b_id")` — kept out of this operator so the detection
+    * stream stays append-only and timer-free.
+    */
+  def minhashLshDedupStream(spark: SparkSession, docs: Dataset[TextDoc],
+                            shingleSize: Int = 1, numHashes: Int = 32,
+                            bands: Int = 8, minEstJaccard: Double = 0.8,
+                            maxBucketSize: Int = 2000,
+                            ttl: java.time.Duration = java.time.Duration.ofHours(1),
+                            watermark: String = "10 seconds"): Dataset[NearDupPair] = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .filter(size(split(col("text"), " ")) >= shingleSize)
+      .select(col("doc_id"), col("ts"),
+        graft.operators.Dedup.minHashSignature(
+          graft.operators.Dedup.shingles(col("text"), shingleSize),
+          numHashes).as("sig"))
+      .select(
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(":", b.cast("string"),
+            slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))))
+          .as("bkey"),
+        col("doc_id"), col("ts"), col("sig"))
+      .as[BandedSig]
+      .groupByKey(_.bkey)
+      .transformWithState(
+        new LshDedupProcessor(numHashes, minEstJaccard, maxBucketSize, ttl),
+        if (ttl.isZero) TimeMode.EventTime() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is
     * under `maxGapUs`. State is just the previous event time.
     */

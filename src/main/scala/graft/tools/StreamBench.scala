@@ -114,7 +114,20 @@ object StreamBench {
           stream().select(col("event_id").as("doc_id"), col("ts"),
             col("event_type").as("source"),
             (pmod(col("user_id"), lit(96)) + 5).as("n_tokens"))
-            .as[StreamOps.Doc]).toDF()))
+            .as[StreamOps.Doc]).toDF()),
+      // d2 twin: events re-shaped into small synthetic docs (mostly-unique
+      // token tuples, occasional collisions -> real pair emissions); TTL
+      // ZERO selects the EventTime/no-TTL mode AvailableNow can terminate
+      best("minhash_lsh_tws", () =>
+        StreamOps.minhashLshDedupStream(spark,
+          stream().select(col("event_id").as("doc_id"), col("ts"),
+            concat_ws(" ", col("event_type"),
+              concat(lit("u"), pmod(col("user_id"), lit(50000))),
+              concat(lit("g"), pmod(col("event_id"), lit(5000))),
+              concat(lit("v"), floor(col("value")).cast("long"))).as("text"))
+            .as[StreamOps.TextDoc],
+          maxBucketSize = 64,
+          ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }

@@ -347,6 +347,102 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def tdoc(id: Long, minute: Int, text: String): StreamOps.TextDoc =
+    StreamOps.TextDoc(id,
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      text)
+
+  test("minhash-LSH dedup stream: pairs surface across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.TextDoc]
+      val q = StreamOps.minhashLshDedupStream(spark, input.toDS(),
+          ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("lsh_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        input.addData(Seq(
+          tdoc(1, 1, base),
+          tdoc(2, 2, base + " lambda"), // jaccard 10/11 vs doc 1
+          tdoc(3, 3, "one two three four five six seven eight nine ten")))
+        q.processAllAvailable()
+        def pairs() = spark.table("lsh_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+        assert(pairs() == Set((1L, 2L)),
+          s"batch 1 must pair only the near-dups, got ${pairs()}")
+        // batch 2: doc 4 is byte-identical to doc 1 — the pairs are against
+        // bucket-resident state from batch 1, the cross-batch property
+        input.addData(Seq(tdoc(4, 4, base)))
+        q.processAllAvailable()
+        assert(pairs() == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+          s"cross-batch near-dups must surface, got ${pairs()}")
+        val est14 = spark.table("lsh_out").collect()
+          .filter(r => r.getAs[Long]("a_id") == 1L && r.getAs[Long]("b_id") == 4L)
+          .map(_.getAs[Double]("est_jaccard"))
+        assert(est14.nonEmpty && est14.forall(_ == 1.0),
+          s"identical docs must estimate 1.0, got ${est14.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("minhash-LSH dedup stream: a bucket at the cap goes dark") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.TextDoc]
+      // cap 1: the first resident claims every bucket of its bands; the
+      // identical later doc lands in the same (full) buckets and must
+      // neither store nor emit
+      val q = StreamOps.minhashLshDedupStream(spark, input.toDS(),
+          maxBucketSize = 1, ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("lsh_cap_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val text = "red orange yellow green blue indigo violet ultraviolet"
+        input.addData(Seq(tdoc(1, 1, text)))
+        q.processAllAvailable()
+        input.addData(Seq(tdoc(2, 2, text)))
+        q.processAllAvailable()
+        assert(spark.table("lsh_cap_out").count() == 0,
+          "full buckets must not emit pairs")
+      } finally q.stop()
+    }
+  }
+
+  test("minhash-LSH dedup stream: TTL mode pairs against checkpointed state") {
+    // nonzero TTL selects ProcessingTime mode (see LshDedupProcessor), so
+    // drive it with the same Trigger.Once-over-shared-checkpoint pattern
+    // as the first-seen TTL spec: each run is one micro-batch; the second
+    // run's pair can only come from MapState recovered off the checkpoint.
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      def runOnce(input: MemoryStream[StreamOps.TextDoc], ckpt: String,
+                  outDir: String): Unit = {
+        val q = StreamOps.minhashLshDedupStream(spark, input.toDS(),
+            ttl = java.time.Duration.ofMinutes(10))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once(): @annotation.nowarn("cat=deprecation"))
+          .outputMode(OutputMode.Append).start()
+        try q.awaitTermination()
+        finally q.stop()
+      }
+      val input = MemoryStream[StreamOps.TextDoc]
+      val (ckpt, outDir) = (tempSfDir(), tempSfDir())
+      val base = "north south east west up down left right forward backward"
+      input.addData(Seq(tdoc(1, 1, base)))
+      runOnce(input, ckpt, outDir)
+      assert(spark.read.parquet(outDir).count() == 0, "one resident, no pair")
+      input.addData(Seq(tdoc(2, 2, base)))
+      runOnce(input, ckpt, outDir)
+      val pairs = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(pairs == Set((1L, 2L)),
+        s"pair must surface from checkpoint-recovered state, got $pairs")
+    }
+  }
+
   test("frame sampling fans a video blob out to sampled frame rows") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("mm-").toString
