@@ -97,6 +97,11 @@ object SparkEntry {
     "d3_simhash"           -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "d4_ngram_jaccard"     -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "d5_embedding_neardup" -> ((s: SparkSession, d: String) => Dedup.embeddingNearDup(s, d)),
+    // the d5 hot-label guard run with its cap lowered INTO the data (sf0.01
+    // labels hold 44-59 vectors), so sub-bucketing actually fires and the
+    // oracle hash-checks the guarded path, not just the cold path
+    "d5_hot_guard"         -> ((s: SparkSession, d: String) =>
+      Dedup.embeddingNearDup(s, d, maxBlockSize = 48, subCells = 8)),
     "d6_dedup_groups"      -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "d7_keep_list"         -> ((s: SparkSession, d: String) => Dedup.keepList(s, d)),
     "g1_triangle_counts"   -> ((s: SparkSession, d: String) => Dedup.triangleCounts(s, d)),
@@ -749,7 +754,15 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |cheapest AS (SELECT l_partkey AS pk, min(offer) AS best FROM offers GROUP BY 1)
         |SELECT l_partkey AS p_partkey, p_brand, CAST(p_size AS INT) AS p_size,
-        |       s_suppkey, s_name, round(offer, 4) AS min_unit_price
+        |       s_suppkey, s_name,
+        |       -- Spark's round(double) rounds the SHORTEST DECIMAL repr
+        |       -- (BigDecimal.valueOf) half-up, not the exact binary value:
+        |       -- offer 147.70125 is stored as ...124999..., which DuckDB's
+        |       -- binary round sends to .7012 but Spark sends to .7013.
+        |       -- VARCHAR cast is DuckDB's shortest repr; DECIMAL round is
+        |       -- half-away-from-zero = Java HALF_UP for either sign.
+        |       CAST(round(CAST(CAST(offer AS VARCHAR) AS DECIMAL(28,14)), 4) AS DOUBLE)
+        |         AS min_unit_price
         |FROM offers
         |JOIN cheapest ON l_partkey = pk AND offer = best
         |JOIN p ON l_partkey = p_partkey
@@ -1608,6 +1621,35 @@ object SparkEntry {
       s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($cosExpr, 6) AS cosim
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round($cosExpr, 6) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // replays the HOT path of Dedup.blockedEmbeddings: labels over the
+    // (lowered) cap sub-bucket by argmax round-6 cosine against their 8
+    // lowest-id seed vectors (ties -> lowest cell, k1's protocol); cold
+    // labels keep cell 0; pairs join on (label, cell)
+    "d5_hot_guard" ->
+      """WITH e AS (SELECT label, vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        |hot AS (SELECT label FROM e GROUP BY label HAVING count(*) > 48),
+        |seeds AS (SELECT label, vec_id, emb,
+        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS cell
+        |  FROM e WHERE label IN (SELECT label FROM hot)
+        |  QUALIFY cell < 8),
+        |assign AS (
+        |  SELECT v.label, v.vec_id, v.emb, s.cell,
+        |    row_number() OVER (PARTITION BY v.label, v.vec_id
+        |      ORDER BY round(list_cosine_similarity(v.emb, s.emb), 6) DESC, s.cell) AS rn
+        |  FROM e v JOIN seeds s ON v.label = s.label),
+        |blocked AS (
+        |  SELECT label, 0 AS cell, vec_id, emb FROM e
+        |  WHERE label NOT IN (SELECT label FROM hot)
+        |  UNION ALL
+        |  SELECT label, cell, vec_id, emb FROM assign WHERE rn = 1)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosim
+        |FROM blocked a JOIN blocked b
+        |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
     "s4_hard_negatives" ->

@@ -479,12 +479,15 @@ object Dedup {
       .filter(col("srnk") <= subCells)
       .select(col("label"), (col("srnk") - 1).as("cell"),
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // cell assignment quantized at round-6 like k1/s3's, so the hot path
+    // is replayable by a DuckDB oracle (d5_hot_guard) — raw-double argmax
+    // would make cross-engine cell flips possible at ulp-level ties
     val hotAssigned = e.filter(col("is_hot"))
       .join(broadcast(seeds), Seq("label"))
       .withColumn("cos",
-        VectorFunctions.cosineWithNorms(
+        round(VectorFunctions.cosineWithNorms(
           VectorFunctions.dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")))
+          col("nrm"), col("c_nrm")), 6))
       .groupBy(col("label"), col("vec_id"))
       .agg(
         max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
