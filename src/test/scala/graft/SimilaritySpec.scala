@@ -73,6 +73,28 @@ class SimilaritySpec extends SparkSpec {
     assert(s3 > s2, "data-adaptive cells must beat fixed hyperplanes here")
   }
 
+  test("pinned recall@10 curve vs probe width on sf0.1 (BASELINE.md table)") {
+    // The measured curve BASELINE.md §ANN RECALL pins (2026-08-13):
+    // s2 0.08/0.38/0.66/0.90 at hamming<=0..3, s3 0.98 at nprobe=1 and
+    // 1.00 from nprobe=4 (the default). All inputs and seeds fixed, so
+    // these are deterministic regression floors with a small margin for
+    // legitimate kernel/seed changes — a bucketing regression (wrong
+    // probe set, broken cell assignment) lands far below them.
+    val dir = "/root/testdata/sf0.1"
+    val truth = tools.AnnRecall.topkSets(Similarity.annTopK(spark, dir))
+    val s2 = Seq(0, 1, 2, 3).map(h => tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvf(spark, dir, maxProbeHamming = h)), truth))
+    assert(s2 == s2.sorted, s"s2 recall must be monotone in probe width: $s2")
+    assert(s2(2) >= 0.60, s"s2 recall at default hamming<=2: ${s2(2)}")
+    assert(s2(3) >= 0.85, s"s2 recall at hamming<=3: ${s2(3)}")
+    val s3n1 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvfKmeans(spark, dir, nProbe = 1)), truth)
+    val s3n4 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvfKmeans(spark, dir)), truth)
+    assert(s3n1 >= 0.90, s"s3 recall at nprobe=1: $s3n1")
+    assert(s3n4 >= 0.95, s"s3 recall at default nprobe=4: $s3n4")
+  }
+
   test("s2 bucketed ANN reaches full recall on clustered vectors") {
     val dir = writeClustered()
     val exact = Similarity.annTopK(spark, dir)
