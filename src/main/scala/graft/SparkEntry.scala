@@ -102,6 +102,7 @@ object SparkEntry {
     // oracle hash-checks the guarded path, not just the cold path
     "d5_hot_guard"         -> ((s: SparkSession, d: String) =>
       Dedup.embeddingNearDup(s, d, maxBlockSize = 48, subCells = 8)),
+    "d8_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "d6_dedup_groups"      -> ((s: SparkSession, d: String) => Dedup.dedupGroups(s, d)),
     "d7_keep_list"         -> ((s: SparkSession, d: String) => Dedup.keepList(s, d)),
     "g1_triangle_counts"   -> ((s: SparkSession, d: String) => Dedup.triangleCounts(s, d)),
@@ -1443,6 +1444,57 @@ object SparkEntry {
         |  JOIN sig sa ON sa.doc_id = p.a_id
         |  JOIN sig sb ON sb.doc_id = p.b_id)
         |SELECT a_id, b_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.8 ORDER BY a_id, b_id""".stripMargin,
+
+    // d8: d2's signature/band/cap chain verbatim, but the pair stage is
+    // batch-side x full-side (new = doc_id % 10 = 0) canonicalized with
+    // least/greatest — the oracle states it as the equivalent symmetric
+    // join with an OR-side predicate. Flags replay the same split.
+    "d8_incremental_dedup" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h0 AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+        |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
+        |  FROM tok),
+        |${mixCtes("h0", "b")},
+        |j0 AS (
+        |  SELECT doc_id, CAST(r.range AS INT) AS j,
+        |    (u + CAST(r.range AS HUGEINT) * CAST('11400714819323198485' AS HUGEINT))
+        |      % CAST(18446744073709551616 AS HUGEINT) AS u
+        |  FROM b5, range(0, 32) r),
+        |${mixCtes("j0", "n")},
+        |sigs AS (
+        |  SELECT doc_id, j,
+        |    min(CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+        |        THEN u - CAST(18446744073709551616 AS HUGEINT) ELSE u END AS BIGINT)) AS v
+        |  FROM n5 GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM sigs GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, CAST(b.range AS INT) AS band,
+        |         sig[CAST(b.range*4+1 AS INT):CAST(b.range*4+4 AS INT)] AS bucket
+        |  FROM sig, range(0, 8) b),
+        |overfull AS (
+        |  SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) > 2000),
+        |bounded AS (SELECT b.* FROM banded b ANTI JOIN overfull o USING (band, bucket)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bounded a JOIN bounded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+        |est AS (
+        |  SELECT p.a_id, p.b_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      k -> CASE WHEN sa.sig[CAST(k AS INT)] = sb.sig[CAST(k AS INT)] THEN 1 ELSE 0 END)) AS DOUBLE) / 32 AS est_jaccard
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.a_id
+        |  JOIN sig sb ON sb.doc_id = p.b_id)
+        |SELECT a_id, b_id, est_jaccard,
+        |       a_id % 10 = 0 AS a_new, b_id % 10 = 0 AS b_new
+        |FROM est
         |WHERE est_jaccard >= 0.8 ORDER BY a_id, b_id""".stripMargin,
 
     // d3: the simhash pipeline replayed bit-for-bit — per-token poly-31 +

@@ -85,6 +85,78 @@ object Dedup {
       .orderedBy("a_id", "b_id")
   }
 
+  /** d8: INCREMENTAL near-dup detection — the query a production pipeline
+    * runs per ingest batch: which of the NEW documents near-duplicate
+    * anything already in the corpus (or each other)? Same MinHash banding,
+    * threshold and bucket cap as d2, but the pair join is batch-side ×
+    * corpus-side instead of corpus × corpus, so candidate volume (and the
+    * shuffle behind it) is ∝ |batch| × bucket density — at 100 TB the
+    * daily increment never re-pairs the historical corpus with itself.
+    * Output: canonical (a_id < b_id) pairs with ≥ 1 new side, scored by
+    * signature agreement, plus per-side is-new flags so the caller can
+    * split batch-vs-corpus hits from batch-internal ones.
+    *
+    * The "new batch" membership is a deterministic predicate on doc_id
+    * (`doc_id % batchMod == 0`, 10% of the corpus by default) so the
+    * DuckDB oracle can replay the split exactly; a real pipeline passes
+    * its own ingest-date predicate. Over-full buckets are detected on the
+    * FULL corpus (identical cap semantics to d2 — a stop-shingle bucket is
+    * uninformative no matter which side it comes from).
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       shingleSize: Int = 1, numHashes: Int = 32, bands: Int = 8,
+                       minEstJaccard: Double = 0.8, maxBucketSize: Int = 2000,
+                       batchMod: Int = 10): DataFrame = {
+    val rows = numHashes / bands
+    val docs = graft.CacheRegistry.persistTracked(
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= shingleSize)
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(batchMod.toLong)) === 0).as("is_new"),
+          minHashSignature(shingles(col("text"), shingleSize), numHashes).as("sig")))
+
+    val banded = docs.select(
+      col("doc_id"), col("is_new"),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            slice(col("sig"), b * rows + 1, lit(rows)).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("is_new"), col("bb.band"), col("bb.bucket"))
+    val overfull = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > maxBucketSize)
+      .select("band", "bucket")
+    val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
+
+    // batch side × full side: every emitted pair has >= 1 new member, and
+    // the join fan-out is bounded by the BATCH's bucket occupancy. A
+    // new-new pair arrives in both orders — least/greatest + distinct
+    // canonicalizes it to one row.
+    val cand = bounded.filter(col("is_new"))
+      .select(col("band"), col("bucket"), col("doc_id").as("n_id"))
+      .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("x_id")),
+        Seq("band", "bucket"))
+      .filter(col("n_id") =!= col("x_id"))
+      .select(least(col("n_id"), col("x_id")).as("a_id"),
+        greatest(col("n_id"), col("x_id")).as("b_id"))
+      .distinct()
+
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("is_new").as("a_new")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("is_new").as("b_new")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (Sketches.equalCount(col("a_sig"), col("b_sig")).cast("double") / numHashes)
+          .as("est_jaccard"),
+        col("a_new"), col("b_new"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderedBy("a_id", "b_id")
+  }
+
   /** LSH candidate pairs (banded, capped, deduped — UNscored) from a
     * (doc_id, sig) frame — split out of minhashLsh so skew specs can
     * assert CANDIDATE VOLUME, the quantity the bucket cap bounds,

@@ -45,6 +45,7 @@ object ScalingCurve {
       "d5_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
       "d6_dedup_groups" -> ((s, d) => Dedup.dedupGroups(s, d)),
       "d7_keep_list" -> ((s, d) => Dedup.keepList(s, d)),
+      "d8_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
       "g1_triangle_counts" -> ((s, d) => Dedup.triangleCounts(s, d)),
       "c1_contamination" -> ((s, d) => Decontamination.contaminated(s, d)),
       "x26_dup_spans" -> ((s, d) => Decontamination.dupShingleFraction(s, d)),

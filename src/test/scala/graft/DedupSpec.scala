@@ -40,6 +40,35 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("d8 incremental dedup = d2 pairs restricted to >=1 new side, with flags") {
+    val near = base.replace("dog", "cat")
+    // ids chosen around the % 10 == 0 batch predicate: 10/20 are "new",
+    // 1/2/13 are corpus. Duplicate groups: {1,2,10} exact, {13,20} near-ish.
+    val dir = writeDocs(Seq(
+      (1L, base, "s0"), (2L, base, "s0"), (10L, base, "s0"),
+      (13L, near, "s0"), (20L, near, "s0"),
+      (7L, "completely different words about spark catalyst plans", "s0")))
+    val d8 = Dedup.incrementalDedup(spark, dir, minEstJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    val d2 = Dedup.minhashLsh(spark, dir, minEstJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // same pair set as the full self-join, minus corpus-internal pairs
+    val expected = d2.filter { case ((a, b), _) => a % 10 == 0 || b % 10 == 0 }
+    assert(d8.keySet == expected.keySet,
+      s"d8 ${d8.keySet} vs d2-restricted ${expected.keySet}")
+    // corpus-internal pair (1,2) exists in d2 but must NOT be re-emitted
+    assert(d2.contains((1L, 2L)) && !d8.contains((1L, 2L)))
+    // scores identical to d2's, flags replay the split
+    d8.foreach { case ((a, b), (est, aNew, bNew)) =>
+      assert(est == d2((a, b)))
+      assert(aNew == (a % 10 == 0) && bNew == (b % 10 == 0))
+      assert(aNew || bNew)
+    }
+    // the batch-vs-corpus hit and the batch-internal hit both surface
+    assert(d8.contains((1L, 10L)) && d8.contains((10L, 20L)) == d2.contains((10L, 20L)))
+  }
+
   test("d2 minhash estimate tracks true jaccard for identical sets") {
     val dir = writeDocs(Seq((1L, base, "s0"), (2L, base, "s0")))
     val est = Dedup.minhashLsh(spark, dir, minEstJaccard = 0.0)

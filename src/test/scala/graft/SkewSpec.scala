@@ -95,6 +95,42 @@ class SkewSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("d8 incremental cap + batch restriction: bomb dropped, corpus never re-paired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Same stop-shingle bomb through the incremental path: ids 1..100
+    // identical (ids % 10 == 0 are the "new batch"), a planted
+    // batch-vs-corpus pair (205, 210) and a planted corpus-internal pair
+    // (203, 207). The cap must drop the bomb buckets; the batch predicate
+    // must keep the corpus-internal pair out at ANY cap.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-d8").toString
+    val bomb = (1L to 100L).map(i =>
+      (i, "all these tokens identical in every single document"))
+    val planted = Seq(
+      (205L, "p1 p2 p3 p4 p5 p6 p7 p8"), (210L, "p1 p2 p3 p4 p5 p6 p7 p8"),
+      (203L, "q1 q2 q3 q4 q5 q6 q7 q8"), (207L, "q1 q2 q3 q4 q5 q6 q7 q8"))
+    (bomb ++ planted).map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    try {
+      val capped = graft.operators.Dedup
+        .incrementalDedup(spark, dir, minEstJaccard = 0.0, maxBucketSize = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(capped.toSet == Set((205L, 210L)),
+        s"cap drops the bomb, batch predicate drops (203,207), got ${capped.toSet}")
+      CacheRegistry.releaseAll()
+      // uncapped: bomb pairs with >= 1 new side = C(100,2) - C(90,2) = 945,
+      // plus the planted batch pair; the 90*89/2 corpus-internal bomb pairs
+      // and (203,207) stay excluded by the batch-side join alone
+      val uncapped = graft.operators.Dedup
+        .incrementalDedup(spark, dir, minEstJaccard = 0.0, maxBucketSize = 100000)
+        .count()
+      assert(uncapped == 945L + 1,
+        s"uncapped incremental volume must be batch-sided (946), got $uncapped")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("k2 cluster blocking keeps the pair join at within-cluster volume") {
     import spark.implicits._
     val dim = 8
