@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -20,10 +20,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and floor-divide
-    * to microseconds — the same truncation DuckDB's `epoch_us` applies, so
-    * oracle comparisons line up exactly.
+  /** `events.ts` arrives in whatever physical shape the generator chose —
+    * INT64 TIMESTAMP(NANOS) (which Spark 4 refuses to read as a timestamp)
+    * or, since the 2026-08-13 regeneration, micro-precision timestamp
+    * WITHOUT timezone (which Spark infers as TIMESTAMP_NTZ, rejected by
+    * `unix_micros` and friends). Normalize every shape to a session-UTC
+    * TIMESTAMP carrying the same microsecond count DuckDB's `epoch_us`
+    * sees, so operators and oracle comparisons line up exactly regardless
+    * of the file's vintage.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,6 +35,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos read as long
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // UTC session: the cast keeps the wall-clock reading, i.e. the
+        // identical micros-since-epoch the NTZ value denotes.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw // already a (micro-precision) timestamp
     }
   }

@@ -171,6 +171,132 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** s5: IVF-PQ (the FAISS IVFADC shape) — the ANN variant that actually
+    * fits a 100 TB corpus in executor memory. s3 answers probes by
+    * re-ranking every candidate against its FULL vector (256 bytes at
+    * dim=64 float32); s5 stores each corpus vector as `numSub` one-byte
+    * codes — per 8-dim subspace, the nearest of 16 data-derived
+    * sub-centroids — and scans candidates with an asymmetric-distance
+    * lookup table (ADC): approx distance = sum over subspaces of the
+    * PRECOMPUTED query-to-centroid distance for the candidate's stored
+    * code. Full vectors are fetched only for the top-`shortlistN` ADC
+    * survivors, so the scan path touches 8 bytes/vector instead of 256 —
+    * the 32x compression that decides whether a fleet-scale index fits in
+    * RAM at all. Plan shape: two corpus passes keyed by vec_id (coarse
+    * assignment + PQ encode — in production the encode fuses into the
+    * scan with the 128-row codebook broadcast as literals), a candidate
+    * join keyed by cell, and an ADC aggregate keyed by (q, n) whose input
+    * is `numSub` rows per candidate; the exact re-rank only ever sees
+    * `shortlistN` rows per query. Every stage is deterministic (seed
+    * centroids = the first `kCells` vectors / their subvectors, every
+    * distance rounded to 6 decimals before argmin/rank, id tie-breaks
+    * throughout), so the full algorithm — encode, ADC, shortlist,
+    * re-rank — has an exact DuckDB oracle. The per-subspace rounding also
+    * makes the ADC sum order-insensitive: a sum of multiples of 1e-6
+    * re-rounded to 6 decimals cannot be perturbed by double-accumulation
+    * order, so plain `sum` is safe on both engines.
+    */
+  def annIvfPq(spark: SparkSession, dir: String,
+               kCells: Int = 16, nProbe: Int = 4,
+               numSub: Int = 8, subDim: Int = 8,
+               shortlistN: Int = 40): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val cents = base.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+
+    // Coarse assignment — identical rule to s3 (argmax rounded cosine,
+    // smallest cell wins ties), one broadcast pass + one vec_id-keyed agg.
+    val asg = base.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"))
+      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"))
+
+    // Subspace decomposition: one row per (vector, subspace), sv = the
+    // subDim-component slice. posexplode's 0-based pos is the subspace id.
+    val sub = base.select(col("vec_id"),
+      posexplode(array((0 until numSub).map(m =>
+        slice(col("embedding"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+
+    // Codebook: the first kCells vectors' subvectors, 16 codes per
+    // subspace. 128 rows — broadcast everywhere it appears.
+    val cb = sub.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
+
+    // Squared L2 in double with component-wise double subtraction — the
+    // same op order as the oracle's list_transform/list_reduce fold.
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double"); d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+
+    // All (vector, subspace, code) distances: feeds BOTH the corpus encode
+    // (argmin per (vec, m)) and, restricted to the query ids, the ADC LUT.
+    val dist = sub.join(broadcast(cb), col("m") === col("cm"))
+      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
+      .select("vec_id", "m", "code", "d2")
+
+    val codes = dist.groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id").as("cn_id"), col("m"), col("b.code").as("code"))
+
+    val lut = dist.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("lq"), col("m").as("lm"),
+        col("code").as("lcode"), col("d2"))
+
+    val probes = queryVectors(spark, dir)
+      .withColumn("q_nrm", normD(col("q_emb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        round(cosineWithNorms(dotD(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cell"))))
+      .filter(col("prnk") <= nProbe)
+      .select("q_id", "cell")
+
+    // ADC scan: candidates from the probed cells, scored purely from codes
+    // + the broadcast LUT — no full vectors on this path.
+    val pairs = asg.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id")
+    val adc = pairs
+      .join(codes, col("n_id") === col("cn_id"))
+      .join(broadcast(lut),
+        col("q_id") === col("lq") && col("m") === col("lm") &&
+          col("code") === col("lcode"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(round(sum(col("d2")), 6).as("approx"))
+    val short = adc
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx"), col("n_id"))))
+      .filter(col("srn") <= shortlistN)
+      .select("q_id", "n_id")
+
+    // Exact re-rank of the shortlist only.
+    short
+      .join(base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("nrm").as("n_nrm")), Seq("n_id"))
+      .join(broadcast(queryVectors(spark, dir)
+        .withColumn("q_nrm", normD(col("q_emb")))), Seq("q_id"))
+      .withColumn("cosim",
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
+          .cast("long"))
+      .filter(col("rnk") <= K)
+      .select("q_id", "n_id", "cosim", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
   /** s4: hard-negative mining — for each query vector, the top-k most
     * similar embeddings with a DIFFERENT label (the contrastive-training
     * negative sampler: negatives that are hard precisely because they are
