@@ -109,12 +109,20 @@ object Bench {
     val total = ok.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    // stdout for humans/driver log scrape + a file the driver can always
-    // parse regardless of sbt log prefixes
-    println(line)
+    // The full per-query line is ~5 KB; the driver's log capture keeps only
+    // the final ~2 KB, so relying on stdout truncates the map mid-key (the
+    // round-6 artifact lost 43 of 105 entries that way). The FILE is the
+    // complete artifact: write it first, then print the full line (for
+    // humans reading the log top-down), then LAST a short summary line —
+    // total + per-query count + file pointer — sized to survive any tail
+    // capture and parse cleanly.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json"}"""
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed every attempt: ${failed.mkString(", ")}")

@@ -111,6 +111,7 @@ object SparkEntry {
     "s4_hard_negatives"    -> ((s: SparkSession, d: String) => Similarity.hardNegatives(s, d)),
     "s2_ann_ivf"           -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "s3_ann_ivf_kmeans"    -> ((s: SparkSession, d: String) => Similarity.annIvfKmeans(s, d)),
+    "s5_ann_ivf_pq"        -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "x1_lang_id"           -> TextAnalysis.langId _,
     "x2_quality_score"     -> TextAnalysis.qualityScore _,
     "x3_token_stats"       -> TextAnalysis.tokenStats _,
@@ -1326,6 +1327,65 @@ object SparkEntry {
         |  JOIN v qv ON qv.vec_id = probes.q_id
         |  JOIN v nv ON nv.vec_id = asg.n_id
         |  WHERE asg.n_id <> probes.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    // s5: the full IVF-PQ pipeline replayed in SQL — s3's coarse assignment
+    // + probes, then PQ over UNIT-NORMALIZED vectors: per-component rows
+    // (j 1..64, x = ve[j]/nrm), subspace m = (j-1)//8, codebook = the first
+    // 16 vectors' normalized components, per-(vec,m,code) squared-L2 rounded
+    // to 6 (absorbing the ~1e-15 engine double drift), argmin codes with
+    // code tie-break, ADC = sum of the query's LUT rows at the candidate's
+    // codes, shortlist of 40 by (approx, n_id), exact cosine re-rank
+    // identical to s1/s3's.
+    "s5_ann_ivf_pq" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |w AS (SELECT vec_id, ve,
+        |    sqrt(list_reduce(list_prepend(0.0, list_transform(ve, x -> x * x)),
+        |         (s, y) -> s + y)) AS nrm FROM v),
+        |nc AS (SELECT w.vec_id, CAST(r.range AS INT) AS j,
+        |    ve[CAST(r.range AS INT)] / nrm AS x
+        |  FROM w, range(1, 65) r),
+        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < 16),
+        |a AS (SELECT v.vec_id, c.cell,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
+        |      FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
+        |dist AS (SELECT a0.vec_id, (a0.j - 1) // 8 AS m, b0.vec_id AS code,
+        |           round(sum((a0.x - b0.x) * (a0.x - b0.x)), 6) AS d2
+        |         FROM nc a0 JOIN nc b0 ON b0.vec_id < 16 AND b0.j = a0.j
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, code FROM (
+        |            SELECT vec_id, m, code,
+        |              row_number() OVER (PARTITION BY vec_id, m
+        |                ORDER BY d2, code) AS rn
+        |            FROM dist) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+        |p AS (SELECT q_id, cell,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, cell) AS prn
+        |      FROM q CROSS JOIN c),
+        |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
+        |adc AS (SELECT pr.q_id, pr.n_id, round(sum(l.d2), 6) AS approx
+        |        FROM (SELECT probes.q_id, asg.n_id
+        |              FROM probes JOIN asg USING (cell)
+        |              WHERE asg.n_id <> probes.q_id) pr
+        |        JOIN codes cd ON cd.vec_id = pr.n_id
+        |        JOIN dist l ON l.vec_id = pr.q_id AND l.m = cd.m
+        |          AND l.code = cd.code
+        |        GROUP BY 1, 2),
+        |short AS (SELECT q_id, n_id FROM (
+        |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY approx, n_id) AS srn
+        |            FROM adc) WHERE srn <= 40),
+        |scored AS (SELECT s.q_id, s.n_id,
+        |             round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
+        |           FROM short s JOIN v qv ON qv.vec_id = s.q_id
+        |           JOIN v nv ON nv.vec_id = s.n_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
         |        ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
         |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10

@@ -31,6 +31,11 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ->TIMESTAMP cast below preserves micros-since-epoch ONLY in a
+    // UTC session; a non-UTC session would silently shift every event time.
+    // Every entry point already sets UTC — enforce it here so the loader
+    // carries its own precondition instead of trusting callers.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos read as long

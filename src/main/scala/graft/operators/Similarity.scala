@@ -175,31 +175,43 @@ object Similarity {
     * fits a 100 TB corpus in executor memory. s3 answers probes by
     * re-ranking every candidate against its FULL vector (256 bytes at
     * dim=64 float32); s5 stores each corpus vector as `numSub` one-byte
-    * codes — per 8-dim subspace, the nearest of 16 data-derived
-    * sub-centroids — and scans candidates with an asymmetric-distance
-    * lookup table (ADC): approx distance = sum over subspaces of the
-    * PRECOMPUTED query-to-centroid distance for the candidate's stored
-    * code. Full vectors are fetched only for the top-`shortlistN` ADC
-    * survivors, so the scan path touches 8 bytes/vector instead of 256 —
-    * the 32x compression that decides whether a fleet-scale index fits in
-    * RAM at all. Plan shape: two corpus passes keyed by vec_id (coarse
-    * assignment + PQ encode — in production the encode fuses into the
-    * scan with the 128-row codebook broadcast as literals), a candidate
-    * join keyed by cell, and an ADC aggregate keyed by (q, n) whose input
-    * is `numSub` rows per candidate; the exact re-rank only ever sees
-    * `shortlistN` rows per query. Every stage is deterministic (seed
-    * centroids = the first `kCells` vectors / their subvectors, every
+    * codes — per `subDim`-dim subspace, the nearest of `kCodes`
+    * data-derived sub-centroids — and scans candidates with an
+    * asymmetric-distance lookup table (ADC): approx distance = sum over
+    * subspaces of the PRECOMPUTED query-to-centroid distance for the
+    * candidate's stored code. Full vectors are fetched only for the
+    * top-`shortlistN` ADC survivors, so the scan path touches 8
+    * bytes/vector instead of 256 — the 32x compression that decides
+    * whether a fleet-scale index fits in RAM at all.
+    *
+    * Vectors are L2-NORMALIZED before subspace slicing, so the ADC metric
+    * (squared L2 on the unit sphere, = 2 - 2*cos) ranks in exactly the
+    * cosine order the final re-rank uses — without this, large-norm
+    * high-cosine neighbors would be systematically shortlisted out.
+    *
+    * Plan shape: two corpus passes keyed by vec_id (coarse assignment +
+    * PQ encode — in production the encode fuses into the scan with the
+    * numSub*kCodes-row codebook broadcast as literals), a candidate join
+    * keyed by cell, and an ADC aggregate keyed by (q, n) whose input is
+    * `numSub` rows per candidate; the exact re-rank only ever sees
+    * `shortlistN` rows per query, joined with the shortlist broadcast.
+    * Every stage is deterministic (coarse seeds = the first `kCells`
+    * vectors, codebook = the first `kCodes` vectors' subvectors, every
     * distance rounded to 6 decimals before argmin/rank, id tie-breaks
     * throughout), so the full algorithm — encode, ADC, shortlist,
-    * re-rank — has an exact DuckDB oracle. The per-subspace rounding also
-    * makes the ADC sum order-insensitive: a sum of multiples of 1e-6
-    * re-rounded to 6 decimals cannot be perturbed by double-accumulation
-    * order, so plain `sum` is safe on both engines.
+    * re-rank — is replayed bit-for-bit by the s5 DuckDB oracle in
+    * SparkEntry. The per-subspace rounding also makes the ADC sum
+    * order-insensitive: a sum of multiples of 1e-6 re-rounded to 6
+    * decimals cannot be perturbed by double-accumulation order, so plain
+    * `sum` is safe on both engines.
     */
   def annIvfPq(spark: SparkSession, dir: String,
                kCells: Int = 16, nProbe: Int = 4,
                numSub: Int = 8, subDim: Int = 8,
-               shortlistN: Int = 40): DataFrame = {
+               kCodes: Int = 16, shortlistN: Int = 40,
+               dim: Int = 64): DataFrame = {
+    require(numSub * subDim == dim,
+      s"numSub ($numSub) * subDim ($subDim) must cover the embedding dim ($dim)")
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
     val cents = base.filter(col("vec_id") < kCells)
@@ -216,15 +228,20 @@ object Similarity {
       .agg(max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"))
       .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"))
 
-    // Subspace decomposition: one row per (vector, subspace), sv = the
-    // subDim-component slice. posexplode's 0-based pos is the subspace id.
-    val sub = base.select(col("vec_id"),
-      posexplode(array((0 until numSub).map(m =>
-        slice(col("embedding"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    // Subspace decomposition of the UNIT-NORMALIZED vector: one row per
+    // (vector, subspace), sv = the subDim-component slice of embedding/nrm.
+    // posexplode's 0-based pos is the subspace id.
+    val sub = base
+      .withColumn("ne", transform(col("embedding"),
+        x => x.cast("double") / col("nrm")))
+      .select(col("vec_id"),
+        posexplode(array((0 until numSub).map(m =>
+          slice(col("ne"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
 
-    // Codebook: the first kCells vectors' subvectors, 16 codes per
-    // subspace. 128 rows — broadcast everywhere it appears.
-    val cb = sub.filter(col("vec_id") < kCells)
+    // Codebook: the first kCodes vectors' normalized subvectors, kCodes
+    // codes per subspace. numSub*kCodes rows — broadcast everywhere it
+    // appears.
+    val cb = sub.filter(col("vec_id") < kCodes)
       .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
 
     // Squared L2 in double with component-wise double subtraction — the
@@ -279,8 +296,11 @@ object Similarity {
       .filter(col("srn") <= shortlistN)
       .select("q_id", "n_id")
 
-    // Exact re-rank of the shortlist only.
-    short
+    // Exact re-rank of the shortlist only — the shortlist is at most
+    // NumQueries*shortlistN rows but sits behind aggregates/windows where
+    // size estimation is opaque, so broadcast it explicitly like every
+    // other small side in this file.
+    broadcast(short)
       .join(base.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("nrm").as("n_nrm")), Seq("n_id"))
       .join(broadcast(queryVectors(spark, dir)

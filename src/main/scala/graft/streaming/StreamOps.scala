@@ -745,6 +745,122 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  // --- Streaming incremental dedup (the d8 twin) ------------------------
+
+  /** A document tagged with its corpus role: `is_new = false` rows SEED
+    * the standing corpus (store-only), `is_new = true` rows are the live
+    * ingest feed that probes it. */
+  case class SeedableDoc(doc_id: Long, ts: Timestamp, text: String,
+                         is_new: Boolean)
+
+  case class SeededBandedSig(bkey: String, doc_id: Long, ts: Timestamp,
+                             is_new: Boolean, sig: Array[Long])
+
+  case class SeededSigEntry(sig: Array[Long], is_new: Boolean)
+
+  case class IncNearDupPair(a_id: Long, b_id: Long, est_jaccard: Double,
+                            a_new: Boolean, b_new: Boolean, ts: Timestamp)
+
+  /** The d8 shape on transformWithState: the standing corpus lives as band
+    * buckets in (RocksDB) state, and only NEW documents probe it — corpus
+    * seeds join bucket residency without scoring, so the historical corpus
+    * is never re-paired with itself no matter how it is replayed into
+    * state. Batch d8 gets the same asymmetry per run via its batch×corpus
+    * join; this processor gives it to a live feed, across micro-batches,
+    * with candidate work ∝ the FEED's bucket occupancy.
+    *
+    * Same cap/TTL posture as LshDedupProcessor (reached-then-dark cap
+    * counting BOTH roles — batch d8 likewise caps on the full corpus
+    * bucket; TTL ZERO = EventTime mode for terminating runs). Ordering
+    * within a micro-batch is deterministic: seeds store first, then new
+    * docs probe in doc_id order — so a corpus seed and a probe arriving
+    * in the same batch DO pair, exactly like the batch operator. A seed
+    * arriving after a probe (out-of-order corpus backfill) pairs with
+    * nothing — seed the corpus before, or at latest alongside, the feed.
+    */
+  class IncrementalDedupProcessor(numHashes: Int, minEstJaccard: Double,
+                                  maxBucketSize: Int, ttl: java.time.Duration)
+      extends StatefulProcessor[String, SeededBandedSig, IncNearDupPair] {
+    @transient private var sigs: MapState[Long, SeededSigEntry] = _
+    @transient private var bucketN: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      sigs = getHandle.getMapState[Long, SeededSigEntry](
+        "sigs", Encoders.scalaLong, Encoders.product[SeededSigEntry], cfg)
+      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(bkey: String, rows: Iterator[SeededBandedSig],
+                                 tv: TimerValues): Iterator[IncNearDupPair] = {
+      var n = if (bucketN.exists()) bucketN.get() else 0L
+      val out = Seq.newBuilder[IncNearDupPair]
+      rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
+        if (n < maxBucketSize && !sigs.containsKey(d.doc_id)) {
+          if (d.is_new) {
+            sigs.iterator().foreach { case (otherId, e) =>
+              var eq = 0
+              var i = 0
+              while (i < numHashes) {
+                if (e.sig(i) == d.sig(i)) eq += 1
+                i += 1
+              }
+              val est = eq.toDouble / numHashes
+              if (est >= minEstJaccard) {
+                val (a, b, aN, bN) =
+                  if (otherId < d.doc_id) (otherId, d.doc_id, e.is_new, true)
+                  else (d.doc_id, otherId, true, e.is_new)
+                out += IncNearDupPair(a, b, math.round(est * 1e6) / 1e6,
+                  aN, bN, d.ts)
+              }
+            }
+          }
+          sigs.updateValue(d.doc_id, SeededSigEntry(d.sig, d.is_new))
+          n += 1
+        }
+      }
+      bucketN.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** d8 as a stream: banding identical to [[minhashLshDedupStream]] (same
+    * kernel, same bucket identity), with [[IncrementalDedupProcessor]]
+    * holding the standing corpus in state. Emissions carry batch d8's
+    * is-new flags, one detection per colliding band — chain
+    * `dropDuplicatesWithinWatermark("a_id","b_id")` for one-row-per-pair,
+    * as with the d2 twin.
+    */
+  def incrementalDedupStream(spark: SparkSession, docs: Dataset[SeedableDoc],
+                             shingleSize: Int = 1, numHashes: Int = 32,
+                             bands: Int = 8, minEstJaccard: Double = 0.8,
+                             maxBucketSize: Int = 2000,
+                             ttl: java.time.Duration = java.time.Duration.ofHours(1),
+                             watermark: String = "10 seconds"): Dataset[IncNearDupPair] = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .filter(size(split(col("text"), " ")) >= shingleSize)
+      .select(col("doc_id"), col("ts"), col("is_new"),
+        graft.operators.Dedup.minHashSignature(
+          graft.operators.Dedup.shingles(col("text"), shingleSize),
+          numHashes).as("sig"))
+      .select(
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(":", b.cast("string"),
+            slice(col("sig"), b * rows + 1, lit(rows)).cast("string"))))
+          .as("bkey"),
+        col("doc_id"), col("ts"), col("is_new"), col("sig"))
+      .as[SeededBandedSig]
+      .groupByKey(_.bkey)
+      .transformWithState(
+        new IncrementalDedupProcessor(numHashes, minEstJaccard,
+          maxBucketSize, ttl),
+        if (ttl.isZero) TimeMode.EventTime() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
   /** Keyed consecutive-pair detection: emit (prev, cur) when the gap is
     * under `maxGapUs`. State is just the previous event time.
     */

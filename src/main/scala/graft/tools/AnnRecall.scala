@@ -38,6 +38,15 @@ object AnnRecall {
         nProbe = np)), truth)
       println(f"ANNRECALL s3 probe=nprobe=$np recall=$r%.3f")
     }
+    // s5 adds a second approximation stage on top of s3's probes (PQ codes
+    // in the scan, exact re-rank only for the shortlist), so its dial is
+    // the shortlist width: how many ADC survivors get the full-vector
+    // re-rank. recall(s5, shortlist→∞) converges to s3 at the same nProbe.
+    for (sl <- Seq(10, 20, 40, 80, 160)) {
+      val r = recallAt10(topkSets(Similarity.annIvfPq(spark, dir,
+        shortlistN = sl)), truth)
+      println(f"ANNRECALL s5 probe=shortlist=$sl recall=$r%.3f")
+    }
     spark.stop()
   }
 

@@ -56,7 +56,8 @@ object ScalingCurve {
       "s1_ann_topk" -> ((s, d) => Similarity.annTopK(s, d)),
       "s2_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
       "s3_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
-      "s4_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)))
+      "s4_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+      "s5_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(s, d)))
 
     slices.foreach { case (m, dir) =>
       Seq("documents", "embeddings").foreach { t =>

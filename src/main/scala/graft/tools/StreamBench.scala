@@ -127,6 +127,21 @@ object StreamBench {
               concat(lit("v"), floor(col("value")).cast("long"))).as("text"))
             .as[StreamOps.TextDoc],
           maxBucketSize = 64,
+          ttl = java.time.Duration.ZERO).toDF()),
+      // d8 twin: same synthetic docs with a 10%-new split — the standing
+      // 90% seeds state without pairing, the 10% feed probes it, so the
+      // measured rate is the production ingest shape (state writes
+      // dominated by seeds, scoring work by feed bucket occupancy)
+      best("incremental_dedup_tws", () =>
+        StreamOps.incrementalDedupStream(spark,
+          stream().select(col("event_id").as("doc_id"), col("ts"),
+            concat_ws(" ", col("event_type"),
+              concat(lit("u"), pmod(col("user_id"), lit(50000))),
+              concat(lit("g"), pmod(col("event_id"), lit(5000))),
+              concat(lit("v"), floor(col("value")).cast("long"))).as("text"),
+            (pmod(col("event_id"), lit(10)) === 0).as("is_new"))
+            .as[StreamOps.SeedableDoc],
+          maxBucketSize = 64,
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 

@@ -197,6 +197,33 @@ class PipelineOpsSpec extends SparkSpec {
       s"driver $viaDriver vs distributed $viaDistributed")
   }
 
+  test("x23 tie-break at the supplementary plane: UTF-8 byte order, both trainers") {
+    // U+E001 (private-use BMP, UTF-8 EE 80 81, one UTF-16 unit E001) vs
+    // U+1F600 😀 (supplementary, UTF-8 F0 9F 98 80, surrogates D83D DE00).
+    // The two collations DISAGREE here: UTF-16 code-unit order puts the
+    // surrogate (D83D) before E001; UTF-8 byte order puts EE before F0.
+    // Two words, two occurrences each -> pairs (U+E001,a) and (😀,a) tie
+    // at count 2, so the learned ORDER of the two merges is exactly the
+    // tie-break. A trainer that regresses to Java String comparison picks
+    // the 😀 pair first and flips the table.
+    val pua = "\uE001"
+    val emoji = new String(Character.toChars(0x1F600))
+    val dir = writeDocs(Seq(
+      (1L, s"${pua}a ${pua}a ${emoji}a ${emoji}a", "s0")))
+    def table(cap: Long) = TextAnalysis.bpeMerges(spark, dir, merges = 4,
+        driverVocabCap = cap)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val viaDriver = table(Long.MaxValue)
+    assert(viaDriver == Seq((0, pua, "a", 2L), (1, emoji, "a", 2L)),
+      s"UTF-8 byte order must win the tie (U+E001 pair first), got $viaDriver")
+    // the surrogate pair survives symbolization intact: the step-1 left
+    // symbol is the full two-unit code point, not a lone surrogate
+    assert(viaDriver(1)._2.codePointAt(0) == 0x1F600 &&
+      viaDriver(1)._2.length == 2)
+    assert(viaDriver == table(0L),
+      "driver-incremental and distributed trainers must agree at the boundary")
+  }
+
   test("x23 large merge budgets stay driver-side cheap: merges=64 runs no extra jobs per step") {
     // the round-4 watch item: merge count must not multiply cluster job
     // latency. The incremental trainer runs the whole loop on the driver,

@@ -93,6 +93,17 @@ class SimilaritySpec extends SparkSpec {
       tools.AnnRecall.topkSets(Similarity.annIvfKmeans(spark, dir)), truth)
     assert(s3n1 >= 0.90, s"s3 recall at nprobe=1: $s3n1")
     assert(s3n4 >= 0.95, s"s3 recall at default nprobe=4: $s3n4")
+    // s5 measured 2026-08-13: 0.26/0.32/0.64/0.80/0.90 at shortlist
+    // 10/20/40/160 — the PQ gap vs s3's 1.00 is the untrained first-kCodes
+    // codebook on near-uniform vectors (ADC ordering noise), bought back
+    // by widening the exact-re-rank shortlist. Floors sit under the
+    // measured points with the same small margin as s2/s3.
+    val s5 = Seq(10, 40, 160).map(sl => tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvfPq(spark, dir,
+        shortlistN = sl)), truth))
+    assert(s5 == s5.sorted, s"s5 recall must be monotone in shortlist: $s5")
+    assert(s5(1) >= 0.55, s"s5 recall at default shortlist=40: ${s5(1)}")
+    assert(s5(2) >= 0.85, s"s5 recall at shortlist=160: ${s5(2)}")
   }
 
   test("s2 bucketed ANN reaches full recall on clustered vectors") {
@@ -122,6 +133,55 @@ class SimilaritySpec extends SparkSpec {
     assert(neighborsOfQ0(1) == Seq(2L))
     // two probes: the cross-cell neighbor appears, ranked by true cosine
     assert(neighborsOfQ0(2) == Seq(2L, 3L, 1L))
+  }
+
+  test("s5 IVF-PQ matches brute force on clustered vectors") {
+    // The full two-stage approximation (coarse probes + PQ-coded ADC scan
+    // + exact re-rank of the shortlist) at the same kCells=8/nProbe=4 grid
+    // the s3 clustered test pins (16 cells seeded from 16 cluster-A
+    // near-duplicates fragments the probe set — a coarse-stage artifact,
+    // not a PQ one). With a 40-wide shortlist over the ~30 in-probe
+    // candidates the re-rank sees every candidate, so any recall loss
+    // below s3's would be an encode/ADC bug.
+    val dir = writeClustered()
+    val exact = Similarity.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvfPq(spark, dir, kCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall was $recall")
+    // schema + rank contract identical to s1/s3
+    val rows = Similarity.annIvfPq(spark, dir, kCells = 8, nProbe = 4).collect()
+    assert(rows.map(_.schema.fieldNames.toSeq).head ==
+      Seq("q_id", "n_id", "cosim", "rnk"))
+    rows.groupBy(_.getLong(0)).values.foreach(rs =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length)))
+  }
+
+  test("s5 shortlist truncation is the only recall loss vs s3") {
+    // At a narrow shortlist the ADC ordering decides who gets re-ranked;
+    // widening it must be monotone non-decreasing in recall and converge
+    // to s3's recall at the same probe set (sf0.001, fixed seeds).
+    val dir = "/root/testdata/sf0.001"
+    val truth = tools.AnnRecall.topkSets(Similarity.annTopK(spark, dir))
+    val s3 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvfKmeans(spark, dir)), truth)
+    val wide = tools.AnnRecall.recallAt10(tools.AnnRecall.topkSets(
+      Similarity.annIvfPq(spark, dir, shortlistN = 10000)), truth)
+    assert(math.abs(wide - s3) < 1e-9,
+      s"unbounded-shortlist s5 ($wide) must equal s3 ($s3): same probes, " +
+        "exact re-rank of every candidate")
+    val s5 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.annIvfPq(spark, dir)), truth)
+    assert(s5 >= 0.7, s"s5 recall at default shortlist=40: $s5")
+  }
+
+  test("s5 rejects a subspace grid that does not tile the embedding dim") {
+    val dir = writeClustered()
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annIvfPq(spark, dir, numSub = 8, subDim = 7)
+    }
+    assert(e.getMessage.contains("must cover the embedding dim"))
   }
 
   test("s3 matches brute force on clustered vectors when probing enough cells") {

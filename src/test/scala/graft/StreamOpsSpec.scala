@@ -443,6 +443,112 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  private def sdoc(id: Long, minute: Int, text: String,
+                   isNew: Boolean): StreamOps.SeedableDoc =
+    StreamOps.SeedableDoc(id,
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      text, isNew)
+
+  test("incremental dedup stream: corpus seeds never pair, feed probes do") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.SeedableDoc]
+      val q = StreamOps.incrementalDedupStream(spark, input.toDS(),
+          ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("inc_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        // batch 1: TWO near-identical corpus seeds — batch d8 would not
+        // pair them (corpus×corpus), and neither must the stream
+        input.addData(Seq(
+          sdoc(10, 1, base, isNew = false),
+          sdoc(11, 2, base + " lambda", isNew = false)))
+        q.processAllAvailable()
+        assert(spark.table("inc_out").count() == 0,
+          "corpus seeds must never pair with each other")
+        // batch 2: a new doc near-duplicating the corpus + an unrelated one
+        input.addData(Seq(
+          sdoc(3, 3, base, isNew = true),
+          sdoc(4, 4, "one two three four five six seven eight nine ten",
+            isNew = true)))
+        q.processAllAvailable()
+        val got = spark.table("inc_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Boolean]("a_new"), r.getAs[Boolean]("b_new"))).toSet
+        assert(got == Set((3L, 10L, true, false), (3L, 11L, true, false)),
+          s"feed-vs-corpus pairs with role flags, got $got")
+        // batch 3: a new doc pairing a PRIOR new doc — both flags true,
+        // state carried across micro-batches
+        input.addData(Seq(sdoc(5, 5, base, isNew = true)))
+        q.processAllAvailable()
+        val third = spark.table("inc_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Boolean]("a_new"), r.getAs[Boolean]("b_new"))).toSet
+        assert(third.contains((3L, 5L, true, true)) &&
+          third.contains((5L, 10L, true, false)),
+          s"new-new and new-corpus pairs must both surface, got $third")
+      } finally q.stop()
+    }
+  }
+
+  test("incremental dedup stream: pair set matches batch d8 on the same docs") {
+    import org.apache.spark.sql.SaveMode
+    implicit val sqlCtx = spark.sqlContext
+    // Fixture under batch d8's own is_new predicate (doc_id % 10 == 0):
+    // three near-dup families + singletons, members on both sides of the
+    // split so corpus-corpus suppression, corpus-feed and feed-feed pairs
+    // all occur.
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again today",
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      10L -> "the quick brown fox jumps over the lazy dog again tomorrow",
+      2L -> "pack my box with five dozen liquor jugs right now please",
+      20L -> "pack my box with five dozen liquor jugs right now please",
+      30L -> "pack my box with five dozen liquor jugs right now thanks",
+      3L -> "sphinx of black quartz judge my vow tonight",
+      4L -> "how vexingly quick daft zebras jump around here")
+    val dir = java.nio.file.Files.createTempDirectory("incdedup-").toString
+    import spark.implicits._
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.incrementalDedup(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("est_jaccard"),
+        r.getAs[Boolean]("a_new"), r.getAs[Boolean]("b_new"))).toSet
+    assert(batch.nonEmpty, "fixture must produce batch pairs")
+    withRocksDb {
+      val input = MemoryStream[StreamOps.SeedableDoc]
+      val q = StreamOps.incrementalDedupStream(spark, input.toDS(),
+          ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("inc_parity_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // the feed's event times sit AFTER the corpus's: batch 1's
+        // watermark advances past the corpus timestamps, and EventTime
+        // mode would (correctly) drop a feed row behind the watermark —
+        // matching a real pipeline, where the ingest feed is the newer data
+        def docs(p: Long => Boolean) = texts.zipWithIndex.collect {
+          case ((id, t), i) if p(id) =>
+            sdoc(id, (if (id % 10 == 0) 100 else 0) + i + 1, t,
+              isNew = id % 10 == 0)
+        }
+        input.addData(docs(_ % 10 != 0)) // corpus first
+        q.processAllAvailable()
+        input.addData(docs(_ % 10 == 0)) // then the feed, a later batch
+        q.processAllAvailable()
+        val stream = spark.table("inc_parity_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Double]("est_jaccard"),
+            r.getAs[Boolean]("a_new"), r.getAs[Boolean]("b_new"))).toSet
+        assert(stream == batch,
+          s"stream pair set must equal batch d8:\n stream=$stream\n batch=$batch")
+      } finally q.stop()
+    }
+  }
+
   test("frame sampling fans a video blob out to sampled frame rows") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("mm-").toString

@@ -19,6 +19,12 @@ slice_dir, out_dir, out_json = sys.argv[1], sys.argv[2], sys.argv[3]
 only = set(sys.argv[4:])
 
 con = duckdb.connect()
+# Large-slice oracles (s5's PQ encode materializes ~0.5G intermediate rows
+# at 10x) need out-of-core execution: give DuckDB a spill dir and drop the
+# insertion-order guarantee (the compare sorts rows anyway).
+os.makedirs("/tmp/duckspill", exist_ok=True)
+con.execute("SET temp_directory='/tmp/duckspill'")
+con.execute("SET preserve_insertion_order=false")
 for p in sorted(glob.glob(os.path.join(slice_dir, "*.parquet"))):
     name = os.path.basename(p)[: -len(".parquet")]
     src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
