@@ -131,6 +131,14 @@ object SparkEntry {
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
     "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>
       Multimodal.audioChunks(s, d).toDF().orderBy("doc_id", "chunk_idx")),
+    "c2_contamination_frac" -> ((s: SparkSession, d: String) =>
+      Decontamination.contaminationFraction(s, d)),
+    "i2_bm25_topk"         -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
+    "x30_corpus_shuffle"   -> ((s: SparkSession, d: String) => Curation.corpusShuffle(s, d)),
+    "x31_token_budget_sample" -> ((s: SparkSession, d: String) =>
+      Curation.tokenBudgetSample(s, d)),
+    "x32_bigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogProb(s, d)),
+    "k4_cluster_quality"   -> ((s: SparkSession, d: String) => Curation.clusterQuality(s, d)),
   )
 
   private val cosExpr =
@@ -1972,5 +1980,139 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
         |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // c2: c1's shingle CTEs with a LEFT join so zero-overlap docs keep a
+    // row; the contaminated verdict is an integer cross-multiply
+    // (denom * n_hit >= n_shingles), never a rounded-double compare
+    "c2_contamination_frac" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |           i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+        |  FROM toks WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        |j AS (
+        |  SELECT sh.doc_id, sh.source,
+        |         count(*) AS n_shingles, count(bench.s) AS n_hit
+        |  FROM sh LEFT JOIN bench ON sh.s = bench.s
+        |  WHERE sh.source <> 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(n_hit AS BIGINT) AS n_hit,
+        |       round(CAST(n_hit AS DOUBLE) / n_shingles, 6) AS contam_frac,
+        |       n_hit * 5 >= n_shingles AS contaminated
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    // i2: per-term BM25 contributions rounded to 9 and summed as exact
+    // decimals (the k1 discipline) so the top-20 cut can't move with
+    // partial-aggregation order; constants mirror the Scala fold
+    // (k1+1 = 2.2, 1-b = 0.25) so both engines run identical IEEE ops
+    "i2_bm25_topk" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS w FROM docs)
+        |       WHERE w IN ('spark', 'window', 'join') GROUP BY 1, 2),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl AS DOUBLE) * n_docs / tot_dl))), 9) AS contrib
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms_hit,
+        |       round(CAST(sum(CAST(contrib AS DECIMAL(28,9))) AS DOUBLE), 4) + 0.0 AS bm25
+        |FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // x30/x31 share the two-round LCG permutation key — pure int64
+    // arithmetic, no fold can overflow (2^31*1103515245 < 2^62)
+    "x30_corpus_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS r1
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    (xor(r1, r1 // 32768) * 69069 + 1234567) % 2147483648 AS shuffle_key
+        |  FROM r),
+        |s AS (SELECT doc_id, source, shuffle_key,
+        |        (shuffle_key // 65536) % 16 AS shard_id FROM k)
+        |SELECT shard_id,
+        |       CAST(row_number() OVER (PARTITION BY shard_id
+        |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard,
+        |       doc_id, source, shuffle_key
+        |FROM s ORDER BY shard_id, pos_in_shard""".stripMargin,
+
+    // x31's oracle is the NAIVE global-prefix rule (one window per source);
+    // the engine's two-phase bucket-histogram form must reproduce it
+    // exactly — that equivalence is what the hash check certifies
+    "x31_token_budget_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS wc,
+        |    (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS r1
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, source, wc,
+        |    (xor(r1, r1 // 32768) * 69069 + 1234567) % 2147483648 AS pri
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, source, wc, pri,
+        |    sum(wc) OVER (PARTITION BY source ORDER BY pri, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, CAST(wc AS BIGINT) AS wc, pri,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |       cum_tokens <= 4000 AS kept
+        |FROM c ORDER BY source, pri, doc_id""".stripMargin,
+
+    // x32: λ literal spelled (1.0 - 0.7) so DuckDB folds the same IEEE
+    // subtraction the Scala code does (0.30000000000000004, not 0.3)
+    "x32_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT w, count(*) AS uc
+        |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS tot FROM uni),
+        |occ AS (
+        |  SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |          i -> {'w1': t[CAST(i AS INT)], 'w2': t[CAST(i+1 AS INT)]})) AS bg
+        |        FROM toks WHERE len(t) >= 2)),
+        |bi AS (SELECT w1, w2, count(*) AS bc FROM occ GROUP BY 1, 2),
+        |lp AS (
+        |  SELECT occ.doc_id,
+        |    ln(0.7 * (CAST(bc AS DOUBLE) / uc1.uc)
+        |      + (1.0 - 0.7) * (CAST(uc2.uc AS DOUBLE) / tot)) AS lp
+        |  FROM occ JOIN bi USING (w1, w2)
+        |    JOIN uni uc1 ON occ.w1 = uc1.w
+        |    JOIN uni uc2 ON occ.w2 = uc2.w
+        |    CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(lp) / count(*), 4) + 0.0 AS avg_bigram_lp
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // k4: k1's assignment CTEs taken to rn <= 2 — rn=1 is the own-centroid
+    // cosine, rn=2 the runner-up; margins subtract as exact decimals
+    "k4_cluster_quality" ->
+      s"""$kAssignSql,
+        |p AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+        |    max(CASE WHEN rn = 1 THEN cos END) AS a_cos,
+        |    max(CASE WHEN rn = 2 THEN cos END) AS b_cos
+        |  FROM b WHERE rn <= 2 GROUP BY vec_id),
+        |m AS (SELECT vec_id, centroid_id,
+        |        CAST(a_cos AS DECIMAL(18,6)) AS a_d,
+        |        CAST(a_cos AS DECIMAL(18,6)) - CAST(b_cos AS DECIMAL(18,6)) AS margin
+        |      FROM p)
+        |SELECT centroid_id, count(*) AS n_vecs,
+        |       round(CAST(sum(a_d) AS DOUBLE) / count(*), 6) + 0.0 AS avg_cos,
+        |       round(CAST(sum(margin) AS DOUBLE) / count(*), 6) + 0.0 AS avg_margin,
+        |       CAST(min(margin) AS DOUBLE) + 0.0 AS min_margin,
+        |       min(vec_id) AS first_vec
+        |FROM m GROUP BY 1 ORDER BY centroid_id""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -437,5 +437,148 @@ object Curation {
         col("start"),
         least(col("wc") - col("start"), lit(window.toLong)).as("chunk_len"))
       .orderedBy("doc_id", "chunk_idx")
+  }
+
+  /** The permutation key shared by x30/x31 — LCG → xor-fold → LCG, pure
+    * integer arithmetic that wraps identically on every engine (the
+    * x8/x28 discipline: fold into [0, 2³¹) first so no product can
+    * overflow a 64-bit signed int; 2³¹·1103515245 < 2⁶², 2³¹·69069 <
+    * 2⁴⁸). The xor of the high bits into the low bits between rounds
+    * breaks the LCG's lattice (two ids at constant distance would
+    * otherwise map to keys at constant distance — a visible stripe in
+    * the "shuffled" order); div-by-2¹⁵ is the engine-portable shift.
+    */
+  private def permKey(id: Column): Column = {
+    val r1 = (pmod(id, lit(2147483648L)) * 1103515245L + 12345L) % 2147483648L
+    val x = r1.bitwiseXOR((r1 / 32768L).cast("long"))
+    (x * 69069L + 1234567L) % 2147483648L
+  }
+
+  /** x30: reproducible corpus shuffle + shard assignment — the "global
+    * shuffle" step every pretraining data pipeline runs before writing
+    * loader shards, made deterministic so a re-run (or an auditor) gets
+    * byte-identical shard contents and order. Each doc's permutation key is
+    * a pure arithmetic hash of its id (no RNG state, no partition
+    * dependence); shard = high bits mod nShards, position = rank of
+    * (key, doc_id) within the shard.
+    *
+    * Scale shape: ONE hash shuffle on shard_id and a per-shard sort —
+    * exactly what the training-shard writer needs anyway (shards are the
+    * write partitions, the within-shard order is the sort key), so at
+    * 100 TB the permutation costs nothing beyond the write's own exchange.
+    * The window is partitioned by shard (corpus/nShards rows each),
+    * never a single global ordering.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String,
+                    nShards: Int = 16): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        permKey(col("doc_id")).as("shuffle_key"))
+      .withColumn("shard_id", (col("shuffle_key") / 65536L).cast("long") % nShards)
+    keyed
+      .withColumn("pos_in_shard",
+        row_number().over(
+          Window.partitionBy(col("shard_id"))
+            .orderBy(col("shuffle_key"), col("doc_id"))).cast("long"))
+      .select("shard_id", "pos_in_shard", "doc_id", "source", "shuffle_key")
+      .orderedBy("shard_id", "pos_in_shard")
+  }
+
+  /** x31: token-budget sampling — realize a mixture plan (x25's shares ×
+    * a global token budget) by selecting, per source, the prefix of a
+    * deterministic priority order whose cumulative token count stays
+    * within that source's budget. This is the step that turns "CommonCrawl
+    * 60%, code 20%, …" into an actual keep-list of documents.
+    *
+    * Scale shape: the naive form is one giant window per source (cumsum
+    * over every doc — a single sort partition per source at 100 TB). This
+    * implementation is the two-phase histogram form instead: (1) bucket
+    * docs by the high bits of their priority key and aggregate per-(source,
+    * bucket) token sums — a tiny frame, |sources|×128 rows; (2) a window
+    * over that tiny frame yields each bucket's cumulative START offset,
+    * broadcast back; (3) the per-doc cumsum window partitions by (source,
+    * bucket) — every partition is ~1/128th of a source, so no single sort
+    * swallows the corpus. Keep decision = bucket offset + within-bucket
+    * cumsum ≤ budget, integer-exact, and provably identical to the naive
+    * global-prefix rule (priority order is bucket-major by construction).
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String,
+                        budget: Long = 4000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("wc"),
+        permKey(col("doc_id")).as("pri"))
+      // bucket-major: priority's high 7 bits (pri < 2^31, so div 2^24
+      // yields buckets 0..127) — within-bucket order refines it
+      .withColumn("bucket", (col("pri") / 16777216L).cast("long"))
+    val bucketTotals = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("wc")).as("bucket_wc"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("bucket_wc")).over(
+            Window.partitionBy(col("source")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("source", "bucket", "offset")
+    docs
+      .join(broadcast(bucketTotals), Seq("source", "bucket"))
+      .withColumn("cum_tokens",
+        col("offset") + sum(col("wc")).over(
+          Window.partitionBy(col("source"), col("bucket"))
+            .orderBy(col("pri"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select("doc_id", "source", "wc", "pri", "cum_tokens", "kept")
+      .orderedBy("source", "pri", "doc_id")
+  }
+
+  /** k4: cluster-quality diagnostics — per-cluster separation margins over
+    * k1's centroid assignment (the simplified-silhouette family: a = cosine
+    * to own centroid, b = best cosine to any OTHER centroid, margin =
+    * a − b ≥ 0). The margin distribution is the health check a SemDedup /
+    * k-means curation stage reads before trusting its clusters: a cluster
+    * whose average margin ≈ 0 is not separated from its neighbors, so its
+    * "semantic duplicates" are quantization noise.
+    *
+    * Scale shape: identical to k1 — broadcast k centroids, one codegen'd
+    * cosine scan over the fleet, one keyed aggregate. The per-vector
+    * best/second-best pair comes from a k-element sorted collect (bounded
+    * by k = 8, never by data). Cosines are rounded to 6 before the
+    * subtraction, so margins are exact decimals and every aggregate is
+    * summation-order independent (the k1/k3 oracle discipline).
+    */
+  def clusterQuality(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normD(col("embedding")).as("nrm"))
+    val cents = vecs.filter(col("vec_id") < k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val best2 = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(VectorFunctions.cosineWithNorms(
+          VectorFunctions.dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      // k bounded structs; sort desc by (cos, -centroid_id) = k1's argmax
+      // tie-break, element 0 = own cluster, element 1 = runner-up
+      .agg(reverse(array_sort(collect_list(
+        struct(col("cos"), (-col("centroid_id")).as("neg_cid"))))).as("ranked"))
+      .select(col("vec_id"),
+        (-col("ranked")(0).getField("neg_cid")).as("centroid_id"),
+        col("ranked")(0).getField("cos").as("a_cos"),
+        col("ranked")(1).getField("cos").as("b_cos"))
+      .withColumn("margin",
+        col("a_cos").cast("decimal(18,6)") - col("b_cos").cast("decimal(18,6)"))
+    best2.groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        Doubles.roundZ(sum(col("a_cos").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("avg_cos"),
+        Doubles.roundZ(sum(col("margin")).cast("double")
+          / count(lit(1)), 6).as("avg_margin"),
+        Doubles.normZero(min(col("margin")).cast("double")).as("min_margin"),
+        min(col("vec_id")).as("first_vec"))
+      .orderBy("centroid_id")
   }
 }

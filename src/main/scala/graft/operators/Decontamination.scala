@@ -46,6 +46,44 @@ object Decontamination {
       .orderedBy("doc_id")
   }
 
+  /** c2: fraction-based decontamination — the graded form of c1 used by
+    * production pretraining pipelines (PaLM / GPT-4 style): a document is
+    * contaminated when at least `1/denom` of its distinct k-shingles also
+    * appear in the benchmark corpus, not when any single shingle does. c1's
+    * any-hit rule is the conservative filter; the fraction distinguishes
+    * verbatim eval copies (frac → 1) from incidental boilerplate overlap
+    * (frac ≈ 0), which is what a curation pipeline actually thresholds on.
+    *
+    * Same scale posture as c1 — the benchmark side reduces to a broadcast
+    * set of 64-bit shingle hashes, the corpus side streams (doc, hash) rows
+    * through a LEFT join against it (hit = key present), and one keyed
+    * aggregate emits per-doc totals. The LEFT join keeps zero-overlap docs
+    * in the output (they carry the keep verdict), which the inner-join c1
+    * drops. The verdict compares integers (`denom * n_hit >= n_shingles`),
+    * never a rounded double, so the threshold edge is engine-exact.
+    */
+  def contaminationFraction(spark: SparkSession, dir: String,
+                            k: Int = 8, benchSource: String = "src0",
+                            denom: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+    val bench = docs.filter(col("source") === benchSource)
+      .select(col("h")).distinct().withColumn("hit", lit(1))
+    docs.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_hit"))
+      .withColumn("contam_frac",
+        round(col("n_hit").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated",
+        col("n_hit") * denom >= col("n_shingles"))
+      .orderedBy("doc_id")
+  }
+
   /** x26: duplicated-span fraction — for each doc, the share of its
     * distinct k-shingles that also occur in at least one OTHER document
     * (the memorization-risk signal behind exact-substring dedup, Lee et

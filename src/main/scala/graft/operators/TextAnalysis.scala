@@ -775,4 +775,101 @@ object TextAnalysis {
         round(col("chars").cast("double") / col("bpe_tokens"), 4))
       .orderBy("source")
   }
+
+  /** i2: BM25 top-k retrieval — score every document against a term query
+    * with Okapi BM25 (k1 = 1.2, b = 0.75, the Robertson/Sparck-Jones idf in
+    * its always-positive ln(1 + …) form) and keep the best `topK`. This is
+    * the retrieval half of targeted data selection (find the corpus docs
+    * most relevant to a probe set) and the exact-scoring twin of what the
+    * i1 inverted index serves at interactive latency.
+    *
+    * Scale shape: the token stream is filtered to the query terms AT THE
+    * SCAN (predicate on the exploded token — candidate rows ∝ docs
+    * containing a term, not corpus tokens); df is |terms| rows, broadcast;
+    * doc lengths come from the same single corpus scan; the global top-k is
+    * a TakeOrdered, never a full sort. Per-term contributions are rounded
+    * to 9 and summed as exact decimals (the k1 discipline) so the final
+    * score — and therefore the top-k cut — is partial-aggregation-order
+    * independent.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("spark", "window", "join"),
+               topK: Int = 20): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    // one row: corpus size and total token count (avgdl = tot_dl / n_docs,
+    // kept as the exact integer pair so both engines divide identically)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + 0.5)
+          / (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf").cast("double") * (k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") * col("n_docs")
+              / col("tot_dl")))), 9))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        Doubles.roundZ(sum(col("contrib").cast("decimal(28,9)")).cast("double"), 4)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** x32: interpolated bigram language-model scoring — the KenLM-shaped
+    * fluency filter one rung above x5's unigram model: per-position
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T (Jelinek–Mercer smoothing
+    * with the corpus itself as the model), per-doc mean log-probability. A
+    * doc of common words in an order the corpus never uses now scores low
+    * where x5 scored it fluent — the signal that separates shuffled-word
+    * spam from organic text.
+    *
+    * Scale shape: the x5/x21 vocabulary discipline throughout — the bigram
+    * and unigram count tables are shuffle-joined on their token keys
+    * (BILLIONS of distinct bigrams at 100 TB; broadcasting either table
+    * would OOM the driver), the single-row corpus total is the only
+    * broadcast, and the per-doc rollup is one keyed aggregate. Four
+    * shuffles total, each keyed on a high-cardinality column.
+    */
+  def bigramLogProb(spark: SparkSession, dir: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val total = uni.agg(sum(col("uc")).cast("double").as("tot"))
+    val occ = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
+      .select(col("doc_id"),
+        col("bg").getField("w1").as("w1"), col("bg").getField("w2").as("w2"))
+    val bi = occ.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    occ
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("uc", "uc1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("uc", "uc2"), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(lit(lambda) * (col("bc").cast("double") / col("uc1"))
+          + lit(1.0 - lambda) * (col("uc2").cast("double") / col("tot"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Doubles.roundZ(sum(col("lp")) / count(lit(1)), 4).as("avg_bigram_lp"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.{Curation, Decontamination, TextAnalysis}
+
+/** Semantics of the round-7 pipeline operators on crafted fixtures:
+  * fraction-based decontamination thresholds (c2), BM25 scoring and the
+  * top-k cut (i2), the deterministic corpus permutation (x30), mixture
+  * token-budget sampling vs the naive global-prefix rule (x31),
+  * interpolated bigram LM scoring (x32), and cluster separation margins
+  * (k4).
+  */
+class RoundSevenOpsSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, source) => (id, text, "en", source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** The x30/x31 permutation key, reimplemented independently. */
+  private def permKey(id: Long): Long = {
+    val r1 = (java.lang.Math.floorMod(id, 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val x = r1 ^ (r1 / 32768L)
+    (x * 69069L + 1234567L) % 2147483648L
+  }
+
+  test("c2 grades contamination by shingle fraction; zero-overlap docs keep a row") {
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10" // 3 distinct 8-shingles
+    val copy = bench // full eval copy: frac 1.0
+    // 13 tokens -> 6 shingles, exactly one of them (b2..b9) in the bench
+    // set: 1*5 < 6, so a hit that stays under the 20% threshold
+    val touch = "x1 b2 b3 b4 b5 b6 b7 b8 b9 x2 x3 x4 x5"
+    val clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val dir = writeDocs(Seq(
+      (1L, bench, "src0"), (10L, touch, "s1"), (11L, clean, "s1"),
+      (12L, copy, "s1")))
+    val got = Decontamination.contaminationFraction(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (10L, 6L, 1L, 0.166667, false),
+      (11L, 3L, 0L, 0.0, false),
+      (12L, 3L, 3L, 1.0, true)), s"got ${got.toSeq}")
+  }
+
+  test("i2 BM25 ranks higher-tf/shorter docs first and drops docs with no query term") {
+    // terms: spark (df 2), join (df 1); window absent everywhere
+    val dir = writeDocs(Seq(
+      (1L, "spark spark join x1 x2", "s0"), // dl 5
+      (2L, "spark y1 y2 y3 y4 y5 y6 y7 y8 y9", "s0"), // dl 10
+      (3L, "z1 z2 z3 z4", "s0"))) // no hit -> absent
+    val rows = TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L), s"got ${rows.toSeq}")
+    assert(rows(0)._2 == 2L && rows(1)._2 == 1L)
+    // independent score: the op's exact arithmetic (round-9 contributions,
+    // exact decimal sum, round 4)
+    def contrib(tf: Long, df: Long, dl: Long, nDocs: Long, totDl: Long): BigDecimal = {
+      val idf = math.log((nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5) + 1.0)
+      val c = idf * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble * nDocs / totDl)))
+      BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val d1 = (contrib(2, 2, 5, 3, 19) + contrib(1, 1, 5, 3, 19))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(0)._3 == d1, s"doc1 bm25 ${rows(0)._3} != $d1")
+  }
+
+  test("x30 is a deterministic permutation: every doc once, contiguous shard positions") {
+    val dir = writeDocs((0L until 64L).map(i => (i, s"w$i text", s"s${i % 3}")))
+    val got = Curation.corpusShuffle(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.map(_._3).sorted.toSeq == (0L until 64L), "not a permutation")
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 16)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length), s"shard $shard positions")
+      // within a shard, position order == (key, id) order
+      val byPos = rows.sortBy(_._2).map(r => (r._4, r._3))
+      assert(byPos.sorted.toSeq == byPos.toSeq, s"shard $shard not key-ordered")
+    }
+    // key formula matches the independent reimplementation
+    got.foreach { case (shard, _, id, key) =>
+      assert(key == permKey(id), s"doc $id key")
+      assert(shard == (key / 65536L) % 16L, s"doc $id shard")
+    }
+  }
+
+  test("x31 two-phase bucket sampling equals the naive global-prefix rule") {
+    val docs = (0L until 40L).map { i =>
+      val wc = 3 + (i % 7) // token counts 3..9
+      (i, (1L to wc).map(j => s"t${i}_$j").mkString(" "), s"s${i % 2}")
+    }
+    val dir = writeDocs(docs)
+    val budget = 60L
+    val got = Curation.tokenBudgetSample(spark, dir, budget = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    // naive rule, computed independently: per source in (pri, id) order,
+    // keep while the running token total stays within budget
+    val naive = docs
+      .map { case (id, text, src) =>
+        (id, src, text.split(" ").length.toLong, permKey(id))
+      }
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._4, r._1))
+        val cums = sorted.scanLeft(0L)(_ + _._3).tail
+        sorted.zip(cums).map { case ((id, src, wc, _), cum) =>
+          (id, src, wc, cum, cum <= budget)
+        }
+      }.toSet
+    assert(got.toSet == naive, s"two-phase != naive")
+    // the budget boundary actually cuts: some kept, some dropped, per source
+    Seq("s0", "s1").foreach { s =>
+      val in = got.filter(_._2 == s)
+      assert(in.exists(_._5) && in.exists(!_._5), s"$s boundary never cut")
+    }
+  }
+
+  test("x32 interpolated bigram logprob matches hand-computed mixture") {
+    // uni: a=3 b=2 c=1, T=6; bigrams: (a,b) x2, (a,c) x1
+    val dir = writeDocs(Seq(
+      (1L, "a b", "s0"), (2L, "a b", "s0"), (3L, "a c", "s0")))
+    val got = TextAnalysis.bigramLogProb(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lam = 0.7
+    def lp(bc: Long, uc1: Long, uc2: Long): Double =
+      math.log(lam * (bc.toDouble / uc1) + (1.0 - lam) * (uc2.toDouble / 6.0))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (1L, 1L, r4(lp(2, 3, 2))),
+      (2L, 1L, r4(lp(2, 3, 2))),
+      (3L, 1L, r4(lp(1, 3, 1)))), s"got ${got.toSeq}")
+  }
+
+  test("k4 margins: separated cluster scores 1, tie vector margins 0 toward smaller id") {
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f), 0), // centroid 0
+      (1L, Seq(0f, 1f), 0), // centroid 1
+      (2L, Seq(1f, 1f), 0))) // equidistant: tie -> cluster 0, margin 0
+    val got = Curation.clusterQuality(spark, dir, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      // cluster 0: v0 (cos 1, margin 1) + v2 (cos .707107, margin 0)
+      (0L, 2L, 0.853554, 0.5, 0.0, 0L),
+      // cluster 1: its centroid vector only
+      (1L, 1L, 1.0, 1.0, 1.0, 1L)), s"got ${got.toSeq}")
+  }
+}
