@@ -139,6 +139,10 @@ object SparkEntry {
       Curation.tokenBudgetSample(s, d)),
     "x32_bigram_logprob"   -> ((s: SparkSession, d: String) => TextAnalysis.bigramLogProb(s, d)),
     "k4_cluster_quality"   -> ((s: SparkSession, d: String) => Curation.clusterQuality(s, d)),
+    "g2_pagerank"          -> ((s: SparkSession, d: String) => Dedup.pageRank(s, d)),
+    "d9_dup_weights"       -> ((s: SparkSession, d: String) => Dedup.dupWeights(s, d)),
+    "s6_range_search"      -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
+    "x33_ccnet_buckets"    -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
   )
 
   private val cosExpr =
@@ -2114,5 +2118,113 @@ object SparkEntry {
         |       CAST(min(margin) AS DOUBLE) + 0.0 AS min_margin,
         |       min(vec_id) AS first_vec
         |FROM m GROUP BY 1 ORDER BY centroid_id""".stripMargin,
+
+    // g2: three PageRank supersteps unrolled over the d4 pair graph, all
+    // INTEGER arithmetic (micro-units of 1e12, `//` = Spark's `div` on
+    // positives) so aggregation order cannot perturb a single rank; the
+    // final double is one correctly-rounded IEEE division, unrounded.
+    "g2_pagerank" ->
+      s"""WITH pairs AS ($d4PairsSql),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |p0 AS (SELECT src AS id, deg, 1000000000000 // (SELECT n FROM nn) AS pr
+        |       FROM deg),
+        |p1 AS (SELECT e.dst AS id,
+        |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+        |           + CAST((85 * sum(p.pr // p.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN p0 p ON p.id = e.src GROUP BY e.dst),
+        |p2 AS (SELECT e.dst AS id,
+        |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+        |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN p1 p ON p.id = e.src
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |p3 AS (SELECT e.dst AS id,
+        |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+        |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+        |       FROM edges e JOIN p2 p ON p.id = e.src
+        |         JOIN deg d ON d.src = e.src GROUP BY e.dst)
+        |SELECT p3.id AS doc_id, d.deg, p3.pr AS pr_micros,
+        |       CAST(p3.pr AS DOUBLE) / 1000000000000.0 AS pagerank
+        |FROM p3 JOIN deg d ON d.src = p3.id
+        |ORDER BY doc_id""".stripMargin,
+
+    // d9: d6's recursive-CTE group labels + one group-size count; the
+    // weight is a single IEEE division (see g2's note on skipping round)
+    "d9_dup_weights" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.node = e.a_id),
+        |labels AS (SELECT src AS doc_id, min(node) AS group_id
+        |           FROM reach GROUP BY src),
+        |gs AS (SELECT group_id, count(*) AS group_size FROM labels GROUP BY 1)
+        |SELECT doc_id, group_id, group_size,
+        |       CAST(1 AS DOUBLE) / group_size AS weight
+        |FROM labels JOIN gs USING (group_id) ORDER BY doc_id""".stripMargin,
+
+    // s6: s3's assignment + probe CTEs verbatim; the tail swaps the rank
+    // window for the radius predicate on the rounded cosine
+    "s6_range_search" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < 16),
+        |a AS (SELECT v.vec_id, c.cell,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
+        |      FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+        |p AS (SELECT q_id, cell,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, cell) AS prn
+        |      FROM q CROSS JOIN c),
+        |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
+        |scored AS (
+        |  SELECT probes.q_id, asg.n_id,
+        |         round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
+        |  FROM probes JOIN asg USING (cell)
+        |  JOIN v qv ON qv.vec_id = probes.q_id
+        |  JOIN v nv ON nv.vec_id = asg.n_id
+        |  WHERE asg.n_id <> probes.q_id),
+        |f AS (SELECT * FROM scored WHERE cosim >= 0.3)
+        |SELECT q_id, n_id, cosim,
+        |       count(*) OVER (PARTITION BY q_id) AS n_hits
+        |FROM f ORDER BY q_id, cosim DESC, n_id""".stripMargin,
+
+    // x33: x5's scoring CTEs + standard-SQL ntile on the ROUNDED score
+    // (identical values on both engines per x5's hash gate, doc_id
+    // tie-break ⇒ identical tertile boundaries)
+    "x33_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, count(*) AS wc FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(sum(ln(CAST(wc AS DOUBLE) / (SELECT n FROM tot))) / count(*), 4) + 0.0 AS avg_logprob
+        |  FROM tok JOIN freq USING (w) GROUP BY doc_id),
+        |b AS (SELECT s.doc_id, d.lang, s.n_tokens, s.avg_logprob,
+        |        CAST(ntile(3) OVER (PARTITION BY d.lang
+        |          ORDER BY s.avg_logprob DESC, s.doc_id) AS BIGINT) AS bucket
+        |      FROM scored s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT doc_id, lang, n_tokens, avg_logprob, bucket,
+        |       CASE WHEN bucket = 1 THEN 'head'
+        |            WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+        |       bucket < 3 AS keep
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

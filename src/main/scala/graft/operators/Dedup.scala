@@ -614,4 +614,79 @@ object Dedup {
                        subCells: Int = 16): DataFrame =
     embeddingNearDupFrom(Tables.embeddings(spark, dir), minCosine,
       maxBlockSize, subCells)
+
+  /** g2: PageRank over the near-dup graph — a centrality score for the d4
+    * pair graph (reference analog: the "how templated is this document"
+    * signal a curation stack derives from the dup graph's hubs; high-rank
+    * docs sit in dense template clusters, isolated docs never enter).
+    *
+    * All arithmetic is INTEGER: ranks live in micro-units of 1e12 and the
+    * damping update is `(15 * (SCALE div n)) div 100 + (85 * sum) div 100`
+    * with `div` (truncating integer division, positive-only here) — so
+    * every engine computes bit-identical ranks regardless of aggregation
+    * order, and the DuckDB oracle unrolls the same three supersteps
+    * exactly. Per iteration: one shuffle keyed on the edge source (rank
+    * join) and one on the destination (in-sum aggregate) — shuffle volume
+    * ∝ |edges|, the fleet-scale PageRank cost model. The vertex set is the
+    * docs that appear in ≥1 pair (symmetric edges ⇒ every vertex has
+    * deg ≥ 1 and receives contributions; no dangling-mass term needed);
+    * the corpus-count `n` travels as a one-row broadcast, never a driver
+    * collect. Three fixed iterations keep the oracle unrollable; at fleet
+    * scale the loop would run to convergence with localCheckpoint every
+    * few supersteps (the d6 discipline).
+    */
+  def pageRank(spark: SparkSession, dir: String,
+               minJaccard: Double = 0.8, iters: Int = 3): DataFrame =
+    pageRankFromPairs(sharedPairs(spark, dir, minJaccard), iters)
+
+  private[graft] def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    val withDeg = edges.join(deg, "src")
+    var pr = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("id"), col("deg"),
+        expr("1000000000000 div n").as("pr"), col("n"))
+    for (_ <- 1 to iters) {
+      val inSum = withDeg
+        .join(pr.select(col("id"), expr("pr div deg").as("c")),
+          col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = inSum.join(pr.select(col("id"), col("deg"), col("n")),
+          col("dst") === col("id"))
+        .select(col("id"), col("deg"),
+          expr("(15 * (1000000000000 div n)) div 100 + (85 * s) div 100")
+            .as("pr"), col("n"))
+    }
+    // no round: one correctly-rounded IEEE division on identical integer
+    // inputs is bit-deterministic across engines; a round() at a half
+    // boundary would be the only way to diverge
+    pr.select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_micros"),
+        (col("pr").cast("double") / lit(1000000000000.0)).as("pagerank"))
+      .orderedBy("doc_id")
+  }
+
+  /** d9: soft dedup — duplicate-aware REWEIGHTING instead of dropping
+    * (the SoftDeDup posture: keep every copy, scale its training weight by
+    * 1/|transitive dup group| so each near-dup cluster contributes one
+    * document's worth of gradient). Rides d6's converged group labels (the
+    * memo-shared frame d7 also projects): one count aggregate keyed on the
+    * group label + one join back on the same key — co-partitioned, so the
+    * second exchange is the label shuffle d6 already paid.
+    */
+  def dupWeights(spark: SparkSession, dir: String,
+                 minJaccard: Double = 0.8): DataFrame =
+    dupWeightsFromLabels(dedupGroups(spark, dir, minJaccard))
+
+  private[graft] def dupWeightsFromLabels(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+    labels.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        // raw IEEE division, not round(): 1/n on identical integers is
+        // bit-deterministic; 1/1024-style half-boundary cases make round
+        // the only divergence risk
+        (lit(1.0) / col("group_size")).as("weight"))
+      .orderedBy("doc_id")
+  }
 }

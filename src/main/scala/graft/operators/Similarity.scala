@@ -326,6 +326,62 @@ object Similarity {
     * at all. At fleet scale the s2/s3 bucketed variants substitute for the
     * cross scan unchanged; the label predicate rides along.
     */
+  /** s6: cosine-radius (range) search — ALL corpus vectors within a cosine
+    * threshold of each query, not a fixed top-k (the retrieval API for
+    * "give me every candidate above the relevance bar": near-dup audits,
+    * retrieval-augmented sampling, recall-bounded mining). Rides s3's
+    * data-adaptive IVF machinery unchanged — argmax-cosine cell assignment,
+    * nProbe closest cells per query — but the candidate cut is the radius
+    * predicate on the exact re-scored cosine instead of a rank window, so
+    * the result-set size tracks data density, not k. Per-query hit counts
+    * ride along from one extra window pass over the (small) result set.
+    * Same fleet posture as s3: one corpus shuffle keyed by cell, probe set
+    * broadcast; candidate volume ≈ nProbe/kCells of the corpus per query,
+    * and the radius filter prunes BEFORE the window. Probing is the same
+    * recall trade as s3 (cells beyond nProbe are unseen) — the oracle
+    * replays the probe set, so the contract is exact-under-probes.
+    */
+  def rangeSearch(spark: SparkSession, dir: String,
+                  minCosine: Double = 0.3, kCells: Int = 16,
+                  nProbe: Int = 4): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val cents = base.filter(col("vec_id") < kCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val cand = base.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
+          col("nrm"), col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
+        first(col("embedding")).as("n_emb"),
+        first(col("nrm")).as("n_nrm"))
+      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"),
+        col("n_emb"), col("n_nrm"))
+    val probes = queryVectors(spark, dir)
+      .withColumn("q_nrm", normD(col("q_emb")))
+      .crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        round(cosineWithNorms(dotD(col("q_emb"), col("c_emb")),
+          col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cell"))))
+      .filter(col("prnk") <= nProbe)
+      .select("q_id", "q_emb", "q_nrm", "cell")
+    cand.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosim",
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .filter(col("cosim") >= minCosine)
+      .withColumn("n_hits",
+        count(lit(1)).over(Window.partitionBy("q_id")))
+      .select("q_id", "n_id", "cosim", "n_hits")
+      .orderBy(col("q_id"), col("cosim").desc, col("n_id"))
+  }
+
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQueries)

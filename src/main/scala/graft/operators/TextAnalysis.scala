@@ -130,6 +130,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** x33: CCNet-style perplexity bucketing — per LANGUAGE, rank documents
+    * by LM score (x5's unigram log-prob; in production a KenLM / x32
+    * bigram model) and cut the ranking into head / middle / tail tertiles.
+    * CCNet keeps head+middle and drops the tail, so the `keep` column IS
+    * the curation verdict. One extra window shuffle keyed on lang on top
+    * of x5's scoring plan — per-language tertiles parallelize across
+    * languages exactly like x14's per-source deciles; the ordering key is
+    * the ROUNDED score plus doc_id, so the ntile boundary is reproducible
+    * bit-for-bit across engines (both implement standard SQL ntile:
+    * first n mod k buckets one row larger).
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    unigramLogProb(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("avg_logprob"),
+        col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket_name"),
+        (col("bucket") < 3).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** x8: deterministic stratified sampling — downsample each source to its
     * own rate (corpus rebalancing). The keep decision is a pure-arithmetic
     * LCG over doc_id (portable across engines, reproducible across runs,

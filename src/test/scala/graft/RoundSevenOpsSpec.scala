@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SaveMode
 
-import graft.operators.{Curation, Decontamination, TextAnalysis}
+import graft.operators.{Curation, Decontamination, Dedup, Similarity, TextAnalysis}
 
 /** Semantics of the round-7 pipeline operators on crafted fixtures:
   * fraction-based decontamination thresholds (c2), BM25 scoring and the
@@ -160,5 +160,79 @@ class RoundSevenOpsSpec extends SparkSpec {
       (0L, 2L, 0.853554, 0.5, 0.0, 0L),
       // cluster 1: its centroid vector only
       (1L, 1L, 1.0, 1.0, 1.0, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("g2 one PageRank superstep on a path graph matches hand-run integer arithmetic") {
+    import spark.implicits._
+    // path 1-2-3: deg 1/2/1, n=3, SCALE=1e12
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = Dedup.pageRankFromPairs(pairs, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // base = (15 * (1e12 div 3)) div 100 = 49999999999 (the .95 truncates);
+    // v2's contribution 333333333333 div 2 = 166666666666 (the .5 truncates)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 191666666665L, 191666666665L / 1.0e12),
+      (2L, 2L, 616666666665L, 616666666665L / 1.0e12),
+      (3L, 1L, 191666666665L, 191666666665L / 1.0e12)), s"got ${got.toSeq}")
+    // three supersteps keep the hub on top and roughly conserve rank mass
+    val pr3 = Dedup.pageRankFromPairs(pairs, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(pr3(2L) > pr3(1L) && pr3(1L) == pr3(3L), s"hub order $pr3")
+    assert(math.abs(pr3.values.sum - 1000000000000L) < 1000000L, s"mass $pr3")
+  }
+
+  test("d9 weights each doc by the inverse of its transitive group size") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "group_id")
+    val got = Dedup.dupWeightsFromLabels(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5), (3L, 3L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("s6 radius search returns all above-threshold hits in probed cells only") {
+    // cells seeded by vec 0/1; v5 lands in cell 0, v6 in cell 1, and the
+    // antipodal v7 in cell 1 (cos 0 beats cos -1). nProbe=1: q0 sees only
+    // cell 0, q1 only cell 1; v7 survives probing but fails the radius.
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (5L, Seq(10f, 1f, 0f, 0f), 0), (6L, Seq(0f, 10f, 1f, 0f), 0),
+      (7L, Seq(-1f, 0f, 0f, 0f), 0)))
+    val got = Similarity.rangeSearch(spark, dir, minCosine = 0.3,
+        kCells = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val c = BigDecimal(10.0 / math.sqrt(101.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((0L, 5L, c, 1L), (1L, 6L, c, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("x33 cuts each language's logprob ranking into head/middle/tail tertiles") {
+    import spark.implicits._
+    // single lang, 3 docs with strictly ordered fluency
+    val dir = writeDocs(Seq(
+      (1L, "the the the", "s0"),
+      (2L, "the the rare1", "s0"),
+      (3L, "rare2 rare3 rare4", "s0")))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp5 = math.log(5.0 / 9.0); val lp1 = math.log(1.0 / 9.0)
+    val got = TextAnalysis.ccnetBuckets(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4),
+        r.getString(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      (1L, r4(lp5), 1L, "head", true),
+      (2L, r4((2 * lp5 + lp1) / 3.0), 2L, "middle", true),
+      (3L, r4(lp1), 3L, "tail", false)), s"got ${got.toSeq}")
+    // languages rank independently: 2 docs per lang -> buckets 1,2, no tail
+    val dir2 = tempSfDir()
+    Seq((10L, "en en en", "en", "s0", 8L), (11L, "en rare", "en", "s0", 7L),
+        (20L, "fr fr fr", "fr", "s0", 8L), (21L, "fr rare2", "fr", "s0", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir2/documents.parquet")
+    val got2 = TextAnalysis.ccnetBuckets(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+    assert(got2.toSeq == Seq(
+      (10L, "en", 1L), (11L, "en", 2L), (20L, "fr", 1L), (21L, "fr", 2L)),
+      s"got ${got2.toSeq}")
   }
 }
