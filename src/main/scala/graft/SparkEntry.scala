@@ -143,6 +143,8 @@ object SparkEntry {
     "d9_dup_weights"       -> ((s: SparkSession, d: String) => Dedup.dupWeights(s, d)),
     "s6_range_search"      -> ((s: SparkSession, d: String) => Similarity.rangeSearch(s, d)),
     "x33_ccnet_buckets"    -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
+    "v3_expectation_check" -> ((s: SparkSession, d: String) => DataOps.expectationCheck(s, d)),
+    "x34_pmi_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.pmiBigrams(s, d)),
   )
 
   private val cosExpr =
@@ -2226,5 +2228,55 @@ object SparkEntry {
         |            WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
         |       bucket < 3 AS keep
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // v3: one 1-row aggregate + a verdict row per rule
+    "v3_expectation_check" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nn_qty,
+        |    min(CAST(l_quantity AS DOUBLE)) AS mn_qty,
+        |    max(CAST(l_quantity AS DOUBLE)) AS mx_qty,
+        |    min(CAST(l_discount AS DOUBLE)) AS mn_disc,
+        |    max(CAST(l_discount AS DOUBLE)) AS mx_disc,
+        |    count(DISTINCT l_returnflag) AS nd_rf
+        |  FROM lineitem)
+        |SELECT rule, metric, passed, n_rows FROM (
+        |  SELECT 'l_quantity completeness = 1' AS rule,
+        |         1.0 - CAST(nn_qty AS DOUBLE) / n_rows AS metric,
+        |         nn_qty = 0 AS passed, n_rows FROM a
+        |  UNION ALL SELECT 'l_quantity min >= 1', mn_qty, mn_qty >= 1.0, n_rows FROM a
+        |  UNION ALL SELECT 'l_quantity max <= 50', mx_qty, mx_qty <= 50.0, n_rows FROM a
+        |  UNION ALL SELECT 'l_discount min >= 0', mn_disc, mn_disc >= 0.0, n_rows FROM a
+        |  UNION ALL SELECT 'l_discount max <= 0.1', mx_disc, mx_disc <= 0.1, n_rows FROM a
+        |  UNION ALL SELECT 'l_returnflag distinct <= 3', CAST(nd_rf AS DOUBLE), nd_rf <= 3, n_rows FROM a
+        |  UNION ALL SELECT 'table non-empty', CAST(n_rows AS DOUBLE), n_rows > 0, n_rows FROM a)
+        |ORDER BY rule""".stripMargin,
+
+    // x34: x10's bigram fan-out + two unigram joins; counts are exact
+    // longs, so the double PMI and its round-4 replay exactly (x12's
+    // discipline); sum(uc) cast back from HUGEINT
+    "x34_pmi_bigrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT source, b.w1 AS w1, b.w2 AS w2, count(*) AS bc FROM (
+        |    SELECT source, unnest(list_transform(range(1, len(t)),
+        |      i -> {'w1': t[CAST(i AS INT)], 'w2': t[CAST(i+1 AS INT)]})) AS b
+        |    FROM toks WHERE len(t) >= 2)
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+        |uc AS (SELECT source, w, count(*) AS uc
+        |       FROM (SELECT source, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(uc) AS BIGINT) AS tt FROM uc GROUP BY 1),
+        |s AS (
+        |  SELECT bg.source, bg.w1, bg.w2, bg.bc, u1.uc AS uc1, u2.uc AS uc2,
+        |    round(ln((CAST(bg.bc AS DOUBLE) * tot.tt) / (u1.uc * u2.uc)), 4) + 0.0 AS pmi
+        |  FROM bg
+        |  JOIN uc u1 ON u1.source = bg.source AND u1.w = bg.w1
+        |  JOIN uc u2 ON u2.source = bg.source AND u2.w = bg.w2
+        |  JOIN tot ON tot.source = bg.source),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rnk FROM s)
+        |SELECT source, rnk, w1 || ' ' || w2 AS bigram, bc, uc1, uc2, pmi
+        |FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
   )
 }

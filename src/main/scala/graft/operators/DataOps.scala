@@ -75,6 +75,41 @@ object DataOps {
       .orderBy("relationship")
   }
 
+  /** v3: data-quality EXPECTATIONS — deequ-style rule verdicts over the
+    * fact table, the assertion layer on top of v1's raw profile. Every
+    * metric a rule reads comes from ONE partial-mergeable aggregate over
+    * one scan (the v1 plan); the rules themselves are arithmetic on that
+    * 1-row frame, unpivoted to a verdict row per rule. This is the shape
+    * a 100 TB expectation suite must have: adding a rule adds a column to
+    * the aggregate (map-side CPU), never a pass over the data. The rule
+    * set here pins the generator's invariants (quantity 1..50, discount
+    * 0..0.1, three return flags, no nulls) — the checks a pipeline runs
+    * before trusting a new snapshot.
+    */
+  def expectationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_quantity").isNull.cast("long")).as("nn_qty"),
+      min(col("l_quantity").cast("double")).as("mn_qty"),
+      max(col("l_quantity").cast("double")).as("mx_qty"),
+      min(col("l_discount").cast("double")).as("mn_disc"),
+      max(col("l_discount").cast("double")).as("mx_disc"),
+      countDistinct(col("l_returnflag")).as("nd_rf"))
+    agg.select(col("n_rows"), expr(
+      """stack(7,
+        |'l_quantity completeness = 1',
+        |  1.0 - CAST(nn_qty AS DOUBLE) / n_rows, nn_qty = 0,
+        |'l_quantity min >= 1',    mn_qty,  mn_qty >= 1.0,
+        |'l_quantity max <= 50',   mx_qty,  mx_qty <= 50.0,
+        |'l_discount min >= 0',    mn_disc, mn_disc >= 0.0,
+        |'l_discount max <= 0.1',  mx_disc, mx_disc <= 0.1,
+        |'l_returnflag distinct <= 3', CAST(nd_rf AS DOUBLE), nd_rf <= 3,
+        |'table non-empty',        CAST(n_rows AS DOUBLE), n_rows > 0)
+        |AS (rule, metric, passed)""".stripMargin))
+      .select("rule", "metric", "passed", "n_rows")
+      .orderBy("rule")
+  }
+
   /** cdc1: snapshot change capture — diff two keyed snapshots of derived
     * customer state (spend/order-count as of two cutoff dates) and emit
     * only inserts and updates, the merge input every incremental pipeline

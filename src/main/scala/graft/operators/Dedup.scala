@@ -644,25 +644,36 @@ object Dedup {
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nRow = deg.agg(count(lit(1)).as("n"))
-    val withDeg = edges.join(deg, "src")
-    var pr = deg.crossJoin(broadcast(nRow))
-      .select(col("src").as("id"), col("deg"),
-        expr("1000000000000 div n").as("pr"), col("n"))
+    // The rank frame is kept MINIMAL (id, pr) and referenced exactly ONCE
+    // per superstep: the contribution join reads it, and the update
+    // re-attaches deg/n from the persisted vertex frame instead of a
+    // second pr self-join. One reference per superstep means the lineage
+    // grows linearly (no 2^iters plan blowup), so no checkpoints and no
+    // extra materialization jobs — the whole run is ONE action; the two
+    // frames every superstep shares (vertex metadata, degree-decorated
+    // edges) persist once via the registry and release with the query.
+    // Unbounded-iteration runs would re-introduce a localCheckpoint every
+    // few supersteps (the d6 discipline) to bound plan depth.
+    val degN = graft.CacheRegistry.persistTracked(
+      deg.crossJoin(broadcast(nRow)))
+    val withDeg = graft.CacheRegistry.persistTracked(edges.join(deg, "src"))
+    var pr = degN.select(col("src").as("id"),
+      expr("1000000000000 div n").as("pr"))
     for (_ <- 1 to iters) {
       val inSum = withDeg
-        .join(pr.select(col("id"), expr("pr div deg").as("c")),
-          col("src") === col("id"))
+        .join(pr, col("src") === col("id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = inSum.join(pr.select(col("id"), col("deg"), col("n")),
-          col("dst") === col("id"))
-        .select(col("id"), col("deg"),
+      pr = inSum.join(degN, col("dst") === col("src"))
+        .select(col("src").as("id"),
           expr("(15 * (1000000000000 div n)) div 100 + (85 * s) div 100")
-            .as("pr"), col("n"))
+            .as("pr"))
     }
     // no round: one correctly-rounded IEEE division on identical integer
     // inputs is bit-deterministic across engines; a round() at a half
     // boundary would be the only way to diverge
-    pr.select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_micros"),
+    pr.join(degN, col("id") === col("src"))
+      .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_micros"),
         (col("pr").cast("double") / lit(1000000000000.0)).as("pagerank"))
       .orderedBy("doc_id")
   }

@@ -335,6 +335,57 @@ object TextAnalysis {
       .orderBy("source", "rnk")
   }
 
+  /** x34: top-k PMI collocations per source — pointwise mutual information
+    * `ln(bc·T / (uc1·uc2))` over within-source bigram/unigram counts, the
+    * collocation profile that separates real phrases ("machine learning")
+    * from merely-frequent pairs x10's raw counts surface. A min-count
+    * floor kills the low-frequency PMI explosion (hapax pairs otherwise
+    * dominate any PMI ranking). Plan: x10's bigram fan-out aggregated on
+    * (source, w1, w2), two unigram joins keyed on (source, token) — the
+    * vocabulary is never broadcast, same posture as x5/x12 — the
+    * sources-sized token-total frame broadcast, top-k as WindowGroupLimit.
+    * Every count is an exact long < 2^53, so the double ratio and its
+    * round-4 are engine-identical (the x12 discipline).
+    */
+  def pmiBigrams(spark: SparkSession, dir: String, k: Int = 10,
+                 minCount: Int = 5): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bg = Tables.documents(spark, dir)
+      .filter(size(toks) >= 2)
+      .select(col("source"),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("source", "w1", "w2")
+      .agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= minCount)
+    val uni = Tables.documents(spark, dir)
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy("source", "w")
+      .agg(count(lit(1)).as("uc"))
+    val tot = uni.groupBy("source").agg(sum(col("uc")).as("t"))
+    val byPmi = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("pmi").desc, col("w1"), col("w2"))
+    bg
+      .join(uni.select(col("source"), col("w").as("w1"), col("uc").as("uc1")),
+        Seq("source", "w1"))
+      .join(uni.select(col("source"), col("w").as("w2"), col("uc").as("uc2")),
+        Seq("source", "w2"))
+      .join(broadcast(tot), "source")
+      .withColumn("pmi",
+        Doubles.roundZ(
+          log((col("bc").cast("double") * col("t")) / (col("uc1") * col("uc2"))),
+          4))
+      .withColumn("rnk", row_number().over(byPmi).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"),
+        concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("bc"), col("uc1"), col("uc2"), col("pmi"))
+      .orderBy("source", "rnk")
+  }
+
   /** x12: top-k TF-IDF terms per source — the corpus's distinguishing-term
     * profile. TF counts the term within a source; DF counts documents over
     * the whole corpus. The DF table is vocabulary-sized, so the tf⋈df join

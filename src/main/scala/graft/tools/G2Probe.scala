@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Sub-step timing probe for g2_pagerank: d4 pair build vs the PageRank
+  * supersteps themselves. Usage: runMain graft.tools.G2Probe [sfDir]
+  */
+object G2Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val pairs = t("d4 pairs build + checkpoint") {
+      val p = graft.operators.Dedup.sharedPairs(spark, dir, 0.8).localCheckpoint()
+      println("PROBE pairs=" + p.count())
+      p
+    }
+    (1 to 3).foreach { i =>
+      val n = t(s"pagerank iters=$i") {
+        graft.operators.Dedup.pageRankFromPairs(pairs, i).count()
+      }
+      println("PROBE rows=" + n)
+    }
+  }
+}

@@ -31,6 +31,29 @@ class DataOpsSpec extends SparkSpec {
       ("l_returnflag", 3L, 1L, 2L)))
   }
 
+  test("v3 expectation rules fail on crafted violations and pass on clean data") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // one null quantity (completeness fails), one discount 0.5 (max fails),
+    // quantity 60 (max fails); mins and distinct counts stay legal
+    Seq(
+      (1L, Option(2.0), Option(0.1), Option("N")),
+      (2L, Option(60.0), Option(0.5), Option("R")),
+      (3L, None, Option(0.0), Option("A")))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    val got = DataOps.expectationCheck(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("l_discount max <= 0.1", 0.5, false, 3L),
+      ("l_discount min >= 0", 0.0, true, 3L),
+      ("l_quantity completeness = 1", 1.0 - 1.0 / 3.0, false, 3L),
+      ("l_quantity max <= 50", 60.0, false, 3L),
+      ("l_quantity min >= 1", 2.0, true, 3L),
+      ("l_returnflag distinct <= 3", 3.0, true, 3L),
+      ("table non-empty", 3.0, true, 3L)), s"got ${got.toSeq}")
+  }
+
   test("v2 integrity audit counts orphans per relationship") {
     import spark.implicits._
     val dir = tempSfDir()

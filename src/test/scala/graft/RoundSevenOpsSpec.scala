@@ -235,4 +235,23 @@ class RoundSevenOpsSpec extends SparkSpec {
       (10L, "en", 1L), (11L, "en", 2L), (20L, "fr", 1L), (21L, "fr", 2L)),
       s"got ${got2.toSeq}")
   }
+
+  test("x34 PMI ranks the exclusive collocation above the frequent-word pair") {
+    // "new york": both words occur ONLY together (bc=5, uc 5/5);
+    // "the a": same bc but "the" also appears alone (uc 10) -> lower PMI;
+    // "a the" (bc=4) and "the the" (bc=4) fall below the min-count floor
+    val dir = writeDocs(
+      (1L to 5L).map(i => (i, "new york", "s0")) ++ Seq(
+        (6L, "the a the a the a the a the a", "s0"),
+        (7L, "the the the the the", "s0")))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextAnalysis.pmiBigrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+    // T=25: PMI(new york)=ln(5*25/25)=ln 5; PMI(the a)=ln(5*25/50)=ln 2.5
+    assert(got.toSeq == Seq(
+      ("s0", 1L, "new york", 5L, 5L, 5L, r4(math.log(5.0))),
+      ("s0", 2L, "the a", 5L, 10L, 5L, r4(math.log(2.5)))), s"got ${got.toSeq}")
+  }
 }
