@@ -34,5 +34,13 @@ object G2Probe {
       }
       println("PROBE rows=" + n)
     }
+    // the bench call path: entry-map function + memo read + releaseAll
+    (1 to 3).foreach { i =>
+      t(s"bench-path run $i") {
+        graft.operators.Dedup.pageRank(spark, dir).write
+          .format("noop").mode("overwrite").save()
+      }
+      graft.CacheRegistry.releaseAll()
+    }
   }
 }
