@@ -145,6 +145,8 @@ object SparkEntry {
     "x33_ccnet_buckets"    -> ((s: SparkSession, d: String) => TextAnalysis.ccnetBuckets(s, d)),
     "v3_expectation_check" -> ((s: SparkSession, d: String) => DataOps.expectationCheck(s, d)),
     "x34_pmi_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.pmiBigrams(s, d)),
+    "m5_image_resize"      -> ((s: SparkSession, d: String) => Multimodal.imageThumbnails(s, d)),
+    "drift1_psi"           -> ((s: SparkSession, d: String) => DataOps.psiDrift(s, d)),
   )
 
   private val cosExpr =
@@ -2278,5 +2280,72 @@ object SparkEntry {
         |SELECT source, rnk, w1 || ' ' || w2 AS bigram, bc, uc1, uc2, pmi
         |FROM r WHERE rnk <= 10
         |ORDER BY source, rnk""".stripMargin,
+
+    // m5: m4's rebuilt-pixel CTEs at the 4x4 thumbnail grid; the digest is
+    // the wrapping poly-31 fold over the 48 channel bytes in (row-major,
+    // r,g,b) order — an ORDERED list_reduce in HUGEINT mod 2^64, signed at
+    // the end (the d2/x4 technique)
+    "m5_image_resize" ->
+      """WITH d AS (SELECT doc_id, length(text) AS n,
+        |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS INT)) AS tb
+        |      FROM documents WHERE doc_id % 3 = 0),
+        |geo AS (
+        |  SELECT doc_id, n, tb,
+        |    CAST(1 + (doc_id % 31) AS INT) AS w, CAST(1 + (doc_id % 17) AS INT) AS h,
+        |    CAST((((1 + (doc_id % 31))*3 + 3) // 4) * 4 AS INT) AS rowSize
+        |  FROM d),
+        |grid AS (
+        |  SELECT doc_id, w, h, CAST(g.range AS INT) AS k,
+        |    (h - 1 - ((CAST(g.range AS INT) // 4) * h) // 4) * rowSize
+        |      + (((CAST(g.range AS INT) % 4) * w) // 4) * 3 AS pix,
+        |    n, tb
+        |  FROM geo, range(0, 16) g),
+        |px AS (
+        |  SELECT doc_id, w, h, k,
+        |    tb[(pix + 2) % n + 1] AS r, tb[(pix + 1) % n + 1] AS g2, tb[pix % n + 1] AS b
+        |  FROM grid),
+        |agg AS (
+        |  SELECT doc_id, w, h,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+        |      flatten(list([CAST(r AS HUGEINT), CAST(g2 AS HUGEINT), CAST(b AS HUGEINT)] ORDER BY k))),
+        |      (hh, x) -> (hh*31 + x) % CAST(18446744073709551616 AS HUGEINT)) AS uh,
+        |    CAST(sum((299*r + 587*g2 + 114*b) // 1000) // 16 AS BIGINT) AS lum_mean
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(4 AS INT) AS thumb_w, CAST(4 AS INT) AS thumb_h, lum_mean,
+        |  CAST(CASE WHEN uh >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN uh - CAST(18446744073709551616 AS HUGEINT) ELSE uh END AS BIGINT) AS thumb_hash
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // drift1: the full bin grid is materialized (CROSS JOIN range) so
+    // smoothed terms exist for empty bins; terms round-9 then sum as
+    // exact decimals (the i2 discipline)
+    "drift1_psi" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_old,
+        |    CAST(least(floor(value / 50.0), 9) AS INT) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |        sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+        |        sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+        |      FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |               CAST(sum(c_new) AS BIGINT) AS n_new FROM c GROUP BY 1),
+        |grid AS (
+        |  SELECT t.event_type, CAST(b.range AS INT) AS bin, t.n_old, t.n_new,
+        |    coalesce(c.c_old, 0) AS c_old, coalesce(c.c_new, 0) AS c_new
+        |  FROM tot t CROSS JOIN range(0, 10) b
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.bin = CAST(b.range AS INT)),
+        |terms AS (
+        |  SELECT event_type, n_old, n_new,
+        |    round((CAST(c_old + 1 AS DOUBLE) / (n_old + 10)
+        |         - CAST(c_new + 1 AS DOUBLE) / (n_new + 10))
+        |      * ln((CAST(c_old + 1 AS DOUBLE) / (n_old + 10))
+        |         / (CAST(c_new + 1 AS DOUBLE) / (n_new + 10))), 9) + 0.0 AS term
+        |  FROM grid)
+        |SELECT event_type, n_old, n_new,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS psi,
+        |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
   )
 }

@@ -110,6 +110,50 @@ object DataOps {
       .orderBy("rule")
   }
 
+  /** drift1: distribution-drift detection — Population Stability Index of
+    * the `value` distribution per event type between two time windows (the
+    * monitoring check a pipeline runs before trusting a new ingest: PSI
+    * < 0.1 stable, > 0.2 investigate). Values bin into `bins` equal-width
+    * buckets (top bucket open), counts Laplace-smoothed so empty bins are
+    * defined, PSI = Σ (p−q)·ln(p/q). The grid is materialized for ALL
+    * bins (a bin missing from both windows still contributes its smoothed
+    * term), so the oracle and any engine agree on the bin set. One scan →
+    * one (type, bin) aggregate → types-sized broadcast of window totals →
+    * a bins-sized per-type rollup: adding event types or bins never adds
+    * a pass. Per-bin terms round-9 then sum as exact decimals — the i2
+    * discipline that makes the final PSI aggregation-order independent.
+    */
+  def psiDrift(spark: SparkSession, dir: String,
+               cutoff: String = "2024-01-16", bins: Int = 10,
+               binWidth: Double = 50.0): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"),
+      least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+    val c = ev.groupBy(col("event_type"), col("bin")).agg(
+      sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+      sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))
+    val tot = c.groupBy(col("event_type")).agg(
+      sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    val grid = tot
+      .withColumn("bin", explode(sequence(lit(0), lit(bins - 1))))
+      .join(c, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"), col("n_old"), col("n_new"),
+        coalesce(col("c_old"), lit(0L)).as("c_old"),
+        coalesce(col("c_new"), lit(0L)).as("c_new"))
+    val p = (col("c_old") + 1).cast("double") / (col("n_old") + bins)
+    val q = (col("c_new") + 1).cast("double") / (col("n_new") + bins)
+    grid
+      .withColumn("term", graft.functions.Doubles.roundZ((p - q) * log(p / q), 9))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n_old")).as("n_old"), first(col("n_new")).as("n_new"),
+        graft.functions.Doubles.roundZ(
+          sum(col("term").cast("decimal(28,9)")).cast("double"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.2)
+      .select("event_type", "n_old", "n_new", "psi", "drifted")
+      .orderBy("event_type")
+  }
+
   /** cdc1: snapshot change capture — diff two keyed snapshots of derived
     * customer state (spend/order-count as of two cutoff dates) and emit
     * only inserts and updates, the merge input every incremental pipeline

@@ -733,6 +733,61 @@ object Multimodal {
       .orderedBy("doc_id")
   }
 
+  /** One image's fixed-size thumbnail digest. */
+  case class ImageThumb(doc_id: Long, width: Int, height: Int,
+                        thumb_w: Int, thumb_h: Int,
+                        lum_mean: Long, thumb_hash: Long)
+
+  /** Nearest-neighbor resize digest: sample a t×t RGB grid with the same
+    * integer addressing the aHash grid uses (`(i·w) div t`), fold the 3·t²
+    * channel bytes (r, g, b per cell, row-major) through the wrapping
+    * poly-31 hash, and average the integer luminances. Pure integer math →
+    * replayable in SQL over the rebuilt pixels.
+    */
+  private[graft] def thumbDigest(img: DecodedImage, t: Int): (Long, Long) = {
+    var h = 0L
+    var lumSum = 0L
+    var j = 0
+    while (j < t) {
+      var i = 0
+      while (i < t) {
+        val v = img.rgb(i * img.width / t, j * img.height / t)
+        val r = (v >> 16) & 0xff; val g = (v >> 8) & 0xff; val b = v & 0xff
+        h = h * 31 + r; h = h * 31 + g; h = h * 31 + b
+        lumSum += (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
+      }
+      j += 1
+    }
+    (lumSum / (t.toLong * t), h)
+  }
+
+  /** m5: thumbnail/resize pass — the "resize" stage of the multimodal
+    * pipeline (decode → RESIZE → feature-extract): every image payload is
+    * decoded through the pixel seam and downsampled to a fixed t×t
+    * nearest-neighbor thumbnail, emitting the thumbnail's mean luminance
+    * and a deterministic digest of its RGB bytes (what a real pipeline
+    * would store as the preview artifact's checksum). Same plan as m4:
+    * narrow typed mapPartitions, no shuffle, decoder-seam pluggable
+    * (BmpPixelDecoder is the oracle shape; ImageIoPixelDecoder slots in
+    * for real formats). The digest arithmetic is wrapping-long poly-31 —
+    * the x4 kernel discipline — so the DuckDB oracle replays resize and
+    * digest bit-for-bit over the rebuilt pixels.
+    */
+  def imageThumbnails(spark: SparkSession, dir: String, thumb: Int = 4,
+                      decoder: PixelDecoder = BmpPixelDecoder): DataFrame = {
+    import spark.implicits._
+    mediaBlobs(spark, dir).filter(_.media_type == "image")
+      .mapPartitions(_.flatMap { b =>
+        decoder.decode(b.payload).map { img =>
+          val (lum, h) = thumbDigest(img, thumb)
+          ImageThumb(b.doc_id, img.width, img.height, thumb, thumb, lum, h)
+        }
+      })
+      .toDF()
+      .orderedBy("doc_id")
+  }
+
   /** Perceptual near-dup pairs over a (doc_id, ahash64) frame: the d3
     * discipline on image fingerprints — 4×16-bit band blocking (pigeonhole
     * guarantees every pair at hamming ≤ 3 shares a band), exact hamming

@@ -54,6 +54,33 @@ class DataOpsSpec extends SparkSpec {
       ("table non-empty", 3.0, true, 3L)), s"got ${got.toSeq}")
   }
 
+  test("drift1 PSI is zero for identical windows and flags the shifted distribution") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // type A: both windows all in bin 0 -> every bin has p == q -> PSI 0
+    // type B: old mass in bin 0, new mass in bin 9 -> two big terms
+    val rows =
+      (1L to 4L).map(i => (i, "2024-01-10 00:00:00", 1L, "A", 10.0)) ++
+      (5L to 8L).map(i => (i, "2024-01-20 00:00:00", 1L, "A", 10.0)) ++
+      (9L to 12L).map(i => (i, "2024-01-10 00:00:00", 1L, "B", 10.0)) ++
+      (13L to 16L).map(i => (i, "2024-01-20 00:00:00", 1L, "B", 480.0))
+    rows.map { case (id, t, u, typ, v) => (id, Timestamp.valueOf(t), u, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    def r(x: Double, s: Int): BigDecimal =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    // B's two nonzero terms are symmetric: (5/14 - 1/14) * ln 5 each
+    val term = r((4.0 / 14.0) * math.log(5.0), 9)
+    val psiB = r((term + term).toDouble, 6).toDouble
+    val got = DataOps.psiDrift(spark, dir)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("A", 4L, 4L, 0.0, false),
+      ("B", 4L, 4L, psiB, true)), s"got ${got.toSeq}")
+  }
+
   test("v2 integrity audit counts orphans per relationship") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -182,6 +182,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1, 1), (3L, 4, 4)))
   }
 
+  test("m5 thumbnail digest: integer nearest-neighbor resize, fold replayed independently") {
+    val bmp = Multimodal.buildBmp(8, 8, "thumb fixture bytes".getBytes)
+    val img = Multimodal.BmpPixelDecoder.decode(bmp).get
+    // independent reimplementation: same grid addressing, wrapping poly-31
+    // over (r,g,b) per cell in row-major order, integer luminance mean
+    val M = BigInt(2).pow(64)
+    var h = BigInt(0)
+    var lumSum = 0L
+    for (j <- 0 until 4; i <- 0 until 4) {
+      val v = img.rgb(i * img.width / 4, j * img.height / 4)
+      val chans = Seq((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+      chans.foreach(c => h = (h * 31 + c) % M)
+      lumSum += (299 * chans(0) + 587 * chans(1) + 114 * chans(2)) / 1000
+    }
+    val signed = (if (h >= BigInt(2).pow(63)) h - M else h).toLong
+    val got = Multimodal.thumbDigest(img, 4)
+    assert(got == (lumSum / 16, signed), s"got $got")
+    // the JDK codec behind the same seam produces the identical digest
+    val viaIo = Multimodal.ImageIoPixelDecoder.decode(bmp)
+      .map(Multimodal.thumbDigest(_, 4)).get
+    assert(viaIo == got, "ImageIO thumbnail digest must match the hand parser")
+  }
+
   test("ImageIO pixel seam matches the zero-lib BMP decoder bit for bit, BMP and PNG") {
     // a real JDK codec behind the same PixelDecoder seam: same payload,
     // same pixels, same fingerprint — and a lossless PNG re-encode of the
