@@ -3,7 +3,8 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.CacheRegistry
-import graft.operators.{Curation, Decontamination, Dedup, Similarity}
+import graft.operators.{Curation, DataOps, Decontamination, Dedup, Multimodal,
+  Similarity, TextAnalysis}
 
 /** Scaling-curve measurement for the guarded dedup/ANN/graph operators:
   * times each at every supplied scale slice (see MakeScale) and prints
@@ -23,10 +24,13 @@ import graft.operators.{Curation, Decontamination, Dedup, Similarity}
 object ScalingCurve {
   def main(args: Array[String]): Unit = {
     val iters = args.headOption.map(_.toInt).getOrElse(3)
-    val slices: Seq[(Int, String)] = args.drop(1).toSeq.map { a =>
+    // args with ':' are m:dir slices; bare args filter the query list
+    val (sliceArgs, nameArgs) = args.drop(1).toSeq.partition(_.contains(":"))
+    val slices: Seq[(Int, String)] = sliceArgs.map { a =>
       val Array(m, dir) = a.split(":", 2)
       (m.toInt, dir)
     }
+    val only = nameArgs.toSet
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -57,7 +61,20 @@ object ScalingCurve {
       "s2_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
       "s3_ann_ivf_kmeans" -> ((s, d) => Similarity.annIvfKmeans(s, d)),
       "s4_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
-      "s5_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(s, d)))
+      "s5_ann_ivf_pq" -> ((s, d) => Similarity.annIvfPq(s, d)),
+      "s6_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
+      "g2_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+      "d9_dup_weights" -> ((s, d) => Dedup.dupWeights(s, d)),
+      "c2_contamination_frac" -> ((s, d) => Decontamination.contaminationFraction(s, d)),
+      "i2_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+      "x30_corpus_shuffle" -> ((s, d) => Curation.corpusShuffle(s, d)),
+      "x31_token_budget_sample" -> ((s, d) => Curation.tokenBudgetSample(s, d)),
+      "x32_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
+      "x33_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),
+      "x34_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
+      // k4 provisioned like k2: cluster count scales with the corpus
+      "k4_cluster_quality" -> ((s, d) => Curation.clusterQuality(s, d, k = 8 * m)),
+      "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)))
 
     slices.foreach { case (m, dir) =>
       Seq("documents", "embeddings").foreach { t =>
@@ -65,7 +82,7 @@ object ScalingCurve {
         catch { case _: Throwable => () }
       }
       (1 to iters).foreach { i =>
-        queries(m).foreach { case (name, fn) =>
+        queries(m).filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
