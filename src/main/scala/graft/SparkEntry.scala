@@ -2128,23 +2128,23 @@ object SparkEntry {
     // positives) so aggregation order cannot perturb a single rank; the
     // final double is one correctly-rounded IEEE division, unrounded.
     "g2_pagerank" ->
-      s"""WITH pairs AS ($d4PairsSql),
-        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      s"""WITH pairs AS MATERIALIZED ($d4PairsSql),
+        |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
         |          UNION ALL SELECT b_id, a_id FROM pairs),
-        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM deg),
-        |p0 AS (SELECT src AS id, deg, 1000000000000 // (SELECT n FROM nn) AS pr
+        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+        |p0 AS MATERIALIZED (SELECT src AS id, deg, 1000000000000 // (SELECT n FROM nn) AS pr
         |       FROM deg),
-        |p1 AS (SELECT e.dst AS id,
+        |p1 AS MATERIALIZED (SELECT e.dst AS id,
         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
         |           + CAST((85 * sum(p.pr // p.deg)) // 100 AS BIGINT) AS pr
         |       FROM edges e JOIN p0 p ON p.id = e.src GROUP BY e.dst),
-        |p2 AS (SELECT e.dst AS id,
+        |p2 AS MATERIALIZED (SELECT e.dst AS id,
         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
         |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
         |       FROM edges e JOIN p1 p ON p.id = e.src
         |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
-        |p3 AS (SELECT e.dst AS id,
+        |p3 AS MATERIALIZED (SELECT e.dst AS id,
         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
         |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
         |       FROM edges e JOIN p2 p ON p.id = e.src

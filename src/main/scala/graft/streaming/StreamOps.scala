@@ -886,4 +886,59 @@ object StreamOps {
           out.result().iterator
       }
   }
+
+  /** Static reference histogram for the streaming drift monitor: per event
+    * type, the binned value counts and total of the trusted corpus — the
+    * frame `psiDriftStream` broadcasts against every micro-batch.
+    */
+  def referenceHistogram(events: DataFrame, bins: Int = 10,
+                         binWidth: Double = 50.0): DataFrame = {
+    val binned = events.select(col("event_type"),
+      least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+    binned.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_ref"),
+        array((0 until bins).map(i =>
+          sum(when(col("bin") === i, 1L).otherwise(0L))): _*).as("ref_counts"))
+  }
+
+  /** Streaming drift monitor — the drift1 twin: per event-time window and
+    * event type, the PSI of the incoming value distribution against a
+    * static reference histogram. ONE stateful aggregation builds the whole
+    * windowed histogram (the `bins` conditional counters live inside the
+    * same aggregate as the count, so no second stateful operator is
+    * needed); the reference is a types-sized broadcast, and the PSI itself
+    * is a narrow ordered fold over the two bin arrays (`zip_with` +
+    * `aggregate`) — per-window cost is O(bins), state is one row per open
+    * (window, type). The watermark closes windows for append sinks exactly
+    * like the other windowed ops; a drifted verdict on a closing window is
+    * the alert a monitoring pipeline pages on.
+    */
+  def psiDriftStream(events: DataFrame, reference: DataFrame,
+                     windowDur: String = "1 day", watermark: String = "1 day",
+                     bins: Int = 10, binWidth: Double = 50.0,
+                     threshold: Double = 0.2): DataFrame = {
+    val binCols = (0 until bins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
+    val agged = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_window"), binCols: _*)
+    val counts = array((0 until bins).map(i => col(s"b$i")): _*)
+    agged
+      .join(broadcast(reference), "event_type")
+      .withColumn("psi", round(aggregate(
+        zip_with(col("ref_counts"), counts, (cr, cn) => {
+          val p = (cr.cast("double") + lit(1.0)) / (col("n_ref") + lit(bins))
+          val q = (cn.cast("double") + lit(1.0)) / (col("n_window") + lit(bins))
+          (p - q) * log(p / q)
+        }),
+        lit(0.0), (acc, t) => acc + t), 6))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_window"), col("psi"),
+        (col("psi") > threshold).as("drifted"))
+  }
 }

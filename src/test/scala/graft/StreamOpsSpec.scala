@@ -891,4 +891,54 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.count(_ == (1L, 1L)) == 1, "second session has one event")
     } finally q.stop()
   }
+
+  test("streaming PSI drift: stable type scores zero, shifted type pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // trusted reference: type A and B both concentrated in bin 0
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (6L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (8L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val input = MemoryStream[Event]
+    val q = StreamOps.psiDriftStream(input.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day one: A stays in bin 0 (stable), B shifts wholly to bin 9
+      input.addData(Seq(
+        ev(1, 0, 1L, "A", 10.0), ev(2, 10, 1L, "A", 10.0),
+        ev(3, 20, 1L, "A", 10.0), ev(4, 30, 1L, "A", 10.0),
+        ev(5, 0, 1L, "B", 480.0), ev(6, 10, 1L, "B", 480.0),
+        ev(7, 20, 1L, "B", 480.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+      q.processAllAvailable()
+      val rows = spark.table("psi_out").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_window"),
+          r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))
+        .sortBy(_._1)
+      // expected PSI via the same ordered fold the op runs
+      def psi(ref: Seq[Long], nRef: Long, win: Seq[Long], nWin: Long): Double = {
+        val s = ref.zip(win).foldLeft(0.0) { case (acc, (cr, cn)) =>
+          val p = (cr + 1.0) / (nRef + 10)
+          val q = (cn + 1.0) / (nWin + 10)
+          acc + (p - q) * math.log(p / q)
+        }
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val refBins = 4L +: Seq.fill(9)(0L)
+      val psiA = psi(refBins, 4, 4L +: Seq.fill(9)(0L), 4)
+      val psiB = psi(refBins, 4, Seq.fill(9)(0L) :+ 3L, 3)
+      assert(rows.toSeq == Seq(
+        ("A", 4L, psiA, false), ("B", 3L, psiB, true)), s"got ${rows.toSeq}")
+      assert(psiA == 0.0, "identical distributions must score exactly zero")
+    } finally q.stop()
+  }
 }
