@@ -147,6 +147,8 @@ object SparkEntry {
     "x34_pmi_bigrams"      -> ((s: SparkSession, d: String) => TextAnalysis.pmiBigrams(s, d)),
     "m5_image_resize"      -> ((s: SparkSession, d: String) => Multimodal.imageThumbnails(s, d)),
     "drift1_psi"           -> ((s: SparkSession, d: String) => DataOps.psiDrift(s, d)),
+    "i3_phrase_search"     -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
+    "cdc2_scd2_history"    -> ((s: SparkSession, d: String) => DataOps.scd2History(s, d)),
   )
 
   private val cosExpr =
@@ -2347,5 +2349,31 @@ object SparkEntry {
         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS psi,
         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) > 0.2 AS drifted
         |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    // i3: adjacency replayed over the same bigram-struct fan-out x32 uses;
+    // the top-k cut is (count desc, doc_id) — fully tie-broken
+    "i3_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> {'w1': t[CAST(i AS INT)], 'w2': t[CAST(i+1 AS INT)]})) AS bg
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT 'the data' AS phrase, doc_id, count(*) AS n_occurrences
+        |FROM occ WHERE bg.w1 = 'the' AND bg.w2 = 'data'
+        |GROUP BY doc_id
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
+
+    // cdc2: one keyed aggregate + lead() over the same key; spend is the
+    // exact decimal sum cast once to double (the cdc1 convention)
+    "cdc2_scd2_history" ->
+      """WITH s AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS valid_from,
+        |         count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+        |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current,
+        |       n_orders, CAST(spend AS DOUBLE) AS spend
+        |FROM s ORDER BY o_custkey, valid_from""".stripMargin,
   )
 }

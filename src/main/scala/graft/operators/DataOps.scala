@@ -110,6 +110,33 @@ object DataOps {
       .orderBy("rule")
   }
 
+  /** cdc2: SCD type-2 history build — turn per-period keyed states into
+    * validity intervals (valid_from / valid_to / is_current), the
+    * slowly-changing-dimension table every warehouse keeps next to the
+    * live dimension. States here are per-(customer, order year) spend
+    * aggregates; the interval assembly is ONE window pass keyed on the
+    * customer (lead(year) closes each row's validity; null lead = the
+    * current row). Plan: one keyed aggregate + one window shuffle on the
+    * same key — co-partitioned, so AQE plans no extra exchange. At 100 TB
+    * the same two-stage shape holds with the period as the sort key inside
+    * each customer's partition slice.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("valid_from")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("valid_from"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      // exact decimal sum, published as one deterministic double cast
+      // (the cdc1 convention)
+      .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("n_orders"), col("spend").cast("double").as("spend"))
+      .orderBy("o_custkey", "valid_from")
+  }
+
   /** drift1: distribution-drift detection — Population Stability Index of
     * the `value` distribution per event type between two time windows (the
     * monitoring check a pipeline runs before trusting a new ingest: PSI

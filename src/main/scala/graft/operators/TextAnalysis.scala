@@ -434,6 +434,36 @@ object TextAnalysis {
           ",").as("postings"))
       .orderBy("w", "segment")
 
+  /** i3: positional phrase search — exact-phrase retrieval over a
+    * positional token index (the query class i1's doc-level postings and
+    * i2's bag-of-words BM25 both cannot answer: "the data" as ADJACENT
+    * tokens). The token stream is filtered to the phrase's terms
+    * immediately after tokenize — only the phrase vocabulary survives into
+    * the join — and adjacency is one equi-join keyed on (doc_id, pos):
+    * co-keyed by document, so the join shuffles each term's postings once
+    * and never fans out beyond true positional matches. Top-k plans as
+    * TakeOrdered (count desc, doc_id) — no global sort of the match set.
+    * At 100 TB the positional index would be the stored artifact (i1's
+    * segmented layout plus positions) and this join runs against it
+    * unchanged.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   w1: String = "the", w2: String = "data",
+                   k: Int = 20): DataFrame = {
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(w1, w2))
+    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("w") === w2)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select(lit(s"$w1 $w2").as("phrase"), col("doc_id"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** x14: per-source quality-decile binning (ntile) — the "keep the top
     * N% by quality" curation step. Scoring reuses the x2 formula; binning
     * is PER SOURCE so the sort parallelizes across strata — a single

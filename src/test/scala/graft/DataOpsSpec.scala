@@ -54,6 +54,29 @@ class DataOpsSpec extends SparkSpec {
       ("table non-empty", 3.0, true, 3L)), s"got ${got.toSeq}")
   }
 
+  test("cdc2 SCD2 intervals: lead closes each validity window, last state is current") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // customer 1: states in 1995 and 1997 (1996 skipped: intervals follow
+    // observed states, not calendar years); customer 2: single state
+    Seq(
+      (1L, "1995-03-01", 10.0), (2L, "1995-07-01", 20.0),
+      (3L, "1997-02-01", 30.0), (4L, "1995-01-01", 40.0))
+      .map { case (k, d, p) =>
+        (k, if (k == 4L) 2L else 1L, java.sql.Date.valueOf(d), p)
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    val got = DataOps.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1995, Some(1997), false, 2L, 30.0),
+      (1L, 1997, None, true, 1L, 30.0),
+      (2L, 1995, None, true, 1L, 40.0)), s"got ${got.toSeq}")
+  }
+
   test("drift1 PSI is zero for identical windows and flags the shifted distribution") {
     import spark.implicits._
     val dir = tempSfDir()

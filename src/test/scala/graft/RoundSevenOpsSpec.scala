@@ -236,6 +236,18 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("i3 phrase search counts only ADJACENT in-order occurrences") {
+    val dir = writeDocs(Seq(
+      (1L, "the data the data", "s0"),   // 2 adjacent occurrences
+      (2L, "the x data", "s0"),          // gap: no match
+      (3L, "data the", "s0"),            // wrong order: no match
+      (4L, "the data y", "s0")))         // 1 occurrence
+    val got = TextAnalysis.phraseSearch(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("the data", 1L, 2L), ("the data", 4L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("x34 PMI ranks the exclusive collocation above the frequent-word pair") {
     // "new york": both words occur ONLY together (bc=5, uc 5/5);
     // "the a": same bc but "the" also appears alone (uc 10) -> lower PMI;
