@@ -116,10 +116,12 @@ object DataOps {
     * live dimension. States here are per-(customer, order year) spend
     * aggregates; the interval assembly is ONE window pass keyed on the
     * customer (lead(year) closes each row's validity; null lead = the
-    * current row). Plan: one keyed aggregate + one window shuffle on the
-    * same key — co-partitioned, so AQE plans no extra exchange. At 100 TB
-    * the same two-stage shape holds with the period as the sort key inside
-    * each customer's partition slice.
+    * current row). Plan: the aggregate hashes on (customer, period) and
+    * the window re-exchanges on the customer alone — two exchanges over
+    * the same key domain, both proportional to the state count, never the
+    * order count past the partial aggregate. At 100 TB the orders table
+    * would be bucketed by customer, which removes both exchanges and
+    * leaves the period as the sort key inside each bucket.
     */
   def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
