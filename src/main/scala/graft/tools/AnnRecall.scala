@@ -47,6 +47,15 @@ object AnnRecall {
         shortlistN = sl)), truth)
       println(f"ANNRECALL s5 probe=shortlist=$sl recall=$r%.3f")
     }
+    // s6 radius recall: the truth set is the same operator probing EVERY
+    // cell (each vector lives in exactly one cell, so nProbe=kCells sees
+    // the whole corpus = exact radius search); the dial is nProbe.
+    val radiusTruth = topkSets(Similarity.rangeSearch(spark, dir, nProbe = 16))
+    for (np <- Seq(1, 2, 4, 8, 16)) {
+      val r = recallAt10(topkSets(Similarity.rangeSearch(spark, dir,
+        nProbe = np)), radiusTruth)
+      println(f"ANNRECALL s6 probe=nprobe=$np recall=$r%.3f")
+    }
     spark.stop()
   }
 

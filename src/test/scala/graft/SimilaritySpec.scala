@@ -104,6 +104,19 @@ class SimilaritySpec extends SparkSpec {
     assert(s5 == s5.sorted, s"s5 recall must be monotone in shortlist: $s5")
     assert(s5(1) >= 0.55, s"s5 recall at default shortlist=40: ${s5(1)}")
     assert(s5(2) >= 0.85, s"s5 recall at shortlist=160: ${s5(2)}")
+    // s6 radius recall (2026-08-14): truth = the same operator probing
+    // every cell (each vector lives in exactly one cell, so nProbe=kCells
+    // IS exact radius search); measured 0.988 at nprobe=1, 1.000 from the
+    // default nprobe=4.
+    val radiusTruth = tools.AnnRecall.topkSets(
+      Similarity.rangeSearch(spark, dir, nProbe = 16))
+    val s6n1 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.rangeSearch(spark, dir, nProbe = 1)),
+      radiusTruth)
+    val s6n4 = tools.AnnRecall.recallAt10(
+      tools.AnnRecall.topkSets(Similarity.rangeSearch(spark, dir)), radiusTruth)
+    assert(s6n1 >= 0.90, s"s6 radius recall at nprobe=1: $s6n1")
+    assert(s6n4 >= 0.95, s"s6 radius recall at default nprobe=4: $s6n4")
   }
 
   test("s2 bucketed ANN reaches full recall on clustered vectors") {
