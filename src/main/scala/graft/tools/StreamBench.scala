@@ -93,7 +93,9 @@ object StreamBench {
       best("interval_join_outer", () => {
         val s = stream()
         StreamOps.purchaseAttributionOuter(s, stream())
-      }))
+      }),
+      best("psi_drift_window", () => StreamOps.psiDriftStream(stream(),
+        StreamOps.referenceHistogram(base))))
 
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
