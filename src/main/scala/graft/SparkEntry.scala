@@ -2325,7 +2325,7 @@ object SparkEntry {
     "drift1_psi" ->
       """WITH ev AS (
         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_old,
-        |    CAST(least(floor(value / 50.0), 9) AS INT) AS bin
+        |    CAST(greatest(0, least(floor(value / 50.0), 9)) AS INT) AS bin
         |  FROM events),
         |c AS (SELECT event_type, bin,
         |        sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,

@@ -155,9 +155,13 @@ object DataOps {
   def psiDrift(spark: SparkSession, dir: String,
                cutoff: String = "2024-01-16", bins: Int = 10,
                binWidth: Double = 50.0): DataFrame = {
+    // clamp BOTH ends: an out-of-range value (negative or above the top
+    // bin) must land in an edge bin, not vanish from the materialized grid
+    // while still counting toward the window totals
     val ev = Tables.events(spark, dir).select(col("event_type"),
       (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"),
-      least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+      greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
+        .cast("int").as("bin"))
     val c = ev.groupBy(col("event_type"), col("bin")).agg(
       sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
       sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))

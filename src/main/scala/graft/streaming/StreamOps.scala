@@ -894,7 +894,8 @@ object StreamOps {
   def referenceHistogram(events: DataFrame, bins: Int = 10,
                          binWidth: Double = 50.0): DataFrame = {
     val binned = events.select(col("event_type"),
-      least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+      greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
+        .cast("int").as("bin"))
     binned.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_ref"),
         array((0 until bins).map(i =>
@@ -922,7 +923,8 @@ object StreamOps {
     val agged = events
       .withWatermark("ts", watermark)
       .select(col("ts"), col("event_type"),
-        least(floor(col("value") / binWidth), lit(bins - 1)).cast("int").as("bin"))
+        greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
+          .cast("int").as("bin"))
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_window"), binCols: _*)
     val counts = array((0 until bins).map(i => col(s"b$i")): _*)
