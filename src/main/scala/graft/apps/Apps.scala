@@ -107,3 +107,32 @@ object SaturatedVendorApp {
     spark.stop()
   }
 }
+
+/** The curation pipeline as a runnable job: dedup keepers ∧ CCNet verdict
+  * ∧ token-budget cut → reproducible training shards (the composition
+  * `PipelineE2ESpec` pins, parameterized). The output layout is the
+  * training-loader handoff: one directory per source, size-bounded parquet
+  * shards, rows ordered by the reproducible shuffle key.
+  *
+  *   runMain graft.apps.CurationPipelineApp --input /root/testdata/sf0.01 \
+  *     --output /tmp/shards [--budget 1500] [--maxRecordsPerFile 10000]
+  */
+object CurationPipelineApp {
+  def main(args: Array[String]): Unit = {
+    val p = AppUtil.params(args)
+    val input = p.getOrElse("input",
+      sys.error("usage: --input <sfDir> --output <shardDir> [--budget N] [--maxRecordsPerFile N]"))
+    val output = p.getOrElse("output",
+      sys.error("usage: --input <sfDir> --output <shardDir> [--budget N] [--maxRecordsPerFile N]"))
+    val budget = p.get("budget").map(_.toLong).getOrElse(1500L)
+    val maxRecords = p.get("maxRecordsPerFile").map(_.toInt).getOrElse(10000)
+    val spark = AppUtil.session("curation-pipeline")
+    spark.sparkContext.setLogLevel("WARN")
+    val curated = graft.operators.Curation.curatedCorpus(spark, input, budget)
+    Sinks.writeShards(curated, output, partitionCol = "source",
+      sortCols = Seq("shuffle_key", "doc_id"), maxRecordsPerFile = maxRecords)
+    val n = spark.read.parquet(output).count()
+    println(s"[curation-pipeline] wrote $n curated docs to $output")
+    spark.stop()
+  }
+}

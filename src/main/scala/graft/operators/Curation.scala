@@ -547,6 +547,35 @@ object Curation {
     * subtraction, so margins are exact decimals and every aggregate is
     * summation-order independent (the k1/k3 oracle discipline).
     */
+  /** The end-to-end curation composition a pipeline actually ships: d7's
+    * transitive-dedup keepers ∧ x33's CCNet language-model verdict ∧ x31's
+    * token-budget cut, with x30's reproducible shard key attached for the
+    * shard writer's within-shard sort. Stages compose as doc-keyed
+    * keep-list joins — verdict frames are tiny relative to the corpus, so
+    * at fleet scale each join is a broadcast or a co-keyed shuffle on the
+    * doc id, and adding a stage adds a join, never a corpus pass.
+    * `PipelineE2ESpec` drives this through the training-shard writer and
+    * pins run-to-run byte-order reproducibility; `CurationPipelineApp` is
+    * the runnable CLI form.
+    */
+  def curatedCorpus(spark: SparkSession, dir: String,
+                    budget: Long = 1500L): DataFrame = {
+    import graft.Tables
+    val keepDedup = Dedup.keepList(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val keepLm = TextAnalysis.ccnetBuckets(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val keepBudget = tokenBudgetSample(spark, dir, budget = budget)
+      .filter(col("kept")).select("doc_id")
+    val shardKey = corpusShuffle(spark, dir)
+      .select(col("doc_id"), col("shuffle_key"))
+    Tables.documents(spark, dir)
+      .join(keepDedup, "doc_id")
+      .join(keepLm, "doc_id")
+      .join(keepBudget, "doc_id")
+      .join(shardKey, "doc_id")
+  }
+
   def clusterQuality(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),

@@ -29,28 +29,12 @@ class PipelineE2ESpec extends SparkSpec {
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .toSeq.sortBy(_.toString)
 
-  private def runPipeline(out: String): Unit = {
-    val docs = Tables.documents(spark, dir)
-    // stage 1: transitive near-dup keepers only
-    val keepDedup = Dedup.keepList(spark, dir)
-      .filter(col("keep")).select("doc_id")
-    // stage 2: CCNet verdict — drop each language's perplexity tail
-    val keepLm = TextAnalysis.ccnetBuckets(spark, dir)
-      .filter(col("keep")).select("doc_id")
-    // stage 3: deterministic token-budget cut (mixture sampling keep-list)
-    val keepBudget = Curation.tokenBudgetSample(spark, dir, budget = 1500L)
-      .filter(col("kept")).select("doc_id")
-    // survivors carry x30's reproducible shard assignment as the sort key
-    val shardKey = Curation.corpusShuffle(spark, dir)
-      .select(col("doc_id"), col("shuffle_key"))
-    val curated = docs
-      .join(keepDedup, "doc_id")
-      .join(keepLm, "doc_id")
-      .join(keepBudget, "doc_id")
-      .join(shardKey, "doc_id")
-    Sinks.writeShards(curated, out, partitionCol = "source",
+  private def runPipeline(out: String): Unit =
+    // the library composition CurationPipelineApp also runs — the spec and
+    // the shipped job cannot drift apart
+    Sinks.writeShards(Curation.curatedCorpus(spark, dir, budget = 1500L),
+      out, partitionCol = "source",
       sortCols = Seq("shuffle_key", "doc_id"), maxRecordsPerFile = 8)
-  }
 
   test("curation pipeline composes to reproducible training shards") {
     val out1 = tempSfDir() + "/shards1"
