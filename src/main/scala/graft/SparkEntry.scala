@@ -149,6 +149,7 @@ object SparkEntry {
     "drift1_psi"           -> ((s: SparkSession, d: String) => DataOps.psiDrift(s, d)),
     "i3_phrase_search"     -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
     "cdc2_scd2_history"    -> ((s: SparkSession, d: String) => DataOps.scd2History(s, d)),
+    "x35_dsir_resample"    -> ((s: SparkSession, d: String) => Curation.dsirResample(s, d)),
   )
 
   private val cosExpr =
@@ -2375,5 +2376,35 @@ object SparkEntry {
         |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current,
         |       n_orders, CAST(spend AS DOUBLE) AS spend
         |FROM s ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // x35: x21's scoring chain + the x28 LCG (u centered +0.5, strictly
+    // inside (0,1)) + Gumbel-top-k cut on the round-9 key
+    "x35_dsir_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |corpus AS (SELECT w, count(*) AS cc FROM tok GROUP BY w),
+        |target AS (SELECT w, count(*) AS tc FROM tok WHERE lang = 'en' GROUP BY w),
+        |vocab AS (
+        |  SELECT corpus.w, cc, coalesce(tc, 0) AS tc
+        |  FROM corpus LEFT JOIN target ON corpus.w = target.w),
+        |tot AS (
+        |  SELECT CAST(sum(cc) AS DOUBLE) AS ctot, CAST(sum(tc) AS DOUBLE) AS ttot,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM vocab),
+        |wts AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         round(sum(ln((tc + 1.0) / (ttot + v)) - ln((cc + 1.0) / (ctot + v)))
+        |               / count(*), 4) + 0.0 AS dsir_weight
+        |  FROM tok JOIN vocab USING (w) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id, n_tokens, dsir_weight,
+        |    round(dsir_weight - ln(-ln(
+        |      ((((((doc_id % 2147483648 + 2147483648) % 2147483648) * 1103515245 + 12345)
+        |         % 2147483648) // 65536) % 32768 + 0.5) / 32768.0)), 9) + 0.0 AS gumbel_key
+        |  FROM wts)
+        |SELECT doc_id, n_tokens, dsir_weight, gumbel_key
+        |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
   )
 }

@@ -412,6 +412,35 @@ object Curation {
       .orderedBy("doc_id")
   }
 
+  /** x35: DSIR importance RESAMPLING — the step that turns x21's
+    * distribution-matching weights into an actual selected subset, the way
+    * x31 turned x25's mixture plan into a keep-list. Gumbel-top-k: adding
+    * independent standard-Gumbel noise (−ln(−ln u)) to each log-weight and
+    * taking the global top-N draws exactly N documents with probability
+    * proportional to exp(weight), WITHOUT replacement — the textbook
+    * softmax-sampling identity, but as one TakeOrdered instead of N
+    * sequential draws. The noise comes from the x28 arithmetic LCG
+    * (engine-portable, reproducible run to run; +0.5 centering keeps u
+    * strictly inside (0,1) so the double-log never hits ±∞). Plan: x21's
+    * scoring plan + a narrow key projection + global top-N — no new
+    * shuffle beyond the TakeOrdered merge.
+    */
+  def dsirResample(spark: SparkSession, dir: String, n: Int = 100,
+                   targetLang: String = "en"): DataFrame = {
+    // bits stay in SQL-expr integer arithmetic; the (0,1) mapping uses
+    // Scala double literals — SQL-literal `0.5` would parse as DECIMAL and
+    // silently round u at scale 8 (measured 1.6e-8 key drift vs the oracle)
+    val bits = expr(
+      "((pmod(doc_id, 2147483648) * 1103515245 + 12345) % 2147483648) div 65536 % 32768")
+    val u = (bits.cast("double") + lit(0.5)) / lit(32768.0)
+    dsirWeights(spark, dir, targetLang)
+      .withColumn("gumbel_key",
+        Doubles.roundZ(col("dsir_weight") - log(-log(u)), 9))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(n)
+      .select("doc_id", "n_tokens", "dsir_weight", "gumbel_key")
+  }
+
   /** x22: token-window chunking — fixed-size overlapping windows (size W,
     * stride S) over each doc's token stream, the retrieval/embedding
     * chunking shape. Chunk starts are generated declaratively

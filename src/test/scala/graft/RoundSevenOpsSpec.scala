@@ -236,6 +236,37 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("x35 Gumbel keys replay independently; target-like docs dominate the sample") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 20 docs: even ids are English-marker docs (the DSIR target), odd ids
+    // share no vocabulary with the target -> strongly negative weights
+    (0L until 20L).map { i =>
+      val (text, lang) =
+        if (i % 2 == 0) (s"en_tok en_tok shared_$i", "en")
+        else (s"xx_tok xx_tok only_$i", "xx")
+      (i, text, lang, "s0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Curation.dsirResample(spark, dir, n = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 8)
+    // keys match an independent reimplementation of LCG -> u -> Gumbel
+    got.foreach { case (id, w, key) =>
+      val bits = (java.lang.Math.floorMod(id, 2147483648L) * 1103515245L + 12345L) %
+        2147483648L / 65536L % 32768L
+      val u = (bits + 0.5) / 32768.0
+      val expect = BigDecimal(w - math.log(-math.log(u)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(key == expect, s"doc $id key $key != $expect")
+    }
+    // selection is the key order, and the softmax-weighted draw favors the
+    // target-like docs overwhelmingly (weights differ by several nats)
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq, "not key-ordered")
+    val enShare = got.count(_._1 % 2 == 0)
+    assert(enShare >= 6, s"target-like docs under-sampled: $enShare/8")
+  }
+
   test("i3 phrase search counts only ADJACENT in-order occurrences") {
     val dir = writeDocs(Seq(
       (1L, "the data the data", "s0"),   // 2 adjacent occurrences
