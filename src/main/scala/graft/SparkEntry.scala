@@ -150,6 +150,7 @@ object SparkEntry {
     "i3_phrase_search"     -> ((s: SparkSession, d: String) => TextAnalysis.phraseSearch(s, d)),
     "cdc2_scd2_history"    -> ((s: SparkSession, d: String) => DataOps.scd2History(s, d)),
     "x35_dsir_resample"    -> ((s: SparkSession, d: String) => Curation.dsirResample(s, d)),
+    "s7_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
   )
 
   private val cosExpr =
@@ -491,8 +492,70 @@ object SparkEntry {
        |       THEN ub - CAST(18446744073709551616 AS HUGEINT) ELSE ub END AS BIGINT) AS ahash64
        |FROM bits ORDER BY doc_id""".stripMargin
 
+  /** s7: the greedy MMR selection unrolled — step i excludes the selected
+    * set u(i-1) with an ANTI JOIN, takes each survivor's max pair-cosine
+    * to the selected set, and argmaxes the round-6 MMR score with the
+    * n_id tie-break. Every state is MATERIALIZED (multiply referenced);
+    * the λ complement is the literal 0.3, never 1.0−0.7 (DuckDB's decimal
+    * subtraction is exact where Scala's IEEE one is not — x32's λ lesson,
+    * mirror-imaged).
+    */
+  private val s7OracleSql: String = {
+    val steps = (2 to 5).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT p.q_id, p.n_id, p.rel, max(ps.sim) AS ms
+         |  FROM pool p
+         |  ANTI JOIN u${i - 1} ON u${i - 1}.q_id = p.q_id AND u${i - 1}.n_id = p.n_id
+         |  JOIN ps ON ps.q_id = p.q_id AND ps.a_id = p.n_id
+         |  JOIN u${i - 1} uu ON uu.q_id = ps.q_id AND uu.n_id = ps.b_id
+         |  GROUP BY 1, 2, 3),
+         |s$i AS MATERIALIZED (
+         |  SELECT q_id, n_id, rel, score FROM (
+         |    SELECT q_id, n_id, rel, round(0.7*rel - 0.3*ms, 6) + 0.0 AS score,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY round(0.7*rel - 0.3*ms, 6) DESC, n_id) AS r
+         |    FROM m$i) WHERE r = 1),
+         |u$i AS MATERIALIZED (
+         |  SELECT * FROM u${i - 1} UNION ALL SELECT q_id, n_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
+       |scored AS MATERIALIZED (
+       |  SELECT q.q_id, v.vec_id AS n_id,
+       |         round(list_cosine_similarity(qe, ve), 6) + 0.0 AS rel, v.ve
+       |  FROM q JOIN v ON v.vec_id <> q.q_id),
+       |pool AS MATERIALIZED (
+       |  SELECT q_id, n_id, rel, ve FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, n_id) AS rnk FROM scored)
+       |  WHERE rnk <= 20),
+       |ps AS MATERIALIZED (
+       |  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |         round(list_cosine_similarity(a.ve, b.ve), 6) + 0.0 AS sim
+       |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |s1 AS MATERIALIZED (
+       |  SELECT q_id, n_id, rel, score FROM (
+       |    SELECT q_id, n_id, rel, round(0.7*rel - 0.3*0.0, 6) + 0.0 AS score,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY round(0.7*rel - 0.3*0.0, 6) DESC, n_id) AS r
+       |    FROM pool) WHERE r = 1),
+       |u1 AS MATERIALIZED (SELECT q_id, n_id FROM s1),
+       |$steps,
+       |allsel AS (
+       |  SELECT q_id, n_id, rel, score, 1 AS rk FROM s1
+       |  UNION ALL SELECT q_id, n_id, rel, score, 2 FROM s2
+       |  UNION ALL SELECT q_id, n_id, rel, score, 3 FROM s3
+       |  UNION ALL SELECT q_id, n_id, rel, score, 4 FROM s4
+       |  UNION ALL SELECT q_id, n_id, rel, score, 5 FROM s5)
+       |SELECT q_id, CAST(rk AS BIGINT) AS rank, n_id,
+       |       rel AS relevance, score AS mmr_score
+       |FROM allsel ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
+    "s7_mmr_rerank" -> s7OracleSql,
     "k3_kmeans_refine" -> k3OracleSql,
     "x23_bpe_merges" -> x23OracleSql,
     "x24_token_compression" -> x24OracleSql,

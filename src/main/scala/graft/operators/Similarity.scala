@@ -382,6 +382,96 @@ object Similarity {
       .orderBy(col("q_id"), col("cosim").desc, col("n_id"))
   }
 
+  /** One selected MMR result row. */
+  case class MmrPick(q_id: Long, rank: Long, n_id: Long,
+                     relevance: Double, mmr_score: Double)
+
+  /** s7: Maximal-Marginal-Relevance re-rank — diversify each query's
+    * retrieval: greedily pick k results maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-picked`, so the second
+    * pick is pushed AWAY from the first (the anti-redundancy re-rank a
+    * retrieval-augmented sampler or dedup-aware search runs on its top-N).
+    * Plan: s1's brute-force scan keeps the top `poolN` candidates per
+    * query (WindowGroupLimit), then the greedy selection runs as typed
+    * `mapGroups` over the per-query candidate group — the selection is
+    * inherently sequential in k, but each group is poolN rows, so the
+    * fleet parallelizes across queries and the per-group work is
+    * O(k·poolN) dot products. All arithmetic mirrors the oracle exactly:
+    * relevance and pair cosines are ascending-index fold dots rounded
+    * half-away at 6 (the kernel convention list_cosine_similarity matches
+    * at round-6), the MMR score is one double expression rounded at 6,
+    * ties break on (score desc, n_id asc). The DuckDB oracle unrolls all
+    * k greedy steps as chained MATERIALIZED CTEs.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, k: Int = 5,
+                poolN: Int = 20, lambda: Double = 0.7,
+                // the complement is its OWN literal, never computed 1−λ:
+                // Scala's IEEE 1.0-0.7 is 0.30000000000000004 while
+                // DuckDB's decimal (1.0-0.7) is exactly 0.3 — literal 0.3
+                // lands on the same double in both engines (x32's λ lesson,
+                // mirror-imaged)
+                lambdaComp: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    val cand = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        normD(col("embedding")).as("n_nrm"))
+      .join(broadcast(queryVectors(spark, dir)
+        .withColumn("q_nrm", normD(col("q_emb")))), col("n_id") =!= col("q_id"))
+      .withColumn("cosim",
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id"))))
+      .filter(col("rnk") <= poolN)
+      .select(col("q_id"), col("n_id"), col("cosim"),
+        col("n_emb").cast("array<double>").as("emb"))
+      .as[(Long, Long, Double, Seq[Double])]
+
+    def r6(x: Double): Double = {
+      // the EXACT-value constructor, not scala.BigDecimal(d) (which goes
+      // through Double.toString's shortest representation and rounds
+      // 0.7*0.371485 = 0.2600394999999999789… UP off its true side —
+      // DuckDB rounds the exact value, and one sf0.01 row sat exactly on
+      // that boundary)
+      val r = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (r == 0.0) 0.0 else r // normalize -0.0 like Doubles.roundZ
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { // ascending fold: the kernel's summation order
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r6(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+
+    cand.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val pool = it.toArray.sortBy(c => (-c._3, c._2))
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Seq[Double])]
+        while (picked.length < k && picked.length < pool.length) {
+          val chosen = pool.iterator
+            .filter(c => !picked.exists(_._1 == c._2))
+            .map { c =>
+              val maxSim =
+                if (picked.isEmpty) 0.0
+                else picked.map(p => cos(c._4, p._4)).max
+              (c, r6(lambda * c._3 - lambdaComp * maxSim))
+            }
+            .reduceLeft { (a, b) =>
+              if (b._2 > a._2 || (b._2 == a._2 && b._1._2 < a._1._2)) b else a
+            }
+          picked += ((chosen._1._2, chosen._1._3, chosen._2, chosen._1._4))
+        }
+        picked.zipWithIndex.map { case ((id, rel, score, _), i) =>
+          MmrPick(q, i + 1L, id, rel, score)
+        }.iterator
+      }
+      .toDF()
+      .orderBy("q_id", "rank")
+  }
+
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQueries)

@@ -236,6 +236,27 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("s7 MMR demotes the near-duplicate runner-up below the orthogonal result") {
+    // query 0 = e1. v5 and v6 are near-identical high-relevance vectors;
+    // v7 is orthogonal (relevance 0). Pure relevance ranks (5, 6, 7); at
+    // lambda=0.5 MMR picks 5, then the DIVERSE 7 (score 0 beats 6's
+    // 0.5*rel - 0.5*~1 < 0), then 6.
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (5L, Seq(10f, 1f, 0f, 0f), 0),
+      (6L, Seq(10f, 1.0001f, 0f, 0f), 0),
+      (7L, Seq(0f, 0f, 1f, 0f), 0)))
+    val got = Similarity.mmrRerank(spark, dir, k = 3,
+        lambda = 0.5, lambdaComp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 5L), (0L, 2L, 7L), (0L, 3L, 6L)),
+      s"got ${got.toSeq}")
+    // sanity: pure relevance would have ranked the near-dup second
+    val rel = Similarity.annTopK(spark, dir)
+      .collect().map(r => (r.getLong(1))).take(3)
+    assert(rel.toSeq == Seq(5L, 6L, 7L), s"relevance order ${rel.toSeq}")
+  }
+
   test("x35 Gumbel keys replay independently; target-like docs dominate the sample") {
     import spark.implicits._
     val dir = tempSfDir()
