@@ -151,6 +151,8 @@ object SparkEntry {
     "cdc2_scd2_history"    -> ((s: SparkSession, d: String) => DataOps.scd2History(s, d)),
     "x35_dsir_resample"    -> ((s: SparkSession, d: String) => Curation.dsirResample(s, d)),
     "s7_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
+    "c3_contamination_scrub" -> ((s: SparkSession, d: String) =>
+      Decontamination.contaminationScrub(s, d)),
   )
 
   private val cosExpr =
@@ -1782,6 +1784,34 @@ object SparkEntry {
         |         FROM out)
         |SELECT doc_id, n_tokens, CAST(len(ks) AS BIGINT) AS n_kept,
         |       -- array_to_string([]) is NULL in DuckDB, '' in Spark
+        |       COALESCE(array_to_string(ks, ' '), '') AS text_clean
+        |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // c3: x29's span-removal replay, with benchmark-set membership as the
+    // removal predicate instead of non-first occurrence
+    "c3_contamination_scrub" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |nb AS (SELECT doc_id, source, t FROM toks WHERE source <> 'src0'),
+        |sh AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |       FROM nb WHERE len(t) >= 8),
+        |occ AS (SELECT doc_id, i, array_to_string(list_slice(t, i, i + 7), ' ') AS s
+        |        FROM sh),
+        |bset AS (SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS s
+        |         FROM (SELECT t, unnest(range(1, len(t) - 6)) AS i
+        |               FROM toks WHERE source = 'src0' AND len(t) >= 8)),
+        |removed AS (SELECT DISTINCT occ.doc_id, unnest(range(occ.i, occ.i + 8)) AS p
+        |            FROM occ JOIN bset ON occ.s = bset.s),
+        |rm AS (SELECT doc_id, list(p) AS ps FROM removed GROUP BY doc_id),
+        |out AS (SELECT nb.doc_id, nb.source, nb.t, COALESCE(rm.ps, []) AS ps
+        |        FROM nb LEFT JOIN rm ON nb.doc_id = rm.doc_id),
+        |kept AS (SELECT doc_id, source,
+        |           CAST(len(t) AS BIGINT) AS n_tokens,
+        |           list_transform(
+        |             list_filter(range(1, len(t) + 1), p -> NOT list_contains(ps, p)),
+        |             p -> t[p]) AS ks
+        |         FROM out)
+        |SELECT doc_id, source, n_tokens, CAST(len(ks) AS BIGINT) AS n_kept,
+        |       len(ks) < n_tokens AS scrubbed,
         |       COALESCE(array_to_string(ks, ' '), '') AS text_clean
         |FROM kept ORDER BY doc_id""".stripMargin,
 

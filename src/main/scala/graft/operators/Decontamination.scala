@@ -140,6 +140,49 @@ object Decontamination {
       .orderedBy("doc_id")
   }
 
+  /** c3: SURGICAL decontamination — instead of dropping a contaminated
+    * document (c1/c2's verdicts), remove exactly the tokens covered by a
+    * k-shingle that appears in the benchmark corpus, keeping the rest of
+    * the document in the training set (the ExactSubstr rewrite x29 applies
+    * to duplicates, aimed at the eval set instead). Plan mirrors x29: the
+    * benchmark side reduces to a broadcast set of 64-bit shingle hashes
+    * (c1's layout), corpus shingles stream through the membership join,
+    * hit starts collect to ONE per-doc array, and the rewrite is narrow
+    * (array_except + transform inside the doc row — no token explode).
+    * Docs with zero hits keep their row (`scrubbed` = false) — the output
+    * IS the cleaned corpus, not a diff. The oracle replays over shingle
+    * strings and matches the rewritten text byte-for-byte.
+    */
+  def contaminationScrub(spark: SparkSession, dir: String,
+                         k: Int = 8, benchSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("source") =!= benchSource)
+      .select(col("doc_id"), col("source"), col("text"),
+        split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val bench = Tables.documents(spark, dir)
+      .filter(col("source") === benchSource &&
+        size(split(col("text"), " ")) >= k)
+      .select(explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+      .distinct()
+    val hit = docs.filter(col("n") >= k)
+      .select(col("doc_id"), posexplode(Sketches.shingleHash64(col("text"), k)))
+      .toDF("doc_id", "s", "h")
+      .join(broadcast(bench), "h")
+      .groupBy("doc_id").agg(collect_set(col("s")).as("starts"))
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    val rm = flatten(transform(starts, st => sequence(st, st + k - 1)))
+    val keptPos = array_except(sequence(lit(0), col("n") - 1), rm)
+    val kept = transform(keptPos, p => element_at(col("t"), p + 1))
+    docs.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("n").cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        (size(kept) < col("n")).as("scrubbed"),
+        array_join(kept, " ").as("text_clean"))
+      .orderedBy("doc_id")
+  }
+
   def dupShingleFraction(spark: SparkSession, dir: String,
                          k: Int = 8): DataFrame = {
     val sh = Tables.documents(spark, dir)

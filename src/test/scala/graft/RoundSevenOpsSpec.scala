@@ -236,6 +236,28 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("c3 scrubs exactly the benchmark-covered spans, keeps everything else") {
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val dir = writeDocs(Seq(
+      (1L, bench, "src0"),
+      // hit at positions 2..9: those 8 tokens go, the flanks stay
+      (10L, "x1 x2 b1 b2 b3 b4 b5 b6 b7 b8 y1 y2", "s1"),
+      // hit at positions 0..7 only: the rotated shingle at position 1 is
+      // NOT in the bench set, so the trailing lone b1 survives the scrub
+      (11L, "b1 b2 b3 b4 b5 b6 b7 b8 b1 z9 z10", "s1"),
+      (12L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "s1"),  // clean: untouched
+      (13L, "short doc", "s1")))                   // under k: untouched
+    val got = Decontamination.contaminationScrub(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4),
+        r.getString(5)))
+    assert(got.toSeq == Seq(
+      (10L, 12L, 4L, true, "x1 x2 y1 y2"),
+      (11L, 11L, 3L, true, "b1 z9 z10"),
+      (12L, 9L, 9L, false, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (13L, 2L, 2L, false, "short doc")), s"got ${got.toSeq}")
+  }
+
   test("s7 MMR demotes the near-duplicate runner-up below the orthogonal result") {
     // query 0 = e1. v5 and v6 are near-identical high-relevance vectors;
     // v7 is orthogonal (relevance 0). Pure relevance ranks (5, 6, 7); at
