@@ -153,6 +153,7 @@ object SparkEntry {
     "s7_mmr_rerank"        -> ((s: SparkSession, d: String) => Similarity.mmrRerank(s, d)),
     "c3_contamination_scrub" -> ((s: SparkSession, d: String) =>
       Decontamination.contaminationScrub(s, d)),
+    "k5_elbow_curve"       -> ((s: SparkSession, d: String) => Curation.elbowCurve(s, d)),
   )
 
   private val cosExpr =
@@ -555,9 +556,34 @@ object SparkEntry {
        |FROM allsel ORDER BY q_id, rank""".stripMargin
   }
 
+  /** k5: one rung per ladder k — per-vector best round-6 cosine to the
+    * first-k seed centroids, (1−cos) summed as exact decimals.
+    */
+  private val k5OracleSql: String = {
+    val rungs = Seq(2, 4, 8, 16).map { k =>
+      s"""r$k AS (
+         |  SELECT $k AS k, count(*) AS n_vecs,
+         |    CAST(sum(CAST(1.0 - bc AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+         |  FROM (
+         |    SELECT v.vec_id, max(round(list_cosine_similarity(v.ve, c.ce), 6)) AS bc
+         |    FROM v CROSS JOIN (SELECT vec_id AS cell, ve AS ce FROM v
+         |                       WHERE vec_id < $k) c
+         |    GROUP BY v.vec_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |$rungs,
+       |u AS (SELECT * FROM r2 UNION ALL SELECT * FROM r4
+       |      UNION ALL SELECT * FROM r8 UNION ALL SELECT * FROM r16)
+       |SELECT k, n_vecs, inertia,
+       |  COALESCE(lag(inertia) OVER (ORDER BY k) - inertia, 0.0) AS delta
+       |FROM u ORDER BY k""".stripMargin
+  }
+
   /** DuckDB oracle SQL — same column names, same casts, same ordering. */
   def oracleSql: Map[String, String] = Map(
     "s7_mmr_rerank" -> s7OracleSql,
+    "k5_elbow_curve" -> k5OracleSql,
     "k3_kmeans_refine" -> k3OracleSql,
     "x23_bpe_merges" -> x23OracleSql,
     "x24_token_compression" -> x24OracleSql,

@@ -576,6 +576,38 @@ object Curation {
     * subtraction, so margins are exact decimals and every aggregate is
     * summation-order independent (the k1/k3 oracle discipline).
     */
+  /** k5: the elbow curve — spherical k-means inertia at a ladder of k
+    * values, the choose-k diagnostic that decides how k1/k2/k3/k4 are
+    * provisioned. Inertia(k) = Σ over vectors of (1 − cos to the nearest
+    * of the first k seed centroids); the drop from one rung to the next
+    * (`delta`) flattening out IS the elbow. Every rung reuses the SAME
+    * broadcast-centroid argmax scan as k1 (one corpus pass per rung, k
+    * dot products per vector), cosines round-6 and summed as exact
+    * decimals so each inertia is aggregation-order independent. At fleet
+    * scale the rungs run in one pass (score all ladder ks per vector in
+    * one projection) — here they stay separate scans so each rung's plan
+    * is exactly k1's and the oracle replays rung by rung.
+    */
+  def elbowCurve(spark: SparkSession, dir: String,
+                 ks: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    val perK = ks.map { k =>
+      assignments(spark, dir, k)
+        .agg(count(lit(1)).as("n_vecs"),
+          sum((lit(1.0) - col("cos")).cast("decimal(28,6)")).as("inertia_d"))
+        .select(lit(k).as("k"), col("n_vecs"),
+          col("inertia_d").cast("double").as("inertia"))
+    }.reduce(_ unionAll _)
+    // the ladder is |ks| rows — the single-partition lag window is free
+    perK
+      .withColumn("delta",
+        coalesce(
+          lag(col("inertia"), 1).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("k")))
+            - col("inertia"),
+          lit(0.0)))
+      .orderBy("k")
+  }
+
   /** The end-to-end curation composition a pipeline actually ships: d7's
     * transitive-dedup keepers ∧ x33's CCNet language-model verdict ∧ x31's
     * token-budget cut, with x30's reproducible shard key attached for the

@@ -236,6 +236,21 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("k5 elbow: inertia is exact per rung and the delta tracks the drop") {
+    // two perfect clusters on axes: k=1 leaves the e2 pair at cos 0
+    // (inertia 2), k=2 covers both (inertia 0, delta 2)
+    val dir = writeEmbeddings(Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0),
+      (2L, Seq(1f, 0f), 0), (3L, Seq(0f, 1f), 0)))
+    val got = Curation.elbowCurve(spark, dir, ks = Seq(1, 2))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 4L, 2.0, 0.0), (2, 4L, 0.0, 2.0)), s"got ${got.toSeq}")
+    // on the real table the curve is monotone non-increasing in k
+    val real = Curation.elbowCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getDouble(2))
+    assert(real.toSeq == real.sortBy(-_).toSeq, s"not monotone: ${real.toSeq}")
+  }
+
   test("c3 scrubs exactly the benchmark-covered spans, keeps everything else") {
     val bench = "b1 b2 b3 b4 b5 b6 b7 b8"
     val dir = writeDocs(Seq(
