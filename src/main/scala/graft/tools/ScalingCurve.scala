@@ -74,7 +74,15 @@ object ScalingCurve {
       "x34_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigrams(s, d)),
       // k4 provisioned like k2: cluster count scales with the corpus
       "k4_cluster_quality" -> ((s, d) => Curation.clusterQuality(s, d, k = 8 * m)),
-      "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)))
+      "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
+      "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),
+      "s7_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+      "c3_contamination_scrub" -> ((s, d) => Decontamination.contaminationScrub(s, d)),
+      "k5_elbow_curve" -> ((s, d) => Curation.elbowCurve(s, d)),
+      "i3_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
+      "cdc2_scd2_history" -> ((s, d) => DataOps.scd2History(s, d)),
+      "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
+      "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)))
 
     slices.foreach { case (m, dir) =>
       Seq("documents", "embeddings").foreach { t =>
