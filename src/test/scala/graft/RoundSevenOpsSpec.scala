@@ -236,6 +236,42 @@ class RoundSevenOpsSpec extends SparkSpec {
       s"got ${got2.toSeq}")
   }
 
+  test("g2 matches an independent integer PageRank on random graphs") {
+    import spark.implicits._
+    // pure-Scala reference with the same integer contract: SCALE div n
+    // init, contributions pr div deg, update (15*(SCALE div n)) div 100 +
+    // (85*sum) div 100 — any divergence in the distributed version's join
+    // or aggregation structure shows up as a value diff
+    def reference(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val n = deg.size.toLong
+      val base = (15L * (1000000000000L / n)) / 100L
+      var pr: Map[Long, Long] = deg.map { case (v, _) => v -> 1000000000000L / n }
+      (1 to iters).foreach { _ =>
+        val in = edges.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (src, _) => pr(src) / deg(src) }.sum
+        }
+        pr = pr.map { case (v, _) => v -> (base + (85L * in(v)) / 100L) }
+      }
+      pr
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val nV = 6 + rnd.nextInt(10)
+      val pairs = (0 until nV * 2).map { _ =>
+        val a = rnd.nextInt(nV).toLong; val b = rnd.nextInt(nV).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        val got = Dedup.pageRankFromPairs(pairs.toDF("a_id", "b_id"), iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val want = reference(pairs, 3)
+        assert(got == want, s"trial $trial: $got != $want")
+      }
+    }
+  }
+
   test("k5 elbow: inertia is exact per rung and the delta tracks the drop") {
     // two perfect clusters on axes: k=1 leaves the e2 pair at cos 0
     // (inertia 2), k=2 covers both (inertia 0, delta 2)
