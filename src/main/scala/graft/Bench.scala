@@ -110,20 +110,29 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // The full per-query line is ~5 KB; the driver's log capture keeps only
-    // the final ~2 KB, so relying on stdout truncates the map mid-key (the
-    // round-6 artifact lost 43 of 105 entries that way). The FILE is the
-    // complete artifact: write it first, then print the full line (for
-    // humans reading the log top-down), then LAST a short summary line —
-    // total + per-query count + file pointer — sized to survive any tail
-    // capture and parse cleanly.
+    // the final ~2000 chars of stdout and parses its `parsed` slot from
+    // THAT window — so the full map can never parse from the tail (126
+    // query names alone are ~2 KB; every round through r7 carried
+    // `parsed: null`). The FILE is the complete named artifact; the tail
+    // window gets a COMPACT line that fits whole: per-query times as an
+    // integer-milliseconds array ordered by ascending query name (the
+    // names are exactly sortedQueries' keys — ~650 chars for 126 queries
+    // vs ~3 KB named). Order of operations matters: write the file, print
+    // the full line for humans reading top-down, stop Spark (so its
+    // shutdown can't interleave), then flood the window with newlines so
+    // the compact line is the ONLY parseable content any tail capture
+    // sees, whichever line of the window the driver tries.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json"}"""
-    println(summary)
     spark.stop()
+    val msSorted = ok.map { case (_, v) => math.round(v * 1000) }
+      .mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
+    print("\n" * 2000)
+    println(compact)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed every attempt: ${failed.mkString(", ")}")
       sys.exit(1)

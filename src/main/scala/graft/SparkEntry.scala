@@ -274,6 +274,96 @@ object SparkEntry {
        |GROUP BY cid ORDER BY centroid_id""".stripMargin
   }
 
+  /** s5's IVF-PQ replayed in SQL, training included — s3's coarse
+    * assignment + probes, then PQ over UNIT-NORMALIZED vectors:
+    * per-component rows (j 1..64, x = ve[j]/nrm), subspace m = (j-1)//8,
+    * local position p = (j-1)%8, codebook SEEDED from the first 16
+    * vectors' normalized components and refined by `trainIters` unrolled
+    * Lloyd rounds (assignment = argmin rounded-6 squared L2 with code
+    * tie-break; update = quantized-long per-component mean, the k3
+    * pattern — exact sums, deterministic IEEE divisions). Encode/LUT
+    * then read the TRAINED codebook: per-(vec,m,code) squared-L2 rounded
+    * to 6 (absorbing the ~1e-15 engine double drift), argmin codes with
+    * code tie-break, ADC = sum of the query's LUT rows at the candidate's
+    * codes, shortlist by (approx, n_id), exact cosine re-rank identical
+    * to s1/s3's. sc and the chained codebooks are MATERIALIZED so the
+    * multiply-referenced CTEs don't re-inline (the g2 lesson).
+    */
+  private def s5OracleSql(trainIters: Int = 3, kCodes: Int = 32,
+                          subDim: Int = 2, dim: Int = 64,
+                          numQueries: Int = 5, kCells: Int = 16,
+                          nProbe: Int = 4, shortlistN: Int = 40): String = {
+    def distCte(cbName: String, name: String, mat: Boolean) =
+      s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
+         |  SELECT s.vec_id, s.m, c.code,
+         |    round(sum((s.x - c.x) * (s.x - c.x)), 6) AS d2
+         |  FROM sc s JOIN $cbName c ON c.m = s.m AND c.p = s.p
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    val trainCtes = (0 until trainIters).map { k =>
+      s"""${distCte(s"cb$k", s"td$k", mat = false)},
+         |ta$k AS (SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, code, row_number() OVER (
+         |      PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+         |    FROM td$k) WHERE rn = 1),
+         |cb${k + 1} AS MATERIALIZED (
+         |  SELECT a.m, a.code, s.p,
+         |    CAST(sum(CAST(floor(s.x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000.0 AS x
+         |  FROM ta$k a JOIN sc s ON s.vec_id = a.vec_id AND s.m = a.m
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+       |w AS (SELECT vec_id, ve,
+       |    sqrt(list_reduce(list_prepend(0.0, list_transform(ve, x -> x * x)),
+       |         (s, y) -> s + y)) AS nrm FROM v),
+       |nc AS (SELECT w.vec_id, CAST(r.range AS INT) AS j,
+       |    ve[CAST(r.range AS INT)] / nrm AS x
+       |  FROM w, range(1, ${dim + 1}) r),
+       |sc AS MATERIALIZED (SELECT vec_id, (j - 1) // $subDim AS m,
+       |    (j - 1) % $subDim AS p, x FROM nc),
+       |cb0 AS (SELECT vec_id AS code, m, p, x FROM sc WHERE vec_id < $kCodes),
+       |$trainCtes,
+       |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < $kCells),
+       |a AS (SELECT v.vec_id, c.cell,
+       |        row_number() OVER (PARTITION BY v.vec_id
+       |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
+       |      FROM v CROSS JOIN c),
+       |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
+       |${distCte(s"cb$trainIters", "dist", mat = true)},
+       |codes AS (SELECT vec_id, m, code FROM (
+       |            SELECT vec_id, m, code,
+       |              row_number() OVER (PARTITION BY vec_id, m
+       |                ORDER BY d2, code) AS rn
+       |            FROM dist) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < $numQueries),
+       |p AS (SELECT q_id, cell,
+       |        row_number() OVER (PARTITION BY q_id
+       |          ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, cell) AS prn
+       |      FROM q CROSS JOIN c),
+       |probes AS (SELECT q_id, cell FROM p WHERE prn <= $nProbe),
+       |adc AS (SELECT pr.q_id, pr.n_id, round(sum(l.d2), 6) AS approx
+       |        FROM (SELECT probes.q_id, asg.n_id
+       |              FROM probes JOIN asg USING (cell)
+       |              WHERE asg.n_id <> probes.q_id) pr
+       |        JOIN codes cd ON cd.vec_id = pr.n_id
+       |        JOIN dist l ON l.vec_id = pr.q_id AND l.m = cd.m
+       |          AND l.code = cd.code
+       |        GROUP BY 1, 2),
+       |short AS (SELECT q_id, n_id FROM (
+       |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY approx, n_id) AS srn
+       |            FROM adc) WHERE srn <= $shortlistN),
+       |scored AS (SELECT s.q_id, s.n_id,
+       |             round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
+       |           FROM short s JOIN v qv ON qv.vec_id = s.q_id
+       |           JOIN v nv ON nv.vec_id = s.n_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
+       |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** x23/x24's BPE training replayed in SQL: the 10 merge steps unrolled,
     * each = adjacent-pair count (lead window) over the current symbol
     * state, argmax (count desc, pair asc), and the kernel's leftmost-
@@ -1442,64 +1532,9 @@ object SparkEntry {
         |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10
         |ORDER BY q_id, rnk""".stripMargin,
 
-    // s5: the full IVF-PQ pipeline replayed in SQL — s3's coarse assignment
-    // + probes, then PQ over UNIT-NORMALIZED vectors: per-component rows
-    // (j 1..64, x = ve[j]/nrm), subspace m = (j-1)//8, codebook = the first
-    // 16 vectors' normalized components, per-(vec,m,code) squared-L2 rounded
-    // to 6 (absorbing the ~1e-15 engine double drift), argmin codes with
-    // code tie-break, ADC = sum of the query's LUT rows at the candidate's
-    // codes, shortlist of 40 by (approx, n_id), exact cosine re-rank
-    // identical to s1/s3's.
-    "s5_ann_ivf_pq" ->
-      """WITH v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
-        |w AS (SELECT vec_id, ve,
-        |    sqrt(list_reduce(list_prepend(0.0, list_transform(ve, x -> x * x)),
-        |         (s, y) -> s + y)) AS nrm FROM v),
-        |nc AS (SELECT w.vec_id, CAST(r.range AS INT) AS j,
-        |    ve[CAST(r.range AS INT)] / nrm AS x
-        |  FROM w, range(1, 65) r),
-        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < 16),
-        |a AS (SELECT v.vec_id, c.cell,
-        |        row_number() OVER (PARTITION BY v.vec_id
-        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
-        |      FROM v CROSS JOIN c),
-        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
-        |dist AS (SELECT a0.vec_id, (a0.j - 1) // 8 AS m, b0.vec_id AS code,
-        |           round(sum((a0.x - b0.x) * (a0.x - b0.x)), 6) AS d2
-        |         FROM nc a0 JOIN nc b0 ON b0.vec_id < 16 AND b0.j = a0.j
-        |         GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, m, code FROM (
-        |            SELECT vec_id, m, code,
-        |              row_number() OVER (PARTITION BY vec_id, m
-        |                ORDER BY d2, code) AS rn
-        |            FROM dist) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, ve AS qe FROM v WHERE vec_id < 5),
-        |p AS (SELECT q_id, cell,
-        |        row_number() OVER (PARTITION BY q_id
-        |          ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, cell) AS prn
-        |      FROM q CROSS JOIN c),
-        |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
-        |adc AS (SELECT pr.q_id, pr.n_id, round(sum(l.d2), 6) AS approx
-        |        FROM (SELECT probes.q_id, asg.n_id
-        |              FROM probes JOIN asg USING (cell)
-        |              WHERE asg.n_id <> probes.q_id) pr
-        |        JOIN codes cd ON cd.vec_id = pr.n_id
-        |        JOIN dist l ON l.vec_id = pr.q_id AND l.m = cd.m
-        |          AND l.code = cd.code
-        |        GROUP BY 1, 2),
-        |short AS (SELECT q_id, n_id FROM (
-        |            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-        |              ORDER BY approx, n_id) AS srn
-        |            FROM adc) WHERE srn <= 40),
-        |scored AS (SELECT s.q_id, s.n_id,
-        |             round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
-        |           FROM short s JOIN v qv ON qv.vec_id = s.q_id
-        |           JOIN v nv ON nv.vec_id = s.n_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |        ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk FROM scored)
-        |SELECT q_id, n_id, cosim, rnk FROM r WHERE rnk <= 10
-        |ORDER BY q_id, rnk""".stripMargin,
+    // s5: the full IVF-PQ pipeline, codebook training included, replayed
+    // in SQL — generated (trainIters Lloyd rounds unrolled as CTEs).
+    "s5_ann_ivf_pq" -> s5OracleSql(),
 
     "p1_pipeline_decision" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

@@ -152,6 +152,14 @@ object Decontamination {
     * Docs with zero hits keep their row (`scrubbed` = false) — the output
     * IS the cleaned corpus, not a diff. The oracle replays over shingle
     * strings and matches the rewritten text byte-for-byte.
+    *
+    * Collision caveat (the c1 convention): the engine matches shingles by
+    * 64-bit hash while the stated contract (and the oracle) is exact
+    * string match, so a hash collision between a corpus shingle and a
+    * different benchmark shingle would over-scrub those tokens. At 64
+    * bits the birthday bound puts a first collision around ~5·10⁹
+    * distinct shingles — astronomically unlikely below fleet scale, but
+    * the contract is probabilistic, not exact.
     */
   def contaminationScrub(spark: SparkSession, dir: String,
                          k: Int = 8, benchSource: String = "src0"): DataFrame = {

@@ -631,15 +631,27 @@ object Dedup {
     * docs that appear in ≥1 pair (symmetric edges ⇒ every vertex has
     * deg ≥ 1 and receives contributions; no dangling-mass term needed);
     * the corpus-count `n` travels as a one-row broadcast, never a driver
-    * collect. Three fixed iterations keep the oracle unrollable; at fleet
-    * scale the loop would run to convergence with localCheckpoint every
-    * few supersteps (the d6 discipline).
+    * collect. Three fixed iterations keep the oracle unrollable; pass
+    * `iters = Dedup.PageRankAuto` for the production mode: supersteps
+    * until the L1 rank delta (an exact integer sum, so the stop decision
+    * is engine-deterministic) over a probe block falls under a tolerance,
+    * with localCheckpoint every block (the d6 discipline).
     */
+  val PageRankAuto: Int = -1
+
   def pageRank(spark: SparkSession, dir: String,
                minJaccard: Double = 0.8, iters: Int = 3): DataFrame =
-    pageRankFromPairs(sharedPairs(spark, dir, minJaccard), iters)
+    if (iters == PageRankAuto)
+      pageRankFromPairsAuto(sharedPairs(spark, dir, minJaccard))._1
+    else pageRankFromPairs(sharedPairs(spark, dir, minJaccard), iters)
 
-  private[graft] def pageRankFromPairs(rawPairs: DataFrame, iters: Int): DataFrame = {
+  /** The shared PageRank machinery: snapshot the pair list, build the
+    * degree-decorated symmetric edge frame and the broadcast vertex count,
+    * then hand the initial rank frame + one-superstep function to the
+    * caller's loop policy and finalize its result.
+    */
+  private def pageRankCore(rawPairs: DataFrame)(
+      loop: (DataFrame, DataFrame => DataFrame) => DataFrame): DataFrame = {
     // Snapshot the pair list ONCE (it is referenced by both union arms and,
     // through deg, by every superstep): without the cut, each of the ~6
     // plan references re-carries d4's whole PPJoin lineage through
@@ -655,23 +667,20 @@ object Dedup {
     // per superstep: the contribution join reads it, and the update
     // re-attaches deg/n from the persisted vertex frame instead of a
     // second pr self-join. One reference per superstep means the lineage
-    // grows linearly (no 2^iters plan blowup), so no checkpoints and no
-    // extra materialization jobs — the whole run is ONE action; the two
-    // frames every superstep shares (vertex metadata, degree-decorated
-    // edges) persist once via the registry and release with the query.
-    // Unbounded-iteration runs would re-introduce a localCheckpoint every
-    // few supersteps (the d6 discipline) to bound plan depth.
+    // grows linearly (no 2^iters plan blowup); the two frames every
+    // superstep shares (vertex metadata, degree-decorated edges) persist
+    // once via the registry and release with the query.
     val degN = graft.CacheRegistry.persistTracked(
       deg.crossJoin(broadcast(nRow)))
     val withDeg = graft.CacheRegistry.persistTracked(edges.join(deg, "src"))
-    var pr = degN.select(col("src").as("id"),
+    val init = degN.select(col("src").as("id"),
       expr("1000000000000 div n").as("pr"))
-    for (_ <- 1 to iters) {
+    def superstep(pr: DataFrame): DataFrame = {
       val inSum = withDeg
         .join(pr, col("src") === col("id"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = inSum.join(degN, col("dst") === col("src"))
+      inSum.join(degN, col("dst") === col("src"))
         .select(col("src").as("id"),
           expr("(15 * (1000000000000 div n)) div 100 + (85 * s) div 100")
             .as("pr"))
@@ -679,10 +688,58 @@ object Dedup {
     // no round: one correctly-rounded IEEE division on identical integer
     // inputs is bit-deterministic across engines; a round() at a half
     // boundary would be the only way to diverge
-    pr.join(degN, col("id") === col("src"))
+    loop(init, superstep)
+      .join(degN, col("id") === col("src"))
       .select(col("id").as("doc_id"), col("deg"), col("pr").as("pr_micros"),
         (col("pr").cast("double") / lit(1000000000000.0)).as("pagerank"))
       .orderedBy("doc_id")
+  }
+
+  /** Fixed-superstep run (the g2 oracle form): `iters` lazy supersteps,
+    * the whole run is ONE action — no checkpoints, linear lineage.
+    */
+  private[graft] def pageRankFromPairs(rawPairs: DataFrame, iters: Int): DataFrame =
+    pageRankCore(rawPairs) { (init, superstep) =>
+      (1 to iters).foldLeft(init)((pr, _) => superstep(pr))
+    }
+
+  /** Convergence-terminated run (the production mode the fixed-3 scaladoc
+    * promises): supersteps in blocks of `probeEvery`, localCheckpoint at
+    * each block boundary (bounded plan depth, one materialization per
+    * block), then ONE scalar action probes the L1 rank delta across the
+    * block — an exact integer sum, so the termination decision cannot
+    * drift with aggregation order. Stops when the block's total rank
+    * movement falls under `tolMicros` (default 1e6 micro-units = 1e-6 of
+    * the total rank mass; with 0.85 damping the per-step delta decays by
+    * ~0.85x, so that tolerance costs ~60-80 supersteps from a cold
+    * start — hence the 100-cap) or at `maxIters`. Returns (ranks,
+    * supersteps actually run) — the count is what the convergence spec
+    * pins.
+    */
+  private[graft] def pageRankFromPairsAuto(
+      rawPairs: DataFrame, tolMicros: Long = 1000000L,
+      maxIters: Int = 100, probeEvery: Int = 3): (DataFrame, Int) = {
+    require(probeEvery >= 1 && maxIters >= 1,
+      s"probeEvery ($probeEvery) and maxIters ($maxIters) must be >= 1")
+    var used = 0
+    val ranks = pageRankCore(rawPairs) { (init, superstep) =>
+      var pr = init.localCheckpoint()
+      var prev = pr
+      var delta = Long.MaxValue
+      while (used < maxIters && delta > tolMicros) {
+        for (_ <- 1 to probeEvery.min(maxIters - used)) {
+          pr = superstep(pr); used += 1
+        }
+        pr = pr.localCheckpoint()
+        delta = pr.select(col("id"), col("pr").as("pr_new"))
+          .join(prev.select(col("id"), col("pr").as("pr_old")), "id")
+          .agg(coalesce(sum(abs(col("pr_new") - col("pr_old"))), lit(0L)))
+          .first().getLong(0)
+        prev = pr
+      }
+      pr
+    }
+    (ranks, used)
   }
 
   /** d9: soft dedup — duplicate-aware REWEIGHTING instead of dropping

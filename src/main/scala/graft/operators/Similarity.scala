@@ -180,9 +180,13 @@ object Similarity {
     * asymmetric-distance lookup table (ADC): approx distance = sum over
     * subspaces of the PRECOMPUTED query-to-centroid distance for the
     * candidate's stored code. Full vectors are fetched only for the
-    * top-`shortlistN` ADC survivors, so the scan path touches 8
-    * bytes/vector instead of 256 — the 32x compression that decides
-    * whether a fleet-scale index fits in RAM at all.
+    * top-`shortlistN` ADC survivors, so the scan path touches `numSub`
+    * bytes/vector instead of 256 — 8x compression at the default
+    * numSub=32 (measured recall@10 = 0.98 at the default shortlist on
+    * sf0.1; the numSub dial trades compression against recall: numSub=8
+    * is 32x but recalls only ~0.6 on this corpus, see BASELINE.md §ANN
+    * RECALL). That compression decides whether a fleet-scale index fits
+    * in RAM at all.
     *
     * Vectors are L2-NORMALIZED before subspace slicing, so the ADC metric
     * (squared L2 on the unit sphere, = 2 - 2*cos) ranks in exactly the
@@ -195,21 +199,34 @@ object Similarity {
     * keyed by cell, and an ADC aggregate keyed by (q, n) whose input is
     * `numSub` rows per candidate; the exact re-rank only ever sees
     * `shortlistN` rows per query, joined with the shortlist broadcast.
+    * The codebook is TRAINED, not sampled: per-subspace Lloyd k-means
+    * (`trainIters` rounds), seeded from the first `kCodes` vectors'
+    * normalized subvectors. Each round is one broadcast-join assignment
+    * (argmin rounded squared-L2, code tie-break) plus one quantized-long
+    * per-component mean (the k3 trick — components fold to
+    * ⌊x·10⁶+0.5⌋ longs so the sum is exact and partial-aggregation-order
+    * independent), and the k-codes codebook frame is localCheckpoint'ed
+    * per round so lineage stays flat. A code that loses all members
+    * drops out (standard Lloyd caveat, same as k3). Training cost is
+    * `trainIters` passes over n·numSub subvector rows with a broadcast
+    * numSub·kCodes-row codebook — no extra corpus shuffle.
+    *
     * Every stage is deterministic (coarse seeds = the first `kCells`
-    * vectors, codebook = the first `kCodes` vectors' subvectors, every
-    * distance rounded to 6 decimals before argmin/rank, id tie-breaks
-    * throughout), so the full algorithm — encode, ADC, shortlist,
-    * re-rank — is replayed bit-for-bit by the s5 DuckDB oracle in
-    * SparkEntry. The per-subspace rounding also makes the ADC sum
-    * order-insensitive: a sum of multiples of 1e-6 re-rounded to 6
-    * decimals cannot be perturbed by double-accumulation order, so plain
-    * `sum` is safe on both engines.
+    * vectors, codebook seeds = the first `kCodes` vectors' subvectors,
+    * Lloyd means on the 1e-6 quantization grid, every distance rounded
+    * to 6 decimals before argmin/rank, id tie-breaks throughout), so the
+    * full algorithm — train, encode, ADC, shortlist, re-rank — is
+    * replayed bit-for-bit by the s5 DuckDB oracle in SparkEntry (the
+    * training rounds unrolled as CTEs, the k3 pattern). The per-subspace
+    * rounding also makes the ADC sum order-insensitive: a sum of
+    * multiples of 1e-6 re-rounded to 6 decimals cannot be perturbed by
+    * double-accumulation order, so plain `sum` is safe on both engines.
     */
   def annIvfPq(spark: SparkSession, dir: String,
                kCells: Int = 16, nProbe: Int = 4,
-               numSub: Int = 8, subDim: Int = 8,
-               kCodes: Int = 16, shortlistN: Int = 40,
-               dim: Int = 64): DataFrame = {
+               numSub: Int = 32, subDim: Int = 2,
+               kCodes: Int = 32, shortlistN: Int = 40,
+               dim: Int = 64, trainIters: Int = 3): DataFrame = {
     require(numSub * subDim == dim,
       s"numSub ($numSub) * subDim ($subDim) must cover the embedding dim ($dim)")
     val base = Tables.embeddings(spark, dir)
@@ -230,42 +247,131 @@ object Similarity {
 
     // Subspace decomposition of the UNIT-NORMALIZED vector: one row per
     // (vector, subspace), sv = the subDim-component slice of embedding/nrm.
-    // posexplode's 0-based pos is the subspace id.
-    val sub = base
+    // posexplode's 0-based pos is the subspace id. Persisted: training
+    // re-reads it trainIters times, then encode + LUT once more.
+    val sub = graft.CacheRegistry.persistTracked(base
       .withColumn("ne", transform(col("embedding"),
         x => x.cast("double") / col("nrm")))
       .select(col("vec_id"),
         posexplode(array((0 until numSub).map(m =>
-          slice(col("ne"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+          slice(col("ne"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv"))))
 
-    // Codebook: the first kCodes vectors' normalized subvectors, kCodes
-    // codes per subspace. numSub*kCodes rows — broadcast everywhere it
-    // appears.
-    val cb = sub.filter(col("vec_id") < kCodes)
-      .select(col("vec_id").as("code"), col("m").as("cm"), col("sv").as("cv"))
-
-    // Squared L2 in double with component-wise double subtraction — the
-    // same op order as the oracle's list_transform/list_reduce fold.
+    // Squared L2 in double, UNROLLED over the subDim components instead
+    // of a zip_with/aggregate HOF pair: higher-order functions are
+    // CodegenFallback (interpreted per row), and this expression runs on
+    // n*numSub*kCodes rows once per training round — the HOF form
+    // measured ~3x slower end-to-end. The ascending left fold is
+    // bit-identical to the HOF's 0.0-seeded fold (0.0 + x == x exactly)
+    // and to the oracle's per-component sum under the round-6 absorb.
     def l2sq(a: Column, b: Column): Column =
-      aggregate(
-        zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double"); d * d
-        }),
-        lit(0.0), (acc, x) => acc + x)
+      (0 until subDim).map { i =>
+        val d = element_at(a, i + 1).cast("double") -
+          element_at(b, i + 1).cast("double")
+        d * d
+      }.reduceLeft(_ + _)
 
-    // All (vector, subspace, code) distances: feeds BOTH the corpus encode
-    // (argmin per (vec, m)) and, restricted to the query ids, the ADC LUT.
-    val dist = sub.join(broadcast(cb), col("m") === col("cm"))
-      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
-      .select("vec_id", "m", "code", "d2")
+    // The codebook lives DRIVER-SIDE between rounds — numSub*kCodes tiny
+    // (code, components) entries, the k-row-centroid collect pattern —
+    // and rides back in as a one-row broadcast frame. This is the
+    // fused-encode production shape the scan path needs anyway (the
+    // codebook IS index metadata, like the coarse centroids), and it
+    // turns Lloyd's assignment into a pure codegen'd PROJECTION: per
+    // round one map + one numSub*kCodes-group aggregate + one tiny
+    // collect, instead of materializing n*numSub*kCodes (vector, code)
+    // distance ROWS through a broadcast-join + argmin shuffle — at the
+    // 10x slice that's 20M joined rows per round the fused form never
+    // creates (measured ~2x faster end-to-end there; at sf0.1 both forms
+    // are bounded by fixed per-round stage overhead, ~2 s/round).
+    // cbLocal(m) = (codeId, components) entries sorted by codeId; a code
+    // that loses all members drops out (the k3 Lloyd caveat) and its
+    // slot is padded so expressions stay uniform: a huge-finite distance
+    // and a sentinel id no argmin can pick and the LUT filters away.
+    var cbLocal: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] =
+      sub.filter(col("vec_id") < kCodes)
+        .select(col("m"), col("vec_id"), col("sv")).collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          r.getSeq[Double](2).toIndexedSeq))
+        .groupBy(_._1).map { case (m, rs) =>
+          m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
 
-    val codes = dist.groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
-      .select(col("vec_id").as("cn_id"), col("m"), col("b.code").as("code"))
+    // The codebook travels as a ONE-ROW broadcast frame (ids: m→slot→code,
+    // comps: m→slot→components), cross-joined onto sub — binding it as
+    // attributes, NOT literals, keeps the codegen'd projection small (a
+    // typedlit form embedded the full numSub*kCodes*subDim constant table
+    // once PER SLOT expression and compile time swamped the query).
+    import spark.implicits._
+    def cbFrame: DataFrame = {
+      val ids = (0 until numSub).map { m =>
+        val e = cbLocal(m)
+        e.map(_._1) ++ Seq.fill(kCodes - e.size)(Long.MaxValue)
+      }
+      val comps = (0 until numSub).map { m =>
+        val e = cbLocal(m)
+        // large FINITE pad: d2 vs a 1e18 component is ~1e36, never the
+        // minimum but safely inside double range (an infinite d2 would
+        // ride through round() as a special case the oracle never sees)
+        e.map(_._2.toSeq) ++
+          Seq.fill(kCodes - e.size)(Seq.fill(subDim)(1e18))
+      }
+      Seq((ids, comps)).toDF("cb_ids", "cb_comps")
+    }
+    // Per-row argmin over the kCodes slots on a MATERIALIZED primitive
+    // double array: the d2s land in one array column (each slot's
+    // unrolled l2sq evaluated once — a least()+CASE-chain form duplicated
+    // every d2 into every branch and measured catastrophically slower;
+    // an array-of-structs + array_min form paid 20M per-row struct
+    // builds per round at the 10x slice), then argmin =
+    // array_position(d2s, array_min(d2s)): FIRST index of the minimum,
+    // and slots are code-ascending by construction (cbLocal sorts by
+    // codeId, padding at the end), so first-match IS the previous
+    // min(struct(d2, code)) tie-break.
+    def cbCols(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(cbFrame))
+      .withColumn("cvs", element_at(col("cb_comps"), col("m") + 1))
+      .withColumn("cids", element_at(col("cb_ids"), col("m") + 1))
+      .withColumn("d2s", array((0 until kCodes).map(j =>
+        round(l2sq(col("sv"), element_at(col("cvs"), lit(j + 1))), 6)): _*))
+    def bestCode: Column =
+      element_at(col("cids"),
+        array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
 
-    val lut = dist.filter(col("vec_id") < NumQueries)
+    // One Lloyd round: argmin code as a projection, then ONE (m, code)
+    // aggregate of quantized-long component sums (the k3 pattern — exact,
+    // aggregation-order free), collected and divided on the driver with
+    // the same IEEE op order the oracle's SQL runs (sum→double, /count,
+    // /1e6 — bit-deterministic on exact integer inputs).
+    for (_ <- 0 until trainIters) {
+      val upd = cbCols(sub)
+        .select(col("m"), bestCode.as("code"), col("sv"))
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          (0 until subDim).map(i =>
+            sum(floor(element_at(col("sv"), i + 1) * 1e6 + 0.5)
+              .cast("long")).as(s"s$i")): _*)
+        .collect()
+      cbLocal = upd.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getLong(1), (0 until subDim)
+          .map(i => r.getLong(3 + i).toDouble / n / 1e6).toIndexedSeq)
+      }.groupBy(_._1).map { case (m, rs) =>
+        m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+    }
+
+    // Fused encode: each corpus vector's per-subspace code is a projection
+    // over the persisted sub rows — no shuffle (the one-row codebook
+    // cross-join is map-side). The ADC LUT explodes ALL slots for the
+    // query rows only (NumQueries*numSub*kCodes rows — structs are fine
+    // at that row count), dropping padded slots by their sentinel id.
+    val codes = cbCols(sub).select(col("vec_id").as("cn_id"), col("m"),
+      bestCode.as("code"))
+
+    val lut = cbCols(sub.filter(col("vec_id") < NumQueries))
       .select(col("vec_id").as("lq"), col("m").as("lm"),
-        col("code").as("lcode"), col("d2"))
+        posexplode(zip_with(col("cids"), col("d2s"),
+          (code, d2) => struct(d2.as("d2"), code.as("code")))))
+      .select(col("lq"), col("lm"), col("col.code").as("lcode"),
+        col("col.d2").as("d2"))
+      .filter(col("lcode") =!= Long.MaxValue)
 
     val probes = queryVectors(spark, dir)
       .withColumn("q_nrm", normD(col("q_emb")))
@@ -411,6 +517,12 @@ object Similarity {
                 // lands on the same double in both engines (x32's λ lesson,
                 // mirror-imaged)
                 lambdaComp: Double = 0.3): DataFrame = {
+    // the pair is coupled — callers overriding λ must pass its literal
+    // complement too, or the MMR weights silently stop summing to 1
+    require(math.abs(lambda + lambdaComp - 1.0) < 1e-9,
+      s"lambda ($lambda) + lambdaComp ($lambdaComp) must sum to 1 — " +
+        "lambdaComp exists only so the complement is a cross-engine " +
+        "literal, not a computed 1-lambda")
     import spark.implicits._
     val cand = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),

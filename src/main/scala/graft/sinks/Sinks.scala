@@ -106,6 +106,66 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** OPTIMIZE-style shard compaction — the maintenance pass a shard table
+    * needs after incremental appends: streaming/backfill batches land as
+    * their own small part files, and a training loader reading thousands
+    * of under-sized shards pays per-file open/seek cost that compounds at
+    * 100 TB. This rewrites ONLY the partitions whose file count exceeds
+    * what their row count needs (`n_files > ceil(n_rows /
+    * maxRecordsPerFile)`), re-binning rows through the same
+    * `writeShards` discipline — repartition on the partition column,
+    * within-shard sort re-established (leading with the partition column
+    * so the writer's required ordering is already satisfied and the sort
+    * survives, see writeShards), size re-bounded. Untouched partitions'
+    * files are not rewritten at all (dynamic partition overwrite), so
+    * their bytes — and any downstream cache keyed on them — survive.
+    *
+    * The affected rows are localCheckpoint'ed before the overwrite: the
+    * rewrite reads the same path it writes, and the checkpoint both
+    * satisfies Spark's self-overwrite guard and pins the data while the
+    * partition directories are swapped. The partition-value list crosses
+    * the driver — partition values (source, date) are low-cardinality by
+    * construction, never data-sized. Without a transactional table format
+    * the swap is per-partition, not atomic across partitions — the
+    * Delta/Iceberg OPTIMIZE this models wraps exactly this rewrite in a
+    * commit. Returns the number of partitions compacted.
+    */
+  def compactShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                    partitionCol: String, sortCols: Seq[String],
+                    maxRecordsPerFile: Int): Int = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(path)
+    val need = df
+      .groupBy(col(partitionCol).as("pv"), input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("pv"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+      .filter(col("n_files") >
+        ceil(col("n_rows").cast("double") / maxRecordsPerFile))
+      .select("pv").collect().map(_.get(0))
+    if (need.isEmpty) 0
+    else {
+      val pinned = df.filter(col(partitionCol).isin(need: _*)).localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try pinned
+        .repartition(col(partitionCol))
+        .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
+        .write
+        .mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+        .partitionBy(partitionCol)
+        .parquet(path)
+      finally prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      need.length
+    }
+  }
+
   /** Streaming twin: partitioned parquet from an unbounded frame. */
   def streamToPartitionedParquet(df: DataFrame, path: String,
                                  checkpoint: String,

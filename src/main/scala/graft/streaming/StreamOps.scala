@@ -887,9 +887,91 @@ object StreamOps {
       }
   }
 
+  /** The cdc2 SCD2 history, maintained INCREMENTALLY — one MERGE-style
+    * apply per micro-batch of newly ingested orders (the daily-ingest
+    * shape a warehouse dimension actually runs, vs cdc2's full rebuild).
+    * `scd2Merge` is the pure per-batch kernel: aggregate the batch into
+    * (key, period) deltas, upsert them into the standing history with
+    * re-aggregation confined to the AFFECTED keys — untouched customers'
+    * rows pass through an anti-join untouched (a table-format MERGE at
+    * fleet scale additionally file-skips them, making per-batch WRITE
+    * volume proportional to the batch's key set too). Interval chaining
+    * (valid_to / is_current) is a read-time window — it is a pure
+    * function of the (key, period) rows, so deferring it keeps the merge
+    * kernel insert-only and idempotent to batch splits. Spend
+    * accumulates in decimal(18,2) across batches (exact addition, so any
+    * batch split replays to bit-identical totals) and publishes as double
+    * only in the `current` read, matching cdc2's convention — the spec
+    * pins stream-final == batch cdc2 on the same orders.
+    *
+    * State lives in a driver-held DataFrame localCheckpoint'ed per batch
+    * (flat lineage, no recompute chain); on a cluster the same kernel
+    * writes through a reliable table format's MERGE (the state is a
+    * DataFrame in, DataFrame out — the holder is the only part that
+    * assumes local mode).
+    */
+  def scd2BatchDeltas(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"), year(col("o_orderdate")).as("valid_from"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+
+  /** One MERGE apply: `state` (o_custkey, valid_from, n_orders, spend) ×
+    * batch deltas of the same shape → merged state with intervals
+    * re-chained for affected customers only.
+    */
+  def scd2Merge(state: DataFrame, deltas: DataFrame): DataFrame = {
+    val affected = deltas.select(col("o_custkey")).distinct()
+    val untouched = state.join(affected, Seq("o_custkey"), "left_anti")
+    val rechained = state.join(affected, Seq("o_custkey"))
+      .unionByName(deltas)
+      .groupBy(col("o_custkey"), col("valid_from"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("spend")).cast("decimal(18,2)").as("spend"))
+    untouched.unionByName(rechained)
+  }
+
+  /** Driver-held SCD2 state for the streaming apply loop: checkpoint per
+    * batch, interval chaining + double publish at read time.
+    */
+  final class Scd2State(spark: SparkSession) {
+    import spark.implicits._
+    @volatile private var state: DataFrame =
+      Seq.empty[(Long, Int, Long, java.math.BigDecimal)]
+        .toDF("o_custkey", "valid_from", "n_orders", "spend")
+        .select(col("o_custkey"), col("valid_from"), col("n_orders"),
+          col("spend").cast("decimal(18,2)"))
+    def applyBatch(orders: DataFrame): Unit = synchronized {
+      state = scd2Merge(state, scd2BatchDeltas(orders)).localCheckpoint()
+    }
+    /** The SCD2 history as cdc2 publishes it. */
+    def current: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("valid_from")
+      state
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("n_orders"),
+          col("spend").cast("double").as("spend"))
+        .orderBy("o_custkey", "valid_from")
+    }
+  }
+
+  /** Wire an unbounded orders frame into the SCD2 apply loop; caller
+    * `.start()`s the returned writer and reads `state.current` after any
+    * processed batch.
+    */
+  def scd2ApplyStream(orders: DataFrame, state: Scd2State): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    orders.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => state.applyBatch(batch) }
+
   /** Static reference histogram for the streaming drift monitor: per event
     * type, the binned value counts and total of the trusted corpus — the
-    * frame `psiDriftStream` broadcasts against every micro-batch.
+    * frame `psiDriftStream` broadcasts against every micro-batch. The
+    * binning config (`ref_bins`, `ref_bin_width`) rides along as columns
+    * so the monitor can fail loudly if it is called with a different
+    * binning than the reference was built with (a silent mismatch would
+    * zip arrays of different lengths into null PSI terms).
     */
   def referenceHistogram(events: DataFrame, bins: Int = 10,
                          binWidth: Double = 50.0): DataFrame = {
@@ -900,6 +982,8 @@ object StreamOps {
       .agg(count(lit(1)).as("n_ref"),
         array((0 until bins).map(i =>
           sum(when(col("bin") === i, 1L).otherwise(0L))): _*).as("ref_counts"))
+      .withColumn("ref_bins", lit(bins))
+      .withColumn("ref_bin_width", lit(binWidth))
   }
 
   /** Streaming drift monitor — the drift1 twin: per event-time window and
@@ -913,6 +997,15 @@ object StreamOps {
     * (window, type). The watermark closes windows for append sinks exactly
     * like the other windowed ops; a drifted verdict on a closing window is
     * the alert a monitoring pipeline pages on.
+    *
+    * Two failure modes are surfaced instead of swallowed: an event type
+    * with NO reference histogram (a brand-new type appearing in the
+    * stream — itself a drift signal) survives the LEFT join with
+    * `unknown_reference = true`, null PSI, and `drifted = true`; and a
+    * reference built with different bins/binWidth than this call's
+    * raises at runtime (via the `ref_bins`/`ref_bin_width` columns the
+    * reference frame carries) rather than zipping mismatched arrays
+    * into silent null PSI.
     */
   def psiDriftStream(events: DataFrame, reference: DataFrame,
                      windowDur: String = "1 day", watermark: String = "1 day",
@@ -928,19 +1021,30 @@ object StreamOps {
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_window"), binCols: _*)
     val counts = array((0 until bins).map(i => col(s"b$i")): _*)
+    val known = col("ref_counts").isNotNull
+    val psiExpr = round(aggregate(
+      zip_with(col("ref_counts"), counts, (cr, cn) => {
+        val p = (cr.cast("double") + lit(1.0)) / (col("n_ref") + lit(bins))
+        val q = (cn.cast("double") + lit(1.0)) / (col("n_window") + lit(bins))
+        (p - q) * log(p / q)
+      }),
+      lit(0.0), (acc, t) => acc + t), 6)
     agged
-      .join(broadcast(reference), "event_type")
-      .withColumn("psi", round(aggregate(
-        zip_with(col("ref_counts"), counts, (cr, cn) => {
-          val p = (cr.cast("double") + lit(1.0)) / (col("n_ref") + lit(bins))
-          val q = (cn.cast("double") + lit(1.0)) / (col("n_window") + lit(bins))
-          (p - q) * log(p / q)
-        }),
-        lit(0.0), (acc, t) => acc + t), 6))
+      .join(broadcast(reference), Seq("event_type"), "left")
+      .withColumn("psi",
+        // config-mismatch tripwire: raises on the first joined row whose
+        // reference was built with a different binning than this call's
+        when(known &&
+          (col("ref_bins") =!= bins || col("ref_bin_width") =!= binWidth),
+          raise_error(concat(lit("psiDriftStream bins/binWidth mismatch: " +
+            s"monitor ($bins, $binWidth) vs reference ("),
+            col("ref_bins"), lit(", "), col("ref_bin_width"), lit(")"))))
+          .otherwise(when(known, psiExpr)))
       .select(
         unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"),
         col("event_type"), col("n_window"), col("psi"),
-        (col("psi") > threshold).as("drifted"))
+        (!known).as("unknown_reference"),
+        (!known || col("psi") > threshold).as("drifted"))
   }
 }

@@ -77,6 +77,12 @@ object ScalingCurve {
       "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
       "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),
       "s7_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+      // the s7 throughput dial: the greedy re-rank is O(k*poolN) per query
+      // group, so widening the candidate pool is the cost axis that needs
+      // exponent evidence alongside the corpus-size axis
+      "s7_mmr_pool100" -> ((s, d) => Similarity.mmrRerank(s, d, poolN = 100)),
+      "s7_mmr_pool500" -> ((s, d) => Similarity.mmrRerank(s, d, poolN = 500)),
+      "s7_mmr_pool1000" -> ((s, d) => Similarity.mmrRerank(s, d, poolN = 1000)),
       "c3_contamination_scrub" -> ((s, d) => Decontamination.contaminationScrub(s, d)),
       "k5_elbow_curve" -> ((s, d) => Curation.elbowCurve(s, d)),
       "i3_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),

@@ -97,6 +97,31 @@ object StreamBench {
       best("psi_drift_window", () => StreamOps.psiDriftStream(stream(),
         StreamOps.referenceHistogram(base))))
 
+    // cdc2 twin: orders-shaped events through the foreachBatch MERGE loop;
+    // the measured rate pays the full per-batch apply INCLUDING the state
+    // localCheckpoint, i.e. the upsert write amplification a daily-ingest
+    // dimension actually sustains. scd2ApplyStream returns a writer (it
+    // owns the foreachBatch sink), so it can't go through run()'s noop.
+    val scd2 = {
+      def once(): (String, Double) = {
+        val state = new StreamOps.Scd2State(spark)
+        val ckpt = s"/tmp/graft_stream_ckpt/scd2-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = StreamOps.scd2ApplyStream(
+          stream().select(col("event_id").as("o_orderkey"),
+            col("user_id").as("o_custkey"), col("value").as("o_totalprice"),
+            col("ts").as("o_orderdate")), state)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        "scd2_apply_fb" -> n / ((System.nanoTime() - t0) / 1e9)
+      }
+      val r = Seq(once(), once()).maxBy(_._2)
+      println(f"[stream-bench] ${r._1}: ${r._2}%.0f events/sec")
+      r
+    }
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -147,7 +172,7 @@ object StreamBench {
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val qs = (results ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    val qs = (results ++ Seq(scd2) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -272,6 +272,29 @@ class RoundSevenOpsSpec extends SparkSpec {
     }
   }
 
+  test("g2 auto mode runs supersteps to convergence and stops early") {
+    import spark.implicits._
+    // a graph with structure (hub + path + triangle) so ranks take a few
+    // supersteps to settle but converge well before the 50-cap
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("a_id", "b_id")
+    val (auto, used) = Dedup.pageRankFromPairsAuto(pairs)
+    val got = auto.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(used < 100, s"must converge before the iteration cap, ran $used")
+    assert(used % 3 == 0, s"supersteps run in probe blocks of 3, got $used")
+    // the auto loop's supersteps are the SAME integer map as the fixed
+    // loop's: a fixed run of the same length lands bit-identically
+    val fixedSame = Dedup.pageRankFromPairs(pairs, iters = used)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == fixedSame, "auto must equal a fixed run of equal length")
+    // and it genuinely converged: three MORE supersteps move total rank
+    // mass by less than the stop tolerance
+    val further = Dedup.pageRankFromPairs(pairs, iters = used + 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val drift = got.map { case (v, pr) => math.abs(pr - further(v)) }.sum
+    assert(drift <= 1000000L, s"post-convergence drift $drift")
+  }
+
   test("k5 elbow: inertia is exact per rung and the delta tracks the drop") {
     // two perfect clusters on axes: k=1 leaves the e2 pair at cos 0
     // (inertia 2), k=2 covers both (inertia 0, delta 2)

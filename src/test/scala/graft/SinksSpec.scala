@@ -72,6 +72,55 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 500)
   }
 
+  test("shard compaction re-bins small appended files, preserves content, sort and untouched bytes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = tempSfDir() + "/shards"
+    def mk(ids: Seq[Long], src: String) =
+      ids.map(i => (i, s"text_$i", src)).toDF("doc_id", "text", "source")
+    // base table: two sources x 200 rows, clean 100-row shards
+    Sinks.writeShards(
+      mk(1L to 200L, "web").unionByName(mk(1L to 200L, "books")),
+      out, "source", Seq("doc_id"), maxRecordsPerFile = 100)
+    // daily-ingest aftermath: three small appends land in web only, each
+    // as its own under-sized part file, out of doc_id order
+    Seq(201L to 230L, 231L to 260L, 261L to 290L).foreach { ids =>
+      mk(ids.reverse, "web").repartition(1)
+        .write.mode("append").partitionBy("source").parquet(out)
+    }
+    def files(src: String) = new java.io.File(s"$out/source=$src")
+      .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files("web").length == 5, "2 shards + 3 appended smalls")
+    val booksBefore = files("books").map(f => f.getName -> f.length()).toSeq
+    val contentBefore = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(r => (r._3, r._1)).toSeq
+
+    val compacted = Sinks.compactShards(spark, out, "source",
+      Seq("doc_id"), maxRecordsPerFile = 100)
+    assert(compacted == 1, "only web exceeds its needed file count")
+
+    // content identical row-for-row
+    val contentAfter = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(r => (r._3, r._1)).toSeq
+    assert(contentAfter == contentBefore, "compaction must not change content")
+    // web re-binned to the minimal file count, bounded and sorted per file
+    val webAfter = files("web")
+    assert(webAfter.length == 3, s"290 rows / 100 cap -> 3 shards, got ${webAfter.length}")
+    webAfter.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+      assert(rows.count() <= 100, s"${f.getName} exceeds maxRecordsPerFile")
+      val ids = rows.select(col("doc_id")).collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted")
+    }
+    // books untouched byte-for-byte: same files, same sizes
+    assert(files("books").map(f => f.getName -> f.length()).toSeq == booksBefore,
+      "an already-compact partition must not be rewritten")
+    // idempotent: a second pass finds nothing to do
+    assert(Sinks.compactShards(spark, out, "source", Seq("doc_id"), 100) == 0)
+  }
+
   test("jsonl and orc round-trip the documents schema losslessly") {
     import org.apache.spark.sql.types._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -911,16 +911,30 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("psi_out")
       .outputMode(OutputMode.Append).start()
     try {
-      // day one: A stays in bin 0 (stable), B shifts wholly to bin 9
+      // day one: A stays in bin 0 (stable), B shifts wholly to bin 9,
+      // and C is a brand-new type with NO reference histogram at all
       input.addData(Seq(
         ev(1, 0, 1L, "A", 10.0), ev(2, 10, 1L, "A", 10.0),
         ev(3, 20, 1L, "A", 10.0), ev(4, 30, 1L, "A", 10.0),
         ev(5, 0, 1L, "B", 480.0), ev(6, 10, 1L, "B", 480.0),
-        ev(7, 20, 1L, "B", 480.0)))
+        ev(7, 20, 1L, "B", 480.0), ev(8, 30, 1L, "C", 10.0)))
       q.processAllAvailable()
       input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
       q.processAllAvailable()
+      val unknowns = spark.table("psi_out").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          r.getAs[Boolean]("unknown_reference")))
+        .sortBy(_._1)
+      assert(unknowns.toSeq == Seq(("A", false), ("B", false), ("C", true)),
+        s"got ${unknowns.toSeq}")
+      val cRow = spark.table("psi_out").collect()
+        .find(_.getAs[String]("event_type") == "C").get
+      assert(cRow.isNullAt(cRow.fieldIndex("psi")),
+        "an unknown-reference type has no PSI to report")
+      assert(cRow.getAs[Boolean]("drifted"),
+        "a type the reference has never seen must page")
       val rows = spark.table("psi_out").collect()
+        .filter(_.getAs[String]("event_type") != "C")
         .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_window"),
           r.getAs[Double]("psi"), r.getAs[Boolean]("drifted")))
         .sortBy(_._1)
@@ -939,6 +953,74 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.toSeq == Seq(
         ("A", 4L, psiA, false), ("B", 3L, psiB, true)), s"got ${rows.toSeq}")
       assert(psiA == 0.0, "identical distributions must score exactly zero")
+    } finally q.stop()
+  }
+
+  test("streaming SCD2 apply: micro-batched ingest lands on the batch cdc2 history") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def o(key: Long, cust: Long, price: Double, date: String) =
+      (key, cust, price, Timestamp.valueOf(s"$date 00:00:00"))
+    // customer 1 spans three years with year-1994 SPLIT across batches
+    // (the upsert-accumulate path); customer 2 appears only in batch 2
+    // (the fresh-insert path); customer 3 never changes after batch 1
+    // (the anti-join passthrough path)
+    val batches = Seq(
+      Seq(o(1, 1L, 100.10, "1994-03-01"), o(2, 1L, 50.25, "1995-07-01"),
+        o(3, 3L, 77.77, "1996-01-15")),
+      Seq(o(4, 1L, 10.65, "1994-11-20"), o(5, 2L, 500.00, "1997-05-05")),
+      Seq(o(6, 1L, 1.00, "1998-02-02"), o(7, 2L, 0.99, "1997-12-31")))
+    val input = MemoryStream[(Long, Long, Double, Timestamp)]
+    val state = new StreamOps.Scd2State(spark)
+    val q = StreamOps.scd2ApplyStream(
+      input.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+      state).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // batch truth: cdc2 over ALL the orders written as a table
+    val dir = tempSfDir()
+    batches.flatten
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val want = rows(graft.operators.DataOps.scd2History(spark, dir))
+    val got = rows(state.current)
+    assert(got == want, s"stream $got != batch $want")
+    // and the replayed history carries the expected shape: 1994 closed by
+    // 1995, the 1998 row current, the split-year spend accumulated exactly
+    assert(got.contains((1L, 1994, Some(1995), false, 2L, 110.75)))
+    assert(got.contains((1L, 1998, None, true, 1L, 1.0)))
+  }
+
+  test("streaming PSI drift: binning mismatch vs the reference fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      bins = 20, binWidth = 25.0)
+    val input = MemoryStream[Event]
+    // monitor runs the DEFAULT binning (10 bins x 50.0) against a 20-bin
+    // reference: the tripwire must raise, not zip into null PSI
+    val q = StreamOps.psiDriftStream(input.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("psi_mismatch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "A", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("bins/binWidth mismatch")),
+        s"expected the binning tripwire, got: ${messages(e)}")
     } finally q.stop()
   }
 }
