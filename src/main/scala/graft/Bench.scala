@@ -119,9 +119,11 @@ object Bench {
     // names are exactly sortedQueries' keys — ~650 chars for 126 queries
     // vs ~3 KB named). Order of operations matters: write the file, print
     // the full line for humans reading top-down, stop Spark (so its
-    // shutdown can't interleave), then flood the window with newlines so
-    // the compact line is the ONLY parseable content any tail capture
-    // sees, whichever line of the window the driver tries.
+    // shutdown can't interleave), then flood the window with visibly
+    // non-JSON divider lines (sbt's logger swallows BLANK lines, so
+    // whitespace padding doesn't survive to the capture) so the compact
+    // line is the ONLY parseable content any tail capture sees,
+    // whichever line of the window the driver tries.
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -131,7 +133,7 @@ object Bench {
       .mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
-    print("\n" * 2000)
+    (1 to 28).foreach(_ => println("-" * 76))
     println(compact)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed every attempt: ${failed.mkString(", ")}")

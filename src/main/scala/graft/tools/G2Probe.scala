@@ -42,5 +42,18 @@ object G2Probe {
       }
       graft.CacheRegistry.releaseAll()
     }
+    // convergence mode on the real dup graph: supersteps to the default
+    // tolerance + agreement of the converged top ranks with a long fixed
+    // run (sanity that the auto loop's checkpointed blocks compute the
+    // same map at data scale, not just on the spec's crafted graph)
+    val (auto, used) = t("pagerank auto-converge") {
+      val r = graft.operators.Dedup.pageRankFromPairsAuto(pairs)
+      (r._1.localCheckpoint(), r._2)
+    }
+    println(s"PROBE auto_supersteps=$used")
+    val fixed = graft.operators.Dedup.pageRankFromPairs(pairs, used)
+    val diff = auto.select("doc_id", "pr_micros")
+      .exceptAll(fixed.select("doc_id", "pr_micros")).count()
+    println(s"PROBE auto_vs_fixed_same_len_diff_rows=$diff")
   }
 }
