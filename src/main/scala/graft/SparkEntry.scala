@@ -154,6 +154,7 @@ object SparkEntry {
     "c3_contamination_scrub" -> ((s: SparkSession, d: String) =>
       Decontamination.contaminationScrub(s, d)),
     "k5_elbow_curve"       -> ((s: SparkSession, d: String) => Curation.elbowCurve(s, d)),
+    "cdc3_merge_upsert"    -> ((s: SparkSession, d: String) => DataOps.mergeUpsert(s, d)),
   )
 
   private val cosExpr =
@@ -2530,6 +2531,46 @@ object SparkEntry {
         |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) IS NULL AS is_current,
         |       n_orders, CAST(spend AS DOUBLE) AS spend
         |FROM s ORDER BY o_custkey, valid_from""".stripMargin,
+
+    // cdc3: the MERGE-applied dimension equals the all-orders SCD2 build
+    // (pre-state + delta re-aggregate exactly; decimal sums are exact
+    // under the split), and the action column replays the audit: classify
+    // each merged row against the chained PRE-cutoff state by key
+    // existence, value change, or interval change (a new later period
+    // closes the previously-current row — interval change with equal
+    // aggregates).
+    "cdc3_merge_upsert" ->
+      """WITH a AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS valid_from,
+        |         count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |ac AS (
+        |  SELECT o_custkey, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+        |         n_orders, CAST(spend AS DOUBLE) AS spend
+        |  FROM a),
+        |p AS (
+        |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS valid_from,
+        |         count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT o_custkey, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from) AS valid_to,
+        |         n_orders, CAST(spend AS DOUBLE) AS spend
+        |  FROM p)
+        |SELECT ac.o_custkey, ac.valid_from, ac.valid_to,
+        |       ac.valid_to IS NULL AS is_current, ac.n_orders, ac.spend,
+        |       CASE WHEN pc.n_orders IS NULL THEN 'insert'
+        |            WHEN ac.n_orders <> pc.n_orders OR ac.spend <> pc.spend
+        |              OR coalesce(ac.valid_to, -1) <> coalesce(pc.valid_to, -1)
+        |              THEN 'update'
+        |            ELSE 'unchanged' END AS action
+        |FROM ac LEFT JOIN pc
+        |  ON ac.o_custkey = pc.o_custkey AND ac.valid_from = pc.valid_from
+        |ORDER BY ac.o_custkey, ac.valid_from""".stripMargin,
 
     // x35: x21's scoring chain + the x28 LCG (u centered +0.5, strictly
     // inside (0,1)) + Gumbel-top-k cut on the round-9 key

@@ -139,6 +139,54 @@ object DataOps {
       .orderBy("o_custkey", "valid_from")
   }
 
+  /** cdc3: batch MERGE upsert audit — apply a delta batch (orders ON/after
+    * `cutoff`) onto the standing SCD2 dimension (orders BEFORE `cutoff`)
+    * through the SAME MERGE kernel the streaming apply runs
+    * (`StreamOps.scd2Merge`: delta aggregation, upsert with
+    * re-aggregation confined to affected keys, untouched keys through an
+    * anti-join), then publish the merged history decorated with the
+    * per-row MERGE ACTION a warehouse MERGE reports: `insert` (the
+    * (customer, period) key did not exist before), `update` (it existed
+    * and its values OR its validity interval changed — a new later period
+    * closes the previously-current row without touching its aggregates),
+    * `unchanged` (passed through). Completes the CDC family's symmetry:
+    * cdc1 diffs snapshots, cdc2 builds the history, cdc3 APPLIES a delta
+    * onto it. Spend accumulates in decimal (exact under any batch split,
+    * the cdc2 convention) and publishes as double.
+    *
+    * Plan: two keyed aggregates over the orders scan (pre-state + delta),
+    * the merge kernel's anti-join/union/re-aggregate on the same customer
+    * key domain, one chaining window, and a (customer, period)-keyed left
+    * join back to the chained pre-state for the action classification —
+    * every exchange is on the customer key, sized by the state count, and
+    * at fleet scale a transactional table format runs the identical
+    * kernel with file-skipping for the untouched keys (the
+    * `compactShards`/MERGE posture).
+    */
+  def mergeUpsert(spark: SparkSession, dir: String,
+                  cutoff: String = "1997-01-01"): DataFrame = {
+    import graft.streaming.StreamOps
+    val orders = Tables.orders(spark, dir)
+    val cut = lit(cutoff).cast("timestamp")
+    val pre = StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") < cut))
+    val delta = StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") >= cut))
+    val merged = StreamOps.scd2Chain(StreamOps.scd2Merge(pre, delta))
+    val old = StreamOps.scd2Chain(pre)
+      .select(col("o_custkey"), col("valid_from"),
+        col("valid_to").as("p_valid_to"), col("n_orders").as("p_n_orders"),
+        col("spend").as("p_spend"))
+    merged.join(old, Seq("o_custkey", "valid_from"), "left")
+      .withColumn("action",
+        when(col("p_n_orders").isNull, "insert")
+          .when(col("n_orders") =!= col("p_n_orders") ||
+            col("spend") =!= col("p_spend") ||
+            !(col("valid_to") <=> col("p_valid_to")), "update")
+          .otherwise("unchanged"))
+      .select("o_custkey", "valid_from", "valid_to", "is_current",
+        "n_orders", "spend", "action")
+      .orderBy("o_custkey", "valid_from")
+  }
+
   /** drift1: distribution-drift detection — Population Stability Index of
     * the `value` distribution per event type between two time windows (the
     * monitoring check a pipeline runs before trusting a new ingest: PSI

@@ -930,6 +930,22 @@ object StreamOps {
     untouched.unionByName(rechained)
   }
 
+  /** Read-time interval chaining over a (o_custkey, valid_from, n_orders,
+    * spend) state frame — the cdc2 publication shape. A pure function of
+    * the state rows, shared by the streaming holder's `current` and the
+    * batch MERGE audit (cdc3).
+    */
+  def scd2Chain(state: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("valid_from")
+    state
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+        col("is_current"), col("n_orders"),
+        col("spend").cast("double").as("spend"))
+  }
+
   /** Driver-held SCD2 state for the streaming apply loop: checkpoint per
     * batch, interval chaining + double publish at read time.
     */
@@ -944,17 +960,8 @@ object StreamOps {
       state = scd2Merge(state, scd2BatchDeltas(orders)).localCheckpoint()
     }
     /** The SCD2 history as cdc2 publishes it. */
-    def current: DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_custkey").orderBy("valid_from")
-      state
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
-        .withColumn("is_current", col("valid_to").isNull)
-        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
-          col("is_current"), col("n_orders"),
-          col("spend").cast("double").as("spend"))
-        .orderBy("o_custkey", "valid_from")
-    }
+    def current: DataFrame =
+      scd2Chain(state).orderBy("o_custkey", "valid_from")
   }
 
   /** Wire an unbounded orders frame into the SCD2 apply loop; caller

@@ -87,6 +87,7 @@ object ScalingCurve {
       "k5_elbow_curve" -> ((s, d) => Curation.elbowCurve(s, d)),
       "i3_phrase_search" -> ((s, d) => TextAnalysis.phraseSearch(s, d)),
       "cdc2_scd2_history" -> ((s, d) => DataOps.scd2History(s, d)),
+      "cdc3_merge_upsert" -> ((s, d) => DataOps.mergeUpsert(s, d)),
       "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
       "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)))
 

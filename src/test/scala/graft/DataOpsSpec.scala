@@ -77,6 +77,44 @@ class DataOpsSpec extends SparkSpec {
       (2L, 1995, None, true, 1L, 40.0)), s"got ${got.toSeq}")
   }
 
+  test("cdc3 MERGE audit: inserts new keys, updates touched AND interval-closed rows, passes the rest") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      // c1: 1995 state untouched by the delta, still current -> unchanged
+      (1L, 1L, java.sql.Date.valueOf("1995-03-01"), 10.0),
+      // c2: pre-cutoff 1996 state + TWO delta orders inside 1997 -> the
+      // 1996 row closes (interval update) and the 1997 insert proves the
+      // delta re-aggregates before upserting
+      (2L, 2L, java.sql.Date.valueOf("1996-05-01"), 20.0),
+      (3L, 2L, java.sql.Date.valueOf("1997-08-01"), 5.0),
+      (7L, 2L, java.sql.Date.valueOf("1997-09-01"), 2.5),
+      // c3: 1995 state + delta opens a NEW 1998 period -> the 1995 row's
+      // interval closes (update with equal aggregates), 1998 inserts
+      (4L, 3L, java.sql.Date.valueOf("1995-02-01"), 40.0),
+      (5L, 3L, java.sql.Date.valueOf("1998-02-01"), 7.0),
+      // c4: brand-new customer entirely from the delta -> insert
+      (6L, 4L, java.sql.Date.valueOf("1999-01-01"), 3.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    val got = DataOps.mergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3),
+        r.getLong(4), r.getDouble(5), r.getString(6)))
+    assert(got.toSeq == Seq(
+      (1L, 1995, None, true, 1L, 10.0, "unchanged"),
+      (2L, 1996, Some(1997), false, 1L, 20.0, "update"),
+      (2L, 1997, None, true, 2L, 7.5, "insert"),
+      (3L, 1995, Some(1998), false, 1L, 40.0, "update"),
+      (3L, 1998, None, true, 1L, 7.0, "insert"),
+      (4L, 1999, None, true, 1L, 3.0, "insert")), s"got ${got.toSeq}")
+    // kernel-vs-rebuild invariant: the merged values equal cdc2 over all
+    // orders (the decimal split-exactness the streaming twin relies on)
+    val rebuilt = DataOps.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got.map(t => (t._1, t._2, t._5, t._6)).toSeq == rebuilt)
+  }
+
   test("drift1 PSI is zero for identical windows and flags the shifted distribution") {
     import spark.implicits._
     val dir = tempSfDir()
