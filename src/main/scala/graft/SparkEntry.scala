@@ -277,10 +277,12 @@ object SparkEntry {
 
   /** s5's IVF-PQ replayed in SQL, training included — s3's coarse
     * assignment + probes, then PQ over UNIT-NORMALIZED vectors:
-    * per-component rows (j 1..64, x = ve[j]/nrm), subspace m = (j-1)//8,
-    * local position p = (j-1)%8, codebook SEEDED from the first 16
-    * vectors' normalized components and refined by `trainIters` unrolled
-    * Lloyd rounds (assignment = argmin rounded-6 squared L2 with code
+    * per-component rows (j 1..64, x = ve[j]/nrm), subspace m =
+    * (j-1)//subDim, local position p = (j-1)%subDim, codebook SEEDED
+    * from the first kCodes vectors' normalized components and refined by
+    * `trainIters` unrolled Lloyd rounds over the first `trainSample`
+    * vectors only (tsc — the bounded training slice the engine samples)
+    * (assignment = argmin rounded-6 squared L2 with code
     * tie-break; update = quantized-long per-component mean, the k3
     * pattern — exact sums, deterministic IEEE divisions). Encode/LUT
     * then read the TRAINED codebook: per-(vec,m,code) squared-L2 rounded
@@ -293,15 +295,16 @@ object SparkEntry {
   private def s5OracleSql(trainIters: Int = 3, kCodes: Int = 32,
                           subDim: Int = 2, dim: Int = 64,
                           numQueries: Int = 5, kCells: Int = 16,
-                          nProbe: Int = 4, shortlistN: Int = 40): String = {
-    def distCte(cbName: String, name: String, mat: Boolean) =
+                          nProbe: Int = 4, shortlistN: Int = 40,
+                          trainSample: Int = 4096): String = {
+    def distCte(src: String, cbName: String, name: String, mat: Boolean) =
       s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
          |  SELECT s.vec_id, s.m, c.code,
          |    round(sum((s.x - c.x) * (s.x - c.x)), 6) AS d2
-         |  FROM sc s JOIN $cbName c ON c.m = s.m AND c.p = s.p
+         |  FROM $src s JOIN $cbName c ON c.m = s.m AND c.p = s.p
          |  GROUP BY 1, 2, 3)""".stripMargin
     val trainCtes = (0 until trainIters).map { k =>
-      s"""${distCte(s"cb$k", s"td$k", mat = false)},
+      s"""${distCte("tsc", s"cb$k", s"td$k", mat = false)},
          |ta$k AS (SELECT vec_id, m, code FROM (
          |    SELECT vec_id, m, code, row_number() OVER (
          |      PARTITION BY vec_id, m ORDER BY d2, code) AS rn
@@ -310,7 +313,7 @@ object SparkEntry {
          |  SELECT a.m, a.code, s.p,
          |    CAST(sum(CAST(floor(s.x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
          |      / count(*) / 1000000.0 AS x
-         |  FROM ta$k a JOIN sc s ON s.vec_id = a.vec_id AND s.m = a.m
+         |  FROM ta$k a JOIN tsc s ON s.vec_id = a.vec_id AND s.m = a.m
          |  GROUP BY 1, 2, 3)""".stripMargin
     }.mkString(",\n")
     s"""WITH v AS (SELECT vec_id,
@@ -323,6 +326,7 @@ object SparkEntry {
        |  FROM w, range(1, ${dim + 1}) r),
        |sc AS MATERIALIZED (SELECT vec_id, (j - 1) // $subDim AS m,
        |    (j - 1) % $subDim AS p, x FROM nc),
+       |tsc AS MATERIALIZED (SELECT * FROM sc WHERE vec_id < $trainSample),
        |cb0 AS (SELECT vec_id AS code, m, p, x FROM sc WHERE vec_id < $kCodes),
        |$trainCtes,
        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < $kCells),
@@ -331,7 +335,7 @@ object SparkEntry {
        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
        |      FROM v CROSS JOIN c),
        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
-       |${distCte(s"cb$trainIters", "dist", mat = true)},
+       |${distCte("sc", s"cb$trainIters", "dist", mat = true)},
        |codes AS (SELECT vec_id, m, code FROM (
        |            SELECT vec_id, m, code,
        |              row_number() OVER (PARTITION BY vec_id, m

@@ -207,9 +207,13 @@ object Similarity {
     * ⌊x·10⁶+0.5⌋ longs so the sum is exact and partial-aggregation-order
     * independent), and the k-codes codebook frame is localCheckpoint'ed
     * per round so lineage stays flat. A code that loses all members
-    * drops out (standard Lloyd caveat, same as k3). Training cost is
-    * `trainIters` passes over n·numSub subvector rows with a broadcast
-    * numSub·kCodes-row codebook — no extra corpus shuffle.
+    * drops out (standard Lloyd caveat, same as k3). Training reads only
+    * the first `trainSample` vectors (FAISS practice: fit the codebook
+    * on a bounded slice, touch the fleet only in the encode pass), so
+    * training cost is `trainIters` passes over
+    * min(n, trainSample)·numSub subvector rows — CONSTANT in the corpus
+    * size — and stays deterministic/oracle-replayable because the
+    * sample is an id prefix, not a random draw.
     *
     * Every stage is deterministic (coarse seeds = the first `kCells`
     * vectors, codebook seeds = the first `kCodes` vectors' subvectors,
@@ -226,7 +230,8 @@ object Similarity {
                kCells: Int = 16, nProbe: Int = 4,
                numSub: Int = 32, subDim: Int = 2,
                kCodes: Int = 32, shortlistN: Int = 40,
-               dim: Int = 64, trainIters: Int = 3): DataFrame = {
+               dim: Int = 64, trainIters: Int = 3,
+               trainSample: Int = 4096): DataFrame = {
     require(numSub * subDim == dim,
       s"numSub ($numSub) * subDim ($subDim) must cover the embedding dim ($dim)")
     val base = Tables.embeddings(spark, dir)
@@ -339,9 +344,14 @@ object Similarity {
     // aggregate of quantized-long component sums (the k3 pattern — exact,
     // aggregation-order free), collected and divided on the driver with
     // the same IEEE op order the oracle's SQL runs (sum→double, /count,
-    // /1e6 — bit-deterministic on exact integer inputs).
+    // /1e6 — bit-deterministic on exact integer inputs). Training reads
+    // only the first `trainSample` vectors (deterministic, replayed by a
+    // WHERE in the oracle) — the FAISS practice that keeps training cost
+    // O(sample) while the corpus grows: at 100 TB the codebook is fit on
+    // a bounded slice and only the ENCODE pass touches the fleet.
+    val trainSub = sub.filter(col("vec_id") < trainSample)
     for (_ <- 0 until trainIters) {
-      val upd = cbCols(sub)
+      val upd = cbCols(trainSub)
         .select(col("m"), bestCode.as("code"), col("sv"))
         .groupBy(col("m"), col("code"))
         .agg(count(lit(1)).as("n"),
