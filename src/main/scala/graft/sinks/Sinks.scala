@@ -128,7 +128,11 @@ object Sinks {
     * construction, never data-sized. Without a transactional table format
     * the swap is per-partition, not atomic across partitions — the
     * Delta/Iceberg OPTIMIZE this models wraps exactly this rewrite in a
-    * commit. Returns the number of partitions compacted.
+    * commit. Returns the number of partitions compacted. Rows with a
+    * NULL partition value (Hive's default partition) are never selected
+    * for rewrite — the shard writer upstream requires a non-null
+    * partition column, so such a partition existing at all is a data bug
+    * to surface, not to silently reshuffle.
     */
   def compactShards(spark: org.apache.spark.sql.SparkSession, path: String,
                     partitionCol: String, sortCols: Seq[String],

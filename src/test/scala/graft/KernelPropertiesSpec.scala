@@ -181,4 +181,47 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(agg.finish(merged) == ref, s"case $i: $rows")
     }
   }
+
+  test("scd2 merge kernel is batch-split invariant on generated order streams") {
+    // The streaming SCD2 apply's correctness claim: ANY micro-batch
+    // partitioning of the same orders replays to the identical chained
+    // history (decimal spend accumulates exactly; the merge kernel is
+    // insert-only upsert + read-time chaining). Generate random order
+    // sets, split them into 1-4 random batches, fold through scd2Merge,
+    // and pin the chained result against the single-batch apply.
+    import spark.implicits._
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.DataFrame
+    val order = for {
+      cust <- Gen.chooseNum(1L, 5L)
+      year <- Gen.chooseNum(1995, 1999)
+      // two-decimal prices, incl. values whose doubles don't sum cleanly
+      cents <- Gen.chooseNum(1L, 99999L)
+    } yield (cust, java.sql.Date.valueOf(s"$year-06-15"), cents / 100.0)
+    def ordersDf(rows: Seq[(Long, java.sql.Date, Double)]): DataFrame =
+      rows.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    def empty: DataFrame = StreamOps.scd2BatchDeltas(
+      ordersDf(Seq.empty)).limit(0)
+    def result(batches: Seq[Seq[(Long, java.sql.Date, Double)]]): Seq[(Long, Int, Option[Int], Boolean, Long, Double)] =
+      StreamOps.scd2Chain(
+        batches.foldLeft(empty)((st, b) =>
+          StreamOps.scd2Merge(st, StreamOps.scd2BatchDeltas(ordersDf(b)))))
+        .orderBy("o_custkey", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          Option(r.get(2)).map(_.asInstanceOf[Int]), r.getBoolean(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+    val cases = sample(Gen.chooseNum(3, 14).flatMap(n =>
+      Gen.listOfN(n, order)), 6)
+    cases.zipWithIndex.foreach { case (rows, i) =>
+      assert(rows.nonEmpty, s"case $i generated no orders")
+      val nBatches = 1 + (i % 4)
+      val batches = rows.zipWithIndex
+        .groupBy { case (_, j) => (j * 2654435761L) % nBatches }
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val split = result(batches)
+      val whole = result(Seq(rows))
+      assert(split == whole,
+        s"case $i ($nBatches batches): $split != $whole")
+    }
+  }
 }
