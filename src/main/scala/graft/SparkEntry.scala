@@ -126,6 +126,7 @@ object SparkEntry {
     "x14_quality_bins"     -> ((s: SparkSession, d: String) => TextAnalysis.qualityBins(s, d)),
     "i1_inverted_index"    -> ((s: SparkSession, d: String) => TextAnalysis.invertedIndex(s, d)),
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
+    "m6_media_dedup"       -> Multimodal.mediaExactDedup _,
     "m4_image_phash"       -> ((s, d) => Multimodal.imageHashes(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -476,7 +477,11 @@ object SparkEntry {
        |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS BIGINT)) AS tb
        |      FROM documents$mod)""".stripMargin
 
-  private val m1OracleSql: String =
+  /** The synthesized media corpus (m1's payload reconstruction: BMP/WAV
+    * headers + text bytes, raw video) as CTEs ending in `allm` — shared
+    * by the m1 metadata oracle and the m6 exact-dedup oracle.
+    */
+  private val mediaAllmCtes: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |${textBytesCte("")},
        |img0 AS (
@@ -518,12 +523,32 @@ object SparkEntry {
        |    0 AS width, 0 AS height, 0 AS sample_rate,
        |    CAST(n // 1024 + 1 AS INT) AS n_frames, CAST(0 AS BIGINT) AS duration_ms
        |  FROM d WHERE doc_id % 3 = 2),
-       |allm AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
-       |SELECT doc_id, media_type, format, byte_len,
-       |  ${crc32Sql("payload")} AS crc32,
-       |  width, height, sample_rate, n_frames, duration_ms
-       |FROM allm, ct
-       |ORDER BY doc_id""".stripMargin
+       |allm AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)""".stripMargin
+
+  // NOTE: concatenated, NOT interpolated-then-stripMargin'd — the shared
+  // CTE text contains `||` list concats at line heads, which a second
+  // stripMargin pass would mangle into bitwise `|`.
+  private val m1OracleSql: String =
+    mediaAllmCtes + "\n" +
+      s"""SELECT doc_id, media_type, format, byte_len,
+         |  ${crc32Sql("payload")} AS crc32,
+         |  width, height, sample_rate, n_frames, duration_ms
+         |FROM allm, ct
+         |ORDER BY doc_id""".stripMargin
+
+  /** m6: byte-identical media dedup replayed over the reconstructed
+    * payloads — fingerprint per blob, then group.
+    */
+  private val m6OracleSql: String =
+    mediaAllmCtes + ",\n" +
+      s"""fp AS (
+         |  SELECT doc_id, media_type, byte_len,
+         |    ${crc32Sql("payload")} AS crc32
+         |  FROM allm, ct)
+         |SELECT media_type, byte_len, crc32,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM fp GROUP BY 1, 2, 3
+         |ORDER BY media_type, keep_id""".stripMargin
 
   private val m2OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
@@ -683,6 +708,7 @@ object SparkEntry {
     "x23_bpe_merges" -> x23OracleSql,
     "x24_token_compression" -> x24OracleSql,
     "m1_multimodal_meta" -> m1OracleSql,
+    "m6_media_dedup" -> m6OracleSql,
     "m2_frame_sample" -> m2OracleSql,
     "m3_audio_chunks" -> m3OracleSql,
     "m4_image_phash" -> m4OracleSql,

@@ -585,6 +585,38 @@ object Multimodal {
       .toDF()
       .orderedBy("doc_id")
 
+  /** m6: exact media dedup — byte-identical payload detection by
+    * (media_type, byte_len, crc32), the first pass every multimodal
+    * curation pipeline runs before any perceptual hashing (m4's aHash
+    * finds near-dups; this finds re-uploads and mirror copies at hash
+    * cost instead of decode cost). One narrow fingerprint pass (no
+    * payload ever shuffles — only the 20-byte digest rows), one keyed
+    * aggregate; at fleet scale the digest pair is the blob-store
+    * dedup key and the group-by is the only exchange.
+    *
+    * Collision caveat (the c1/c3 convention): the engine keys on
+    * (length, CRC32) while the stated contract is byte equality, so a
+    * 32-bit collision AT EQUAL LENGTH would merge two distinct payloads
+    * into one dedup group. A production deployment swaps in a
+    * cryptographic digest kernel (same plan, wider column); CRC32 is
+    * used here because the DuckDB oracle replays it bit-for-bit over the
+    * reconstructed payload bytes.
+    */
+  def mediaExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaBlobs(spark, dir)
+      .mapPartitions(_.map { b =>
+        val crc = new CRC32()
+        crc.update(b.payload)
+        (b.doc_id, b.media_type, b.payload.length.toLong, crc.getValue)
+      })
+      .toDF("doc_id", "media_type", "byte_len", "crc32")
+      .groupBy(col("media_type"), col("byte_len"), col("crc32"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderedBy("media_type", "keep_id")
+  }
+
   // --- the pixel seam (m4) ----------------------------------------------
 
   /** A decoded still image as the pixel seam hands it to the fingerprint:

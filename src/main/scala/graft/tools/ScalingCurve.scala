@@ -75,6 +75,7 @@ object ScalingCurve {
       // k4 provisioned like k2: cluster count scales with the corpus
       "k4_cluster_quality" -> ((s, d) => Curation.clusterQuality(s, d, k = 8 * m)),
       "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
+      "m6_media_dedup" -> ((s, d) => Multimodal.mediaExactDedup(s, d)),
       "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),
       "s7_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
       // the s7 throughput dial: the greedy re-rank is O(k*poolN) per query

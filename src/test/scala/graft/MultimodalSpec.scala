@@ -469,4 +469,29 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(f => (f.frame_idx, f.ts_ms)) == Seq((0, 0L), (4, 400L)))
     assert(sampled.map(_.frame_crc).distinct.size == 2)
   }
+
+  test("m6 groups byte-identical payloads only: same bytes dedup, same text under different headers don't") {
+    // video payload = raw text bytes, so equal-text video docs (ids 2, 5)
+    // are byte-identical; audio headers carry the sample rate, which is
+    // (id/3)%3-periodic — ids 1 and 10 share text AND rate (dup), id 4
+    // shares the text but lands rate 12000 (NOT a dup, despite equal
+    // content bytes: the container differs). Image headers fold id%31 and
+    // id%17, so equal-text images dedup only at id distance lcm(3,31,17)
+    // = 1581 (ids 0 and 1581); id 3 shares the text but not the geometry.
+    val dir = writeDocs(Seq(
+      (2L, "same clip"), (5L, "same clip"), (8L, "other clip"),
+      (1L, "same sound"), (10L, "same sound"), (4L, "same sound"),
+      (0L, "same pic"), (1581L, "same pic"), (3L, "same pic")))
+    val got = Multimodal.mediaExactDedup(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    val byType = got.groupBy(_._1).view.mapValues(_.map(g => (g._2, g._3)).toSeq).toMap
+    assert(byType("video").sortBy(_._1) == Seq((2L, 2L), (8L, 1L)),
+      s"video: ${byType("video").toSeq}")
+    assert(byType("audio").sortBy(_._1) == Seq((1L, 2L), (4L, 1L)),
+      s"audio: ${byType("audio").toSeq}")
+    assert(byType("image").sortBy(_._1) == Seq((0L, 2L), (3L, 1L)),
+      s"image: ${byType("image").toSeq}")
+    // total mass conserved: every blob is in exactly one group
+    assert(got.map(_._3).sum == 9L)
+  }
 }
