@@ -79,11 +79,62 @@ object PipelineScale {
       check(rows.map(_._2) == rows.map(_._2).sorted, s"$part not key-sorted")
     }
     val parts = c1.map(_._1).distinct.size
+
+    // Phase 2 — the maintenance cycle at scale: three small daily-ingest
+    // appends land in run 1's largest partition as under-sized files,
+    // compactShards re-bins them, and the loader contract must survive:
+    // identical row content, per-file size bound, within-shard sort.
+    import org.apache.spark.sql.functions.col
+    val tableDir = s"$base/r1"
+    val hotSrc = c1.groupBy(_._1).view.mapValues(_.map(_._2.size).sum)
+      .maxBy(_._2)._1.stripPrefix("source=")
+    val maxId = all.map(_._1).max
+    import spark.implicits._
+    // appends carry the full shard schema: fill the non-key columns with
+    // typed nulls from the table's own schema so parquet unions cleanly
+    val template = spark.read.parquet(tableDir).limit(0)
+    val keyCols = Set("doc_id", "shuffle_key", "source")
+    (1 to 3).foreach { k =>
+      val ids = (1 to 40).map(i => maxId + k * 1000L + i)
+      val extra = template.schema.fields.filterNot(f => keyCols(f.name))
+      val base0 = ids.toDF("doc_id")
+        .withColumn("shuffle_key", col("doc_id") * 7919L)
+        .withColumn("source", org.apache.spark.sql.functions.lit(hotSrc))
+      val withAll = extra.foldLeft(base0)((df, f) =>
+        df.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+      withAll.select(template.columns.map(col).toIndexedSeq: _*)
+        .repartition(1)
+        .write.mode("append").partitionBy("source").parquet(tableDir)
+    }
+    val preCompact = spark.read.parquet(tableDir)
+      .select("doc_id", "shuffle_key", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._3, x._1)).toSeq
+    val tCompact = System.nanoTime()
+    val compacted = Sinks.compactShards(spark, tableDir, "source",
+      Seq("shuffle_key", "doc_id"), maxRows)
+    val secCompact = (System.nanoTime() - tCompact) / 1e9
+    val postCompact = spark.read.parquet(tableDir)
+      .select("doc_id", "shuffle_key", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(x => (x._3, x._1)).toSeq
+    check(compacted >= 1, "the appended partition must be selected")
+    check(postCompact == preCompact, "compaction must not change content")
+    shardFiles(Paths.get(tableDir)).foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("shuffle_key", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      check(rows.length <= maxRows, s"$f over maxRecordsPerFile after compaction")
+      check(rows.sameElements(rows.sorted), s"$f lost its within-shard sort")
+    }
+
     val line =
       s"""{"dir":"$dir","docs_total":$total,"kept":${all.size},""" +
         s""""partitions":$parts,"files":${c1.size},"max_file_rows":$maxRows,""" +
         s""""budget":$budget,"reproducible":true,"sorted":true,""" +
-        f""""sec_run1":$sec1%.1f,"sec_run2":$sec2%.1f}"""
+        s""""compacted_partitions":$compacted,"compaction_content_stable":true,""" +
+        f""""sec_run1":$sec1%.1f,"sec_run2":$sec2%.1f,"sec_compact":$secCompact%.1f}"""
     Files.write(Paths.get(outJson), (line + "\n").getBytes)
     println(s"E2ESCALE $line")
     spark.stop()
