@@ -116,7 +116,8 @@ object Bench {
     // `parsed: null`). The FILE is the complete named artifact; the tail
     // window gets a COMPACT line that fits whole: per-query times as an
     // integer-milliseconds array ordered by ascending query name (the
-    // names are exactly sortedQueries' keys — ~650 chars for 126 queries
+    // names are exactly sortedQueries' keys, failed queries carry -1 —
+    // ~650 chars for 128 queries
     // vs ~3 KB named). Order of operations matters: write the file, print
     // the full line for humans reading top-down, stop Spark (so its
     // shutdown can't interleave), then flood the window with visibly
@@ -129,8 +130,12 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
     spark.stop()
-    val msSorted = ok.map { case (_, v) => math.round(v * 1000) }
-      .mkString("[", ",", "]")
+    // one entry per SORTED query name, INCLUDING failures (as -1), so the
+    // array always aligns positionally with sortedQueries' keys — built
+    // from `results` (every query, sorted), never the ok-subset
+    val msSorted = results.map { case (_, v) =>
+      if (v.isInfinite) -1L else math.round(v * 1000)
+    }.mkString("[", ",", "]")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
     (1 to 28).foreach(_ => println("-" * 76))

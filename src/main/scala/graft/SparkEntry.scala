@@ -329,8 +329,7 @@ object SparkEntry {
        |    (j - 1) % $subDim AS p, x FROM nc),
        |tsc AS MATERIALIZED (SELECT * FROM sc WHERE vec_id < $trainSample),
        |cb0 AS (SELECT vec_id AS code, m, p, x FROM sc WHERE vec_id < $kCodes),
-       |$trainCtes,
-       |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < $kCells),
+       |${if (trainIters > 0) trainCtes + ",\n" else ""}c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < $kCells),
        |a AS (SELECT v.vec_id, c.cell,
        |        row_number() OVER (PARTITION BY v.vec_id
        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn

@@ -168,7 +168,11 @@ object DataOps {
     import graft.streaming.StreamOps
     val orders = Tables.orders(spark, dir)
     val cut = lit(cutoff).cast("timestamp")
-    val pre = StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") < cut))
+    // pre feeds BOTH the merge and the audit join — persist the state-count
+    // frame once or the orders scan + keyed aggregate runs twice (Catalyst
+    // does not dedupe the shared subtree)
+    val pre = graft.CacheRegistry.persistTracked(
+      StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") < cut)))
     val delta = StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") >= cut))
     val merged = StreamOps.scd2Chain(StreamOps.scd2Merge(pre, delta))
     val old = StreamOps.scd2Chain(pre)

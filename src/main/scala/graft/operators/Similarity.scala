@@ -201,13 +201,16 @@ object Similarity {
     * `shortlistN` rows per query, joined with the shortlist broadcast.
     * The codebook is TRAINED, not sampled: per-subspace Lloyd k-means
     * (`trainIters` rounds), seeded from the first `kCodes` vectors'
-    * normalized subvectors. Each round is one broadcast-join assignment
-    * (argmin rounded squared-L2, code tie-break) plus one quantized-long
-    * per-component mean (the k3 trick — components fold to
-    * ⌊x·10⁶+0.5⌋ longs so the sum is exact and partial-aggregation-order
-    * independent), and the k-codes codebook frame is localCheckpoint'ed
-    * per round so lineage stays flat. A code that loses all members
-    * drops out (standard Lloyd caveat, same as k3). Training reads only
+    * normalized subvectors. Each round is one codegen'd argmin
+    * PROJECTION (rounded squared-L2, code tie-break) over the one-row
+    * broadcast codebook frame plus one quantized-long per-component
+    * mean aggregate (the k3 trick — components fold to ⌊x·10⁶+0.5⌋
+    * longs so the sum is exact and partial-aggregation-order
+    * independent); the numSub·kCodes codebook itself lives DRIVER-SIDE
+    * between rounds (the k-row-centroid collect pattern — see the
+    * implementation comments for the measured alternatives). A code
+    * that loses all members drops out (standard Lloyd caveat, same as
+    * k3). Training reads only
     * the first `trainSample` vectors (FAISS practice: fit the codebook
     * on a bounded slice, touch the fleet only in the encode pass), so
     * training cost is `trainIters` passes over

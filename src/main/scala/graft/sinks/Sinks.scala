@@ -143,9 +143,19 @@ object Sinks {
       .groupBy(col(partitionCol).as("pv"), input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("pv"))
-      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_file_rows"))
+      // two ways a partition violates the shard contract: MORE files
+      // than its row count needs (small-file debt), or any single file
+      // OVER the size bound (a writer that skipped maxRecordsPerFile) —
+      // both get the same rewrite
       .filter(col("n_files") >
-        ceil(col("n_rows").cast("double") / maxRecordsPerFile))
+        ceil(col("n_rows").cast("double") / maxRecordsPerFile) ||
+        col("max_file_rows") > maxRecordsPerFile)
+      // a NULL partition value (Hive default partition) is a data bug to
+      // surface, not to rewrite — and isin(null) would silently match
+      // nothing while still counting it as compacted
+      .filter(col("pv").isNotNull)
       .select("pv").collect().map(_.get(0))
     if (need.isEmpty) 0
     else {

@@ -35,10 +35,13 @@ object PipelineScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def shardFiles(root: Path): Seq[Path] =
-      Files.walk(root).iterator().asScala
+    def shardFiles(root: Path): Seq[Path] = {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.toString)
+      finally walk.close()
+    }
 
     def run(out: String): Double = {
       val t0 = System.nanoTime()

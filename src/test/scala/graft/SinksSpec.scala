@@ -119,6 +119,22 @@ class SinksSpec extends SparkSpec {
       "an already-compact partition must not be rewritten")
     // idempotent: a second pass finds nothing to do
     assert(Sinks.compactShards(spark, out, "source", Seq("doc_id"), 100) == 0)
+
+    // the OTHER contract violation: one oversized file (a writer that
+    // skipped maxRecordsPerFile) in a partition whose file COUNT looks
+    // fine — selection must fire on the per-file bound too
+    mk(301L to 550L, "books").repartition(1)
+      .write.mode("append").partitionBy("source").parquet(out)
+    assert(files("books").exists(f =>
+      spark.read.parquet(f.getPath).count() > 100), "setup: oversize file")
+    assert(Sinks.compactShards(spark, out, "source", Seq("doc_id"), 100) == 1,
+      "an in-bound file count must not hide an over-bound file")
+    files("books").foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 100,
+        s"${f.getName} still exceeds maxRecordsPerFile")
+    }
+    assert(spark.read.parquet(s"$out/source=books").count() == 450,
+      "books content preserved through the oversize rewrite")
   }
 
   test("jsonl and orc round-trip the documents schema losslessly") {
