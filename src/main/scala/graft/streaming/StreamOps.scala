@@ -177,6 +177,37 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
 
+  /** An arriving media blob on the ingest stream (the unbounded shape of
+    * Multimodal.MediaBlob, with the event time every watermark needs).
+    */
+  case class MediaEvent(doc_id: Long, ts: Timestamp, media_type: String,
+                        payload: Array[Byte])
+
+  /** m6's streaming twin: exact media dedup on the ingest stream — emit
+    * each blob's FIRST arrival, drop byte-identical re-uploads inside the
+    * watermark horizon. The payload reduces to the same
+    * (media_type, byte_len, crc32) digest key the batch operator groups
+    * on BEFORE the stateful operator, so dedup state is a digest row per
+    * distinct blob (never payload bytes — the same
+    * nothing-heavy-shuffles posture as batch m6), bounded by the
+    * watermark exactly like `dedupStream`. A digest collision merges two
+    * distinct payloads (the documented m6 caveat; production swaps a
+    * cryptographic digest, same plan).
+    */
+  def mediaDedupStream(spark: SparkSession, blobs: Dataset[MediaEvent],
+                       watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    blobs
+      .map { b =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(b.payload)
+        (b.doc_id, b.ts, b.media_type, b.payload.length.toLong, crc.getValue)
+      }
+      .toDF("doc_id", "ts", "media_type", "byte_len", "crc32")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("media_type", "byte_len", "crc32")
+  }
+
   /** Keyed run detection over >= minRun consecutive events of the same
     * event_type for one user. Two emission modes:
     *

@@ -956,6 +956,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media dedup: byte-identical re-uploads drop, distinct payloads pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def blob(id: Long, minute: Int, typ: String, bytes: String) =
+      StreamOps.MediaEvent(id,
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + minute * 60000L), typ, bytes.getBytes("UTF-8"))
+    val input = MemoryStream[StreamOps.MediaEvent]
+    val q = StreamOps.mediaDedupStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("media_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: original + same-batch re-upload + same bytes under a
+      // DIFFERENT media type (passes: the type is part of the key)
+      input.addData(Seq(blob(1, 0, "image", "pixels"),
+        blob(2, 1, "image", "pixels"), blob(3, 2, "video", "pixels")))
+      q.processAllAvailable()
+      // batch 2: cross-batch re-upload (state remembers) + a new payload
+      input.addData(Seq(blob(4, 5, "image", "pixels"),
+        blob(5, 6, "image", "other")))
+      q.processAllAvailable()
+      val got = spark.table("media_dedup_out").collect()
+        .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+      assert(got == Seq(1L, 3L, 5L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 apply: micro-batched ingest lands on the batch cdc2 history") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
