@@ -602,13 +602,23 @@ object Multimodal {
     * used here because the DuckDB oracle replays it bit-for-bit over the
     * reconstructed payload bytes.
     */
+  /** The (byte_len, crc32) digest pair m6 AND its streaming twin key on —
+    * ONE definition, so the batch operator and `mediaDedupStream` cannot
+    * drift apart (swapping in a cryptographic digest changes this one
+    * function).
+    */
+  private[graft] def payloadDigest(payload: Array[Byte]): (Long, Long) = {
+    val crc = new CRC32()
+    crc.update(payload)
+    (payload.length.toLong, crc.getValue)
+  }
+
   def mediaExactDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaBlobs(spark, dir)
       .mapPartitions(_.map { b =>
-        val crc = new CRC32()
-        crc.update(b.payload)
-        (b.doc_id, b.media_type, b.payload.length.toLong, crc.getValue)
+        val (len, crc) = payloadDigest(b.payload)
+        (b.doc_id, b.media_type, len, crc)
       })
       .toDF("doc_id", "media_type", "byte_len", "crc32")
       .groupBy(col("media_type"), col("byte_len"), col("crc32"))

@@ -110,9 +110,11 @@ object Sinks {
     * needs after incremental appends: streaming/backfill batches land as
     * their own small part files, and a training loader reading thousands
     * of under-sized shards pays per-file open/seek cost that compounds at
-    * 100 TB. This rewrites ONLY the partitions whose file count exceeds
-    * what their row count needs (`n_files > ceil(n_rows /
-    * maxRecordsPerFile)`), re-binning rows through the same
+    * 100 TB. This rewrites ONLY the partitions violating the shard
+    * contract — MORE files than their row count needs (`n_files >
+    * ceil(n_rows / maxRecordsPerFile)`, small-file debt) or any single
+    * file OVER the size bound (a writer that skipped
+    * maxRecordsPerFile) — re-binning rows through the same
     * `writeShards` discipline — repartition on the partition column,
     * within-shard sort re-established (leading with the partition column
     * so the writer's required ordering is already satisfied and the sort
@@ -139,7 +141,7 @@ object Sinks {
                     maxRecordsPerFile: Int): Int = {
     import org.apache.spark.sql.functions._
     val df = spark.read.parquet(path)
-    val need = df
+    val stats = df
       .groupBy(col(partitionCol).as("pv"), input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("pv"))
@@ -152,11 +154,17 @@ object Sinks {
       .filter(col("n_files") >
         ceil(col("n_rows").cast("double") / maxRecordsPerFile) ||
         col("max_file_rows") > maxRecordsPerFile)
-      // a NULL partition value (Hive default partition) is a data bug to
-      // surface, not to rewrite — and isin(null) would silently match
-      // nothing while still counting it as compacted
-      .filter(col("pv").isNotNull)
       .select("pv").collect().map(_.get(0))
+    // a NULL partition value (Hive default partition) is a data bug the
+    // shard writer can't produce — SURFACE it loudly, never rewrite it
+    // (isin(null) would silently match nothing while still counting the
+    // partition as compacted)
+    if (stats.contains(null)) System.err.println(
+      s"[compact-shards] WARNING: $path contains a NULL $partitionCol " +
+        "partition over the file-count/size bound — left untouched; " +
+        "shard writers never produce one, so its existence is a data " +
+        "bug upstream")
+    val need = stats.filter(_ != null)
     if (need.isEmpty) 0
     else {
       val pinned = df.filter(col(partitionCol).isin(need: _*)).localCheckpoint()

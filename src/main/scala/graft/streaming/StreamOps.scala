@@ -199,9 +199,9 @@ object StreamOps {
     import spark.implicits._
     blobs
       .map { b =>
-        val crc = new java.util.zip.CRC32()
-        crc.update(b.payload)
-        (b.doc_id, b.ts, b.media_type, b.payload.length.toLong, crc.getValue)
+        // the SAME digest function batch m6 groups on — one definition
+        val (len, crc) = graft.operators.Multimodal.payloadDigest(b.payload)
+        (b.doc_id, b.ts, b.media_type, len, crc)
       }
       .toDF("doc_id", "ts", "media_type", "byte_len", "crc32")
       .withWatermark("ts", watermark)
