@@ -156,6 +156,7 @@ object SparkEntry {
       Decontamination.contaminationScrub(s, d)),
     "k5_elbow_curve"       -> ((s: SparkSession, d: String) => Curation.elbowCurve(s, d)),
     "cdc3_merge_upsert"    -> ((s: SparkSession, d: String) => DataOps.mergeUpsert(s, d)),
+    "x36_split_assign"     -> ((s: SparkSession, d: String) => Curation.splitAssign(s, d)),
   )
 
   private val cosExpr =
@@ -2225,6 +2226,30 @@ object SparkEntry {
 
     // x30/x31 share the two-round LCG permutation key — pure int64
     // arithmetic, no fold can overflow (2^31*1103515245 < 2^62)
+    // x36: the NAIVE per-source rank form — the engine's two-phase
+    // bucket-histogram ranks must reproduce it exactly (x31 precedent);
+    // split boundaries as integer cross-multiplies, never float pcts.
+    "x36_split_assign" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS r1
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    (xor(r1, r1 // 32768) * 69069 + 1234567) % 2147483648 AS split_key
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, source, split_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY split_key, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM k)
+        |SELECT doc_id, source, split_key, CAST(rnk AS BIGINT) AS rnk,
+        |  CASE WHEN rnk * 100 <= n_src * 98 THEN 'train'
+        |       WHEN rnk * 100 <= n_src * 99 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "x30_corpus_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id, source,

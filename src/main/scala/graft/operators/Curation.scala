@@ -513,6 +513,52 @@ object Curation {
       .orderedBy("shard_id", "pos_in_shard")
   }
 
+  /** x36: deterministic stratified train/val/test split — assign EVERY
+    * document to a split with EXACT per-source proportions (`trainPct` /
+    * `valPct` / remainder percent of each source, boundaries decided by
+    * integer cross-multiply `rank*100 <= n*pct` — the c2 convention, no
+    * rounded-double compare), ordered by the same id-arithmetic
+    * permutation key x30 shuffles with, so the split is reproducible,
+    * auditable, and independent of partitioning. This is the assignment
+    * step every training run needs BEFORE sharding: a hash-threshold
+    * split gets proportions only in expectation; ranking gets them exact.
+    *
+    * Scale shape: the naive form is one rank window per source (a single
+    * corpus-sized sort partition at 100 TB). This is the x31 two-phase
+    * histogram form instead: bucket docs by the key's high bits, rank
+    * only within (source, bucket) — each partition ~1/128th of a
+    * source — and add the bucket's cumulative START offset from a tiny
+    * broadcast |sources|×128 frame. Key order is bucket-major by
+    * construction, so composed ranks are provably the global ranks; the
+    * DuckDB oracle runs the NAIVE per-source window and the hash check
+    * certifies the equivalence (the x31 precedent).
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+                  trainPct: Int = 98, valPct: Int = 1): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"trainPct ($trainPct) + valPct ($valPct) must leave room for test")
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), permKey(col("doc_id")).as("split_key"))
+      .withColumn("bucket", (col("split_key") / 16777216L).cast("long"))
+    val offs = keyed.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff", coalesce(
+        sum(col("bn")).over(Window.partitionBy("source").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_src", sum(col("bn")).over(Window.partitionBy("source")))
+      .select("source", "bucket", "boff", "n_src")
+    keyed.join(broadcast(offs), Seq("source", "bucket"))
+      .withColumn("rnk", (col("boff") + row_number().over(
+        Window.partitionBy("source", "bucket")
+          .orderBy(col("split_key"), col("doc_id")))).cast("long"))
+      .withColumn("split",
+        when(col("rnk") * 100 <= col("n_src") * trainPct, "train")
+          .when(col("rnk") * 100 <= col("n_src") * (trainPct + valPct), "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "split_key", "rnk", "split")
+      .orderedBy("doc_id")
+  }
+
   /** x31: token-budget sampling — realize a mixture plan (x25's shares ×
     * a global token budget) by selecting, per source, the prefix of a
     * deterministic priority order whose cumulative token count stays

@@ -207,4 +207,37 @@ class CurationSpec extends SparkSpec {
       assert(start + len == wc(doc), s"doc $doc last chunk must end at ${wc(doc)}")
     }
   }
+
+  test("x36 split is exactly stratified per source, reproducible, and key-ordered") {
+    // source A: 100 docs -> EXACTLY 98/1/1 at the default percentages;
+    // source B: 3 docs -> integer boundaries give 2 train / 0 val / 1 test
+    // (2*100 <= 3*98 but 3*100 > 3*99)
+    val dir = writeDocs(
+      (1L to 100L).map(i => (i, s"doc $i", "A")) ++
+        Seq((201L, "b1", "B"), (202L, "b2", "B"), (203L, "b3", "B")))
+    val got = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val bySrc = got.groupBy(_._2)
+    def counts(src: String) = bySrc(src).groupBy(_._5).view.mapValues(_.size).toMap
+    assert(counts("A") == Map("train" -> 98, "val" -> 1, "test" -> 1),
+      s"A: ${counts("A")}")
+    assert(counts("B") == Map("train" -> 2, "test" -> 1), s"B: ${counts("B")}")
+    // ranks are a permutation of 1..n per source, ordered by (key, id),
+    // and the split follows the rank order: all train ranks < the val
+    // rank < the test rank
+    bySrc.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      assert(sorted.map(_._4).toSeq == (1L to rows.size).toSeq,
+        s"$src ranks not a permutation in key order")
+      val maxTrain = rows.filter(_._5 == "train").map(_._4).max
+      val minTest = rows.filter(_._5 == "test").map(_._4).min
+      assert(maxTrain < minTest, s"$src: split must follow rank order")
+    }
+    // byte-reproducible: a second run lands identically
+    val again = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(again.toSeq == got.toSeq, "split must reproduce run-to-run")
+  }
 }
