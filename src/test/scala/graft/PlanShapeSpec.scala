@@ -75,6 +75,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally CacheRegistry.releaseShared()
   }
 
+  test("x36's rank window partitions on (source, bucket), never on the source alone") {
+    // the scale guard: per-doc ranking must sort within (source, bucket)
+    // sub-partitions — a Window partitioned on source alone is the
+    // corpus-sized single-sort this operator exists to avoid, and a
+    // refactor reintroducing it would still pass every VALUE check
+    // (bucket-major composition is provably equivalent)
+    val dir = writeDocs((1L to 300L).map(i => (i, s"doc $i", "only_source")))
+    val plan = {
+      val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.operators.Curation.splitAssign(spark, dir)
+        .queryExecution.executedPlan.toString
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    val rowNumberWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number()")).toSeq
+    assert(rowNumberWindows.nonEmpty, s"expected a row_number window:\n$plan")
+    rowNumberWindows.foreach { w =>
+      assert(w.contains("bucket"),
+        s"the per-doc rank window must partition on (source, bucket): $w")
+    }
+  }
+
   test("spark.graft.orderedOutput=false drops the global output sort, same rows") {
     import org.apache.spark.sql.execution.SortExec
     val dir = writeDocs(Seq(
