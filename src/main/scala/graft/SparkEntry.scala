@@ -2224,8 +2224,6 @@ object SparkEntry {
         |FROM sc GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
-    // x30/x31 share the two-round LCG permutation key — pure int64
-    // arithmetic, no fold can overflow (2^31*1103515245 < 2^62)
     // x36: the NAIVE per-source rank form — the engine's two-phase
     // bucket-histogram ranks must reproduce it exactly (x31 precedent);
     // split boundaries as integer cross-multiplies, never float pcts.
@@ -2250,6 +2248,8 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // x30/x31/x36 share the two-round LCG permutation key — pure int64
+    // arithmetic, no fold can overflow (2^31*1103515245 < 2^62)
     "x30_corpus_shuffle" ->
       """WITH r AS (
         |  SELECT doc_id, source,

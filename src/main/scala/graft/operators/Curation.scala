@@ -477,6 +477,13 @@ object Curation {
     * otherwise map to keys at constant distance — a visible stripe in
     * the "shuffled" order); div-by-2¹⁵ is the engine-portable shift.
     */
+  /** The bucket width both two-phase bucket-rank operators (x31, x36)
+    * derive from the permutation key's high 7 bits: keys are < 2^31, so
+    * div 2^24 yields 128 buckets. If permKey's range ever changes, this
+    * single constant keeps the two operators' bucketing in lockstep.
+    */
+  private val KeyBucketWidth = 16777216L
+
   private def permKey(id: Column): Column = {
     val r1 = (pmod(id, lit(2147483648L)) * 1103515245L + 12345L) % 2147483648L
     val x = r1.bitwiseXOR((r1 / 32768L).cast("long"))
@@ -539,7 +546,7 @@ object Curation {
       s"trainPct ($trainPct) + valPct ($valPct) must leave room for test")
     val keyed = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), permKey(col("doc_id")).as("split_key"))
-      .withColumn("bucket", (col("split_key") / 16777216L).cast("long"))
+      .withColumn("bucket", (col("split_key") / KeyBucketWidth).cast("long"))
     val offs = keyed.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
       .withColumn("boff", coalesce(
@@ -547,7 +554,13 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_src", sum(col("bn")).over(Window.partitionBy("source")))
       .select("source", "bucket", "boff", "n_src")
-    keyed.join(broadcast(offs), Seq("source", "bucket"))
+    // null-SAFE source match: groupBy and Window keep a NULL source as
+    // its own group (exactly like the oracle's PARTITION BY), so the
+    // offset join must too — a plain equi-join would silently DROP
+    // null-source docs from every split
+    keyed.join(broadcast(offs.withColumnRenamed("source", "o_source")
+        .withColumnRenamed("bucket", "o_bucket")),
+      col("source") <=> col("o_source") && col("bucket") === col("o_bucket"))
       .withColumn("rnk", (col("boff") + row_number().over(
         Window.partitionBy("source", "bucket")
           .orderBy(col("split_key"), col("doc_id")))).cast("long"))
@@ -583,9 +596,9 @@ object Curation {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("wc"),
         permKey(col("doc_id")).as("pri"))
-      // bucket-major: priority's high 7 bits (pri < 2^31, so div 2^24
+      // bucket-major: priority's high 7 bits (KeyBucketWidth; pri < 2^31, so div 2^24
       // yields buckets 0..127) — within-bucket order refines it
-      .withColumn("bucket", (col("pri") / 16777216L).cast("long"))
+      .withColumn("bucket", (col("pri") / KeyBucketWidth).cast("long"))
     val bucketTotals = docs.groupBy(col("source"), col("bucket"))
       .agg(sum(col("wc")).as("bucket_wc"))
       .withColumn("offset",

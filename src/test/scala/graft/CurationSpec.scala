@@ -240,4 +240,23 @@ class CurationSpec extends SparkSpec {
         r.getString(4)))
     assert(again.toSeq == got.toSeq, "split must reproduce run-to-run")
   }
+
+  test("x36 assigns null-source docs instead of dropping them through the offset join") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq((1L, "a", "en", "s0", 1L), (2L, "b", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(Seq((9L, "orphan", "en", 1L)).toDF("doc_id", "text", "lang", "n_chars")
+        .withColumn("source", org.apache.spark.sql.functions.lit(null).cast("string"))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Curation.splitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(4)))
+    assert(got.length == 3, s"every doc gets a split, got ${got.toSeq}")
+    // the null source forms its own stratum: its single doc ranks 1 of 1
+    // -> train (1*100 <= 1*98 is false... 100 > 98 -> falls through 99
+    // too -> test); what matters is it IS assigned, deterministically
+    val orphan = got.find(_._1 == 9L).get
+    assert(orphan._2.isEmpty && orphan._3 == "test", s"orphan: $orphan")
+  }
 }

@@ -25,18 +25,23 @@ class PlanShapeSpec extends SparkSpec {
     dir
   }
 
-  /** Static (AQE-off) executed-plan counts — the same introspection mode
-    * PlanAudit uses for PLANS.md, so the spec pins what the audit reports.
+  /** Run `f` with AQE disabled — the introspection mode PlanAudit uses
+    * for PLANS.md, so every plan this spec pins matches what the audit
+    * reports. ONE toggle implementation for the whole suite.
     */
-  private def staticCounts(df: => DataFrame): PlanCounts = {
+  private def withStaticPlan[T](f: => T): T = {
     val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try PlanCounts(df.queryExecution.executedPlan)
+    try f
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
       case None => spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  /** Static (AQE-off) executed-plan counts. */
+  private def staticCounts(df: => DataFrame): PlanCounts =
+    withStaticPlan(PlanCounts(df.queryExecution.executedPlan))
 
   test("g1/d6/d7 runtime plans read the shared d4 memo; exchanges stay bounded") {
     // three near-dup docs (a chain) + one outlier: enough for real pairs,
@@ -82,16 +87,9 @@ class PlanShapeSpec extends SparkSpec {
     // refactor reintroducing it would still pass every VALUE check
     // (bucket-major composition is provably equivalent)
     val dir = writeDocs((1L to 300L).map(i => (i, s"doc $i", "only_source")))
-    val plan = {
-      val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try graft.operators.Curation.splitAssign(spark, dir)
-        .queryExecution.executedPlan.toString
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
-        case None => spark.conf.unset("spark.sql.adaptive.enabled")
-      }
-    }
+    val plan = withStaticPlan(
+      graft.operators.Curation.splitAssign(spark, dir)
+        .queryExecution.executedPlan.toString)
     val rowNumberWindows = plan.linesIterator
       .filter(l => l.contains("Window") && l.contains("row_number()")).toSeq
     assert(rowNumberWindows.nonEmpty, s"expected a row_number window:\n$plan")
