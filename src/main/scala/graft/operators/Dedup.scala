@@ -640,10 +640,16 @@ object Dedup {
   val PageRankAuto: Int = -1
 
   def pageRank(spark: SparkSession, dir: String,
-               minJaccard: Double = 0.8, iters: Int = 3): DataFrame =
+               minJaccard: Double = 0.8, iters: Int = 3): DataFrame = {
+    // only -1 is the auto sentinel: any other non-positive value would
+    // fold zero supersteps and return the uniform init ranks as if they
+    // were real PageRank output — fail fast on the typo instead
+    require(iters == PageRankAuto || iters >= 1,
+      s"iters must be >= 1 or Dedup.PageRankAuto (-1); got $iters")
     if (iters == PageRankAuto)
       pageRankFromPairsAuto(sharedPairs(spark, dir, minJaccard))._1
     else pageRankFromPairs(sharedPairs(spark, dir, minJaccard), iters)
+  }
 
   /** The shared PageRank machinery: snapshot the pair list, build the
     * degree-decorated symmetric edge frame and the broadcast vertex count,

@@ -228,6 +228,12 @@ object Similarity {
     * rounding also makes the ADC sum order-insensitive: a sum of
     * multiples of 1e-6 re-rounded to 6 decimals cannot be perturbed by
     * double-accumulation order, so plain `sum` is safe on both engines.
+    *
+    * NOTE: training is EAGER — the seed collect and one small collect per
+    * Lloyd round run as driver-side Spark jobs at construction time (the
+    * codebook is a driver-held model artifact), so this method does real
+    * work before the returned frame's first action; the returned scan
+    * plan itself is lazy as usual.
     */
   def annIvfPq(spark: SparkSession, dir: String,
                kCells: Int = 16, nProbe: Int = 4,
@@ -301,6 +307,11 @@ object Similarity {
           r.getSeq[Double](2).toIndexedSeq))
         .groupBy(_._1).map { case (m, rs) =>
           m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+    // an empty / id-gapped corpus would otherwise surface later as an
+    // unhelpful NoSuchElementException from cbLocal(m) inside cbFrame
+    require((0 until numSub).forall(m => cbLocal.get(m).exists(_.nonEmpty)),
+      s"annIvfPq needs at least one vector with vec_id < kCodes ($kCodes) " +
+        "per subspace to seed the codebook; the corpus slice supplied none")
 
     // The codebook travels as a ONE-ROW broadcast frame (ids: m→slot→code,
     // comps: m→slot→components), cross-joined onto sub — binding it as

@@ -168,22 +168,18 @@ object Sinks {
     if (need.isEmpty) 0
     else {
       val pinned = df.filter(col(partitionCol).isin(need: _*)).localCheckpoint()
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try pinned
+      // dynamic overwrite scoped to THIS writer (not a session-wide conf
+      // toggle): a concurrent write on the same session during the
+      // compaction window keeps its own overwrite semantics
+      pinned
         .repartition(col(partitionCol))
         .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
         .write
         .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
         .partitionBy(partitionCol)
         .parquet(path)
-      finally prev match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
       need.length
     }
   }
@@ -208,21 +204,14 @@ object Sinks {
     * directly testable.
     */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long,
-                           path: String): Unit = {
-    val prev = batch.sparkSession.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try batch
+                           path: String): Unit =
+    // dynamic overwrite scoped to this one writer (same rationale as
+    // compactShards): no session-wide conf save/restore dance
+    batch
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
-    finally prev match {
-      case Some(p) => batch.sparkSession.conf
-        .set("spark.sql.sources.partitionOverwriteMode", p)
-      case None => batch.sparkSession.conf
-        .unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
 
   /** foreachBatch parquet sink with exactly-once *output* on top of the
     * engine's at-least-once batch delivery — the idempotent-writer

@@ -1049,6 +1049,17 @@ object StreamOps {
                      windowDur: String = "1 day", watermark: String = "1 day",
                      bins: Int = 10, binWidth: Double = 50.0,
                      threshold: Double = 0.2): DataFrame = {
+    // a reference histogram persisted before the bins/binWidth columns
+    // existed would otherwise die at ANALYSIS with an unresolved-column
+    // error; check on the driver and raise the same descriptive message
+    // the runtime tripwire uses for a value mismatch
+    if (!reference.columns.contains("ref_bins") ||
+        !reference.columns.contains("ref_bin_width"))
+      throw new IllegalArgumentException(
+        "psiDriftStream reference frame lacks ref_bins/ref_bin_width " +
+          "columns — rebuild it with referenceHistogram so the monitor can " +
+          "verify the binning matches (monitor expects " +
+          s"($bins, $binWidth))")
     val binCols = (0 until bins).map(i =>
       sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
     val agged = events
