@@ -157,6 +157,8 @@ object SparkEntry {
     "k5_elbow_curve"       -> ((s: SparkSession, d: String) => Curation.elbowCurve(s, d)),
     "cdc3_merge_upsert"    -> ((s: SparkSession, d: String) => DataOps.mergeUpsert(s, d)),
     "x36_split_assign"     -> ((s: SparkSession, d: String) => Curation.splitAssign(s, d)),
+    "cls1_quality_classifier" -> ((s: SparkSession, d: String) =>
+      Curation.qualityClassifier(s, d)),
   )
 
   private val cosExpr =
@@ -232,6 +234,79 @@ object SparkEntry {
   }
 
   private val splitmixCtes: String = mixCtes("h0", "m")
+
+  /** cls1's DuckDB twin: x7's feature CTEs (token hash → signed counts →
+    * normalized components, bit-exact), quantized to the 1e-6 long grid
+    * plus the bias feature, then the 3 full-batch hard-sigmoid logistic
+    * rounds unrolled (weights as 65-row CTEs, gradients as exact integer
+    * sums, the truncating-division update — DuckDB `//` == Java long
+    * division), then the corpus scoring join. Multiply-referenced CTEs
+    * are AS MATERIALIZED (the g2 lesson: DuckDB re-inlines otherwise).
+    */
+  private val cls1OracleSql: String = {
+    val posSet = "('src0','src1','src2','src3','src4')"
+    val p6 = (z: String) =>
+      s"CAST((least(greatest($z + 2000000000000, 0), 4000000000000) + 2000000) // 4000000 AS BIGINT)"
+    val rounds = (0 until 3).map { t =>
+      s"""z$t AS (
+         |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
+         |  FROM xtr x JOIN w$t w USING (j) GROUP BY x.doc_id),
+         |e$t AS MATERIALIZED (
+         |  SELECT z.doc_id, ${p6("z.z")} - l.y6 AS err6
+         |  FROM z$t z JOIN lab l USING (doc_id)),
+         |g$t AS (
+         |  SELECT j, sum(err6 * xq) AS g
+         |  FROM xtr JOIN e$t USING (doc_id) GROUP BY j),
+         |w${t + 1} AS MATERIALIZED (
+         |  SELECT w.j,
+         |    w.wq - COALESCE(CAST(g.g // (2 * (SELECT n FROM nn) * 1000000) AS BIGINT), 0) AS wq
+         |  FROM w$t w LEFT JOIN g$t g USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h0 AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS HUGEINT))),
+       |      (h, b) -> (h*31 + b) % CAST(18446744073709551616 AS HUGEINT)) AS u
+       |  FROM toks),
+       |$splitmixCtes,
+       |feats AS (
+       |  SELECT doc_id, CAST(u % 64 AS BIGINT) AS idx,
+       |         CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT) THEN -1.0 ELSE 1.0 END AS sgn
+       |  FROM m5),
+       |acc AS (SELECT doc_id, idx, sum(sgn) AS a FROM feats GROUP BY doc_id, idx),
+       |ssq AS (SELECT doc_id, sum(a*a) AS ss FROM acc GROUP BY doc_id),
+       |comp AS (
+       |  SELECT acc.doc_id, idx,
+       |         CASE WHEN ssq.ss > 0 THEN a / sqrt(ssq.ss) ELSE a END AS v
+       |  FROM acc JOIN ssq ON acc.doc_id = ssq.doc_id),
+       |xfeat AS MATERIALIZED (
+       |  SELECT doc_id, idx AS j, CAST(floor(v*1000000 + 0.5) AS BIGINT) AS xq
+       |  FROM comp WHERE v <> 0 AND floor(v*1000000 + 0.5) <> 0
+       |  UNION ALL
+       |  SELECT doc_id, 64 AS j, CAST(1000000 AS BIGINT) AS xq FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |         CASE WHEN source IN $posSet THEN 1000000 ELSE 0 END AS y6,
+       |         source IN $posSet AS label_high
+       |  FROM documents),
+       |xtr AS MATERIALIZED (SELECT * FROM xfeat WHERE doc_id < 4096),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id < 4096),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS j, CAST(0 AS BIGINT) AS wq),
+       |$rounds,
+       |zf AS (
+       |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
+       |  FROM xfeat x JOIN w3 w USING (j) GROUP BY x.doc_id)
+       |SELECT l.doc_id, l.source, l.label_high,
+       |  CAST(z AS BIGINT) AS margin_p12,
+       |  ${p6("z")} AS prob_micros,
+       |  ${p6("z")} >= 500000 AS pred_high
+       |FROM zf JOIN lab l USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
 
   /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
     * unrolled — assignment cosines as ORDERED list folds (round-9 leaves
@@ -2655,5 +2730,7 @@ object SparkEntry {
         |  FROM wts)
         |SELECT doc_id, n_tokens, dsir_weight, gumbel_key
         |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "cls1_quality_classifier" -> cls1OracleSql,
   )
 }

@@ -730,4 +730,104 @@ object Curation {
         min(col("vec_id")).as("first_vec"))
       .orderBy("centroid_id")
   }
+
+  /** cls1: trained linear quality classifier — the GPT-3/LLaMA-recipe
+    * curation stage (Brown et al. 2020 App. A; Touvron et al. 2023):
+    * fit a binary classifier that scores P(document resembles a
+    * high-quality source) with source membership as the label, then
+    * score the whole corpus with it. Features are x7's feature-hashing
+    * embeddings (the fastText-style bag-of-hashed-tokens), the model is
+    * logistic regression trained with a hard-sigmoid surrogate
+    * (σ̂(z) = clamp(z/4 + 1/2, 0, 1) — exact rational arithmetic where
+    * exp() would be the one cross-engine nondeterminism in the loop) by
+    * `iters` full-batch gradient steps at learning rate 1/`lrDiv`.
+    *
+    * Every quantity lives on an explicit integer grid so the entire
+    * training run + scoring pass is bit-replayed by the DuckDB oracle
+    * (the s5/k3 discipline): features quantize once to 1e-6 longs
+    * (⌊v·10⁶+0.5⌋, x7's digest grid) plus a constant bias feature;
+    * per-doc margins are exact long sums in 1e-12 units; predicted
+    * probabilities collapse to the 1e-6 grid by non-negative integral
+    * division; the gradient is an exact long sum of err·x products; and
+    * the weight update Δw_j = g_j quot (lrDiv·n·10⁶) uses truncating
+    * integer division — identical in Java long division and DuckDB `//`
+    * (both truncate toward zero). No float enters until the published
+    * convenience columns, each one correctly-rounded IEEE division of
+    * exact integers (the g2 principle).
+    *
+    * Scale posture: training reads only the `trainSample` id-prefix docs
+    * (the s5 trainSample bound — constant cost in corpus size, and the
+    * sample is oracle-replayable with one WHERE); each round is one
+    * aggregate + one tiny broadcast join over a persisted
+    * ≤ trainSample·(dim+1)-row sparse frame, and the (dim+1)-weight
+    * model lives DRIVER-SIDE between rounds (the s5 codebook / k-row
+    * centroid pattern — the model IS a driver artifact). Scoring the
+    * corpus is ONE codegen'd narrow projection (the 64-term quantized
+    * dot product unrolled — no shuffle, no join; the fleet-scale apply
+    * pass is embarrassingly parallel). NOTE: training is EAGER — the
+    * doc count and one small gradient collect per round run as Spark
+    * jobs at construction time; the returned scoring plan is lazy.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String,
+                        dim: Int = 64, trainSample: Int = 4096,
+                        iters: Int = 3, lrDiv: Int = 2,
+                        positiveSources: Seq[String] =
+                          Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    require(lrDiv >= 1, s"lrDiv must be >= 1; got $lrDiv")
+    val docs = Tables.documents(spark, dir)
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    val isHigh = col("source").isin(positiveSources: _*)
+    // sparse quantized features: (doc_id, j, xq) for nonzero dims, plus a
+    // bias row j = dim with xq = 10^6 (x = 1.0) for every doc
+    val xqArr = concat(
+      transform(emb, v => floor(v * 1e6 + 0.5).cast("long")),
+      array(lit(1000000L)))
+    val trainDocs = docs.filter(col("doc_id") < trainSample)
+    val n = trainDocs.count()
+    require(n > 0,
+      s"qualityClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
+    val train = graft.CacheRegistry.persistTracked(
+      trainDocs
+        .select(col("doc_id"),
+          when(isHigh, 1000000L).otherwise(0L).as("y6"),
+          posexplode(xqArr))
+        .select(col("doc_id"), col("y6"), col("pos").as("j"),
+          col("col").as("xq"))
+        .filter(col("xq") =!= 0L))
+    val wq = Array.fill(dim + 1)(0L)
+    val p6Expr = // hard-sigmoid on the 1e-6 grid; operands non-negative
+      // after the clamp, so integral div == floor on both engines
+      "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
+    for (_ <- 0 until iters) {
+      val wLit = typedLit(wq.toSeq)
+      val err = train
+        .groupBy(col("doc_id"), col("y6"))
+        .agg(sum(col("xq") * element_at(wLit, col("j") + 1)).as("z12"))
+        .selectExpr("doc_id", s"$p6Expr - y6 AS err6")
+      val g = train.join(broadcast(err), "doc_id")
+        .groupBy(col("j"))
+        .agg(sum(col("err6") * col("xq")).as("g"))
+        .collect()
+      g.foreach { r =>
+        val j = r.getInt(0)
+        // Java long division truncates toward zero, exactly like DuckDB //
+        wq(j) -= r.getLong(1) / (lrDiv.toLong * n * 1000000L)
+      }
+    }
+    // scoring pass: the quantized dot product unrolled into one codegen'd
+    // expression (the kernel subexpression is CSE'd once per row); the
+    // published double columns are single IEEE divisions of exact longs
+    val zTerms = (0 until dim).map { j =>
+      floor(element_at(emb, j + 1) * 1e6 + 0.5).cast("long") * lit(wq(j))
+    } :+ lit(1000000L * wq(dim))
+    docs
+      .select(col("doc_id"), col("source"), isHigh.as("label_high"),
+        zTerms.reduceLeft(_ + _).as("z12"))
+      .selectExpr("doc_id", "source", "label_high",
+        "z12 AS margin_p12",
+        s"$p6Expr AS prob_micros",
+        s"$p6Expr >= 500000 AS pred_high")
+      .orderedBy("doc_id")
+  }
 }

@@ -259,4 +259,73 @@ class CurationSpec extends SparkSpec {
     val orphan = got.find(_._1 == 9L).get
     assert(orphan._2.isEmpty && orphan._3 == "test", s"orphan: $orphan")
   }
+
+  // cls1 fixture: disjoint vocabularies -> linearly separable in the
+  // hashed feature space; token order rotates per doc so texts differ
+  private def cls1Fixture(nPerClass: Int): Seq[(Long, String, String)] = {
+    val posVocab = Seq("aurora", "borealis", "cascade", "dynamo",
+      "ember", "fjord", "glacier", "horizon")
+    val negVocab = Seq("sludge", "clickbait", "spamword", "lorem",
+      "garble", "mangle", "noise", "fuzz")
+    def doc(id: Long, vocab: Seq[String]) = {
+      val rot = (id % vocab.size).toInt
+      (vocab.drop(rot) ++ vocab.take(rot)).mkString(" ")
+    }
+    (0 until nPerClass).map(i => (i.toLong, doc(i, posVocab), "hi")) ++
+      (0 until nPerClass).map(i =>
+        (nPerClass + i.toLong, doc(i, negVocab), "lo"))
+  }
+
+  test("cls1 separates disjoint-vocabulary classes and reproduces run-to-run") {
+    val dir = writeDocs(cls1Fixture(20))
+    def run() = Curation
+      .qualityClassifier(spark, dir, positiveSources = Seq("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3), r.getBoolean(5)))
+    val got = run()
+    assert(got.length == 40)
+    got.foreach { case (id, label, margin, pred) =>
+      assert(pred == label, s"doc $id: pred $pred != label $label")
+      assert(if (label) margin > 0 else margin < 0,
+        s"doc $id: margin $margin inconsistent with label $label")
+    }
+    assert(run().toSeq == got.toSeq, "training + scoring must reproduce")
+  }
+
+  test("cls1 zero-iteration model scores everyone at the inclusive 0.5 boundary") {
+    val dir = writeDocs(cls1Fixture(3))
+    val got = Curation
+      .qualityClassifier(spark, dir, iters = 0, positiveSources = Seq("hi"))
+      .collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // w = 0 -> margin 0, hard-sigmoid 0.5 exactly; pred_high is >= (the
+    // documented inclusive convention), so every doc predicts high
+    got.foreach { case (margin, prob, pred) =>
+      assert(margin == 0L && prob == 500000L && pred,
+        s"boundary row: ($margin, $prob, $pred)")
+    }
+  }
+
+  test("cls1 training reads only the trainSample id prefix") {
+    val base = cls1Fixture(10) // ids 0..19
+    // a poisoned doc past the sample bound: positive label, negative vocab
+    val poisoned = base :+ (100L,
+      "sludge clickbait spamword lorem garble mangle noise fuzz", "hi")
+    val dirClean = writeDocs(base)
+    val dirPoisoned = writeDocs(poisoned)
+    def scores(dir: String) = Curation
+      .qualityClassifier(spark, dir, trainSample = 50,
+        positiveSources = Seq("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    val clean = scores(dirClean)
+    val withPoison = scores(dirPoisoned)
+    // the out-of-sample doc is scored...
+    assert(withPoison.contains(100L))
+    // ...but never trained on: every shared doc's margin is unchanged
+    clean.foreach { case (id, margin) =>
+      assert(withPoison(id) == margin,
+        s"doc $id margin moved ($margin -> ${withPoison(id)}): " +
+          "a doc past trainSample influenced the weights")
+    }
+  }
 }
