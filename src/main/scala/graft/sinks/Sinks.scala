@@ -106,6 +106,41 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Z-ordered training-shard writer — the other half of the lakehouse
+    * OPTIMIZE posture next to file-count compaction (`compactShards`):
+    * within each Hive partition, rows are clustered by the Morton
+    * interleave of two dimension columns (`graft.functions.ZOrder`)
+    * instead of a linear sort, so consecutive `maxRecordsPerFile` slices
+    * — and therefore the written FILES — cover compact ranges in BOTH
+    * dimensions at once. Per-file parquet min/max stats then prune on
+    * either dimension: a reader filtering on the SECOND clustered column
+    * skips most files, where a linear sort's trailing column spans the
+    * full value range in every file and prunes nothing (SinksSpec proves
+    * both the footer-stat geometry and the live row-group skipping).
+    * Same write discipline as `writeShards` — one repartition on the
+    * partition column, a partition-local sort led by the partition column
+    * so the writer's required ordering is satisfied and the cluster sort
+    * survives, size-bounded files. The dimension columns must be
+    * non-negative ints on a bounded grid (a rank, a bin, a day number —
+    * quantize unbounded columns first, exactly as OPTIMIZE ZORDER range-
+    * ranks before interleaving; only the low 16 bits participate).
+    */
+  def writeShardsZOrdered(df: DataFrame, path: String, partitionCol: String,
+                          zorderCols: (String, String),
+                          maxRecordsPerFile: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__zkey",
+        graft.functions.ZOrder.mortonKey(col(zorderCols._1), col(zorderCols._2)))
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(col(partitionCol), col("__zkey"))
+      .drop("__zkey")
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** OPTIMIZE-style shard compaction — the maintenance pass a shard table
     * needs after incremental appends: streaming/backfill batches land as
     * their own small part files, and a training loader reading thousands

@@ -72,6 +72,64 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 500)
   }
 
+  test("z-ordered shards skip files on BOTH dimensions; linear sort only on its leading one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a full 64x64 grid: 4096 rows, maxRecordsPerFile 256 -> 16 files.
+    // Morton order makes each 256-row slice an aligned 16x16 block, so
+    // every file is narrow in x AND y; the linear-by-x layout makes each
+    // file a 4-column stripe spanning ALL of y.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong * 64 + y, x, y, "s0")).toSeq
+      .toDF("id", "x", "y", "source")
+    val zOut = tempSfDir() + "/zorder"
+    val linOut = tempSfDir() + "/linear"
+    Sinks.writeShardsZOrdered(grid, zOut, "source", ("x", "y"), 256)
+    Sinks.writeShards(grid, linOut, "source", Seq("x", "y"), 256)
+
+    // footer-stat geometry: per-file (min,max) of both dims via the file
+    // the row actually landed in — the stats a lakehouse skipper reads
+    def fileRanges(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    val zRanges = fileRanges(zOut)
+    val linRanges = fileRanges(linOut)
+    assert(zRanges.length == 16 && linRanges.length == 16,
+      s"expected 16 files each, got z=${zRanges.length} lin=${linRanges.length}")
+    // predicate on the SECOND dimension: y in [8, 15]
+    def hitsY(rs: Seq[(Int, Int, Int, Int)]) =
+      rs.count { case (_, _, y0, y1) => y0 <= 15 && y1 >= 8 }
+    assert(hitsY(linRanges) == 16,
+      "a linear sort's trailing column spans every file - nothing skippable")
+    assert(hitsY(zRanges) <= 4,
+      s"z-order should confine y in [8,15] to <=4 of 16 files, hit ${hitsY(zRanges)}")
+    // box predicate on both dimensions hits at most 2 z-files
+    val boxHits = zRanges.count { case (x0, x1, y0, y1) =>
+      x0 <= 15 && x1 >= 8 && y0 <= 15 && y1 >= 8 }
+    assert(boxHits <= 2, s"box should hit <=2 z-files, hit $boxHits")
+
+    // LIVE skipping: parquet row-group stats + the pushed y-predicate make
+    // the scan emit only the surviving files' rows (each file is one row
+    // group here), not the whole table
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y").between(8, 15))
+      // execute THIS plan (metrics are per-execution; count() would build
+      // and run a different one), then read the leaf scan's row metric
+      assert(q.collect().length == 64 * 8)
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zScan = scanRows(zOut)
+    val linScan = scanRows(linOut)
+    assert(zScan <= 4 * 256,
+      s"z-ordered scan should read <=4 row groups (1024 rows), read $zScan")
+    assert(linScan == 4096,
+      s"linear layout cannot skip on y - expected a full 4096-row read, got $linScan")
+  }
+
   test("shard compaction re-bins small appended files, preserves content, sort and untouched bytes") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
