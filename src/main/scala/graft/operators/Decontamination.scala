@@ -46,6 +46,22 @@ object Decontamination {
       .orderedBy("doc_id")
   }
 
+  /** The benchmark side of c1/c2/c3 as a standalone frame: the distinct
+    * 64-bit k-shingle hashes of the `benchSource` documents — the set a
+    * live ingest guard broadcasts against every micro-batch
+    * (`StreamOps.contaminationGuardStream`). Benchmarks are MBs in
+    * practice, so this frame is always broadcast-sized; the SAME
+    * ShingleHash64 kernel as the batch operators, so stream and batch
+    * verdicts agree bit-for-bit.
+    */
+  def benchShingles(spark: SparkSession, dir: String,
+                    k: Int = 8, benchSource: String = "src0"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("source") === benchSource)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+      .distinct()
+
   /** c2: fraction-based decontamination — the graded form of c1 used by
     * production pretraining pipelines (PaLM / GPT-4 style): a document is
     * contaminated when at least `1/denom` of its distinct k-shingles also

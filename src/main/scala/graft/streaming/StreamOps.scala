@@ -208,6 +208,51 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("media_type", "byte_len", "crc32")
   }
 
+  /** One micro-batch of the ingest-time contamination guard — the pure
+    * per-batch transform `contaminationGuardStream` applies: every doc in
+    * the batch gets a keep/flag verdict against the static benchmark
+    * shingle-hash set (c1's any-hit rule). Same kernel, same k, same
+    * 64-bit hash join key as batch c1, so verdicts agree bit-for-bit
+    * (StreamOpsSpec pins it); docs too short to carry a k-shingle — and
+    * docs with zero overlap — keep their row with `keep = true` (the c2
+    * LEFT-join convention; an inner join would silently drop exactly the
+    * docs a guard must pass through). Stateless: the benchmark side is a
+    * broadcast hash join per batch, no watermark, no state store.
+    */
+  def contaminationCheck(batch: DataFrame, bench: DataFrame,
+                         k: Int = 8): DataFrame = {
+    val hits = batch
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.Sketches.shingleHash64(col("text"), k))).as("h"))
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hit"))
+    batch.select(col("doc_id"), col("ts"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("hit"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("hit"), lit(0L)) === 0L).as("keep"))
+  }
+
+  /** c1's streaming twin: the ingest-time decontamination guard a live
+    * pipeline runs — each arriving document is checked against the
+    * benchmark shingle-hash set (`Decontamination.benchShingles`, MBs by
+    * construction) and emitted with a keep/flag verdict before it can
+    * enter the corpus. foreachBatch + a stateless broadcast join per
+    * micro-batch (the scd2ApplyStream wiring pattern): no watermark or
+    * state store — the benchmark is static, so the verdict for a doc
+    * depends on nothing but its own batch. `onBatch` receives the
+    * verdict frame and the batch id (route keeps to the corpus sink,
+    * flags to quarantine); caller `.start()`s the returned writer.
+    */
+  def contaminationGuardStream(docs: DataFrame, bench: DataFrame, k: Int = 8)(
+      onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(contaminationCheck(batch, bench, k), id) }
+
   /** Keyed run detection over >= minRun consecutive events of the same
     * event_type for one user. Two emission modes:
     *

@@ -122,6 +122,45 @@ object StreamBench {
       r
     }
 
+    // c1 twin: events re-shaped into 9-token synthetic docs; the benchmark
+    // side is the shingle set of every 10th doc (a ~10% true-hit rate), a
+    // static frame materialized ONCE and broadcast into each micro-batch's
+    // stateless join — the measured rate pays the full per-batch verdict
+    // (shingle kernel + broadcast join + per-doc rollup + noop write).
+    val guard = {
+      def textify(df: DataFrame) = df.select(
+        col("event_id").as("doc_id"), col("ts"),
+        concat_ws(" ", col("event_type"),
+          concat(lit("u"), pmod(col("user_id"), lit(50000))),
+          concat(lit("g"), pmod(col("event_id"), lit(5000))),
+          concat(lit("v"), floor(col("value")).cast("long")),
+          concat(lit("a"), pmod(col("user_id"), lit(7))),
+          concat(lit("b"), pmod(col("event_id"), lit(13))),
+          concat(lit("c"), pmod(col("event_id"), lit(17))),
+          concat(lit("d"), pmod(col("user_id"), lit(3))),
+          lit("zz")).as("text"))
+      val bench = textify(base.withColumn("event_id", col("event_id")))
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(explode(array_distinct(
+          graft.functions.Sketches.shingleHash64(col("text"), 8))).as("h"))
+        .distinct().localCheckpoint()
+      def once(): (String, Double) = {
+        val ckpt = s"/tmp/graft_stream_ckpt/guard-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = StreamOps.contaminationGuardStream(textify(stream()), bench) {
+          (verdicts, _) =>
+            verdicts.write.format("noop").mode("overwrite").save()
+        }.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+        "contamination_guard_fb" -> n / ((System.nanoTime() - t0) / 1e9)
+      }
+      val r = Seq(once(), once()).maxBy(_._2)
+      println(f"[stream-bench] ${r._1}: ${r._2}%.0f events/sec")
+      r
+    }
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -172,7 +211,7 @@ object StreamBench {
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val qs = (results ++ Seq(scd2) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    val qs = (results ++ Seq(scd2, guard) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -1050,4 +1050,53 @@ class StreamOpsSpec extends SparkSpec {
         s"expected the binning tripwire, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("streaming contamination guard matches batch c1 verdicts and passes clean docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // corpus: one benchmark doc (src0) + three streamed docs — doc 10
+    // embeds a full 8-token benchmark shingle, doc 11 is clean, doc 12 is
+    // too short to carry any shingle
+    val benchText = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val streamed = Seq(
+      (10L, s"x b1 b2 b3 b4 b5 b6 b7 b8 y"),
+      (11L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (12L, "too short"))
+    val dir = tempSfDir()
+    ((1L, benchText, "src0") +: streamed.map { case (id, t) => (id, t, "web") })
+      .map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val bench = graft.operators.Decontamination.benchShingles(spark, dir)
+
+    val input = MemoryStream[StreamOps.TextDoc]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = StreamOps.contaminationGuardStream(input.toDF(), bench) {
+      (verdicts, _) =>
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    }.start()
+    try {
+      def doc(id: Long) = StreamOps.TextDoc(id,
+        Timestamp.valueOf("2024-01-01 00:00:00"), streamed.find(_._1 == id).get._2)
+      input.addData(Seq(doc(10L), doc(11L)))
+      q.processAllAvailable()
+      input.addData(Seq(doc(12L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every streamed doc got exactly one verdict
+    assert(got.map(_._1).sorted.toSeq == Seq(10L, 11L, 12L), s"got $got")
+    // flagged docs agree with batch c1 (same kernel, same join key)
+    val c1 = graft.operators.Decontamination.contaminated(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.foreach { case (id, nHit, keep) =>
+      assert(c1.getOrElse(id, 0L) == nHit,
+        s"doc $id: stream n_hit $nHit != batch ${c1.getOrElse(id, 0L)}")
+      assert(keep == (nHit == 0L), s"doc $id: keep/$nHit inconsistent")
+    }
+    assert(!got.find(_._1 == 10L).get._3, "doc 10 must be flagged")
+    assert(got.find(_._1 == 11L).get._3 && got.find(_._1 == 12L).get._3,
+      "clean and short docs must keep")
+  }
 }
