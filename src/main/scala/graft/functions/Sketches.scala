@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graftbridge.{ColumnBridge, CountInSet, EqualCountLong, HashEmbedding, MinHashSignature, ShingleHash64, SimHash64, SortedIntersectCount}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, CountInSet, EqualCountLong, HashEmbedding, MinHashSignature, QuantizedDotLong, ShingleHash64, SimHash64, SortedIntersectCount}
 
 /** Column-API facade over the native sketch kernels (one codegen'd loop per
   * document instead of interpreted higher-order-function lambdas).
@@ -42,4 +42,10 @@ object Sketches {
   def equalCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       EqualCountLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** cls1's quantized scoring dot: ⌊e[j]·10⁶+0.5⌋·w(j) summed over the
+    * dims plus the bias slot, one loop per row (weights constant).
+    */
+  def quantizedDot(emb: Column, weights: Seq[Long]): Column =
+    ColumnBridge.column(QuantizedDotLong(ColumnBridge.expression(emb), weights))
 }

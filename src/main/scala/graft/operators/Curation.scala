@@ -731,6 +731,89 @@ object Curation {
       .orderBy("centroid_id")
   }
 
+  // hard-sigmoid on the 1e-6 grid; operands non-negative after the
+  // clamp, so integral div == floor on both engines
+  private val p6Expr =
+    "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
+
+  /** The training half of cls1: the (dim+1) quantized weights (1e-6 long
+    * grid, slot `dim` = bias) from `iters` full-batch hard-sigmoid
+    * logistic rounds over the `trainSample` id-prefix docs. EAGER — runs
+    * one doc count plus one small gradient collect per round as Spark
+    * jobs (the weights are a driver-held model artifact, the s5 codebook
+    * pattern). Exposed so the streaming scorer can train once and apply
+    * the same model to every micro-batch.
+    */
+  def trainQualityWeights(spark: SparkSession, dir: String,
+                          dim: Int = 64, trainSample: Int = 4096,
+                          iters: Int = 3, lrDiv: Int = 2,
+                          positiveSources: Seq[String] =
+                            Seq("src0", "src1", "src2", "src3", "src4")): Array[Long] = {
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    require(lrDiv >= 1, s"lrDiv must be >= 1; got $lrDiv")
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    val isHigh = col("source").isin(positiveSources: _*)
+    // sparse quantized features: (doc_id, j, xq) for nonzero dims, plus a
+    // bias row j = dim with xq = 10^6 (x = 1.0) for every doc
+    val xqArr = concat(
+      transform(emb, v => floor(v * 1e6 + 0.5).cast("long")),
+      array(lit(1000000L)))
+    val trainDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < trainSample)
+    val n = trainDocs.count()
+    require(n > 0,
+      s"qualityClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
+    val train = graft.CacheRegistry.persistTracked(
+      trainDocs
+        .select(col("doc_id"),
+          when(isHigh, 1000000L).otherwise(0L).as("y6"),
+          posexplode(xqArr))
+        .select(col("doc_id"), col("y6"), col("pos").as("j"),
+          col("col").as("xq"))
+        .filter(col("xq") =!= 0L))
+    val wq = Array.fill(dim + 1)(0L)
+    for (_ <- 0 until iters) {
+      val wLit = typedLit(wq.toSeq)
+      val err = train
+        .groupBy(col("doc_id"), col("y6"))
+        .agg(sum(col("xq") * element_at(wLit, col("j") + 1)).as("z12"))
+        .selectExpr("doc_id", s"$p6Expr - y6 AS err6")
+      val g = train.join(broadcast(err), "doc_id")
+        .groupBy(col("j"))
+        .agg(sum(col("err6") * col("xq")).as("g"))
+        .collect()
+      g.foreach { r =>
+        val j = r.getInt(0)
+        // Java long division truncates toward zero, exactly like DuckDB //
+        wq(j) -= r.getLong(1) / (lrDiv.toLong * n * 1000000L)
+      }
+    }
+    wq
+  }
+
+  /** The scoring half of cls1: margin + probability + verdict columns
+    * appended to any frame with a `text` column, from a trained weight
+    * vector. ONE codegen'd narrow projection — no shuffle, no join,
+    * stateless, which is what lets the SAME scorer serve the batch
+    * operator and the per-micro-batch streaming twin bit-identically.
+    * The quantized dot runs as the native `QuantizedDotLong` kernel
+    * (one loop over the embedding array per row — bit-identical to the
+    * unrolled 64-term element_at spelling, which measured ~15x slower
+    * because each term re-walked its own codegen'd subtree;
+    * KernelPropertiesSpec pins the equivalence). The published columns
+    * are exact longs/booleans; downstream thresholds compare integers.
+    */
+  def scoreQuality(df: DataFrame, wq: Array[Long], dim: Int = 64): DataFrame = {
+    require(wq.length == dim + 1,
+      s"weight vector must have dim+1 (${dim + 1}) slots incl. bias; got ${wq.length}")
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    df.withColumn("z12", Sketches.quantizedDot(emb, wq.toSeq))
+      .withColumn("margin_p12", expr("z12"))
+      .withColumn("prob_micros", expr(p6Expr))
+      .withColumn("pred_high", expr(s"$p6Expr >= 500000"))
+      .drop("z12")
+  }
+
   /** cls1: trained linear quality classifier — the GPT-3/LLaMA-recipe
     * curation stage (Brown et al. 2020 App. A; Touvron et al. 2023):
     * fit a binary classifier that scores P(document resembles a
@@ -751,9 +834,8 @@ object Curation {
     * division; the gradient is an exact long sum of err·x products; and
     * the weight update Δw_j = g_j quot (lrDiv·n·10⁶) uses truncating
     * integer division — identical in Java long division and DuckDB `//`
-    * (both truncate toward zero). No float enters until the published
-    * convenience columns, each one correctly-rounded IEEE division of
-    * exact integers (the g2 principle).
+    * (both truncate toward zero). No float enters anywhere — margins,
+    * probabilities and verdicts publish as exact longs/booleans.
     *
     * Scale posture: training reads only the `trainSample` id-prefix docs
     * (the s5 trainSample bound — constant cost in corpus size, and the
@@ -767,67 +849,21 @@ object Curation {
     * pass is embarrassingly parallel). NOTE: training is EAGER — the
     * doc count and one small gradient collect per round run as Spark
     * jobs at construction time; the returned scoring plan is lazy.
+    * Split into the `trainQualityWeights` + `scoreQuality` seams above
+    * so the streaming twin trains once and scores every micro-batch
+    * with the identical codegen projection.
     */
   def qualityClassifier(spark: SparkSession, dir: String,
                         dim: Int = 64, trainSample: Int = 4096,
                         iters: Int = 3, lrDiv: Int = 2,
                         positiveSources: Seq[String] =
                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
-    require(iters >= 0, s"iters must be >= 0; got $iters")
-    require(lrDiv >= 1, s"lrDiv must be >= 1; got $lrDiv")
-    val docs = Tables.documents(spark, dir)
-    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
-    val isHigh = col("source").isin(positiveSources: _*)
-    // sparse quantized features: (doc_id, j, xq) for nonzero dims, plus a
-    // bias row j = dim with xq = 10^6 (x = 1.0) for every doc
-    val xqArr = concat(
-      transform(emb, v => floor(v * 1e6 + 0.5).cast("long")),
-      array(lit(1000000L)))
-    val trainDocs = docs.filter(col("doc_id") < trainSample)
-    val n = trainDocs.count()
-    require(n > 0,
-      s"qualityClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
-    val train = graft.CacheRegistry.persistTracked(
-      trainDocs
-        .select(col("doc_id"),
-          when(isHigh, 1000000L).otherwise(0L).as("y6"),
-          posexplode(xqArr))
-        .select(col("doc_id"), col("y6"), col("pos").as("j"),
-          col("col").as("xq"))
-        .filter(col("xq") =!= 0L))
-    val wq = Array.fill(dim + 1)(0L)
-    val p6Expr = // hard-sigmoid on the 1e-6 grid; operands non-negative
-      // after the clamp, so integral div == floor on both engines
-      "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
-    for (_ <- 0 until iters) {
-      val wLit = typedLit(wq.toSeq)
-      val err = train
-        .groupBy(col("doc_id"), col("y6"))
-        .agg(sum(col("xq") * element_at(wLit, col("j") + 1)).as("z12"))
-        .selectExpr("doc_id", s"$p6Expr - y6 AS err6")
-      val g = train.join(broadcast(err), "doc_id")
-        .groupBy(col("j"))
-        .agg(sum(col("err6") * col("xq")).as("g"))
-        .collect()
-      g.foreach { r =>
-        val j = r.getInt(0)
-        // Java long division truncates toward zero, exactly like DuckDB //
-        wq(j) -= r.getLong(1) / (lrDiv.toLong * n * 1000000L)
-      }
-    }
-    // scoring pass: the quantized dot product unrolled into one codegen'd
-    // expression (the kernel subexpression is CSE'd once per row); the
-    // published double columns are single IEEE divisions of exact longs
-    val zTerms = (0 until dim).map { j =>
-      floor(element_at(emb, j + 1) * 1e6 + 0.5).cast("long") * lit(wq(j))
-    } :+ lit(1000000L * wq(dim))
-    docs
-      .select(col("doc_id"), col("source"), isHigh.as("label_high"),
-        zTerms.reduceLeft(_ + _).as("z12"))
-      .selectExpr("doc_id", "source", "label_high",
-        "z12 AS margin_p12",
-        s"$p6Expr AS prob_micros",
-        s"$p6Expr >= 500000 AS pred_high")
+    val wq = trainQualityWeights(spark, dir, dim, trainSample, iters, lrDiv,
+      positiveSources)
+    scoreQuality(Tables.documents(spark, dir), wq, dim)
+      .select(col("doc_id"), col("source"),
+        col("source").isin(positiveSources: _*).as("label_high"),
+        col("margin_p12"), col("prob_micros"), col("pred_high"))
       .orderedBy("doc_id")
   }
 }

@@ -236,6 +236,22 @@ object StreamOps {
         (coalesce(col("hit"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** cls1's streaming twin: ingest-time quality scoring — every arriving
+    * document gets the trained classifier's margin/probability/verdict as
+    * it lands, from the SAME `Curation.scoreQuality` codegen projection
+    * the batch operator applies (train once with
+    * `Curation.trainQualityWeights`, broadcast the 65-long weight vector
+    * inside the plan, score forever). Stateless per-row work — no
+    * watermark, no state store, no join — so it composes with any
+    * downstream sink or the contamination guard in the same query.
+    * StreamOpsSpec pins stream scores bit-equal to the batch operator's.
+    */
+  def qualityScoreStream(docs: DataFrame, wq: Array[Long],
+                         dim: Int = 64): DataFrame =
+    graft.operators.Curation.scoreQuality(docs, wq, dim)
+      .select(col("doc_id"), col("ts"), col("margin_p12"),
+        col("prob_micros"), col("pred_high"))
+
   /** c1's streaming twin: the ingest-time decontamination guard a live
     * pipeline runs — each arriving document is checked against the
     * benchmark shingle-hash set (`Decontamination.benchShingles`, MBs by

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc stage instrumentation for perf work — not part of the surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/sfx100")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -22,28 +21,46 @@ object Scratch {
       r
     }
 
-    // d2 stage breakdown at the given slice
-    val docs = graft.CacheRegistry.persistTracked(
-      graft.Tables.documents(spark, dir)
-        .filter(size(split(col("text"), " ")) >= 1)
-        .select(col("doc_id"),
-          graft.operators.Dedup.minHashSignature(
-            array_distinct(split(col("text"), " ")), 32).as("sig")))
-    timed("1 signature kernel")(println("docs=" + docs.count()))
-    val pairs = graft.operators.Dedup.minhashCandidatePairs(docs, 32, 8, 2000)
-    timed("2 banded candidates+distinct")(println("cands=" + pairs.count()))
-    val cached = graft.CacheRegistry.persistTracked(pairs)
-    timed("2b cache pairs")(println("cands=" + cached.count()))
-    val scored = cached
-      .join(docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (graft.functions.Sketches.equalCount(col("a_sig"), col("b_sig"))
-          .cast("double") / 32).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.8)
-    timed("3 sig rejoin+score")(println("pairs=" + scored.count()))
-    timed("4 full d2 fresh")(println("pairs=" +
-      graft.operators.Dedup.minhashLsh(spark, dir).count()))
+    // cls1 scoring-rate probe: batch rate of scoreQuality over the
+    // StreamBench staged input vs a single-kernel-eval pass
+    val base = spark.read.parquet("/tmp/graft_stream_in")
+    def textify(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id").as("doc_id"), col("ts"),
+      concat_ws(" ", col("event_type"),
+        concat(lit("u"), pmod(col("user_id"), lit(50000))),
+        concat(lit("g"), pmod(col("event_id"), lit(5000))),
+        concat(lit("v"), floor(col("value")).cast("long")),
+        concat(lit("a"), pmod(col("user_id"), lit(7))),
+        concat(lit("b"), pmod(col("event_id"), lit(13))),
+        concat(lit("c"), pmod(col("event_id"), lit(17))),
+        concat(lit("d"), pmod(col("user_id"), lit(3))),
+        lit("zz")).as("text"))
+    val wq = Array.tabulate(65)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
+    val docs = textify(base).localCheckpoint()
+    val n = docs.count()
+    for (i <- 1 to 3) timed(s"score$i") {
+      graft.operators.Curation.scoreQuality(docs, wq)
+        .write.format("noop").mode("overwrite").save()
+    }
+    for (i <- 1 to 2) timed(s"kernel$i") {
+      docs.select(col("doc_id"),
+        graft.functions.Sketches.hashEmbedding(split(col("text"), " "), 64).as("e"))
+        .select(col("doc_id"), element_at(col("e"), 1))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // two-step: embedding bound as an attribute, 64 element_at terms above
+    for (i <- 1 to 3) timed(s"twostep$i") {
+      val e = docs.select(col("doc_id"), col("ts"),
+        graft.functions.Sketches.hashEmbedding(split(col("text"), " "), 64).as("__e"))
+      val zTerms = (0 until 64).map { j =>
+        floor(element_at(col("__e"), j + 1) * 1e6 + 0.5).cast("long") * lit(wq(j))
+      } :+ lit(1000000L * wq(64))
+      e.select(col("doc_id"), col("ts"), zTerms.reduceLeft(_ + _).as("z12"))
+        .selectExpr("doc_id", "ts", "z12",
+          "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000 AS p6")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println("rows=" + n)
     spark.stop()
   }
 }

@@ -539,3 +539,57 @@ case class ShingleHash64(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
     copy(child = newChild)
 }
+
+/** The cls1 scoring dot product as ONE tight loop: for a double-array
+  * embedding and a constant (dim+1)-slot long weight vector (slot `dim`
+  * = bias), computes
+  *   Σ_{j<dim} ⌊e[j]·10⁶ + 0.5⌋ · w[j]  +  10⁶ · w[dim]
+  * — bit-identical to the unrolled `floor(element_at(e, j+1)·1e6+0.5)
+  * .cast(long) · w(j)` spelling (same per-term floor/cast, and long
+  * addition is order-independent), but ~15x faster: the embedding array
+  * is traversed once instead of once per term through 64 separate
+  * codegen'd element_at trees. Weights ride as a constructor constant
+  * (the CountInSet pattern), not a child, so the loop bound and the
+  * array reference are compile-time fixed.
+  */
+case class QuantizedDotLong(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  require(weights.size >= 2, "weights must hold >=1 dim slot plus the bias")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quantized_dot"
+
+  private val dim = weights.size - 1
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, e.numElements())
+    var z = 1000000L * w(dim)
+    var j = 0
+    while (j < n) {
+      z += java.lang.Math.floor(e.getDouble(j) * 1e6 + 0.5).toLong * w(j)
+      j += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("wq", w, "long[]")
+    nullSafeCodeGen(ctx, ev, e => {
+      val n = ctx.freshName("n")
+      val z = ctx.freshName("z")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($dim, $e.numElements());
+         |long $z = 1000000L * $wRef[$dim];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $z += (long) java.lang.Math.floor($e.getDouble($j) * 1.0E6 + 0.5) * $wRef[$j];
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizedDotLong =
+    copy(child = newChild)
+}

@@ -163,6 +163,28 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("quantized-dot kernel equals the unrolled floor-sum spelling on generated vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    // components across sign/magnitude regimes incl. exact .5e-6 grid edges
+    val vec = Gen.listOfN(dim,
+      Gen.chooseNum(-2000000, 2000000).map(_.toDouble / 1000000.0))
+    val vecs = sample(vec, 200).map(_.toArray)
+    val wq = Array.tabulate(dim + 1)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
+    val df = vecs.map(Tuple1(_)).toDF("e")
+    val unrolled = ((0 until dim).map { j =>
+      floor(element_at(col("e"), j + 1) * 1e6 + 0.5).cast("long") * lit(wq(j))
+    } :+ lit(1000000L * wq(dim))).reduceLeft(_ + _)
+    val got = df.select(
+      functions.Sketches.quantizedDot(col("e"), wq.toSeq).as("kernel"),
+      unrolled.as("unrolled")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"kernel ${r.getLong(0)} != unrolled ${r.getLong(1)}")
+    }
+  }
+
   test("top-k aggregator equals global sort-take under arbitrary partition merges") {
     import graft.functions.TopKAggregator
     val agg = TopKAggregator.topK(5)

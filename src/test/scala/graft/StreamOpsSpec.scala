@@ -1099,4 +1099,49 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.find(_._1 == 11L).get._3 && got.find(_._1 == 12L).get._3,
       "clean and short docs must keep")
   }
+
+  test("streaming quality scores are bit-equal to the batch classifier") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // separable fixture (the CurationSpec cls1 shape): train batch-side,
+    // stream the same docs through the scorer, compare margins exactly
+    val pos = Seq("aurora", "borealis", "cascade", "dynamo")
+    val neg = Seq("sludge", "clickbait", "spamword", "lorem")
+    val rows = (0 until 8).map { i =>
+      val vocab = if (i < 4) pos else neg
+      val rot = i % 4
+      (i.toLong, (vocab.drop(rot) ++ vocab.take(rot)).mkString(" "),
+        if (i < 4) "hi" else "lo")
+    }
+    val dir = tempSfDir()
+    rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val wq = graft.operators.Curation.trainQualityWeights(
+      spark, dir, positiveSources = Seq("hi"))
+    val batch = graft.operators.Curation.qualityClassifier(
+      spark, dir, positiveSources = Seq("hi"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+
+    val input = MemoryStream[StreamOps.TextDoc]
+    val q = StreamOps.qualityScoreStream(input.toDF(), wq)
+      .writeStream.format("memory").queryName("quality_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(5).map { case (id, t, _) =>
+        StreamOps.TextDoc(id, Timestamp.valueOf("2024-01-01 00:00:00"), t) })
+      q.processAllAvailable()
+      input.addData(rows.drop(5).map { case (id, t, _) =>
+        StreamOps.TextDoc(id, Timestamp.valueOf("2024-01-01 00:01:00"), t) })
+      q.processAllAvailable()
+      val streamed = spark.table("quality_stream_out")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      assert(streamed.keySet == batch.keySet, "every doc scored once")
+      streamed.foreach { case (id, s) =>
+        assert(s == batch(id), s"doc $id: stream $s != batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
 }
