@@ -159,6 +159,8 @@ object SparkEntry {
     "x36_split_assign"     -> ((s: SparkSession, d: String) => Curation.splitAssign(s, d)),
     "cls1_quality_classifier" -> ((s: SparkSession, d: String) =>
       Curation.qualityClassifier(s, d)),
+    "cls2_pareto_filter" -> ((s: SparkSession, d: String) =>
+      Curation.paretoFilter(s, d)),
   )
 
   private val cosExpr =
@@ -243,10 +245,16 @@ object SparkEntry {
     * division), then the corpus scoring join. Multiply-referenced CTEs
     * are AS MATERIALIZED (the g2 lesson: DuckDB re-inlines otherwise).
     */
-  private val cls1OracleSql: String = {
+  private val clsP6 = (z: String) =>
+    s"CAST((least(greatest($z + 2000000000000, 0), 4000000000000) + 2000000) // 4000000 AS BIGINT)"
+
+  /** Shared WITH-body of the cls1/cls2 oracles (x7 features, the unrolled
+    * training rounds, the corpus margin CTE `zf`); each oracle appends its
+    * own tail after the `zf` CTE.
+    */
+  private def clsOracleWith(tail: String): String = {
     val posSet = "('src0','src1','src2','src3','src4')"
-    val p6 = (z: String) =>
-      s"CAST((least(greatest($z + 2000000000000, 0), 4000000000000) + 2000000) // 4000000 AS BIGINT)"
+    val p6 = clsP6
     val rounds = (0 until 3).map { t =>
       s"""z$t AS (
          |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
@@ -300,13 +308,42 @@ object SparkEntry {
        |zf AS (
        |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
        |  FROM xfeat x JOIN w3 w USING (j) GROUP BY x.doc_id)
-       |SELECT l.doc_id, l.source, l.label_high,
-       |  CAST(z AS BIGINT) AS margin_p12,
-       |  ${p6("z")} AS prob_micros,
-       |  ${p6("z")} >= 500000 AS pred_high
-       |FROM zf JOIN lab l USING (doc_id)
-       |ORDER BY l.doc_id""".stripMargin
+       |$tail""".stripMargin
   }
+
+  private val cls1OracleSql: String = clsOracleWith(
+    s"""SELECT l.doc_id, l.source, l.label_high,
+       |  CAST(z AS BIGINT) AS margin_p12,
+       |  ${clsP6("z")} AS prob_micros,
+       |  ${clsP6("z")} >= 500000 AS pred_high
+       |FROM zf JOIN lab l USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin)
+
+  /** cls2's DuckDB twin: cls1's trained scoring CTEs, then the Pareto
+    * acceptance — the 1001-slot threshold table re-derived with HUGEINT
+    * ceiling division (T(s3) = ⌈32768·1000⁹ / (2000−s3)⁹⌉, the exact
+    * integer form of the strict rational rule), x28's LCG uniform, and
+    * the `u15 < t_keep` verdict. doc_id ≥ 0 in every corpus this oracle
+    * reads, so the plain `%` here equals the Spark side's pmod.
+    */
+  private val cls2OracleSql: String = clsOracleWith(
+    s""", lut AS (
+       |  SELECT CAST(s3 AS BIGINT) AS s3,
+       |    CAST((CAST(32768 AS HUGEINT) * CAST('1000000000000000000000000000' AS HUGEINT)
+       |          + d9 - 1) // d9 AS BIGINT) AS t_keep
+       |  FROM (
+       |    SELECT s3, d*d*d*d*d*d*d*d*d AS d9
+       |    FROM (SELECT s3, CAST(2000 - s3 AS HUGEINT) AS d
+       |          FROM (SELECT unnest(range(0, 1001)) AS s3)))),
+       |scored AS (
+       |  SELECT l.doc_id, l.source, ${clsP6("z")} AS prob_micros,
+       |    CAST((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+       |         // 65536 % 32768 AS BIGINT) AS u15
+       |  FROM zf JOIN lab l USING (doc_id))
+       |SELECT s.doc_id, s.source, s.prob_micros, s.u15, t.t_keep,
+       |  s.u15 < t.t_keep AS keep
+       |FROM scored s JOIN lut t ON t.s3 = s.prob_micros // 1000
+       |ORDER BY s.doc_id""".stripMargin)
 
   /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
     * unrolled — assignment cosines as ORDERED list folds (round-9 leaves
@@ -2732,5 +2769,6 @@ object SparkEntry {
         |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "cls1_quality_classifier" -> cls1OracleSql,
+    "cls2_pareto_filter" -> cls2OracleSql,
   )
 }

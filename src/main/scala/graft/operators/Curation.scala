@@ -866,4 +866,82 @@ object Curation {
         col("margin_p12"), col("prob_micros"), col("pred_high"))
       .orderedBy("doc_id")
   }
+
+  /** The cls2 acceptance thresholds: T(s3) for every milli-probability
+    * s3 in [0, 1000], where `keep ⟺ u15 < T(s3)` is EXACTLY the Pareto
+    * rule `u15/32768 < (1000/(2000−s3))⁹` — ceiling division makes the
+    * integer comparison equivalent to the strict rational inequality
+    * (u < N/D ⟺ u < ⌈N/D⌉ for integer u, since u < N/D ⟺ u·D < N ⟺
+    * u ≤ ⌈N/D⌉−1; CurationSpec re-proves it against the exact BigInt
+    * inequality at both boundary uniforms of every slot). Endpoints:
+    * T(1000) = 32768 (a perfectly-scored doc always survives — every
+    * u15 < 32768) and T(0) = 32768/2⁹ = 64 (a zero-scored doc keeps a
+    * 1-in-512 floor). Driver-side exact integer arithmetic; the DuckDB
+    * twin derives the same 1001 values with HUGEINT ceil-division.
+    */
+  private[graft] lazy val paretoLut: IndexedSeq[Long] = {
+    val num = BigInt(32768) * BigInt(1000).pow(9)
+    (0 to 1000).map { s3 =>
+      val den = BigInt(2000 - s3).pow(9)
+      ((num + den - 1) / den).toLong
+    }
+  }
+
+  /** cls2: Pareto acceptance filter over the trained quality score — the
+    * second half of the GPT-3 curation recipe (Brown et al. 2020 App. A,
+    * also the LLaMA filtering setup, Touvron et al. 2023): after cls1
+    * scores every document, a doc is kept iff a Pareto(α = 9) draw
+    * exceeds 1 − score, i.e. with P(keep | score s) = (2 − s)⁻⁹ — a
+    * high-scoring doc always survives while a low-scoring one is still
+    * sampled at a ≥ 2⁻⁹ floor, which is precisely what saves the kept
+    * corpus from the hard-threshold distribution collapse the recipe
+    * warns about (a pure `score ≥ t` cut would delete entire low-scoring
+    * domains; x14's bins show how much mass each score band holds).
+    *
+    * Deterministic twin of the sampled rule, exact on both engines: the
+    * per-doc uniform is x28's overflow-proof 15-bit LCG draw
+    * u15 ∈ [0, 32768) (a pure function of doc_id — re-runs and engines
+    * agree, and the draw is independent of the score by construction);
+    * the score enters on the milli grid s3 = prob_micros div 1000; and
+    * the acceptance test is `u15 < T(s3)` against the 1001-slot
+    * `paretoLut` ceiling-division table, which `CurationSpec` proves
+    * bit-equivalent to the strict rational Pareto inequality — no float,
+    * no pow(), no cross-engine rounding surface anywhere in the verdict.
+    *
+    * Scale posture: cls1's exactly — training is the same bounded
+    * trainSample run (EAGER, driver-held weights), and the filter pass
+    * adds one broadcast-free codegen projection on top of the scoring
+    * projection: the LUT rides as a single 1001-long array literal
+    * (ONE Literal node — not 1001 expression nodes, so no codegen
+    * bloat), the LCG is four integer ops, and the verdict never
+    * shuffles. At 100 TB the apply pass stays embarrassingly parallel;
+    * the kept/flagged routing is the caller's filter on `keep`.
+    */
+  /** The acceptance half of cls2: appends the deterministic uniform
+    * (`u15`), the LUT threshold (`t_keep`) and the verdict (`keep`) to
+    * any frame carrying `doc_id` + `prob_micros`. ONE stateless codegen
+    * projection — no shuffle, no join (the LUT is a single array
+    * Literal) — which is what lets the SAME acceptance rule serve the
+    * batch operator and the per-micro-batch streaming twin
+    * bit-identically (`StreamOps.paretoFilterStream`).
+    */
+  def acceptPareto(df: DataFrame): DataFrame =
+    df.withColumn("u15", expr(
+        "(((pmod(doc_id, 2147483648) * 1103515245 + 12345) % 2147483648) div 65536) % 32768"))
+      .withColumn("t_keep", element_at(typedLit(paretoLut),
+        expr("CAST(prob_micros div 1000 AS INT)") + 1))
+      .withColumn("keep", col("u15") < col("t_keep"))
+
+  def paretoFilter(spark: SparkSession, dir: String,
+                   dim: Int = 64, trainSample: Int = 4096,
+                   iters: Int = 3, lrDiv: Int = 2,
+                   positiveSources: Seq[String] =
+                     Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    val wq = trainQualityWeights(spark, dir, dim, trainSample, iters, lrDiv,
+      positiveSources)
+    acceptPareto(
+      scoreQuality(Tables.documents(spark, dir), wq, dim)
+        .select(col("doc_id"), col("source"), col("prob_micros")))
+      .orderedBy("doc_id")
+  }
 }

@@ -252,6 +252,22 @@ object StreamOps {
       .select(col("doc_id"), col("ts"), col("margin_p12"),
         col("prob_micros"), col("pred_high"))
 
+  /** cls2's streaming twin: ingest-time Pareto acceptance — every
+    * arriving doc is scored with the trained cls1 weights and passed
+    * through the SAME exact-integer acceptance projection the batch
+    * operator applies (`Curation.acceptPareto`: x28's LCG uniform, the
+    * 1001-slot ceil-division LUT, `u15 < t_keep`), so stream and batch
+    * verdicts agree bit-for-bit (StreamOpsSpec pins it). Stateless
+    * per-row work — no watermark, no state store, no join — the
+    * keep/flag routing a live curation pipeline runs at ingest, one
+    * codegen span per micro-batch.
+    */
+  def paretoFilterStream(docs: DataFrame, wq: Array[Long],
+                         dim: Int = 64): DataFrame =
+    graft.operators.Curation.acceptPareto(
+      graft.operators.Curation.scoreQuality(docs, wq, dim)
+        .select(col("doc_id"), col("ts"), col("prob_micros")))
+
   /** c1's streaming twin: the ingest-time decontamination guard a live
     * pipeline runs — each arriving document is checked against the
     * benchmark shingle-hash set (`Decontamination.benchShingles`, MBs by

@@ -183,6 +183,26 @@ object StreamBench {
         StreamOps.qualityScoreStream(textify(stream()), wq))
     }
 
+    // the ingest-time Pareto acceptance gate: the same scoring projection
+    // plus the LUT verdict — measures the marginal cost of the acceptance
+    // rule over plain scoring
+    val paretoRow = {
+      val wq = Array.tabulate(65)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
+      def textify(df: DataFrame) = df.select(
+        col("event_id").as("doc_id"), col("ts"),
+        concat_ws(" ", col("event_type"),
+          concat(lit("u"), pmod(col("user_id"), lit(50000))),
+          concat(lit("g"), pmod(col("event_id"), lit(5000))),
+          concat(lit("v"), floor(col("value")).cast("long")),
+          concat(lit("a"), pmod(col("user_id"), lit(7))),
+          concat(lit("b"), pmod(col("event_id"), lit(13))),
+          concat(lit("c"), pmod(col("event_id"), lit(17))),
+          concat(lit("d"), pmod(col("user_id"), lit(3))),
+          lit("zz")).as("text"))
+      best("pareto_filter_stateless", () =>
+        StreamOps.paretoFilterStream(textify(stream()), wq))
+    }
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -233,7 +253,7 @@ object StreamBench {
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val qs = (results ++ Seq(scd2, guard, qualityRow) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    val qs = (results ++ Seq(scd2, guard, qualityRow, paretoRow) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -328,4 +328,63 @@ class CurationSpec extends SparkSpec {
           "a doc past trainSample influenced the weights")
     }
   }
+
+  test("cls2 LUT is the strict Pareto inequality at every boundary uniform") {
+    val lut = Curation.paretoLut
+    assert(lut.length == 1001)
+    // endpoints: a perfect score always survives; a zero score keeps the
+    // 2^-9 floor
+    assert(lut(1000) == 32768L, s"T(1000) = ${lut(1000)}")
+    assert(lut(0) == 64L, s"T(0) = ${lut(0)}")
+    val num = BigInt(32768) * BigInt(1000).pow(9)
+    (0 to 1000).foreach { s3 =>
+      val den = BigInt(2000 - s3).pow(9)
+      val t = lut(s3)
+      // at u = T-1 and u = T (the only places truncation could bite),
+      // `u < T` must agree with the exact rational rule u*D < N
+      Seq(t - 1, t).filter(u => u >= 0 && u < 32768).foreach { u =>
+        val exact = BigInt(u) * den < num
+        assert((u < t) == exact,
+          s"s3=$s3 T=$t u=$u: LUT ${u < t} != exact $exact")
+      }
+      // monotone: a better score never lowers the acceptance threshold
+      if (s3 > 0) assert(lut(s3) >= lut(s3 - 1), s"LUT not monotone at $s3")
+    }
+  }
+
+  test("cls2 verdicts equal the driver-recomputed rule and reproduce") {
+    val dir = writeDocs(cls1Fixture(20))
+    def run() = Curation
+      .paretoFilter(spark, dir, positiveSources = Seq("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    val got = run()
+    assert(got.length == 40)
+    got.foreach { case (id, prob, u15, tKeep, keep) =>
+      val expU = ((id % 2147483648L) * 1103515245L + 12345L) %
+        2147483648L / 65536L % 32768L
+      assert(u15 == expU, s"doc $id: u15 $u15 != LCG $expU")
+      assert(tKeep == Curation.paretoLut((prob / 1000L).toInt),
+        s"doc $id: t_keep $tKeep != LUT(${prob / 1000})")
+      assert(keep == (u15 < tKeep), s"doc $id: keep $keep != $u15 < $tKeep")
+      assert(prob >= 0L && prob <= 1000000L, s"doc $id: prob $prob off-grid")
+    }
+    assert(run().toSeq == got.toSeq, "cls2 must reproduce run-to-run")
+  }
+
+  test("cls2 zero-iteration model applies the exact s3=500 threshold") {
+    val dir = writeDocs(cls1Fixture(5))
+    val got = Curation
+      .paretoFilter(spark, dir, iters = 0, positiveSources = Seq("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
+    // w = 0 -> prob exactly 500000 -> s3 = 500 ->
+    // T = ceil(32768 * (2/3)^9) = ceil(16777216/19683) = 853
+    assert(Curation.paretoLut(500) == 853L)
+    got.foreach { case (id, prob, u15, keep) =>
+      assert(prob == 500000L, s"doc $id: prob $prob")
+      assert(keep == (u15 < 853L), s"doc $id: keep $keep at u15 $u15")
+    }
+  }
 }

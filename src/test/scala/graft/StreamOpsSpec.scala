@@ -1144,4 +1144,47 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming Pareto verdicts are bit-equal to the batch cls2 filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val pos = Seq("aurora", "borealis", "cascade", "dynamo")
+    val neg = Seq("sludge", "clickbait", "spamword", "lorem")
+    val rows = (0 until 8).map { i =>
+      val vocab = if (i < 4) pos else neg
+      val rot = i % 4
+      (i.toLong, (vocab.drop(rot) ++ vocab.take(rot)).mkString(" "),
+        if (i < 4) "hi" else "lo")
+    }
+    val dir = tempSfDir()
+    rows.map { case (id, t, s) => (id, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val wq = graft.operators.Curation.trainQualityWeights(
+      spark, dir, positiveSources = Seq("hi"))
+    val batch = graft.operators.Curation.paretoFilter(
+      spark, dir, positiveSources = Seq("hi"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+
+    val input = MemoryStream[StreamOps.TextDoc]
+    val q = StreamOps.paretoFilterStream(input.toDF(), wq)
+      .writeStream.format("memory").queryName("pareto_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(3).map { case (id, t, _) =>
+        StreamOps.TextDoc(id, Timestamp.valueOf("2024-01-01 00:00:00"), t) })
+      q.processAllAvailable()
+      input.addData(rows.drop(3).map { case (id, t, _) =>
+        StreamOps.TextDoc(id, Timestamp.valueOf("2024-01-01 00:01:00"), t) })
+      q.processAllAvailable()
+      val streamed = spark.table("pareto_stream_out")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+      assert(streamed.keySet == batch.keySet, "every doc gets a verdict once")
+      streamed.foreach { case (id, s) =>
+        assert(s == batch(id), s"doc $id: stream $s != batch ${batch(id)}")
+      }
+    } finally q.stop()
+  }
 }
