@@ -161,6 +161,11 @@ object SparkEntry {
       Curation.qualityClassifier(s, d)),
     "cls2_pareto_filter" -> ((s: SparkSession, d: String) =>
       Curation.paretoFilter(s, d)),
+    "cls3_calibration" -> ((s: SparkSession, d: String) =>
+      Curation.calibrationTable(s, d)),
+    "x37_leakage_split" -> ((s: SparkSession, d: String) =>
+      Curation.leakageSplit(s, d)),
+    "drift2_ks" -> ((s: SparkSession, d: String) => DataOps.ksDrift(s, d)),
   )
 
   private val cosExpr =
@@ -318,6 +323,29 @@ object SparkEntry {
        |  ${clsP6("z")} >= 500000 AS pred_high
        |FROM zf JOIN lab l USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin)
+
+  /** cls3's DuckDB twin: cls1's trained scoring CTEs, then the reliability
+    * aggregate — deci-probability bins, exact counts/long sums, and both
+    * rates via truncating integer division (`//` == Spark's `div` on these
+    * non-negative operands). HUGEINT sums cast back to BIGINT to match
+    * Spark's long sum (the established sum-cast convention).
+    */
+  private val cls3OracleSql: String = clsOracleWith(
+    s""", scored AS (
+       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
+       |  FROM zf JOIN lab l USING (doc_id))
+       |SELECT p6 // 100000 AS cal_bin,
+       |  count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(p6) AS BIGINT) AS sum_prob_micros,
+       |  CAST(sum(p6) // count(*) AS BIGINT) AS avg_prob_micros,
+       |  CAST(sum(CASE WHEN label_high THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+       |    AS pos_rate_micros,
+       |  CAST(sum(p6) // count(*) AS BIGINT)
+       |    - CAST(sum(CASE WHEN label_high THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+       |    AS gap_micros
+       |FROM scored
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** cls2's DuckDB twin: cls1's trained scoring CTEs, then the Pareto
     * acceptance — the 1001-slot threshold table re-derived with HUGEINT
@@ -2770,5 +2798,85 @@ object SparkEntry {
 
     "cls1_quality_classifier" -> cls1OracleSql,
     "cls2_pareto_filter" -> cls2OracleSql,
+    "cls3_calibration" -> cls3OracleSql,
+
+    // x37: d6's recursive-CTE connected components (the proven d6/d7
+    // spelling), then the NAIVE per-source rank window over group
+    // representatives (x36's oracle shape lifted to reps) — the hash
+    // check certifies the two-phase bucket-rank + rep-join equivalence.
+    "x37_leakage_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.8),
+        |edges AS (SELECT a_id, b_id FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.b_id FROM reach r JOIN edges e ON r.node = e.a_id),
+        |grp AS MATERIALIZED (
+        |  SELECT src AS doc_id, min(node) AS group_id FROM reach GROUP BY src),
+        |repk AS (
+        |  SELECT g.group_id, d.source,
+        |    (xor(r1, r1 // 32768) * 69069 + 1234567) % 2147483648 AS split_key
+        |  FROM (SELECT DISTINCT group_id FROM grp) g
+        |  JOIN (SELECT doc_id, source,
+        |          (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS r1
+        |        FROM documents) d ON d.doc_id = g.group_id),
+        |ranked AS (
+        |  SELECT group_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY split_key, group_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM repk),
+        |rsplit AS (
+        |  SELECT group_id,
+        |    CASE WHEN rnk * 100 <= n_src * 98 THEN 'train'
+        |         WHEN rnk * 100 <= n_src * 99 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM ranked)
+        |SELECT d.doc_id, d.source, g.group_id, s.split
+        |FROM documents d JOIN grp g ON g.doc_id = d.doc_id
+        |JOIN rsplit s USING (group_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // drift2: the NAIVE one-window-per-type KS form (the Spark side runs
+    // the two-phase bucket cumsum; the hash check certifies equivalence).
+    // The statistic stays integral until one final rounded division.
+    "drift2_ks" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, ts < TIMESTAMP '2024-01-16' AS is_old FROM events),
+        |c AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
+        |    sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value,
+        |    sum(c_old) OVER w AS f_old,
+        |    sum(c_new) OVER w AS f_new
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (
+        |  SELECT event_type, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |         CAST(sum(c_new) AS BIGINT) AS n_new
+        |  FROM c GROUP BY 1)
+        |SELECT t.event_type, t.n_old, t.n_new,
+        |  CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS BIGINT) AS ks_num,
+        |  round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
+        |        / (t.n_old * t.n_new), 6) AS ks,
+        |  round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
+        |        / (t.n_old * t.n_new), 6) > 0.05 AS drifted
+        |FROM cum JOIN tot t USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -541,11 +541,30 @@ object Curation {
     * certifies the equivalence (the x31 precedent).
     */
   def splitAssign(spark: SparkSession, dir: String,
-                  trainPct: Int = 98, valPct: Int = 1): DataFrame = {
+                  trainPct: Int = 98, valPct: Int = 1): DataFrame =
+    rankSplit(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), permKey(col("doc_id")).as("split_key")),
+      "doc_id", trainPct, valPct)
+      .select("doc_id", "source", "split_key", "rnk", "split")
+      .orderedBy("doc_id")
+
+  /** The two-phase bucket-rank split core shared by x36 (every doc) and
+    * x37 (dedup-group representatives): given (idCol, source, split_key),
+    * assign each row its exact per-source stratified split. Rank within
+    * (source, key-bucket) + a broadcast |sources|×128 cumulative-offset
+    * frame — no corpus-sized sort partition (the x31 histogram shape);
+    * boundaries by integer cross-multiply; the offset join is null-SAFE
+    * on source: groupBy and Window keep a NULL source as its own group
+    * (exactly like the oracle's PARTITION BY), so the join must too — a
+    * plain equi-join would silently DROP null-source rows from every
+    * split.
+    */
+  private def rankSplit(keyed0: DataFrame, idCol: String,
+                        trainPct: Int, valPct: Int): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"trainPct ($trainPct) + valPct ($valPct) must leave room for test")
-    val keyed = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), permKey(col("doc_id")).as("split_key"))
+    val keyed = keyed0
       .withColumn("bucket", (col("split_key") / KeyBucketWidth).cast("long"))
     val offs = keyed.groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("bn"))
@@ -554,21 +573,62 @@ object Curation {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("n_src", sum(col("bn")).over(Window.partitionBy("source")))
       .select("source", "bucket", "boff", "n_src")
-    // null-SAFE source match: groupBy and Window keep a NULL source as
-    // its own group (exactly like the oracle's PARTITION BY), so the
-    // offset join must too — a plain equi-join would silently DROP
-    // null-source docs from every split
     keyed.join(broadcast(offs.withColumnRenamed("source", "o_source")
         .withColumnRenamed("bucket", "o_bucket")),
       col("source") <=> col("o_source") && col("bucket") === col("o_bucket"))
       .withColumn("rnk", (col("boff") + row_number().over(
         Window.partitionBy("source", "bucket")
-          .orderBy(col("split_key"), col("doc_id")))).cast("long"))
+          .orderBy(col("split_key"), col(idCol)))).cast("long"))
       .withColumn("split",
         when(col("rnk") * 100 <= col("n_src") * trainPct, "train")
           .when(col("rnk") * 100 <= col("n_src") * (trainPct + valPct), "val")
           .otherwise("test"))
-      .select("doc_id", "source", "split_key", "rnk", "split")
+      .drop("bucket", "o_source", "o_bucket", "boff", "n_src")
+  }
+
+  /** x37: leakage-proof train/val/test split — x36's exact stratified
+    * assignment lifted to d6's near-duplicate GROUPS, so two documents
+    * that are near-duplicates of each other can never straddle train and
+    * test. This is the split a training run actually needs: assigning
+    * docs independently (x36, or any hash split) leaks — a test doc with
+    * a near-identical twin in train is memorization measured as
+    * generalization (the published dedup recipes deduplicate train
+    * AGAINST test for exactly this reason; here the split itself is made
+    * group-atomic instead). Each component's representative (d6's
+    * group_id = the smallest member doc_id) is ranked by the x36
+    * permutation key within ITS source stratum — d4's candidate pairs
+    * are within-source by construction, so a group has one well-defined
+    * source — and every member inherits the representative's split.
+    *
+    * Output: one row per document (doc_id, source, group_id, split);
+    * singletons are their own representative, so a dup-free corpus gets
+    * EXACTLY x36's assignment (spec-pinned). Proportions are exact over
+    * representatives (the only atomicity-compatible notion — exact doc
+    * proportions and group atomicity are mutually exclusive).
+    *
+    * Scale shape: d6's labels (memoShared, LSH-bucketed candidate
+    * generation), ONE distinct over group ids, the x31/x36 two-phase
+    * bucket-rank over representatives (no corpus-sized sort partition),
+    * and a co-keyed join back on group_id. The DuckDB oracle replays the
+    * whole thing naively (recursive-CTE components + one window per
+    * source) and the hash check certifies the equivalence.
+    */
+  def leakageSplit(spark: SparkSession, dir: String,
+                   trainPct: Int = 98, valPct: Int = 1,
+                   minJaccard: Double = 0.8): DataFrame = {
+    val groups = Dedup.dedupGroups(spark, dir, minJaccard)
+      .select(col("doc_id"), col("group_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val reps = docs
+      .join(groups.select(col("group_id")).distinct(),
+        col("doc_id") === col("group_id"))
+      .select(col("group_id"), col("source"),
+        permKey(col("group_id")).as("split_key"))
+    val repSplit = rankSplit(reps, "group_id", trainPct, valPct)
+      .select(col("group_id"), col("split"))
+    docs.join(groups, "doc_id")
+      .join(repSplit, "group_id")
+      .select("doc_id", "source", "group_id", "split")
       .orderedBy("doc_id")
   }
 
@@ -943,5 +1003,122 @@ object Curation {
       scoreQuality(Tables.documents(spark, dir), wq, dim)
         .select(col("doc_id"), col("source"), col("prob_micros")))
       .orderedBy("doc_id")
+  }
+
+  /** The full training-set composition a pretraining pipeline ships —
+    * curatedCorpus's three keep-lists (d7 dedup ∧ x33 CCNet ∧ x31 budget)
+    * ∧ the cls1/cls2 quality gate, with x36's split assignment and the
+    * quality/length cluster bins attached for the Z-ordered shard writer.
+    * The quality gate routes exactly as the GPT-3 recipe does (Brown et
+    * al. 2020 App. A): documents from the CURATED positive-label sources
+    * are included outright (they define "high quality" — the classifier
+    * was trained to recognize them), while every bulk-source document
+    * faces cls2's Pareto acceptance draw on its trained score. A pure
+    * `keep`-only intersection would also starve the corpus: mid-scored
+    * docs survive the α=9 draw at ~1–3%, which is the recipe's POINT for
+    * the CommonCrawl bulk but would delete the curated sources too.
+    *
+    * Output adds to the surviving documents' columns: `prob_micros`
+    * (cls1's score), `split` (x37's LEAKAGE-PROOF stratified
+    * train/val/test — near-dup groups are split-atomic, and the d6
+    * group labels it ranks are the memoShared frame the dedup keep-list
+    * stage already computed, so the upgrade from x36 costs one rep
+    * ranking + one co-keyed join, not a second dedup pass),
+    * `shuffle_key` (x30's reproducible shard order), and the two bounded
+    * cluster dims for `Sinks.writeShardsZOrdered` — `q_bin` (milli-
+    * probability, [0,1000]) and `len_bin` (n_chars/64, capped at 1023) —
+    * so a loader filtering on EITHER quality or length prunes files.
+    *
+    * Scale shape: identical to curatedCorpus — every added stage is one
+    * doc-keyed join against a verdict frame (broadcast or co-keyed on
+    * doc_id), the classifier trains ONCE on the bounded trainSample
+    * prefix (EAGER, driver-held weights — the s5 codebook pattern), and
+    * scoring + the Pareto verdict + both bins are stateless codegen
+    * projections. Adding the quality stage adds a join, never a corpus
+    * pass. NOTE eager training jobs run at construction time.
+    */
+  def curatedTrainingSet(spark: SparkSession, dir: String,
+                         budget: Long = 1500L,
+                         trainPct: Int = 80, valPct: Int = 10,
+                         dim: Int = 64, trainSample: Int = 4096,
+                         iters: Int = 3, lrDiv: Int = 2,
+                         positiveSources: Seq[String] =
+                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    val wq = trainQualityWeights(spark, dir, dim, trainSample, iters, lrDiv,
+      positiveSources)
+    val quality = acceptPareto(
+        scoreQuality(
+          Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+          wq, dim))
+      .filter(col("keep") || col("source").isin(positiveSources: _*))
+      .select(col("doc_id"), col("prob_micros"))
+    val splits = leakageSplit(spark, dir, trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    curatedCorpus(spark, dir, budget)
+      .join(quality, "doc_id")
+      .join(splits, "doc_id")
+      .withColumn("q_bin", expr("CAST(prob_micros div 1000 AS INT)"))
+      .withColumn("len_bin",
+        least(floor(col("n_chars") / lit(64L)), lit(1023L)).cast("int"))
+  }
+
+  /** The aggregation half of cls3: the reliability table of any frame
+    * carrying `prob_micros` + `label_high` — one keyed aggregate, exact
+    * integers throughout (counts, long sums, truncating integer division
+    * for the two rates — identical in Spark `div` and DuckDB `//` on
+    * these non-negative operands). Split out so the spec can pin the
+    * binning/rate arithmetic on a crafted scored fixture without
+    * retraining the classifier.
+    */
+  def calibrationOf(scored: DataFrame): DataFrame =
+    scored
+      .groupBy(expr("prob_micros div 100000").as("cal_bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("label_high").cast("long")).as("n_pos"),
+        sum(col("prob_micros")).as("sum_prob_micros"))
+      .select(col("cal_bin"), col("n_docs"), col("n_pos"),
+        col("sum_prob_micros"),
+        expr("sum_prob_micros div n_docs").as("avg_prob_micros"),
+        expr("(n_pos * 1000000) div n_docs").as("pos_rate_micros"))
+      .withColumn("gap_micros",
+        col("avg_prob_micros") - col("pos_rate_micros"))
+      .orderedBy("cal_bin")
+
+  /** cls3: calibration audit of the trained quality classifier — the
+    * reliability table (Guo et al. 2017's ECE binning) that says whether
+    * cls1's scores can be TRUSTED as probabilities before cls2 spends
+    * them in the Pareto draw: per deci-probability bin, the doc count,
+    * the positive-label count, the mean predicted probability and the
+    * empirical positive rate, and their gap (a calibrated model's gap ≈ 0
+    * in every bin; a confident-but-wrong model shows large same-sign
+    * gaps). This is the eval stage the GPT-3/LLaMA filtering recipe runs
+    * between training the filter and trusting its scores on 100 TB.
+    *
+    * Exactness: scores come from the same integer-grid training +
+    * scoring pass as cls1 (bit-replayed by the oracle); bins are
+    * `prob_micros div 100000` (deciles on the micro grid); counts and
+    * sums are exact longs; both rates use truncating integer division
+    * (Spark `div` == DuckDB `//` on non-negative operands) so the gap
+    * column is an exact long. No float anywhere.
+    *
+    * Scale posture: cls1's training bound (EAGER, trainSample id-prefix,
+    * driver-held weights) + ONE codegen scoring projection + ONE
+    * partial-mergeable aggregate onto ≤ 11 bin rows. At 100 TB the
+    * audit costs one corpus scan.
+    */
+  def calibrationTable(spark: SparkSession, dir: String,
+                       dim: Int = 64, trainSample: Int = 4096,
+                       iters: Int = 3, lrDiv: Int = 2,
+                       positiveSources: Seq[String] =
+                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    val wq = trainQualityWeights(spark, dir, dim, trainSample, iters, lrDiv,
+      positiveSources)
+    calibrationOf(
+      scoreQuality(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        wq, dim)
+        .select(col("prob_micros"),
+          col("source").isin(positiveSources: _*).as("label_high")))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -236,6 +237,74 @@ object DataOps {
           sum(col("term").cast("decimal(28,9)")).cast("double"), 6).as("psi"))
       .withColumn("drifted", col("psi") > 0.2)
       .select("event_type", "n_old", "n_new", "psi", "drifted")
+      .orderBy("event_type")
+  }
+
+  /** drift2: two-sample Kolmogorov–Smirnov drift test — the
+    * distribution-shape companion to drift1's binned PSI: per event type,
+    * D = max over the pooled support of |F_old(v) − F_new(v)| between the
+    * pre-cutoff and post-cutoff empirical CDFs. KS sees what PSI's 10
+    * fixed bins can blur (a shift smaller than a bin, a tail swap), and
+    * it is the classic paging check a feature pipeline runs on raw
+    * numeric columns.
+    *
+    * Exactness: the statistic never leaves the integers until the last
+    * step — D's numerator is max |f_old·n_new − f_new·n_old| over exact
+    * cumulative counts (cross-multiplied CDFs, the c2/x36 convention —
+    * no per-row float division to accumulate error), published as
+    * `ks_num`, and the final `ks` is ONE double division rounded to 6
+    * (identical IEEE operation on both engines); the verdict compares
+    * the rounded value. Products are bounded by n_old·n_new — longs are
+    * ample here; at true fleet row counts (n > 3B) the cross-multiply
+    * moves to decimal, same plan.
+    *
+    * Scale shape: one keyed aggregate onto the distinct (type, value)
+    * support, then the x31/x36 two-phase cumulative form — per-(type,
+    * value-bucket) subtotals, a tiny broadcast offset frame, cumsum
+    * windows partitioned by (type, bucket) so no single sort swallows a
+    * type's whole support (bucket = floor(value/width) is monotone in
+    * value, so composed ranks are provably the global CDF). The oracle
+    * runs the NAIVE one-window-per-type form; the hash check certifies
+    * the equivalence.
+    */
+  def ksDrift(spark: SparkSession, dir: String,
+              cutoff: String = "2024-01-16", threshold: Double = 0.05,
+              bucketWidth: Double = 50.0): DataFrame = {
+    val c = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(
+        sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))
+      .withColumn("bucket", floor(col("value") / bucketWidth).cast("long"))
+    val offs = c.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("c_old")).as("b_old"), sum(col("c_new")).as("b_new"))
+      .withColumn("o_old", coalesce(
+        sum(col("b_old")).over(Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("o_new", coalesce(
+        sum(col("b_new")).over(Window.partitionBy("event_type").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_old", sum(col("b_old")).over(Window.partitionBy("event_type")))
+      .withColumn("n_new", sum(col("b_new")).over(Window.partitionBy("event_type")))
+      .select("event_type", "bucket", "o_old", "o_new", "n_old", "n_new")
+    val cum = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    c.join(broadcast(offs), Seq("event_type", "bucket"))
+      .withColumn("f_old", col("o_old") + sum(col("c_old")).over(cum))
+      .withColumn("f_new", col("o_new") + sum(col("c_new")).over(cum))
+      .withColumn("gap",
+        abs(col("f_old") * col("n_new") - col("f_new") * col("n_old")))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        max(col("gap")).as("ks_num"))
+      .withColumn("ks", graft.functions.Doubles.roundZ(
+        col("ks_num").cast("double") / (col("n_old") * col("n_new")).cast("double"), 6))
+      .withColumn("drifted", col("ks") > threshold)
+      .select("event_type", "n_old", "n_new", "ks_num", "ks", "drifted")
       .orderBy("event_type")
   }
 

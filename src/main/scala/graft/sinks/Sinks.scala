@@ -124,15 +124,21 @@ object Sinks {
     * non-negative ints on a bounded grid (a rank, a bin, a day number —
     * quantize unbounded columns first, exactly as OPTIMIZE ZORDER range-
     * ranks before interleaving; only the low 16 bits participate).
+    * `tieCols` break Morton-key ties (two rows sharing both bin values):
+    * pass a unique key (doc_id) to make the cluster sort TOTAL, which is
+    * what turns "clustered files" into "byte-reproducible files" — the
+    * loader contract the E2E gates pin. Empty preserves clustering only.
     */
   def writeShardsZOrdered(df: DataFrame, path: String, partitionCol: String,
                           zorderCols: (String, String),
-                          maxRecordsPerFile: Int): Unit = {
+                          maxRecordsPerFile: Int,
+                          tieCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.col
     df.withColumn("__zkey",
         graft.functions.ZOrder.mortonKey(col(zorderCols._1), col(zorderCols._2)))
       .repartition(col(partitionCol))
-      .sortWithinPartitions(col(partitionCol), col("__zkey"))
+      .sortWithinPartitions(
+        (Seq(partitionCol, "__zkey") ++ tieCols).map(col): _*)
       .drop("__zkey")
       .write
       .mode("overwrite")

@@ -132,12 +132,57 @@ object PipelineScale {
       check(rows.sameElements(rows.sorted), s"$f lost its within-shard sort")
     }
 
+    // Phase 3 — the round-9 composition at scale: classifier-gated
+    // (cls1 train + cls2 Pareto routing), split-assigned (x36),
+    // Z-order-clustered (Morton + doc_id tie-break) shard write,
+    // partitioned by split. Same loader contract, run twice.
+    def runV2(out: String): Double = {
+      val t0 = System.nanoTime()
+      Sinks.writeShardsZOrdered(
+        Curation.curatedTrainingSet(spark, dir, budget = budget),
+        out, partitionCol = "split", zorderCols = ("q_bin", "len_bin"),
+        maxRecordsPerFile = maxRows, tieCols = Seq("doc_id"))
+      graft.CacheRegistry.releaseAll()
+      graft.CacheRegistry.releaseShared()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def contentsV2(out: String): Seq[(String, Seq[(Long, Long)])] =
+      shardFiles(Paths.get(out)).map { f =>
+        val rel = Paths.get(out).relativize(f).getParent.toString
+        val rows = spark.read.parquet(f.toString)
+          .select(col("doc_id"),
+            graft.functions.ZOrder.mortonKey(col("q_bin"), col("len_bin")).as("zk"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (rel, rows)
+      }
+    val secV2a = runV2(s"$base/v2r1")
+    val secV2b = runV2(s"$base/v2r2")
+    val v1 = contentsV2(s"$base/v2r1")
+    val v2 = contentsV2(s"$base/v2r2")
+    check(v1.map(_._1) == v2.map(_._1), "v2 partition layout must reproduce")
+    check(v1.map(_._2) == v2.map(_._2), "v2 per-file row order must reproduce")
+    val vAll = v1.flatMap(_._2)
+    check(vAll.nonEmpty, "v2 pipeline must keep something")
+    check(vAll.size < total, s"v2 pipeline must drop something (${vAll.size}/$total)")
+    check(vAll.map(_._1).distinct.size == vAll.size, "v2: doc written twice")
+    val vParts = v1.map(_._1).distinct.sorted
+    check(vParts == Seq("split=test", "split=train", "split=val"),
+      s"v2 must write all three splits, got $vParts")
+    v1.foreach { case (part, rows) =>
+      check(rows.size <= maxRows, s"v2 $part shard over maxRecordsPerFile")
+      val key = rows.map(r => (r._2, r._1))
+      check(key == key.sorted, s"v2 $part not Morton-clustered with tie-break")
+    }
+
     val line =
       s"""{"dir":"$dir","docs_total":$total,"kept":${all.size},""" +
         s""""partitions":$parts,"files":${c1.size},"max_file_rows":$maxRows,""" +
         s""""budget":$budget,"reproducible":true,"sorted":true,""" +
         s""""compacted_partitions":$compacted,"compaction_content_stable":true,""" +
-        f""""sec_run1":$sec1%.1f,"sec_run2":$sec2%.1f,"sec_compact":$secCompact%.1f}"""
+        f""""sec_run1":$sec1%.1f,"sec_run2":$sec2%.1f,"sec_compact":$secCompact%.1f,""" +
+        s""""v2_kept":${vAll.size},"v2_files":${v1.size},"v2_splits":3,""" +
+        s""""v2_reproducible":true,"v2_zorder_total":true,""" +
+        f""""sec_v2_run1":$secV2a%.1f,"sec_v2_run2":$secV2b%.1f}"""
     Files.write(Paths.get(outJson), (line + "\n").getBytes)
     println(s"E2ESCALE $line")
     spark.stop()

@@ -91,9 +91,12 @@ object ScalingCurve {
       "cdc2_scd2_history" -> ((s, d) => DataOps.scd2History(s, d)),
       "cdc3_merge_upsert" -> ((s, d) => DataOps.mergeUpsert(s, d)),
       "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
+      "drift2_ks" -> ((s, d) => DataOps.ksDrift(s, d)),
       "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)),
       "cls1_quality_classifier" -> ((s, d) => Curation.qualityClassifier(s, d)),
-      "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)))
+      "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)),
+      "cls3_calibration" -> ((s, d) => Curation.calibrationTable(s, d)),
+      "x37_leakage_split" -> ((s, d) => Curation.leakageSplit(s, d)))
 
     slices.foreach { case (m, dir) =>
       Seq("documents", "embeddings").foreach { t =>

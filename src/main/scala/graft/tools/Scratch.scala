@@ -14,53 +14,23 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set(graft.Output.OrderedKey, "false")
 
-    def timed[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    import graft.operators.Curation
 
-    // cls1 scoring-rate probe: batch rate of scoreQuality over the
-    // StreamBench staged input vs a single-kernel-eval pass
-    val base = spark.read.parquet("/tmp/graft_stream_in")
-    def textify(df: org.apache.spark.sql.DataFrame) = df.select(
-      col("event_id").as("doc_id"), col("ts"),
-      concat_ws(" ", col("event_type"),
-        concat(lit("u"), pmod(col("user_id"), lit(50000))),
-        concat(lit("g"), pmod(col("event_id"), lit(5000))),
-        concat(lit("v"), floor(col("value")).cast("long")),
-        concat(lit("a"), pmod(col("user_id"), lit(7))),
-        concat(lit("b"), pmod(col("event_id"), lit(13))),
-        concat(lit("c"), pmod(col("event_id"), lit(17))),
-        concat(lit("d"), pmod(col("user_id"), lit(3))),
-        lit("zz")).as("text"))
-    val wq = Array.tabulate(65)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
-    val docs = textify(base).localCheckpoint()
-    val n = docs.count()
-    for (i <- 1 to 3) timed(s"score$i") {
-      graft.operators.Curation.scoreQuality(docs, wq)
-        .write.format("noop").mode("overwrite").save()
-    }
-    for (i <- 1 to 2) timed(s"kernel$i") {
-      docs.select(col("doc_id"),
-        graft.functions.Sketches.hashEmbedding(split(col("text"), " "), 64).as("e"))
-        .select(col("doc_id"), element_at(col("e"), 1))
-        .write.format("noop").mode("overwrite").save()
-    }
-    // two-step: embedding bound as an attribute, 64 element_at terms above
-    for (i <- 1 to 3) timed(s"twostep$i") {
-      val e = docs.select(col("doc_id"), col("ts"),
-        graft.functions.Sketches.hashEmbedding(split(col("text"), " "), 64).as("__e"))
-      val zTerms = (0 until 64).map { j =>
-        floor(element_at(col("__e"), j + 1) * 1e6 + 0.5).cast("long") * lit(wq(j))
-      } :+ lit(1000000L * wq(64))
-      e.select(col("doc_id"), col("ts"), zTerms.reduceLeft(_ + _).as("z12"))
-        .selectExpr("doc_id", "ts", "z12",
-          "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000 AS p6")
-        .write.format("noop").mode("overwrite").save()
-    }
-    println("rows=" + n)
+    val pareto = Curation.paretoFilter(spark, dir)
+    val kept = pareto.filter(col("keep"))
+    println(s"PARETO total=${pareto.count()} kept=${kept.count()}")
+    pareto.groupBy((col("prob_micros") / 100000).cast("int").as("p_decile"))
+      .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")).as("kept"))
+      .orderBy("p_decile").show(20, false)
+
+    val base = Curation.curatedCorpus(spark, dir, budget = 1500L)
+    println(s"CURATED base=${base.count()}")
+    val ts = Curation.curatedTrainingSet(spark, dir)
+    println(s"TRAININGSET=${ts.count()}")
+    ts.groupBy("split").count().show()
+    ts.groupBy("q_bin").count().orderBy("q_bin").show(30)
+
     spark.stop()
   }
 }

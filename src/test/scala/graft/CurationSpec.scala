@@ -387,4 +387,90 @@ class CurationSpec extends SparkSpec {
       assert(keep == (u15 < 853L), s"doc $id: keep $keep at u15 $u15")
     }
   }
+
+  test("x37 keeps every near-dup group inside one split") {
+    // within-source near-dup groups {0,1,2}, {3,4}, {6,7}; singletons 5, 8;
+    // identical texts across sources (0 vs 6) never pair — d4 candidates
+    // are within-source by construction
+    val dir = writeDocs(Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma delta", "s0"),
+      (2L, "alpha beta gamma delta", "s0"),
+      (3L, "epsilon zeta eta theta", "s0"),
+      (4L, "epsilon zeta eta theta", "s0"),
+      (5L, "iota kappa lambda mu", "s0"),
+      (6L, "alpha beta gamma delta", "s1"),
+      (7L, "alpha beta gamma delta", "s1"),
+      (8L, "nu xi omicron pi", "s1")))
+    def run() = Curation.leakageSplit(spark, dir, trainPct = 34, valPct = 33)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val got = run()
+    assert(got.length == 9, "every doc is assigned")
+    val byDoc = got.map(r => r._1 -> r._4).toMap
+    // the leakage guarantee: a group is atomic across splits
+    Seq(Seq(0L, 1L, 2L), Seq(3L, 4L), Seq(6L, 7L)).foreach { g =>
+      assert(g.map(byDoc).distinct.size == 1, s"group $g straddles splits")
+    }
+    // group ids are the min member; reps stratify exactly: s0 has 3 reps
+    // at 34/33 -> one of each split
+    got.foreach { case (id, _, gid, _) =>
+      val exp = Seq(Seq(0L, 1L, 2L), Seq(3L, 4L), Seq(6L, 7L))
+        .find(_.contains(id)).map(_.min).getOrElse(id)
+      assert(gid == exp, s"doc $id group $gid != $exp")
+    }
+    val s0Splits = Seq(0L, 3L, 5L).map(byDoc).sorted
+    assert(s0Splits == Seq("test", "train", "val"),
+      s"s0 reps must stratify one per split, got $s0Splits")
+    assert(run().toSeq == got.toSeq, "x37 must reproduce run-to-run")
+  }
+
+  test("x37 degenerates to exactly x36 on a dup-free corpus") {
+    val dir = writeDocs((0 until 10).map { i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c", if (i % 2 == 0) "s0" else "s1")
+    })
+    val x37 = Curation.leakageSplit(spark, dir, trainPct = 50, valPct = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val x36 = Curation.splitAssign(spark, dir, trainPct = 50, valPct = 25)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toMap
+    x37.foreach { case (id, gid, split) =>
+      assert(gid == id, s"doc $id not a singleton group ($gid)")
+      assert(split == x36(id), s"doc $id: x37 $split != x36 ${x36(id)}")
+    }
+  }
+
+  test("cls3 reliability arithmetic is exact on a crafted scored frame") {
+    import spark.implicits._
+    // bin 0: one negative at p=0.05; bin 1: a truncating-average pair
+    // (149999 + 100000) with one positive; bin 10: a perfect positive
+    val scored = Seq(
+      (50000L, false), (149999L, false), (100000L, true), (1000000L, true))
+      .toDF("prob_micros", "label_high")
+    val got = Curation.calibrationOf(scored).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      // (bin, n, n_pos, sum, avg = sum div n, rate = pos*1e6 div n, gap)
+      (0L, 1L, 0L, 50000L, 50000L, 0L, 50000L),
+      (1L, 2L, 1L, 249999L, 124999L, 500000L, -375001L),
+      (10L, 1L, 1L, 1000000L, 1000000L, 1000000L, 0L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("cls3 bins are label-pure on the separable fixture") {
+    val dir = writeDocs(cls1Fixture(20))
+    val got = Curation.calibrationTable(spark, dir, positiveSources = Seq("hi"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(got.map(_._2).sum == 40L, "every doc lands in exactly one bin")
+    assert(got.map(_._3).sum == 20L, "positive mass preserved")
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted, "bins ordered")
+    // cls1 predicts pred == label on this fixture (prob >= 500000 iff
+    // positive), so bins below 5 hold only negatives, 5+ only positives —
+    // and each pure bin's empirical rate is exactly 0 or 1e6
+    got.foreach { case (bin, n, pos, rate) =>
+      if (bin < 5) assert(pos == 0L && rate == 0L, s"bin $bin impure: $pos")
+      else assert(pos == n && rate == 1000000L, s"bin $bin impure: $pos/$n")
+    }
+  }
 }

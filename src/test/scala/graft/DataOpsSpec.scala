@@ -142,6 +142,34 @@ class DataOpsSpec extends SparkSpec {
       ("B", 4L, 4L, psiB, true)), s"got ${got.toSeq}")
   }
 
+  test("drift2 KS is exact on crafted CDFs and spans value buckets") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // A: identical windows -> D = 0. B: disjoint supports -> D = 1.
+    // C: interleaved, max gap 8/16 at v=40 — and its support straddles
+    // the 50-wide cumsum bucket boundary, exercising the offset join.
+    def ev(ids: Range, t: String, typ: String, vs: Seq[Double]) =
+      ids.zip(vs).map { case (i, v) => (i.toLong, t, typ, v) }
+    val rows =
+      ev(1 to 4, "2024-01-10 00:00:00", "A", Seq(10, 20, 30, 40)) ++
+      ev(5 to 8, "2024-01-20 00:00:00", "A", Seq(10, 20, 30, 40)) ++
+      ev(9 to 12, "2024-01-10 00:00:00", "B", Seq(10, 20, 30, 40)) ++
+      ev(13 to 16, "2024-01-20 00:00:00", "B", Seq(110, 120, 130, 140)) ++
+      ev(17 to 20, "2024-01-10 00:00:00", "C", Seq(10, 20, 30, 40)) ++
+      ev(21 to 24, "2024-01-20 00:00:00", "C", Seq(10, 20, 50, 60))
+    rows.map { case (id, t, typ, v) =>
+      (id, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = DataOps.ksDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("A", 4L, 4L, 0L, 0.0, false),
+      ("B", 4L, 4L, 16L, 1.0, true),
+      ("C", 4L, 4L, 8L, 0.5, true)), s"got ${got.toSeq}")
+  }
+
   test("v2 integrity audit counts orphans per relationship") {
     import spark.implicits._
     val dir = tempSfDir()

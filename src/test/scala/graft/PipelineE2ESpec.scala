@@ -75,4 +75,69 @@ class PipelineE2ESpec extends SparkSpec {
       .filter(col("keep")).count()
     assert(all.size <= lmKept, "survivors exceed the CCNet keep set")
   }
+
+  /** The round-9 composition: the quality-gated, split-assigned training
+    * set written through the Z-ordered shard writer — classifier training
+    * (cls1) → Pareto routing (cls2, curated sources pass outright) →
+    * dedup ∧ CCNet ∧ budget ∧ leakage-proof split (x37, riding the same
+    * memoShared d6 labels the dedup keep-list computed) →
+    * Morton-clustered shards partitioned by split. Pins the same loader contract as the base
+    * pipeline (reproducible layout + per-file byte order, no dup docs,
+    * size bound) PLUS the cluster discipline: every file's rows are
+    * ordered by the (q_bin, len_bin) Morton key with the doc_id
+    * tie-break, which is what makes the Z-ordered write reproducible at
+    * all (ties would otherwise land in task order).
+    */
+  test("classifier-gated split pipeline writes reproducible Z-ordered shards") {
+    def runV2(out: String): Unit =
+      Sinks.writeShardsZOrdered(Curation.curatedTrainingSet(spark, dir),
+        out, partitionCol = "split", zorderCols = ("q_bin", "len_bin"),
+        maxRecordsPerFile = 8, tieCols = Seq("doc_id"))
+    val out1 = tempSfDir() + "/ts1"
+    val out2 = tempSfDir() + "/ts2"
+    runV2(out1)
+    runV2(out2)
+
+    def contents(out: String): Seq[(String, Seq[(Long, Long, Long)])] =
+      shardFiles(Paths.get(out)).map { f =>
+        val rel = Paths.get(out).relativize(f).getParent.toString
+        val rows = spark.read.parquet(f.toString)
+          .select(col("doc_id"),
+            graft.functions.ZOrder.mortonKey(col("q_bin"), col("len_bin")).as("zk"),
+            col("prob_micros"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        (rel, rows)
+      }
+
+    val c1 = contents(out1)
+    val c2 = contents(out2)
+    assert(c1.map(_._1) == c2.map(_._1), "partition layout must reproduce")
+    assert(c1.map(_._2) == c2.map(_._2), "per-file row order must reproduce")
+
+    // every exact-stratified split materializes as its own partition
+    val parts = c1.map(_._1).distinct.sorted
+    assert(parts == Seq("split=test", "split=train", "split=val"),
+      s"all three splits must be written, got $parts")
+
+    val all = c1.flatMap(_._2)
+    val total = Tables.documents(spark, dir).count()
+    assert(all.nonEmpty, "pipeline must keep something")
+    assert(all.size < total, s"pipeline must drop something (${all.size}/$total)")
+    assert(all.map(_._1).distinct.size == all.size, "no doc written twice")
+
+    // survivors are exactly gated by the cls2 routing rule: curated
+    // positive sources pass outright, bulk sources need the Pareto draw
+    val gate = Curation.paretoFilter(spark, dir)
+      .filter(col("keep") ||
+        col("source").isin("src0", "src1", "src2", "src3", "src4"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(all.forall(r => gate(r._1)), "a doc escaped the quality gate")
+
+    // shard-size bound + the TOTAL Morton cluster order inside every file
+    c1.foreach { case (part, rows) =>
+      assert(rows.size <= 8, s"$part shard over maxRecordsPerFile")
+      val key = rows.map(r => (r._2, r._1))
+      assert(key == key.sorted, s"$part not Morton-clustered with tie-break")
+    }
+  }
 }
