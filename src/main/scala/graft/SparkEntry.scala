@@ -163,6 +163,9 @@ object SparkEntry {
       Curation.paretoFilter(s, d)),
     "cls3_calibration" -> ((s: SparkSession, d: String) =>
       Curation.calibrationTable(s, d)),
+    "cls4_threshold_sweep" -> ((s: SparkSession, d: String) =>
+      Curation.thresholdSweep(s, d)),
+    "cls5_auc" -> ((s: SparkSession, d: String) => Curation.aucTable(s, d)),
     "x37_leakage_split" -> ((s: SparkSession, d: String) =>
       Curation.leakageSplit(s, d)),
     "drift2_ks" -> ((s: SparkSession, d: String) => DataOps.ksDrift(s, d)),
@@ -346,6 +349,76 @@ object SparkEntry {
        |    AS gap_micros
        |FROM scored
        |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** cls4's DuckDB twin: cls1's trained scoring CTEs, then the NAIVE
+    * decile-threshold sweep — per-bin counts, an 11-row threshold frame,
+    * the suffix sums as a bin >= t join, and the PR columns via
+    * truncating integer division; an all-negative-prediction threshold
+    * gets NULL precision/F1 in both engines.
+    */
+  private val cls4OracleSql: String = clsOracleWith(
+    s""", scored AS (
+       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
+       |  FROM zf JOIN lab l USING (doc_id)),
+       |bins AS (
+       |  SELECT p6 // 100000 AS bin,
+       |    sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS bp,
+       |    sum(CASE WHEN label_high THEN 0 ELSE 1 END) AS bn
+       |  FROM scored GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(COALESCE(sum(bp), 0) AS BIGINT) AS np,
+       |         CAST(COALESCE(sum(bn), 0) AS BIGINT) AS nn FROM bins),
+       |thr AS (SELECT CAST(unnest(range(0, 11)) AS BIGINT) AS t),
+       |conf AS (
+       |  SELECT t.t,
+       |    CAST(COALESCE(sum(CASE WHEN b.bin >= t.t THEN b.bp END), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(sum(CASE WHEN b.bin >= t.t THEN b.bn END), 0) AS BIGINT) AS fp
+       |  FROM thr t LEFT JOIN bins b ON true GROUP BY t.t),
+       |pr AS (
+       |  SELECT t * 100000 AS threshold_micros, tp, fp,
+       |    tot.np - tp AS fn, tot.nn - fp AS tn,
+       |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+       |      AS precision_micros,
+       |    CASE WHEN tot.np > 0 THEN (tp * 1000000) // tot.np END
+       |      AS recall_micros
+       |  FROM conf, tot)
+       |SELECT *, CASE WHEN precision_micros IS NOT NULL
+       |    AND recall_micros IS NOT NULL
+       |    AND precision_micros + recall_micros > 0
+       |  THEN (2 * precision_micros * recall_micros)
+       |       // (precision_micros + recall_micros) END AS f1_micros
+       |FROM pr ORDER BY threshold_micros""".stripMargin)
+
+  /** cls5's DuckDB twin: cls1's trained scoring CTEs, then the NAIVE
+    * single-window tie-aware Mann–Whitney form of exact AUC — per-score
+    * class counts, negatives-strictly-below by one cumulative window,
+    * 2U as an exact integer sum, one rounded division (the Spark side
+    * runs the two-phase bucket cumsum; the hash check certifies the
+    * equivalence).
+    */
+  private val cls5OracleSql: String = clsOracleWith(
+    s""", scored AS (
+       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
+       |  FROM zf JOIN lab l USING (doc_id)),
+       |ps AS (
+       |  SELECT p6,
+       |    sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS p_s,
+       |    sum(CASE WHEN label_high THEN 0 ELSE 1 END) AS n_s
+       |  FROM scored GROUP BY 1),
+       |cum AS (
+       |  SELECT p6, p_s, n_s,
+       |    COALESCE(sum(n_s) OVER (ORDER BY p6
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM ps)
+       |SELECT
+       |  CAST(COALESCE(sum(p_s), 0) AS BIGINT) AS n_pos,
+       |  CAST(COALESCE(sum(n_s), 0) AS BIGINT) AS n_neg,
+       |  CAST(COALESCE(sum(p_s * (nb * 2 + n_s)), 0) AS BIGINT) AS auc_num2,
+       |  CASE WHEN sum(p_s) > 0 AND sum(n_s) > 0 THEN
+       |    round(CAST(sum(p_s * (nb * 2 + n_s)) AS DOUBLE)
+       |          / (2.0 * sum(p_s) * sum(n_s)), 6)
+       |  END AS auc
+       |FROM cum""".stripMargin)
 
   /** cls2's DuckDB twin: cls1's trained scoring CTEs, then the Pareto
     * acceptance — the 1001-slot threshold table re-derived with HUGEINT
@@ -2799,6 +2872,8 @@ object SparkEntry {
     "cls1_quality_classifier" -> cls1OracleSql,
     "cls2_pareto_filter" -> cls2OracleSql,
     "cls3_calibration" -> cls3OracleSql,
+    "cls4_threshold_sweep" -> cls4OracleSql,
+    "cls5_auc" -> cls5OracleSql,
 
     // x37: d6's recursive-CTE connected components (the proven d6/d7
     // spelling), then the NAIVE per-source rank window over group

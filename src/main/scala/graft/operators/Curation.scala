@@ -1111,14 +1111,160 @@ object Curation {
                        dim: Int = 64, trainSample: Int = 4096,
                        iters: Int = 3, lrDiv: Int = 2,
                        positiveSources: Seq[String] =
-                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
+    calibrationOf(scoredWithLabels(spark, dir, dim, trainSample, iters,
+      lrDiv, positiveSources))
+
+  /** The (prob_micros, label_high) frame every classifier-eval operator
+    * (cls3/cls4/cls5) aggregates: cls1's bounded training run + the one
+    * codegen scoring projection, labels by positive-source membership.
+    * NOTE cls1's eager training jobs run at construction time.
+    */
+  private def scoredWithLabels(spark: SparkSession, dir: String,
+                               dim: Int, trainSample: Int, iters: Int,
+                               lrDiv: Int,
+                               positiveSources: Seq[String]): DataFrame = {
     val wq = trainQualityWeights(spark, dir, dim, trainSample, iters, lrDiv,
       positiveSources)
-    calibrationOf(
-      scoreQuality(
-        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
-        wq, dim)
-        .select(col("prob_micros"),
-          col("source").isin(positiveSources: _*).as("label_high")))
+    scoreQuality(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+      wq, dim)
+      .select(col("prob_micros"),
+        col("source").isin(positiveSources: _*).as("label_high"))
   }
+
+  /** The aggregation half of cls4: the decile-threshold confusion/PR
+    * sweep of any (prob_micros, label_high) frame. One corpus-sized
+    * aggregate onto ≤ 11 bin rows; everything after is bounded-frame
+    * arithmetic — the 11-threshold confusion table falls out of suffix
+    * sums over the bins because the thresholds ARE the bin boundaries
+    * (p6 >= t·10⁵ ⟺ p6 div 10⁵ >= t on non-negative ints). Precision /
+    * recall / F1 in exact micro units via truncating integer division
+    * (Spark `div` == DuckDB `//`); a threshold that predicts nothing
+    * positive has NULL precision/F1 (the only honest value — both
+    * engines agree on the NULL).
+    */
+  def thresholdSweepOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val bins = scored
+      .groupBy(expr("prob_micros div 100000").as("bin"))
+      .agg(
+        sum(col("label_high").cast("long")).as("bp"),
+        sum((!col("label_high")).cast("long")).as("bn"))
+    val tot = bins.agg(
+      coalesce(sum(col("bp")), lit(0L)).as("np"),
+      coalesce(sum(col("bn")), lit(0L)).as("nn"))
+    val thr = spark.range(0, 11).select(col("id").as("t"))
+    thr.join(broadcast(bins), col("bin") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(
+        coalesce(sum(col("bp")), lit(0L)).as("tp"),
+        coalesce(sum(col("bn")), lit(0L)).as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(
+        (col("t") * 100000L).as("threshold_micros"),
+        col("tp"), col("fp"),
+        (col("np") - col("tp")).as("fn"),
+        (col("nn") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) div (tp + fp)")).as("precision_micros"),
+        when(col("np") > 0,
+          expr("(tp * 1000000) div np")).as("recall_micros"))
+      .withColumn("f1_micros",
+        when(col("precision_micros").isNotNull && col("recall_micros").isNotNull
+            && col("precision_micros") + col("recall_micros") > 0,
+          expr("(2 * precision_micros * recall_micros) div (precision_micros + recall_micros)")))
+      .orderedBy("threshold_micros")
+  }
+
+  /** cls4: decile-threshold sweep of the trained quality classifier —
+    * the operating-point table (confusion counts + precision / recall /
+    * F1 at every deci-probability cutoff) that picks WHERE to cut when
+    * the pipeline needs a hard keep/drop decision instead of cls2's
+    * probabilistic draw. cls3 says whether the scores are calibrated;
+    * this says what each cutoff costs in kept-junk (precision) vs
+    * lost-quality (recall) — the last table the filtering recipe reads
+    * before spending the scores on 100 TB.
+    *
+    * Exactness: cls1's bit-replayed integer-grid scores; counts are
+    * exact longs; rates in micro units by truncating division; an
+    * undefined precision (no predicted positives) is NULL in both
+    * engines. Scale posture: the training bound + ONE scoring scan into
+    * an 11-row partial-mergeable aggregate; the sweep itself is
+    * bounded-frame (11×11 broadcast) arithmetic, free at any corpus
+    * size.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     dim: Int = 64, trainSample: Int = 4096,
+                     iters: Int = 3, lrDiv: Int = 2,
+                     positiveSources: Seq[String] =
+                       Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
+    thresholdSweepOf(scoredWithLabels(spark, dir, dim, trainSample, iters,
+      lrDiv, positiveSources))
+
+  /** The aggregation half of cls5: exact ROC-AUC of any (prob_micros,
+    * label_high) frame by the tie-aware Mann–Whitney rank statistic —
+    * AUC = U / (n_pos·n_neg) where, grouping by distinct score s with
+    * p_s positives, n_s negatives and nb(s) negatives strictly below,
+    * 2U = Σ_s p_s·(2·nb(s) + n_s) (ties contribute the half-credit the
+    * average-rank convention assigns, and doubling keeps the statistic
+    * exactly integral). Published as the exact long `auc_num2` plus ONE
+    * rounded double division `auc` (the drift2 convention); NULL when a
+    * class is absent. The cumsum runs over the DISTINCT-score support —
+    * bounded by the 10⁶+1-slot probability grid regardless of corpus
+    * size — in the x31/x36 two-phase bucket form (per-decile subtotals
+    * + broadcast offsets), so no partition ever sees even the whole
+    * bounded grid. Products are bounded by n_pos·n_neg: ample in long
+    * here; at true fleet counts the cross-multiply moves to decimal,
+    * same plan.
+    */
+  def aucOf(scored: DataFrame): DataFrame = {
+    val ps = scored
+      .groupBy(col("prob_micros").as("p6"))
+      .agg(
+        sum(col("label_high").cast("long")).as("p_s"),
+        sum((!col("label_high")).cast("long")).as("n_s"))
+      .withColumn("bucket", expr("p6 div 100000"))
+    val offs = ps.groupBy(col("bucket"))
+      .agg(sum(col("n_s")).as("b_n"))
+      .withColumn("o_n", coalesce(
+        sum(col("b_n")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "o_n")
+    val cum = Window.partitionBy(col("bucket")).orderBy(col("p6"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ps.join(broadcast(offs), "bucket")
+      .withColumn("nb", col("o_n") + coalesce(sum(col("n_s")).over(cum), lit(0L)))
+      .agg(
+        coalesce(sum(col("p_s")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("n_s")), lit(0L)).as("n_neg"),
+        coalesce(sum(col("p_s") * (col("nb") * 2L + col("n_s"))), lit(0L))
+          .as("auc_num2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          graft.functions.Doubles.roundZ(
+            col("auc_num2").cast("double") /
+              (col("n_pos") * col("n_neg") * 2L).cast("double"), 6)))
+  }
+
+  /** cls5: exact ROC-AUC of the trained quality classifier — the one
+    * scalar the GPT-3/LLaMA filtering recipe reports for the filter
+    * itself (threshold-free ranking quality: P(random positive scores
+    * above random negative, ties half)). Complements cls3 (calibration)
+    * and cls4 (operating points): a model can be well-calibrated and
+    * still rank poorly, and vice versa. Exactness: tie-aware rank AUC
+    * on cls1's bit-replayed integer scores, integral `auc_num2` until
+    * ONE rounded division. Scale posture: training bound + one scoring
+    * scan into a support-sized aggregate (≤ 10⁶+1 rows by the grid,
+    * corpus-independent), then the two-phase bucket cumsum onto one
+    * row. The oracle replays the naive single-window form; the hash
+    * check certifies the equivalence.
+    */
+  def aucTable(spark: SparkSession, dir: String,
+               dim: Int = 64, trainSample: Int = 4096,
+               iters: Int = 3, lrDiv: Int = 2,
+               positiveSources: Seq[String] =
+                 Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
+    aucOf(scoredWithLabels(spark, dir, dim, trainSample, iters, lrDiv,
+      positiveSources))
 }

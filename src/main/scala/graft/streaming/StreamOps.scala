@@ -1173,4 +1173,89 @@ object StreamOps {
         (!known).as("unknown_reference"),
         (!known || col("psi") > threshold).as("drifted"))
   }
+
+  /** Streaming KS drift monitor — the drift2 twin: per event-time window
+    * and event type, the two-sample Kolmogorov–Smirnov statistic of the
+    * window's BINNED value distribution against a static reference
+    * histogram (the same `referenceHistogram` frame the PSI monitor
+    * broadcasts — one reference serves both monitors). Binning is what
+    * makes KS streamable: the exact statistic needs the pooled distinct-
+    * value support, which an unbounded stream cannot hold in one
+    * aggregate, so the monitor quantizes to the reference's bin grid and
+    * computes the EXACT KS of the binned distributions — the standard
+    * monitoring deployment; a sub-bin-width shift is the resolution
+    * knowingly traded (drift1's PSI has the same grid, batch drift2 has
+    * none). On any fixture whose values already sit on the bin grid the
+    * binned statistic IS batch drift2's exact D — the spec pins that
+    * equivalence.
+    *
+    * Shape: ONE stateful windowed aggregation (the bins live as
+    * conditional counters inside the same aggregate as the count — the
+    * psiDriftStream trick, so no second stateful operator), a types-sized
+    * broadcast join, then a narrow O(bins) fold per closing window. The
+    * fold carries (cum_ref, cum_win, max_num) through the zipped bin
+    * arrays and maximizes |cum_ref·n_window − cum_win·n_ref| — exact
+    * cross-multiplied longs, the drift2 convention — publishing `ks_num`
+    * and ONE rounded division `ks`. Failure modes mirror the PSI twin:
+    * an event type with no reference row survives the left join as
+    * `unknown_reference = true` + `drifted = true`, and a reference
+    * built on a different bin grid raises a descriptive error instead
+    * of silently folding mismatched arrays.
+    */
+  def ksDriftStream(events: DataFrame, reference: DataFrame,
+                    windowDur: String = "1 day", watermark: String = "1 day",
+                    bins: Int = 10, binWidth: Double = 50.0,
+                    threshold: Double = 0.05): DataFrame = {
+    if (!reference.columns.contains("ref_bins") ||
+        !reference.columns.contains("ref_bin_width"))
+      throw new IllegalArgumentException(
+        "ksDriftStream reference frame lacks ref_bins/ref_bin_width " +
+          "columns — rebuild it with referenceHistogram so the monitor can " +
+          "verify the binning matches (monitor expects " +
+          s"($bins, $binWidth))")
+    val binCols = (0 until bins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
+    val agged = events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
+          .cast("int").as("bin"))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_window"), binCols: _*)
+    val counts = array((0 until bins).map(i => col(s"b$i")): _*)
+    val known = col("ref_counts").isNotNull
+    // fold state: (cumulative ref count, cumulative window count, max
+    // cross-multiplied CDF gap) — all exact longs
+    val ksNumExpr = aggregate(
+      zip_with(col("ref_counts"), counts,
+        (cr, cw) => struct(cr.as("cr"), cw.as("cw"))),
+      struct(lit(0L).as("fr"), lit(0L).as("fw"), lit(0L).as("mx")),
+      (acc, t) => {
+        val fr = acc.getField("fr") + t.getField("cr")
+        val fw = acc.getField("fw") + t.getField("cw")
+        struct(fr.as("fr"), fw.as("fw"),
+          greatest(acc.getField("mx"),
+            abs(fr * col("n_window") - fw * col("n_ref"))).as("mx"))
+      },
+      acc => acc.getField("mx"))
+    agged
+      .join(broadcast(reference), Seq("event_type"), "left")
+      .withColumn("ks_num",
+        when(known &&
+          (col("ref_bins") =!= bins || col("ref_bin_width") =!= binWidth),
+          raise_error(concat(lit("ksDriftStream bins/binWidth mismatch: " +
+            s"monitor ($bins, $binWidth) vs reference ("),
+            col("ref_bins"), lit(", "), col("ref_bin_width"), lit(")"))))
+          .otherwise(when(known, ksNumExpr)))
+      .withColumn("ks",
+        when(known, round(col("ks_num").cast("double") /
+          (col("n_ref") * col("n_window")).cast("double"), 6)))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_window"), col("n_ref"),
+        col("ks_num"), col("ks"),
+        (!known).as("unknown_reference"),
+        (!known || col("ks") > threshold).as("drifted"))
+  }
 }

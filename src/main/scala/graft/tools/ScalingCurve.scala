@@ -96,6 +96,8 @@ object ScalingCurve {
       "cls1_quality_classifier" -> ((s, d) => Curation.qualityClassifier(s, d)),
       "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)),
       "cls3_calibration" -> ((s, d) => Curation.calibrationTable(s, d)),
+      "cls4_threshold_sweep" -> ((s, d) => Curation.thresholdSweep(s, d)),
+      "cls5_auc" -> ((s, d) => Curation.aucTable(s, d)),
       "x37_leakage_split" -> ((s, d) => Curation.leakageSplit(s, d)))
 
     slices.foreach { case (m, dir) =>

@@ -95,6 +95,8 @@ object StreamBench {
         StreamOps.purchaseAttributionOuter(s, stream())
       }),
       best("psi_drift_window", () => StreamOps.psiDriftStream(stream(),
+        StreamOps.referenceHistogram(base))),
+      best("ks_drift_window", () => StreamOps.ksDriftStream(stream(),
         StreamOps.referenceHistogram(base))))
 
     // cdc2 twin: orders-shaped events through the foreachBatch MERGE loop;

@@ -473,4 +473,67 @@ class CurationSpec extends SparkSpec {
       else assert(pos == n && rate == 1000000L, s"bin $bin impure: $pos/$n")
     }
   }
+
+  test("cls4 sweep arithmetic is exact incl. the NULL-precision tail") {
+    import spark.implicits._
+    // one pos at 0.4, one neg at 0.1: thresholds 0-1 predict both
+    // positive, 2-4 predict only the positive, 5-10 predict NOTHING —
+    // the undefined-precision case both engines must agree is NULL
+    val scored = Seq((400000L, true), (100000L, false))
+      .toDF("prob_micros", "label_high")
+    val got = Curation.thresholdSweepOf(scored).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7))
+    }
+    assert(got.length == 11, "one row per decile threshold")
+    got.foreach { case (t, tp, fp, fn, tn, p, rcl, f1) =>
+      val exp =
+        if (t <= 100000L) (1L, 1L, 0L, 0L, 500000L, 1000000L, 666666L)
+        else if (t <= 400000L) (1L, 0L, 0L, 1L, 1000000L, 1000000L, 1000000L)
+        else (0L, 0L, 1L, 1L, -1L, 0L, -1L) // NULL precision/F1
+      assert((tp, fp, fn, tn, p, rcl, f1) == exp, s"threshold $t: got ${(tp, fp, fn, tn, p, rcl, f1)}")
+    }
+  }
+
+  test("cls5 AUC is the exact tie-aware rank statistic") {
+    import spark.implicits._
+    // tie across classes at 0.1 (half credit), one neg between the
+    // positives — support straddles decile buckets 1/2/3, exercising
+    // the broadcast offset join: 2U = 1*(0+1) + 1*(4+0) = 5, AUC = 5/8
+    val scored = Seq(
+      (100000L, false), (100000L, true), (250000L, false), (300000L, true))
+      .toDF("prob_micros", "label_high")
+    val got = Curation.aucOf(scored).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((2L, 2L, 5L, 0.625)), s"got ${r.toSeq}")
+    // degenerate one-class frame: AUC undefined -> NULL, numerator 0
+    val onlyPos = Seq((100000L, true), (900000L, true))
+      .toDF("prob_micros", "label_high")
+    val d = Curation.aucOf(onlyPos).collect().head
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.isNullAt(3)) ==
+      ((2L, 0L, 0L, true)), s"got ${d.toSeq}")
+  }
+
+  test("cls4/cls5 read the separable fixture as a perfect classifier") {
+    val dir = writeDocs(cls1Fixture(20))
+    // cls1 predicts pred == label on this fixture (CurationSpec's cls1/
+    // cls3 pins), so the 0.5 operating point is a perfect confusion
+    // matrix and the ranking is perfectly separated
+    val sweep = Curation.thresholdSweep(spark, dir, positiveSources = Seq("hi"))
+      .collect().map(r => r.getLong(0) -> r)
+      .toMap
+    val mid = sweep(500000L)
+    assert((mid.getLong(1), mid.getLong(2), mid.getLong(3), mid.getLong(4),
+      mid.getLong(5), mid.getLong(6), mid.getLong(7)) ==
+      ((20L, 0L, 0L, 20L, 1000000L, 1000000L, 1000000L)),
+      s"mid threshold: ${mid.toSeq}")
+    val auc = Curation.aucTable(spark, dir, positiveSources = Seq("hi"))
+      .collect().head
+    assert((auc.getLong(0), auc.getLong(1), auc.getLong(2),
+      auc.getDouble(3)) == ((20L, 20L, 800L, 1.0)), s"auc: ${auc.toSeq}")
+  }
 }

@@ -1187,4 +1187,135 @@ class StreamOpsSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming KS drift: stable type scores zero, shifted type pages, unknown pages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // trusted reference: A and B both concentrated in bin 0
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (5L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (6L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (7L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0),
+      (8L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "B", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val input = MemoryStream[Event]
+    val q = StreamOps.ksDriftStream(input.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ks_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day one: A stays in bin 0 (D = 0), B shifts wholly to bin 9
+      // (D = 1: cum gap |4*3 - 0*4| = 12 on every bin before the last),
+      // C is a brand-new type with no reference row
+      input.addData(Seq(
+        ev(1, 0, 1L, "A", 10.0), ev(2, 10, 1L, "A", 10.0),
+        ev(3, 20, 1L, "A", 10.0), ev(4, 30, 1L, "A", 10.0),
+        ev(5, 0, 1L, "B", 480.0), ev(6, 10, 1L, "B", 480.0),
+        ev(7, 20, 1L, "B", 480.0), ev(8, 30, 1L, "C", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ks_out").collect()
+        .map(r => (r.getAs[String]("event_type"),
+          if (r.isNullAt(r.fieldIndex("ks_num"))) -1L
+          else r.getAs[Long]("ks_num"),
+          if (r.isNullAt(r.fieldIndex("ks"))) -1.0 else r.getAs[Double]("ks"),
+          r.getAs[Boolean]("unknown_reference"),
+          r.getAs[Boolean]("drifted")))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        ("A", 0L, 0.0, false, false),
+        ("B", 12L, 1.0, false, true),
+        ("C", -1L, -1.0, true, true)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming KS on a grid-resolving binning equals batch drift2 exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    // batch drift2's crafted fixture: old window = reference, new window
+    // = stream; every distinct value gets its own bin (width 10 covers
+    // 10..140 in 15 bins), so the binned statistic IS the exact KS
+    def rows(ids: Range, t: String, typ: String, vs: Seq[Double]) =
+      ids.zip(vs).map { case (i, v) =>
+        (i.toLong, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+    val old =
+      rows(1 to 4, "2024-01-10 00:00:00", "A", Seq(10, 20, 30, 40)) ++
+      rows(9 to 12, "2024-01-10 00:00:00", "B", Seq(10, 20, 30, 40)) ++
+      rows(17 to 20, "2024-01-10 00:00:00", "C", Seq(10, 20, 30, 40))
+    val fresh =
+      rows(5 to 8, "2024-01-20 00:00:00", "A", Seq(10, 20, 30, 40)) ++
+      rows(13 to 16, "2024-01-20 00:00:00", "B", Seq(110, 120, 130, 140)) ++
+      rows(21 to 24, "2024-01-20 00:00:00", "C", Seq(10, 20, 50, 60))
+    val dir = tempSfDir()
+    (old ++ fresh)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val batch = graft.operators.DataOps.ksDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val ref = StreamOps.referenceHistogram(
+      old.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      bins = 15, binWidth = 10.0)
+    val input = MemoryStream[Event]
+    val q = StreamOps.ksDriftStream(input.toDF(), ref,
+      watermark = "0 seconds", bins = 15, binWidth = 10.0)
+      .writeStream.format("memory").queryName("ks_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(fresh.map { case (id, ts, u, typ, v, _) =>
+        Event(id, ts, u, typ, v) })
+      q.processAllAvailable()
+      input.addData(Seq(Event(99L, Timestamp.valueOf("2024-01-25 00:00:00"),
+        9L, "A", 10.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ks_eq_out").collect()
+        .filter(_.getAs[Long]("window_start_us") ==
+          Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000)
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("ks_num"), r.getAs[Double]("ks"),
+            r.getAs[Boolean]("drifted")))
+        .toMap
+      assert(streamed.keySet == Set("A", "B", "C"), s"got ${streamed.keySet}")
+      streamed.foreach { case (typ, s) =>
+        assert(s == batch(typ), s"type $typ: stream $s != batch ${batch(typ)}")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming KS drift: binning mismatch vs the reference fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      bins = 20, binWidth = 25.0)
+    // a frame missing the binning columns entirely fails at the driver
+    val bare = ref.drop("ref_bins", "ref_bin_width")
+    val e0 = intercept[IllegalArgumentException] {
+      StreamOps.ksDriftStream(spark.range(1).toDF(), bare)
+    }
+    assert(e0.getMessage.contains("ref_bins"), e0.getMessage)
+    val input = MemoryStream[Event]
+    val q = StreamOps.ksDriftStream(input.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ks_mismatch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "A", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("bins/binWidth mismatch")),
+        s"expected the binning tripwire, got: ${messages(e)}")
+    } finally q.stop()
+  }
 }
