@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.Output.OutputOps
 import graft.operators.{Analytics, Curation, DataOps, Decontamination, DecisionSupport, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -132,6 +133,8 @@ object SparkEntry {
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
     "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>
       Multimodal.audioChunks(s, d).toDF().orderBy("doc_id", "chunk_idx")),
+    "m7_scene_cuts"        -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d).toDF().orderedBy("doc_id", "scene_idx")),
     "c2_contamination_frac" -> ((s: SparkSession, d: String) =>
       Decontamination.contaminationFraction(s, d)),
     "i2_bm25_topk"         -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
@@ -778,6 +781,53 @@ object SparkEntry {
        |FROM fr, ct
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m7's DuckDB twin — the raw-fallback scene segmentation replayed
+    * naively: contiguous 128-byte frame groups, whole-frame 16-bin byte
+    * histograms as list_transform/list_filter, adjacent L1 via a zipped
+    * fold, the integer cross-multiplied cut rule over per-frame masses
+    * (the last short frame's smaller mass included), scene ids as a
+    * cumulative cut sum, then one run-length aggregate.
+    */
+  private val m7OracleSql: String =
+    s"""WITH ${textBytesCte(" WHERE doc_id % 3 = 2")},
+       |fr AS (
+       |  SELECT doc_id, n, tb, CAST(f AS INT) AS frame_idx
+       |  FROM (SELECT doc_id, n, tb,
+       |        unnest(range(0, greatest(1, (n + 127) // 128))) AS f FROM d)),
+       |sl AS (
+       |  SELECT doc_id, frame_idx,
+       |    tb[frame_idx*128 + 1 : CAST(least(n, frame_idx*128 + 128) AS INT)] AS slice
+       |  FROM fr),
+       |hs AS (
+       |  SELECT doc_id, frame_idx, length(slice) AS mass,
+       |    list_transform(range(0, 16), k -> length(list_filter(slice, b -> b // 16 = k))) AS h
+       |  FROM sl),
+       |lg AS (
+       |  SELECT doc_id, frame_idx, h, mass,
+       |    lag(h) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ph,
+       |    lag(mass) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pmass
+       |  FROM hs),
+       |cf AS (
+       |  SELECT doc_id, frame_idx,
+       |    CASE WHEN ph IS NULL THEN 0
+       |      WHEN list_reduce(list_prepend(0,
+       |          list_transform(range(1, 17), i -> abs(h[CAST(i AS INT)] - ph[CAST(i AS INT)]))),
+       |        (a, b) -> a + b) * 1000 > 250 * (mass + pmass)
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM lg),
+       |sc AS (
+       |  SELECT doc_id, frame_idx,
+       |    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene
+       |  FROM cf)
+       |SELECT doc_id, CAST(scene AS INT) AS scene_idx,
+       |  CAST(min(frame_idx) AS INT) AS start_frame,
+       |  CAST(max(frame_idx) AS INT) AS end_frame,
+       |  CAST(count(*) AS INT) AS n_frames,
+       |  CAST(min(frame_idx) * 40 AS BIGINT) AS start_ms,
+       |  CAST(max(frame_idx) * 40 AS BIGINT) AS end_ms
+       |FROM sc GROUP BY 1, 2
+       |ORDER BY doc_id, scene_idx""".stripMargin
+
   private val m3OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |${textBytesCte(" WHERE doc_id % 3 = 1")},
@@ -924,6 +974,7 @@ object SparkEntry {
     "m6_media_dedup" -> m6OracleSql,
     "m2_frame_sample" -> m2OracleSql,
     "m3_audio_chunks" -> m3OracleSql,
+    "m7_scene_cuts" -> m7OracleSql,
     "m4_image_phash" -> m4OracleSql,
     "t1_speed_radar" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

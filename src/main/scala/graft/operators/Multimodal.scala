@@ -185,6 +185,25 @@ object Multimodal {
     def decode(payload: Array[Byte]): Iterator[DecodedFrame]
   }
 
+  /** One frame's content SIGNATURE for scene detection: a 16-bin
+    * luminance histogram (exact longs). A histogram is the classic
+    * shot-boundary feature — unlike m2's CRC digest it supports a
+    * MAGNITUDE of change between adjacent frames, which is what a cut
+    * threshold needs; 16 bins keeps the per-frame state tiny and the
+    * arithmetic integer-exact.
+    */
+  final case class FrameSig(frame_idx: Int, ts_ms: Long, hist: Array[Long])
+
+  /** THE SCENE SEAM for m7: signatures instead of digests. Kept separate
+    * from FrameDecoder so m2's proven contract (and its fakes) stay
+    * untouched; the three shipped decoders implement both. A real codec
+    * integration implements `signatures` by histogramming each decoded
+    * raster — exactly what the AVI/GIF decoders here do.
+    */
+  trait SceneDecoder extends Serializable {
+    def signatures(payload: Array[Byte]): Iterator[FrameSig]
+  }
+
   /** Default decoder: the honest raw fallback (no codec libs in this
     * container) — 1024-byte groups as "frames" at 25 fps, frame digest =
     * CRC32 over a strided 64-byte slice of the payload.
@@ -197,6 +216,34 @@ object Multimodal {
         crc.update(payload, (i * 64) % math.max(1, payload.length),
           math.min(64, payload.length))
         DecodedFrame(i, i * 40L, crc.getValue) // 25 fps -> 40ms/frame
+      }
+    }
+  }
+
+  /** The raw SCENE fallback: contiguous `frameBytes`-byte groups as
+    * frames at 25 fps, each frame's signature the 16-bin byte-value
+    * histogram (bin = byte div 16) of the WHOLE group — unlike
+    * RawFrameDecoder's strided 64-byte probe, the signature must cover
+    * every byte so adjacent-frame deltas measure real content change,
+    * and the last (short) frame's smaller mass is exactly what the cut
+    * rule's (mass + pmass) denominator normalizes for. 128-byte default
+    * so even short synthesized payloads yield real multi-frame walks.
+    */
+  final case class RawSceneDecoder(frameBytes: Int = 128) extends SceneDecoder {
+    require(frameBytes > 0, s"frameBytes must be positive; got $frameBytes")
+    override def signatures(payload: Array[Byte]): Iterator[FrameSig] = {
+      val n = payload.length
+      val nFrames = math.max(1, (n + frameBytes - 1) / frameBytes)
+      Iterator.range(0, nFrames).map { i =>
+        val off = i * frameBytes
+        val end = math.min(n, off + frameBytes)
+        val h = new Array[Long](16)
+        var j = off
+        while (j < end) {
+          h((payload(j) & 0xff) >> 4) += 1
+          j += 1
+        }
+        FrameSig(i, i * 40L, h)
       }
     }
   }
@@ -252,6 +299,39 @@ object Multimodal {
     crc.getValue
   }
 
+  /** 16-bin luminance histogram over a decoded raster — the shared scene
+    * signature of the pixel-bearing decoders: integer BT.601 luma
+    * ((299·R + 587·G + 114·B) quot 1000), bin = luma div 16. Identical
+    * pixels produce identical histograms whichever container carried
+    * them, mirroring the rasterCrc convention.
+    */
+  private def lumaHist(img: DecodedImage): Array[Long] = {
+    val h = new Array[Long](16)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val v = img.rgb(x, y)
+        val luma = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 +
+          (v & 0xff) * 114) / 1000
+        h(luma >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** The PixelDecoder-seam view of a BufferedImage, so canvas-compositing
+    * decoders share rasterCrc/lumaHist with byte-level ones.
+    */
+  private def wrapImage(b: java.awt.image.BufferedImage): DecodedImage =
+    new DecodedImage {
+      override def width: Int = b.getWidth
+      override def height: Int = b.getHeight
+      override def rgb(x: Int, y: Int): Int = b.getRGB(x, y)
+    }
+
   /** AVI/MJPEG demuxer behind the m2 seam — the real VIDEO-container path
     * with zero new dependencies: AVI is RIFF (the same chunk discipline as
     * the WAV parser above, down to the word-alignment pad), and an MJPEG
@@ -265,14 +345,28 @@ object Multimodal {
     * synthesized raw "video" rows of the driver corpus) yield no frames
     * instead of misparsing — RawFrameDecoder remains the contract default.
     */
-  object AviMjpegFrameDecoder extends FrameDecoder {
+  object AviMjpegFrameDecoder extends FrameDecoder with SceneDecoder {
     private def u32(b: Array[Byte], o: Int): Long =
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     private def fourcc(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] =
+      frameRasters(payload).map { case (i, ts, img) =>
+        DecodedFrame(i, ts, rasterCrc(img))
+      }
+
+    override def signatures(payload: Array[Byte]): Iterator[FrameSig] =
+      frameRasters(payload).map { case (i, ts, img) =>
+        FrameSig(i, ts, lumaHist(img))
+      }
+
+    /** The demux + per-frame JPEG decode walk both views share: lazy
+      * (index, ts_ms, raster) triples — one decode per pulled frame.
+      */
+    private def frameRasters(
+        payload: Array[Byte]): Iterator[(Int, Long, DecodedImage)] = {
       if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
         fourcc(payload, 8) != "AVI ") return Iterator.empty
       var usPerFrame = 40000L // 25 fps unless avih says otherwise
@@ -316,10 +410,10 @@ object Multimodal {
       if (moviStart < 0) return Iterator.empty
 
       val cadence = usPerFrame
-      new Iterator[DecodedFrame] {
+      new Iterator[(Int, Long, DecodedImage)] {
         private var off = moviStart
         private var idx = 0
-        private var nextFrame: DecodedFrame = null
+        private var nextFrame: (Int, Long, DecodedImage) = null
         private def advance(): Unit = {
           nextFrame = null
           while (nextFrame == null && off + 8 <= moviEnd) {
@@ -340,7 +434,7 @@ object Multimodal {
                   pd.orNull
                 } catch { case _: Throwable => null }
               if (img != null) {
-                nextFrame = DecodedFrame(idx, idx * cadence / 1000L, rasterCrc(img))
+                nextFrame = (idx, idx * cadence / 1000L, img)
                 idx += 1
               }
             }
@@ -348,7 +442,7 @@ object Multimodal {
         }
         advance()
         override def hasNext: Boolean = nextFrame != null
-        override def next(): DecodedFrame = {
+        override def next(): (Int, Long, DecodedImage) = {
           val f = nextFrame; advance(); f
         }
       }
@@ -370,7 +464,7 @@ object Multimodal {
     * small by construction; a streaming video codec would keep the
     * iterator lazy.
     */
-  object ImageIoGifFrameDecoder extends FrameDecoder {
+  object ImageIoGifFrameDecoder extends FrameDecoder with SceneDecoder {
     private case class GifFrameMeta(left: Int, top: Int, disposal: String,
                                     delayMs: Long)
 
@@ -419,7 +513,22 @@ object Multimodal {
       (reader.getWidth(0), reader.getHeight(0))
     }
 
-    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] = {
+    override def decode(payload: Array[Byte]): Iterator[DecodedFrame] =
+      frameRasters(payload).map { case (i, ts, img) =>
+        DecodedFrame(i, ts, rasterCrc(img))
+      }
+
+    override def signatures(payload: Array[Byte]): Iterator[FrameSig] =
+      frameRasters(payload).map { case (i, ts, img) =>
+        FrameSig(i, ts, lumaHist(img))
+      }
+
+    /** The composited canvas walk both views share. Each emitted raster
+      * is a SNAPSHOT of the canvas (the restoreToPrevious copy already
+      * paid this cost) because later frames mutate it in place.
+      */
+    private def frameRasters(
+        payload: Array[Byte]): Iterator[(Int, Long, DecodedImage)] = {
       import java.awt.image.BufferedImage
       javax.imageio.ImageIO.setUseCache(false)
       val in = javax.imageio.ImageIO.createImageInputStream(
@@ -427,7 +536,7 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) { in.close(); return Iterator.empty }
       val reader = readers.next()
-      val frames = Vector.newBuilder[DecodedFrame]
+      val frames = Vector.newBuilder[(Int, Long, DecodedImage)]
       try {
         reader.setInput(in, false)
         if (reader.getFormatName.toLowerCase != "gif") return Iterator.empty
@@ -457,7 +566,11 @@ object Multimodal {
           val g = canvas.createGraphics()
           g.drawImage(raster, md.left, md.top, null)
           g.dispose()
-          frames += DecodedFrame(i, ts, rasterCrc(canvas))
+          val snap = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+          val gs = snap.createGraphics()
+          gs.drawImage(canvas, 0, 0, null)
+          gs.dispose()
+          frames += ((i, ts, wrapImage(snap)))
           ts += md.delayMs
           md.disposal match {
             case "restoreToBackgroundColor" =>
@@ -512,6 +625,92 @@ object Multimodal {
       decoder.decode(b.payload)
         .filter(_.frame_idx % everyNth == 0)
         .map(f => FrameSample(b.doc_id, f.frame_idx, f.ts_ms, f.frame_crc))
+    })
+  }
+
+  /** One detected scene of a video: a maximal run of adjacent frames
+    * with no shot boundary between them.
+    */
+  case class SceneCut(doc_id: Long, scene_idx: Int, start_frame: Int,
+                      end_frame: Int, n_frames: Int, start_ms: Long,
+                      end_ms: Long)
+
+  /** m7: scene-cut detection — shot-boundary segmentation, the stage a
+    * video curation pipeline runs BEFORE frame sampling so m2's every-Nth
+    * policy can become per-scene sampling (N frames per shot instead of N
+    * per file — uniform sampling over-represents long static shots and
+    * can miss short ones entirely). The classic histogram method: a cut
+    * between adjacent frames i−1, i iff the L1 distance of their 16-bin
+    * luminance histograms exceeds a threshold fraction of its maximum,
+    * as exact integers: cut ⟺ L1 · 1000 > thresholdMilli · (mass_{i−1} +
+    * mass_i), where mass = Σ hist (L1 ≤ mass_{i−1} + mass_i always, and
+    * the cross-multiply keeps the comparison rational-exact — the c2
+    * convention). Scenes are the maximal cut-free runs; every frame
+    * belongs to exactly one scene, a one-frame video is one scene.
+    *
+    * The signature comes from the SceneDecoder seam: real luminance
+    * histograms from the AVI/GIF pixel decoders (spec-proven on a
+    * crafted two-shot animation), whole-frame byte histograms over
+    * 128-byte frame groups from the raw fallback on the synthesized
+    * corpus (deterministic and oracle-replayed, like every raw-fallback
+    * view; at the default threshold ~30% of the corpus's adjacent pairs
+    * cut, so the oracle exercises both branches of the rule heavily).
+    *
+    * Scale shape: ONE narrow mapPartitions over the video payloads —
+    * the fold over each payload's frame iterator is sequential by
+    * nature (each frame compares to its predecessor), so the operator
+    * emits finished scene rows directly with NO shuffle at all (the
+    * m2/m6 class); payload bytes never leave their input partition.
+    */
+  def sceneCuts(spark: SparkSession, dir: String,
+                thresholdMilli: Int = 250,
+                decoder: SceneDecoder = RawSceneDecoder()): Dataset[SceneCut] =
+    sceneCutsFrom(
+      mediaBlobs(spark, dir).filter(_.media_type == "video"),
+      thresholdMilli, decoder)
+
+  /** The blob-level m7 kernel: any `Dataset[MediaBlob]` source, any
+    * SceneDecoder — what the real-container specs drive.
+    */
+  def sceneCutsFrom(blobs: Dataset[MediaBlob], thresholdMilli: Int,
+                    decoder: SceneDecoder): Dataset[SceneCut] = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be a milli-fraction in [0, 1000]; got $thresholdMilli")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[SceneCut]
+      var sceneIdx = 0
+      var startIdx = 0
+      var startMs = 0L
+      var prev: FrameSig = null
+      var prevMass = 0L
+      decoder.signatures(b.payload).foreach { sig =>
+        var mass = 0L
+        var k = 0
+        while (k < sig.hist.length) { mass += sig.hist(k); k += 1 }
+        if (prev == null) { startIdx = sig.frame_idx; startMs = sig.ts_ms }
+        else {
+          var l1 = 0L
+          k = 0
+          while (k < sig.hist.length) {
+            l1 += math.abs(sig.hist(k) - prev.hist(k))
+            k += 1
+          }
+          if (l1 * 1000L > thresholdMilli.toLong * (mass + prevMass)) {
+            out += SceneCut(b.doc_id, sceneIdx, startIdx, prev.frame_idx,
+              prev.frame_idx - startIdx + 1, startMs, prev.ts_ms)
+            sceneIdx += 1
+            startIdx = sig.frame_idx
+            startMs = sig.ts_ms
+          }
+        }
+        prev = sig
+        prevMass = mass
+      }
+      if (prev != null)
+        out += SceneCut(b.doc_id, sceneIdx, startIdx, prev.frame_idx,
+          prev.frame_idx - startIdx + 1, startMs, prev.ts_ms)
+      out.iterator
     })
   }
 

@@ -77,6 +77,7 @@ object ScalingCurve {
       "k4_cluster_quality" -> ((s, d) => Curation.clusterQuality(s, d, k = 8 * m)),
       "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
       "m6_media_dedup" -> ((s, d) => Multimodal.mediaExactDedup(s, d)),
+      "m7_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d).toDF()),
       "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),
       "s7_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
       // the s7 throughput dial: the greedy re-rank is O(k*poolN) per query

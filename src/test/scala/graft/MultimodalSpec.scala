@@ -494,4 +494,89 @@ class MultimodalSpec extends SparkSpec {
     // total mass conserved: every blob is in exactly one group
     assert(got.map(_._3).sum == 9L)
   }
+
+  test("m7 raw scene arithmetic: cut rule, short-frame mass, strict boundary") {
+    import spark.implicits._
+    // payload A: 128x 0x00 | 128x 0xFF | 128x 0xFF — one total change
+    // then a still pair -> scenes {0} and {1,2}
+    val a = Array.fill[Byte](128)(0) ++ Array.fill[Byte](128)(-1) ++
+      Array.fill[Byte](128)(-1)
+    // payload B: 128x 0x00 | 32x 0xFF short tail — L1=160 over mass
+    // 128+32=160 -> ratio 1000 per mille, cuts; the SHORT frame's mass
+    // must enter the denominator (a fixed-128 denom would read 625)
+    val b = Array.fill[Byte](128)(0) ++ Array.fill[Byte](32)(-1)
+    // payload C: one short frame -> exactly one single-frame scene
+    val c = Array.fill[Byte](40)(7)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "video", a),
+      Multimodal.MediaBlob(2L, "video", b),
+      Multimodal.MediaBlob(3L, "video", c)).toDS()
+    val got = Multimodal
+      .sceneCutsFrom(blobs, thresholdMilli = 250, Multimodal.RawSceneDecoder())
+      .collect().map(s => (s.doc_id, s.scene_idx, s.start_frame, s.end_frame,
+        s.n_frames, s.start_ms, s.end_ms)).sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 0, 1, 0L, 0L),
+      (1L, 1, 1, 2, 2, 40L, 80L),
+      (2L, 0, 0, 0, 1, 0L, 0L),
+      (2L, 1, 1, 1, 1, 40L, 40L),
+      (3L, 0, 0, 0, 1, 0L, 0L)), s"got ${got.toSeq}")
+
+    // strict-inequality boundary: frame2 = 64x 0x00 + 64x 0xF0 against
+    // frame1 = 128x 0x00 gives L1 = 128, denom = 256 -> exactly 500
+    // per mille: NOT a cut at 500 (strict >), a cut at 499
+    val e = Array.fill[Byte](128)(0) ++ Array.fill[Byte](64)(0) ++
+      Array.fill[Byte](64)(0xF0.toByte)
+    def scenesAt(t: Int): Int = Multimodal.sceneCutsFrom(
+      Seq(Multimodal.MediaBlob(9L, "video", e)).toDS(), t,
+      Multimodal.RawSceneDecoder()).collect().length
+    assert(scenesAt(500) == 1, "boundary delta must NOT cut (strict >)")
+    assert(scenesAt(499) == 2, "just under the boundary must cut")
+  }
+
+  test("m7 detects the shot boundary of a real two-shot animated GIF") {
+    import spark.implicits._
+    import javax.imageio.{IIOImage, ImageIO}
+    // three red frames then three blue: red luma 76 (bin 4), blue luma
+    // 29 (bin 1) -> the only large adjacent delta is frame 2 -> 3
+    val colors = Seq(0xFF0000, 0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF, 0x0000FF)
+    val frames = colors.map { cc =>
+      val f = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) f.setRGB(x, y, cc)
+      f
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val blobs = Seq(Multimodal.MediaBlob(7L, "video", baos.toByteArray)).toDS()
+    val got = Multimodal
+      .sceneCutsFrom(blobs, thresholdMilli = 250, Multimodal.ImageIoGifFrameDecoder)
+      .collect().map(s => (s.scene_idx, s.start_frame, s.end_frame, s.n_frames,
+        s.start_ms, s.end_ms)).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0, 0, 2, 3, 0L, 80L), (1, 3, 5, 3, 120L, 200L)), s"got ${got.toSeq}")
+  }
+
+  test("m7 detects the shot boundary of a real AVI/MJPEG despite JPEG loss") {
+    import spark.implicits._
+    // two red shots then two blue at 10 fps; JPEG wobble on solid
+    // primaries stays inside one luma bin, so the histogram delta is
+    // still ~total at the boundary and ~zero within shots
+    val jpegs = Seq(0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF).map(jpegBytes)
+    val avi = aviMjpeg(jpegs, usPerFrame = 100000)
+    val blobs = Seq(Multimodal.MediaBlob(8L, "video", avi)).toDS()
+    val got = Multimodal
+      .sceneCutsFrom(blobs, thresholdMilli = 250, Multimodal.AviMjpegFrameDecoder)
+      .collect().map(s => (s.scene_idx, s.start_frame, s.end_frame, s.start_ms,
+        s.end_ms)).sortBy(_._1)
+    assert(got.toSeq == Seq((0, 0, 1, 0L, 100L), (1, 2, 3, 200L, 300L)),
+      s"got ${got.toSeq}")
+  }
 }
