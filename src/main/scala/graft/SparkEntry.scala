@@ -135,6 +135,8 @@ object SparkEntry {
       Multimodal.audioChunks(s, d).toDF().orderBy("doc_id", "chunk_idx")),
     "m7_scene_cuts"        -> ((s: SparkSession, d: String) =>
       Multimodal.sceneCuts(s, d).toDF().orderedBy("doc_id", "scene_idx")),
+    "m8_scene_keyframes"   -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneKeyframes(s, d).toDF().orderedBy("doc_id", "scene_idx")),
     "c2_contamination_frac" -> ((s: SparkSession, d: String) =>
       Decontamination.contaminationFraction(s, d)),
     "i2_bm25_topk"         -> ((s: SparkSession, d: String) => TextAnalysis.bm25TopK(s, d)),
@@ -828,6 +830,29 @@ object SparkEntry {
        |FROM sc GROUP BY 1, 2
        |ORDER BY doc_id, scene_idx""".stripMargin
 
+  /** m8's DuckDB twin: m7's segmentation CTEs verbatim, then the middle
+    * frame per scene (min + (max−min)//2 — frame indices in a scene are
+    * consecutive, so this IS the middle of the run), re-joined to the
+    * histogram CTE for the dominant-bin argmax (list_position finds the
+    * FIRST max, matching the Spark side's lowest-bin tie rule).
+    */
+  private val m8OracleSql: String = {
+    val shared = m7OracleSql.substring(0, m7OracleSql.indexOf("SELECT doc_id, CAST(scene AS INT)"))
+    shared +
+      s""", kf AS (
+         |  SELECT doc_id, CAST(scene AS INT) AS scene_idx,
+         |    CAST(min(frame_idx) + (max(frame_idx) - min(frame_idx)) // 2 AS INT)
+         |      AS keyframe_idx
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT kf.doc_id, kf.scene_idx, kf.keyframe_idx,
+         |  CAST(kf.keyframe_idx * 40 AS BIGINT) AS ts_ms,
+         |  CAST(list_position(h.h, list_aggregate(h.h, 'max')) - 1 AS INT)
+         |    AS dominant_bin,
+         |  CAST(h.mass AS BIGINT) AS mass
+         |FROM kf JOIN hs h ON h.doc_id = kf.doc_id AND h.frame_idx = kf.keyframe_idx
+         |ORDER BY kf.doc_id, kf.scene_idx""".stripMargin
+  }
+
   private val m3OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |${textBytesCte(" WHERE doc_id % 3 = 1")},
@@ -975,6 +1000,7 @@ object SparkEntry {
     "m2_frame_sample" -> m2OracleSql,
     "m3_audio_chunks" -> m3OracleSql,
     "m7_scene_cuts" -> m7OracleSql,
+    "m8_scene_keyframes" -> m8OracleSql,
     "m4_image_phash" -> m4OracleSql,
     "t1_speed_radar" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

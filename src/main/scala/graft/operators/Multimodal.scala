@@ -669,6 +669,46 @@ object Multimodal {
       mediaBlobs(spark, dir).filter(_.media_type == "video"),
       thresholdMilli, decoder)
 
+  /** The shared sequential scene walk: group a payload's frame
+    * signatures into maximal cut-free runs under the integer cut rule.
+    * Per-scene frame buffering is bounded by the scene length, the same
+    * class as the GIF decoder's per-payload eagerness.
+    */
+  private def scenesOf(sigs: Iterator[FrameSig],
+                       thresholdMilli: Int): Iterator[(Int, Vector[FrameSig])] = {
+    val out = Vector.newBuilder[(Int, Vector[FrameSig])]
+    var cur = Vector.newBuilder[FrameSig]
+    var curN = 0
+    var sceneIdx = 0
+    var prev: FrameSig = null
+    var prevMass = 0L
+    sigs.foreach { sig =>
+      var mass = 0L
+      var k = 0
+      while (k < sig.hist.length) { mass += sig.hist(k); k += 1 }
+      if (prev != null) {
+        var l1 = 0L
+        k = 0
+        while (k < sig.hist.length) {
+          l1 += math.abs(sig.hist(k) - prev.hist(k))
+          k += 1
+        }
+        if (l1 * 1000L > thresholdMilli.toLong * (mass + prevMass)) {
+          out += ((sceneIdx, cur.result()))
+          cur = Vector.newBuilder[FrameSig]
+          curN = 0
+          sceneIdx += 1
+        }
+      }
+      cur += sig
+      curN += 1
+      prev = sig
+      prevMass = mass
+    }
+    if (curN > 0) out += ((sceneIdx, cur.result()))
+    out.result().iterator
+  }
+
   /** The blob-level m7 kernel: any `Dataset[MediaBlob]` source, any
     * SceneDecoder — what the real-container specs drive.
     */
@@ -678,39 +718,62 @@ object Multimodal {
       s"thresholdMilli must be a milli-fraction in [0, 1000]; got $thresholdMilli")
     import blobs.sparkSession.implicits._
     blobs.mapPartitions(_.flatMap { b =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[SceneCut]
-      var sceneIdx = 0
-      var startIdx = 0
-      var startMs = 0L
-      var prev: FrameSig = null
-      var prevMass = 0L
-      decoder.signatures(b.payload).foreach { sig =>
-        var mass = 0L
-        var k = 0
-        while (k < sig.hist.length) { mass += sig.hist(k); k += 1 }
-        if (prev == null) { startIdx = sig.frame_idx; startMs = sig.ts_ms }
-        else {
-          var l1 = 0L
-          k = 0
-          while (k < sig.hist.length) {
-            l1 += math.abs(sig.hist(k) - prev.hist(k))
+      scenesOf(decoder.signatures(b.payload), thresholdMilli).map {
+        case (idx, frames) =>
+          SceneCut(b.doc_id, idx, frames.head.frame_idx, frames.last.frame_idx,
+            frames.last.frame_idx - frames.head.frame_idx + 1,
+            frames.head.ts_ms, frames.last.ts_ms)
+      }
+    })
+  }
+
+  /** One selected keyframe per scene, with its content summary. */
+  case class SceneKeyframe(doc_id: Long, scene_idx: Int, keyframe_idx: Int,
+                           ts_ms: Long, dominant_bin: Int, mass: Long)
+
+  /** m8: keyframe selection — the consumer of m7's segmentation: ONE
+    * representative frame per scene (the MIDDLE frame, the standard
+    * least-transition-biased choice — first/last frames sit on cut
+    * boundaries and carry transition artifacts in real footage), plus
+    * its dominant luminance bin (argmax of the 16-bin signature, ties
+    * to the lowest bin) and total mass as the content summary a
+    * downstream embed/caption stage keys on. This is per-scene sampling
+    * made concrete: a 1000-frame static shot contributes ONE frame,
+    * a 3-frame shot still contributes one — exactly the bias uniform
+    * every-Nth sampling (m2) cannot avoid.
+    *
+    * Scale shape: identical to m7 — the same shared sequential scene
+    * walk inside ONE shuffle-free mapPartitions; keyframe choice is
+    * in-loop arithmetic on the buffered scene. The oracle replays m7's
+    * segmentation and picks/argmaxes the same frame in SQL.
+    */
+  def sceneKeyframes(spark: SparkSession, dir: String,
+                     thresholdMilli: Int = 250,
+                     decoder: SceneDecoder = RawSceneDecoder()): Dataset[SceneKeyframe] =
+    sceneKeyframesFrom(
+      mediaBlobs(spark, dir).filter(_.media_type == "video"),
+      thresholdMilli, decoder)
+
+  /** The blob-level m8 kernel. */
+  def sceneKeyframesFrom(blobs: Dataset[MediaBlob], thresholdMilli: Int,
+                         decoder: SceneDecoder): Dataset[SceneKeyframe] = {
+    require(thresholdMilli >= 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be a milli-fraction in [0, 1000]; got $thresholdMilli")
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      scenesOf(decoder.signatures(b.payload), thresholdMilli).map {
+        case (idx, frames) =>
+          val kf = frames((frames.size - 1) / 2)
+          var dom = 0
+          var mass = 0L
+          var k = 0
+          while (k < kf.hist.length) {
+            mass += kf.hist(k)
+            if (kf.hist(k) > kf.hist(dom)) dom = k
             k += 1
           }
-          if (l1 * 1000L > thresholdMilli.toLong * (mass + prevMass)) {
-            out += SceneCut(b.doc_id, sceneIdx, startIdx, prev.frame_idx,
-              prev.frame_idx - startIdx + 1, startMs, prev.ts_ms)
-            sceneIdx += 1
-            startIdx = sig.frame_idx
-            startMs = sig.ts_ms
-          }
-        }
-        prev = sig
-        prevMass = mass
+          SceneKeyframe(b.doc_id, idx, kf.frame_idx, kf.ts_ms, dom, mass)
       }
-      if (prev != null)
-        out += SceneCut(b.doc_id, sceneIdx, startIdx, prev.frame_idx,
-          prev.frame_idx - startIdx + 1, startMs, prev.ts_ms)
-      out.iterator
     })
   }
 

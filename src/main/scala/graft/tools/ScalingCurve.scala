@@ -78,6 +78,7 @@ object ScalingCurve {
       "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
       "m6_media_dedup" -> ((s, d) => Multimodal.mediaExactDedup(s, d)),
       "m7_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d).toDF()),
+      "m8_scene_keyframes" -> ((s, d) => Multimodal.sceneKeyframes(s, d).toDF()),
       "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),
       "s7_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
       // the s7 throughput dial: the greedy re-rank is O(k*poolN) per query

@@ -132,6 +132,10 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       acc += Multimodal.aHash64(img))
     Multimodal.AviMjpegFrameDecoder.decode(buf).foreach(f => acc += f.frame_crc)
     Multimodal.ImageIoGifFrameDecoder.decode(buf).foreach(f => acc += f.frame_crc)
+    // the m7 signature views walk the same containers — force them too
+    Multimodal.AviMjpegFrameDecoder.signatures(buf).foreach(s => acc += s.hist(0))
+    Multimodal.ImageIoGifFrameDecoder.signatures(buf).foreach(s => acc += s.hist(0))
+    Multimodal.RawSceneDecoder().signatures(buf).foreach(s => acc += s.hist(15))
     acc
   }
 

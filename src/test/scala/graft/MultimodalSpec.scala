@@ -564,6 +564,58 @@ class MultimodalSpec extends SparkSpec {
       (0, 0, 2, 3, 0L, 80L), (1, 3, 5, 3, 120L, 200L)), s"got ${got.toSeq}")
   }
 
+  test("m8 picks the middle keyframe with lowest-bin argmax ties and short-frame mass") {
+    import spark.implicits._
+    // scenes {0,1} then {2,3,4}: middles are frames 0 and 3
+    val a = Array.fill[Byte](256)(0) ++ Array.fill[Byte](384)(-1)
+    // tie payload: one frame, bins 0 and 15 both 64 -> dominant = 0
+    val tie = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(-1)
+    // short single frame: mass is the real byte count, not frameBytes
+    val short = Array.fill[Byte](40)(0x20)
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "video", a),
+      Multimodal.MediaBlob(2L, "video", tie),
+      Multimodal.MediaBlob(3L, "video", short)).toDS()
+    val got = Multimodal
+      .sceneKeyframesFrom(blobs, thresholdMilli = 250, Multimodal.RawSceneDecoder())
+      .collect().map(s => (s.doc_id, s.scene_idx, s.keyframe_idx, s.ts_ms,
+        s.dominant_bin, s.mass)).sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 0L, 0, 128L),
+      (1L, 1, 3, 120L, 15, 128L),
+      (2L, 0, 0, 0L, 0, 128L),
+      (3L, 0, 0, 0L, 2, 40L)), s"got ${got.toSeq}")
+  }
+
+  test("m8 keyframes a real two-shot GIF at the shot middles") {
+    import spark.implicits._
+    import javax.imageio.{IIOImage, ImageIO}
+    val colors = Seq(0xFF0000, 0xFF0000, 0xFF0000, 0x0000FF, 0x0000FF, 0x0000FF)
+    val frames = colors.map { cc =>
+      val f = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) f.setRGB(x, y, cc)
+      f
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val blobs = Seq(Multimodal.MediaBlob(7L, "video", baos.toByteArray)).toDS()
+    val got = Multimodal
+      .sceneKeyframesFrom(blobs, thresholdMilli = 250, Multimodal.ImageIoGifFrameDecoder)
+      .collect().map(s => (s.scene_idx, s.keyframe_idx, s.ts_ms,
+        s.dominant_bin, s.mass)).sortBy(_._1)
+    // red luma 76 -> bin 4; blue luma 29 -> bin 1; 16x16 canvas mass 256
+    assert(got.toSeq == Seq(
+      (0, 1, 40L, 4, 256L), (1, 4, 160L, 1, 256L)), s"got ${got.toSeq}")
+  }
+
   test("m7 detects the shot boundary of a real AVI/MJPEG despite JPEG loss") {
     import spark.implicits._
     // two red shots then two blue at 10 fps; JPEG wobble on solid
