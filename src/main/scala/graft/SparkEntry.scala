@@ -790,7 +790,7 @@ object SparkEntry {
     * (the last short frame's smaller mass included), scene ids as a
     * cumulative cut sum, then one run-length aggregate.
     */
-  private val m7OracleSql: String =
+  private val m7SceneCtes: String =
     s"""WITH ${textBytesCte(" WHERE doc_id % 3 = 2")},
        |fr AS (
        |  SELECT doc_id, n, tb, CAST(f AS INT) AS frame_idx
@@ -800,7 +800,7 @@ object SparkEntry {
        |  SELECT doc_id, frame_idx,
        |    tb[frame_idx*128 + 1 : CAST(least(n, frame_idx*128 + 128) AS INT)] AS slice
        |  FROM fr),
-       |hs AS (
+       |hs AS MATERIALIZED (
        |  SELECT doc_id, frame_idx, length(slice) AS mass,
        |    list_transform(range(0, 16), k -> length(list_filter(slice, b -> b // 16 = k))) AS h
        |  FROM sl),
@@ -820,8 +820,10 @@ object SparkEntry {
        |sc AS (
        |  SELECT doc_id, frame_idx,
        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS scene
-       |  FROM cf)
-       |SELECT doc_id, CAST(scene AS INT) AS scene_idx,
+       |  FROM cf)""".stripMargin
+
+  private val m7OracleSql: String = m7SceneCtes + "\n" +
+    s"""SELECT doc_id, CAST(scene AS INT) AS scene_idx,
        |  CAST(min(frame_idx) AS INT) AS start_frame,
        |  CAST(max(frame_idx) AS INT) AS end_frame,
        |  CAST(count(*) AS INT) AS n_frames,
@@ -836,10 +838,8 @@ object SparkEntry {
     * histogram CTE for the dominant-bin argmax (list_position finds the
     * FIRST max, matching the Spark side's lowest-bin tie rule).
     */
-  private val m8OracleSql: String = {
-    val shared = m7OracleSql.substring(0, m7OracleSql.indexOf("SELECT doc_id, CAST(scene AS INT)"))
-    shared +
-      s""", kf AS (
+  private val m8OracleSql: String = m7SceneCtes + "\n" +
+    s""", kf AS (
          |  SELECT doc_id, CAST(scene AS INT) AS scene_idx,
          |    CAST(min(frame_idx) + (max(frame_idx) - min(frame_idx)) // 2 AS INT)
          |      AS keyframe_idx
@@ -851,7 +851,6 @@ object SparkEntry {
          |  CAST(h.mass AS BIGINT) AS mass
          |FROM kf JOIN hs h ON h.doc_id = kf.doc_id AND h.frame_idx = kf.keyframe_idx
          |ORDER BY kf.doc_id, kf.scene_idx""".stripMargin
-  }
 
   private val m3OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),

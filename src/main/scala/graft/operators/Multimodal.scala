@@ -248,35 +248,12 @@ object Multimodal {
     }
   }
 
-  /** CRC32 over a BufferedImage's packed top-down RGB raster — the shared
-    * frame-digest convention of every ImageIO-backed decoder here, so the
-    * same pixels hash identically whatever container carried them.
-    */
-  private def rasterCrc(img: java.awt.image.BufferedImage): Long = {
-    val crc = new CRC32()
-    // shape folded in first: equal pixel streams of different WxH (a 2x8
-    // and an 8x2 of the same bytes) must not collide
-    var d = img.getWidth
-    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
-    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
-    d = img.getHeight
-    crc.update((d >>> 24) & 0xff); crc.update((d >>> 16) & 0xff)
-    crc.update((d >>> 8) & 0xff); crc.update(d & 0xff)
-    var y = 0
-    while (y < img.getHeight) {
-      var x = 0
-      while (x < img.getWidth) {
-        val v = img.getRGB(x, y) & 0xFFFFFF
-        crc.update(v >> 16); crc.update((v >> 8) & 0xff); crc.update(v & 0xff)
-        x += 1
-      }
-      y += 1
-    }
-    crc.getValue
-  }
-
-  /** Same digest convention over the PixelDecoder seam type — identical
-    * pixels produce identical CRCs whichever wrapper carried them.
+  /** CRC32 over a decoded raster's packed top-down RGB stream (shape
+    * folded in first: equal pixel streams of different WxH — a 2x8 and an
+    * 8x2 of the same bytes — must not collide) — the shared frame-digest
+    * convention of every ImageIO-backed decoder here, so the same pixels
+    * hash identically whatever container carried them; BufferedImage
+    * callers go through `wrapImage`.
     */
   private def rasterCrc(img: DecodedImage): Long = {
     val crc = new CRC32()
@@ -514,21 +491,20 @@ object Multimodal {
     }
 
     override def decode(payload: Array[Byte]): Iterator[DecodedFrame] =
-      frameRasters(payload).map { case (i, ts, img) =>
-        DecodedFrame(i, ts, rasterCrc(img))
-      }
+      foldFrames(payload,
+        (i, ts, img) => DecodedFrame(i, ts, rasterCrc(img)))
 
     override def signatures(payload: Array[Byte]): Iterator[FrameSig] =
-      frameRasters(payload).map { case (i, ts, img) =>
-        FrameSig(i, ts, lumaHist(img))
-      }
+      foldFrames(payload, (i, ts, img) => FrameSig(i, ts, lumaHist(img)))
 
-    /** The composited canvas walk both views share. Each emitted raster
-      * is a SNAPSHOT of the canvas (the restoreToPrevious copy already
-      * paid this cost) because later frames mutate it in place.
+    /** The composited canvas walk both views share. The per-frame
+      * reducer runs IN-LOOP against the live canvas (which later frames
+      * mutate in place), so only the ~digest-sized results are retained
+      * — never a per-frame canvas snapshot, whose O(frames × W × H)
+      * buffering would turn a long animation into executor heap.
       */
-    private def frameRasters(
-        payload: Array[Byte]): Iterator[(Int, Long, DecodedImage)] = {
+    private def foldFrames[A](payload: Array[Byte],
+                              reduce: (Int, Long, DecodedImage) => A): Iterator[A] = {
       import java.awt.image.BufferedImage
       javax.imageio.ImageIO.setUseCache(false)
       val in = javax.imageio.ImageIO.createImageInputStream(
@@ -536,7 +512,7 @@ object Multimodal {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
       if (!readers.hasNext) { in.close(); return Iterator.empty }
       val reader = readers.next()
-      val frames = Vector.newBuilder[(Int, Long, DecodedImage)]
+      val frames = Vector.newBuilder[A]
       try {
         reader.setInput(in, false)
         if (reader.getFormatName.toLowerCase != "gif") return Iterator.empty
@@ -566,11 +542,7 @@ object Multimodal {
           val g = canvas.createGraphics()
           g.drawImage(raster, md.left, md.top, null)
           g.dispose()
-          val snap = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
-          val gs = snap.createGraphics()
-          gs.drawImage(canvas, 0, 0, null)
-          gs.dispose()
-          frames += ((i, ts, wrapImage(snap)))
+          frames += reduce(i, ts, wrapImage(canvas))
           ts += md.delayMs
           md.disposal match {
             case "restoreToBackgroundColor" =>
@@ -669,45 +641,58 @@ object Multimodal {
       mediaBlobs(spark, dir).filter(_.media_type == "video"),
       thresholdMilli, decoder)
 
+  private def massOf(sig: FrameSig): Long = {
+    var mass = 0L
+    var k = 0
+    while (k < sig.hist.length) { mass += sig.hist(k); k += 1 }
+    mass
+  }
+
   /** The shared sequential scene walk: group a payload's frame
     * signatures into maximal cut-free runs under the integer cut rule.
-    * Per-scene frame buffering is bounded by the scene length, the same
-    * class as the GIF decoder's per-payload eagerness.
+    * STREAMING — scenes are yielded one at a time as the underlying
+    * signature iterator is pulled, so live memory is bounded by the
+    * single largest scene, never the whole payload's frame list.
     */
   private def scenesOf(sigs: Iterator[FrameSig],
-                       thresholdMilli: Int): Iterator[(Int, Vector[FrameSig])] = {
-    val out = Vector.newBuilder[(Int, Vector[FrameSig])]
-    var cur = Vector.newBuilder[FrameSig]
-    var curN = 0
-    var sceneIdx = 0
-    var prev: FrameSig = null
-    var prevMass = 0L
-    sigs.foreach { sig =>
-      var mass = 0L
-      var k = 0
-      while (k < sig.hist.length) { mass += sig.hist(k); k += 1 }
-      if (prev != null) {
-        var l1 = 0L
-        k = 0
-        while (k < sig.hist.length) {
-          l1 += math.abs(sig.hist(k) - prev.hist(k))
-          k += 1
+                       thresholdMilli: Int): Iterator[(Int, Vector[FrameSig])] =
+    new Iterator[(Int, Vector[FrameSig])] {
+      // the frame that opened the NEXT scene (read past the cut), if any
+      private var pending: FrameSig = if (sigs.hasNext) sigs.next() else null
+      private var pendingMass: Long = if (pending == null) 0L else massOf(pending)
+      private var sceneIdx = 0
+      override def hasNext: Boolean = pending != null
+      override def next(): (Int, Vector[FrameSig]) = {
+        val buf = Vector.newBuilder[FrameSig]
+        buf += pending
+        var prev = pending
+        var prevMass = pendingMass
+        pending = null
+        var open = true
+        while (open && sigs.hasNext) {
+          val sig = sigs.next()
+          val mass = massOf(sig)
+          var l1 = 0L
+          var k = 0
+          while (k < sig.hist.length) {
+            l1 += math.abs(sig.hist(k) - prev.hist(k))
+            k += 1
+          }
+          if (l1 * 1000L > thresholdMilli.toLong * (mass + prevMass)) {
+            pending = sig
+            pendingMass = mass
+            open = false
+          } else {
+            buf += sig
+            prev = sig
+            prevMass = mass
+          }
         }
-        if (l1 * 1000L > thresholdMilli.toLong * (mass + prevMass)) {
-          out += ((sceneIdx, cur.result()))
-          cur = Vector.newBuilder[FrameSig]
-          curN = 0
-          sceneIdx += 1
-        }
+        val scene = (sceneIdx, buf.result())
+        sceneIdx += 1
+        scene
       }
-      cur += sig
-      curN += 1
-      prev = sig
-      prevMass = mass
     }
-    if (curN > 0) out += ((sceneIdx, cur.result()))
-    out.result().iterator
-  }
 
   /** The blob-level m7 kernel: any `Dataset[MediaBlob]` source, any
     * SceneDecoder — what the real-container specs drive.
@@ -721,8 +706,7 @@ object Multimodal {
       scenesOf(decoder.signatures(b.payload), thresholdMilli).map {
         case (idx, frames) =>
           SceneCut(b.doc_id, idx, frames.head.frame_idx, frames.last.frame_idx,
-            frames.last.frame_idx - frames.head.frame_idx + 1,
-            frames.head.ts_ms, frames.last.ts_ms)
+            frames.size, frames.head.ts_ms, frames.last.ts_ms)
       }
     })
   }
