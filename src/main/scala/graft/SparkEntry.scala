@@ -174,6 +174,7 @@ object SparkEntry {
     "x37_leakage_split" -> ((s: SparkSession, d: String) =>
       Curation.leakageSplit(s, d)),
     "drift2_ks" -> ((s: SparkSession, d: String) => DataOps.ksDrift(s, d)),
+    "drift3_chi2" -> ((s: SparkSession, d: String) => DataOps.chi2Drift(s, d)),
   )
 
   private val cosExpr =
@@ -2847,6 +2848,46 @@ object SparkEntry {
         |SELECT event_type, n_old, n_new,
         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0 AS psi,
         |  round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) > 0.2 AS drifted
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+
+    // drift3: the two-sample chi-squared homogeneity test over drift1's
+    // clamped bin grid; per-bin term is ONE double expression in the
+    // same IEEE operation order as the Spark side, rounded 9, exact-
+    // decimal summed, rounded 6 (the drift1/i2 discipline); the critical
+    // values are the same literal table; an empty window pages with a
+    // NULL statistic
+    "drift3_chi2" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_old,
+        |    CAST(greatest(0, least(floor(value / 50.0), 9)) AS INT) AS bin
+        |  FROM events),
+        |c AS (SELECT event_type, bin,
+        |        CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+        |        CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS c_new
+        |      FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c_old) AS BIGINT) AS n_old,
+        |               CAST(sum(c_new) AS BIGINT) AS n_new FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT c.event_type, t.n_old, t.n_new,
+        |    CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN
+        |      round(CAST(c_old * n_new - c_new * n_old AS DOUBLE)
+        |            * CAST(c_old * n_new - c_new * n_old AS DOUBLE)
+        |          / (CAST(n_old AS DOUBLE) * CAST(n_new AS DOUBLE)
+        |             * CAST(c_old + c_new AS DOUBLE)), 9) + 0.0
+        |    END AS term
+        |  FROM c JOIN tot t USING (event_type))
+        |SELECT event_type, n_old, n_new,
+        |  CAST(count(*) AS INT) AS n_bins,
+        |  CAST(count(*) - 1 AS INT) AS dof,
+        |  CASE WHEN n_old > 0 AND n_new > 0 THEN
+        |    round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6) + 0.0
+        |  END AS chi2,
+        |  CASE WHEN n_old = 0 OR n_new = 0 THEN true
+        |       WHEN count(*) - 1 >= 1 THEN
+        |         round(CAST(sum(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |           > ([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+        |               15.507, 16.919])[CAST(count(*) - 1 AS INT)]
+        |       ELSE false END AS drifted
         |FROM terms GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
 
     // i3: adjacency replayed over the same bigram-struct fan-out x32 uses;

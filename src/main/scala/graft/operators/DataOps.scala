@@ -308,6 +308,82 @@ object DataOps {
       .orderBy("event_type")
   }
 
+  /** Upper-tail χ² critical values at α = 0.05 for dof 1..9 — all the
+    * dof a `bins = 10` grid can produce. A literal lookup keeps the
+    * verdict deterministic and engine-portable (no incomplete-gamma
+    * evaluation to disagree about).
+    */
+  private val Chi2Crit05: Seq[Double] =
+    Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919)
+
+  /** drift3: two-sample chi-squared drift test — the SIGNIFICANCE-tested
+    * member of the monitoring triad (drift1's PSI is an effect-size
+    * heuristic with a rule-of-thumb 0.2 cutoff; drift2's KS is
+    * shape-sensitive but its small-sample critical values are not
+    * encoded; this one pages on a proper α = 0.05 test). Per event type,
+    * over the same clamped 10-bin value grid as drift1:
+    * χ² = Σ_b (o_b·N_new − n_b·N_old)² / (N_old·N_new·(o_b+n_b)) — the
+    * standard two-sample homogeneity statistic — with dof = (non-empty
+    * bins − 1), compared to the literal critical-value table.
+    *
+    * Exactness: the per-bin cross term o_b·N_new − n_b·N_old is an exact
+    * long; its square and the denominator exceed long range, so each
+    * term is ONE double expression (identical IEEE operation order in
+    * both engines) rounded to 9, and terms are exact-decimal summed
+    * (the drift1/i2 order-independence discipline) before the final
+    * round to 6. A type with an empty window (all its events one side
+    * of the cutoff) has no defined test: χ² is NULL and `drifted` is
+    * true — a type that appeared or vanished outright is definitionally
+    * drifted, the psiDriftStream unknown-reference convention. dof = 0
+    * (one occupied bin) can never reject: both windows put everything
+    * in the same bin, χ² = 0.
+    *
+    * Scale shape: drift1's exactly — one scan, one (type, bin) partial
+    * aggregate, one types-sized aggregate. Nothing beyond the partial
+    * agg is data-proportional.
+    */
+  def chi2Drift(spark: SparkSession, dir: String,
+                cutoff: String = "2024-01-16", bins: Int = 10,
+                binWidth: Double = 50.0): DataFrame = {
+    require(bins >= 2 && bins <= Chi2Crit05.length + 1,
+      s"bins must be in [2, ${Chi2Crit05.length + 1}] for the dof table; got $bins")
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"),
+      greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
+        .cast("int").as("bin"))
+    val c = ev.groupBy(col("event_type"), col("bin")).agg(
+      sum(when(col("is_old"), 1L).otherwise(0L)).as("c_old"),
+      sum(when(!col("is_old"), 1L).otherwise(0L)).as("c_new"))
+    val tot = c.groupBy(col("event_type")).agg(
+      sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+    val cross = col("c_old") * col("n_new") - col("c_new") * col("n_old")
+    val term = graft.functions.Doubles.roundZ(
+      cross.cast("double") * cross.cast("double") /
+        (col("n_old").cast("double") * col("n_new").cast("double") *
+          (col("c_old") + col("c_new")).cast("double")), 9)
+    c.join(broadcast(tot), "event_type")
+      .withColumn("term",
+        when(col("n_old") > 0 && col("n_new") > 0, term))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n_old")).as("n_old"), first(col("n_new")).as("n_new"),
+        count(lit(1)).cast("int").as("n_bins"),
+        graft.functions.Doubles.roundZ(
+          sum(col("term").cast("decimal(28,9)")).cast("double"), 6).as("chi2"))
+      .withColumn("dof", (col("n_bins") - 1).cast("int"))
+      .withColumn("drifted",
+        when(col("n_old") === 0 || col("n_new") === 0, lit(true))
+          // dof = 0 must not reach element_at (ANSI rejects index 0,
+          // and && does not promise short-circuit evaluation)
+          .when(col("dof") >= 1,
+            col("chi2") > element_at(array(Chi2Crit05.map(lit): _*), col("dof")))
+          .otherwise(lit(false)))
+      .withColumn("chi2",
+        when(col("n_old") > 0 && col("n_new") > 0, col("chi2")))
+      .select("event_type", "n_old", "n_new", "n_bins", "dof", "chi2", "drifted")
+      .orderBy("event_type")
+  }
+
   /** cdc1: snapshot change capture — diff two keyed snapshots of derived
     * customer state (spend/order-count as of two cutoff dates) and emit
     * only inserts and updates, the merge input every incremental pipeline

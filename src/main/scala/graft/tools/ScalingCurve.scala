@@ -94,6 +94,7 @@ object ScalingCurve {
       "cdc3_merge_upsert" -> ((s, d) => DataOps.mergeUpsert(s, d)),
       "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
       "drift2_ks" -> ((s, d) => DataOps.ksDrift(s, d)),
+      "drift3_chi2" -> ((s, d) => DataOps.chi2Drift(s, d)),
       "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)),
       "cls1_quality_classifier" -> ((s, d) => Curation.qualityClassifier(s, d)),
       "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)),

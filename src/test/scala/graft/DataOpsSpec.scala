@@ -170,6 +170,38 @@ class DataOpsSpec extends SparkSpec {
       ("C", 4L, 4L, 8L, 0.5, true)), s"got ${got.toSeq}")
   }
 
+  test("drift3 chi2 is exact on crafted tables incl. the degenerate windows") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def ev(ids: Range, t: String, typ: String, vs: Seq[Double]) =
+      ids.zip(vs).map { case (i, v) => (i.toLong, t, typ, v) }
+    // A: identical window distributions over two bins -> chi2 exactly 0.
+    // B: disjoint bins -> per-bin terms 4.0 + 4.0 = 8.0 > 3.841 (dof 1)
+    //    -> drifted. C: ONE occupied bin -> dof 0, can never reject.
+    // D: new window empty -> undefined test, NULL chi2, pages.
+    val rows =
+      ev(1 to 4, "2024-01-10 00:00:00", "A", Seq(10, 10, 60, 60)) ++
+      ev(5 to 8, "2024-01-20 00:00:00", "A", Seq(10, 10, 60, 60)) ++
+      ev(9 to 12, "2024-01-10 00:00:00", "B", Seq(10, 10, 10, 10)) ++
+      ev(13 to 16, "2024-01-20 00:00:00", "B", Seq(110, 110, 110, 110)) ++
+      ev(17 to 20, "2024-01-10 00:00:00", "C", Seq(10, 10, 10, 10)) ++
+      ev(21 to 24, "2024-01-20 00:00:00", "C", Seq(10, 10, 10, 10)) ++
+      ev(25 to 27, "2024-01-10 00:00:00", "D", Seq(10, 10, 10))
+    rows.map { case (id, t, typ, v) =>
+      (id, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = DataOps.chi2Drift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), if (r.isNullAt(5)) -1.0 else r.getDouble(5),
+        r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      ("A", 4L, 4L, 2, 1, 0.0, false),
+      ("B", 4L, 4L, 2, 1, 8.0, true),
+      ("C", 4L, 4L, 1, 0, 0.0, false),
+      ("D", 3L, 0L, 1, 0, -1.0, true)), s"got ${got.toSeq}")
+  }
+
   test("v2 integrity audit counts orphans per relationship") {
     import spark.implicits._
     val dir = tempSfDir()
