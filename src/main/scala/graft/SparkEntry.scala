@@ -325,6 +325,17 @@ object SparkEntry {
        |$tail""".stripMargin
   }
 
+  /** clsOracleWith plus the (doc_id, label_high, p6) scored frame the
+    * three eval oracles (cls3/cls4/cls5) all aggregate — one spelling,
+    * not three copies that could drift. A tail may open with further
+    * CTEs (leading comma) or go straight to its SELECT.
+    */
+  private def clsScoredOracleWith(tail: String): String = clsOracleWith(
+    s""", scored AS (
+       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
+       |  FROM zf JOIN lab l USING (doc_id))
+       |$tail""".stripMargin)
+
   private val cls1OracleSql: String = clsOracleWith(
     s"""SELECT l.doc_id, l.source, l.label_high,
        |  CAST(z AS BIGINT) AS margin_p12,
@@ -339,11 +350,8 @@ object SparkEntry {
     * non-negative operands). HUGEINT sums cast back to BIGINT to match
     * Spark's long sum (the established sum-cast convention).
     */
-  private val cls3OracleSql: String = clsOracleWith(
-    s""", scored AS (
-       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
-       |  FROM zf JOIN lab l USING (doc_id))
-       |SELECT p6 // 100000 AS cal_bin,
+  private val cls3OracleSql: String = clsScoredOracleWith(
+    s"""SELECT p6 // 100000 AS cal_bin,
        |  count(*) AS n_docs,
        |  CAST(sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  CAST(sum(p6) AS BIGINT) AS sum_prob_micros,
@@ -362,11 +370,8 @@ object SparkEntry {
     * truncating integer division; an all-negative-prediction threshold
     * gets NULL precision/F1 in both engines.
     */
-  private val cls4OracleSql: String = clsOracleWith(
-    s""", scored AS (
-       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
-       |  FROM zf JOIN lab l USING (doc_id)),
-       |bins AS (
+  private val cls4OracleSql: String = clsScoredOracleWith(
+    s""", bins AS (
        |  SELECT p6 // 100000 AS bin,
        |    sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS bp,
        |    sum(CASE WHEN label_high THEN 0 ELSE 1 END) AS bn
@@ -402,11 +407,8 @@ object SparkEntry {
     * runs the two-phase bucket cumsum; the hash check certifies the
     * equivalence).
     */
-  private val cls5OracleSql: String = clsOracleWith(
-    s""", scored AS (
-       |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
-       |  FROM zf JOIN lab l USING (doc_id)),
-       |ps AS (
+  private val cls5OracleSql: String = clsScoredOracleWith(
+    s""", ps AS (
        |  SELECT p6,
        |    sum(CASE WHEN label_high THEN 1 ELSE 0 END) AS p_s,
        |    sum(CASE WHEN label_high THEN 0 ELSE 1 END) AS n_s
@@ -2826,7 +2828,7 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_old,
         |    CAST(greatest(0, least(floor(value / 50.0), 9)) AS INT) AS bin
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, bin,
         |        sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,
         |        sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS c_new
@@ -2860,7 +2862,7 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_type, ts < TIMESTAMP '2024-01-16' AS is_old,
         |    CAST(greatest(0, least(floor(value / 50.0), 9)) AS INT) AS bin
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |c AS (SELECT event_type, bin,
         |        CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
         |        CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS c_new
@@ -3044,7 +3046,8 @@ object SparkEntry {
     // The statistic stays integral until one final rounded division.
     "drift2_ks" ->
       """WITH ev AS (
-        |  SELECT event_type, value, ts < TIMESTAMP '2024-01-16' AS is_old FROM events),
+        |  SELECT event_type, value, ts < TIMESTAMP '2024-01-16' AS is_old
+        |  FROM events WHERE value IS NOT NULL),
         |c AS (
         |  SELECT event_type, value,
         |    sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS c_old,

@@ -211,7 +211,12 @@ object DataOps {
     // clamp BOTH ends: an out-of-range value (negative or above the top
     // bin) must land in an edge bin, not vanish from the materialized grid
     // while still counting toward the window totals
-    val ev = Tables.events(spark, dir).select(col("event_type"),
+    // null values are EXCLUDED from every drift view — mass and totals
+    // alike (least/greatest skip nulls, so an unfiltered null would
+    // silently clamp into the top bin); the streaming monitors apply the
+    // same rule, keeping stream and batch equal by construction
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
       (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"),
       greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
         .cast("int").as("bin"))
@@ -271,6 +276,7 @@ object DataOps {
               cutoff: String = "2024-01-16", threshold: Double = 0.05,
               bucketWidth: Double = 50.0): DataFrame = {
     val c = Tables.events(spark, dir)
+      .filter(col("value").isNotNull) // psiDrift's null-exclusion rule
       .select(col("event_type"), col("value"),
         (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"))
       .groupBy(col("event_type"), col("value"))
@@ -347,7 +353,8 @@ object DataOps {
                 binWidth: Double = 50.0): DataFrame = {
     require(bins >= 2 && bins <= Chi2Crit05.length + 1,
       s"bins must be in [2, ${Chi2Crit05.length + 1}] for the dof table; got $bins")
-    val ev = Tables.events(spark, dir).select(col("event_type"),
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), // psiDrift's null-exclusion rule
       (col("ts") < lit(cutoff).cast("timestamp")).as("is_old"),
       greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
         .cast("int").as("bin"))

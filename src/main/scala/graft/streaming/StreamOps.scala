@@ -1090,7 +1090,12 @@ object StreamOps {
     */
   def referenceHistogram(events: DataFrame, bins: Int = 10,
                          binWidth: Double = 50.0): DataFrame = {
-    val binned = events.select(col("event_type"),
+    // null values are EXCLUDED from every drift view — histogram mass and
+    // totals alike (Spark's least/greatest skip nulls, so an unfiltered
+    // null would silently clamp into the top bin); the batch drift ops
+    // apply the same rule, keeping stream and batch equal by construction
+    val binned = events.filter(col("value").isNotNull)
+      .select(col("event_type"),
       greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
         .cast("int").as("bin"))
     binned.groupBy(col("event_type"))
@@ -1122,10 +1127,22 @@ object StreamOps {
     * reference frame carries) rather than zipping mismatched arrays
     * into silent null PSI.
     */
-  def psiDriftStream(events: DataFrame, reference: DataFrame,
-                     windowDur: String = "1 day", watermark: String = "1 day",
-                     bins: Int = 10, binWidth: Double = 50.0,
-                     threshold: Double = 0.2): DataFrame = {
+  /** The scaffolding both windowed drift monitors share: the driver-side
+    * reference-schema precondition, the null-excluding clamped binning,
+    * ONE stateful windowed aggregate with per-bin conditional counters,
+    * the types-sized broadcast left join, and the runtime binning
+    * tripwire (raised into `statCol` so it fires on the first joined
+    * row). Returns the joined frame with `n_window`, the reference
+    * columns, and the window-bin-counts array as `counts`; `statCol`
+    * maps (frame columns) -> the monitor's statistic expression,
+    * evaluated only for known-reference rows.
+    */
+  private def windowedDriftFrame(events: DataFrame, reference: DataFrame,
+                                 windowDur: String, watermark: String,
+                                 bins: Int, binWidth: Double,
+                                 monitor: String,
+                                 statCol: org.apache.spark.sql.Column,
+                                 statName: String): DataFrame = {
     // a reference histogram persisted before the bins/binWidth columns
     // existed would otherwise die at ANALYSIS with an unresolved-column
     // error; check on the driver and raise the same descriptive message
@@ -1133,7 +1150,7 @@ object StreamOps {
     if (!reference.columns.contains("ref_bins") ||
         !reference.columns.contains("ref_bin_width"))
       throw new IllegalArgumentException(
-        "psiDriftStream reference frame lacks ref_bins/ref_bin_width " +
+        s"$monitor reference frame lacks ref_bins/ref_bin_width " +
           "columns — rebuild it with referenceHistogram so the monitor can " +
           "verify the binning matches (monitor expects " +
           s"($bins, $binWidth))")
@@ -1141,12 +1158,32 @@ object StreamOps {
       sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
     val agged = events
       .withWatermark("ts", watermark)
+      .filter(col("value").isNotNull) // referenceHistogram's null rule
       .select(col("ts"), col("event_type"),
         greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
           .cast("int").as("bin"))
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_window"), binCols: _*)
-    val counts = array((0 until bins).map(i => col(s"b$i")): _*)
+    val known = col("ref_counts").isNotNull
+    agged
+      .join(broadcast(reference), Seq("event_type"), "left")
+      .withColumn("counts", array((0 until bins).map(i => col(s"b$i")): _*))
+      .withColumn(statName,
+        // config-mismatch tripwire: raises on the first joined row whose
+        // reference was built with a different binning than this call's
+        when(known &&
+          (col("ref_bins") =!= bins || col("ref_bin_width") =!= binWidth),
+          raise_error(concat(lit(s"$monitor bins/binWidth mismatch: " +
+            s"monitor ($bins, $binWidth) vs reference ("),
+            col("ref_bins"), lit(", "), col("ref_bin_width"), lit(")"))))
+          .otherwise(when(known, statCol)))
+  }
+
+  def psiDriftStream(events: DataFrame, reference: DataFrame,
+                     windowDur: String = "1 day", watermark: String = "1 day",
+                     bins: Int = 10, binWidth: Double = 50.0,
+                     threshold: Double = 0.2): DataFrame = {
+    val counts = col("counts")
     val known = col("ref_counts").isNotNull
     val psiExpr = round(aggregate(
       zip_with(col("ref_counts"), counts, (cr, cn) => {
@@ -1155,17 +1192,8 @@ object StreamOps {
         (p - q) * log(p / q)
       }),
       lit(0.0), (acc, t) => acc + t), 6)
-    agged
-      .join(broadcast(reference), Seq("event_type"), "left")
-      .withColumn("psi",
-        // config-mismatch tripwire: raises on the first joined row whose
-        // reference was built with a different binning than this call's
-        when(known &&
-          (col("ref_bins") =!= bins || col("ref_bin_width") =!= binWidth),
-          raise_error(concat(lit("psiDriftStream bins/binWidth mismatch: " +
-            s"monitor ($bins, $binWidth) vs reference ("),
-            col("ref_bins"), lit(", "), col("ref_bin_width"), lit(")"))))
-          .otherwise(when(known, psiExpr)))
+    windowedDriftFrame(events, reference, windowDur, watermark, bins,
+      binWidth, "psiDriftStream", psiExpr, "psi")
       .select(
         unix_micros(col("w.start")).as("window_start_us"),
         unix_micros(col("w.end")).as("window_end_us"),
@@ -1206,28 +1234,11 @@ object StreamOps {
                     windowDur: String = "1 day", watermark: String = "1 day",
                     bins: Int = 10, binWidth: Double = 50.0,
                     threshold: Double = 0.05): DataFrame = {
-    if (!reference.columns.contains("ref_bins") ||
-        !reference.columns.contains("ref_bin_width"))
-      throw new IllegalArgumentException(
-        "ksDriftStream reference frame lacks ref_bins/ref_bin_width " +
-          "columns — rebuild it with referenceHistogram so the monitor can " +
-          "verify the binning matches (monitor expects " +
-          s"($bins, $binWidth))")
-    val binCols = (0 until bins).map(i =>
-      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"b$i"))
-    val agged = events
-      .withWatermark("ts", watermark)
-      .select(col("ts"), col("event_type"),
-        greatest(lit(0L), least(floor(col("value") / binWidth), lit(bins - 1)))
-          .cast("int").as("bin"))
-      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_window"), binCols: _*)
-    val counts = array((0 until bins).map(i => col(s"b$i")): _*)
     val known = col("ref_counts").isNotNull
     // fold state: (cumulative ref count, cumulative window count, max
     // cross-multiplied CDF gap) — all exact longs
     val ksNumExpr = aggregate(
-      zip_with(col("ref_counts"), counts,
+      zip_with(col("ref_counts"), col("counts"),
         (cr, cw) => struct(cr.as("cr"), cw.as("cw"))),
       struct(lit(0L).as("fr"), lit(0L).as("fw"), lit(0L).as("mx")),
       (acc, t) => {
@@ -1238,15 +1249,8 @@ object StreamOps {
             abs(fr * col("n_window") - fw * col("n_ref"))).as("mx"))
       },
       acc => acc.getField("mx"))
-    agged
-      .join(broadcast(reference), Seq("event_type"), "left")
-      .withColumn("ks_num",
-        when(known &&
-          (col("ref_bins") =!= bins || col("ref_bin_width") =!= binWidth),
-          raise_error(concat(lit("ksDriftStream bins/binWidth mismatch: " +
-            s"monitor ($bins, $binWidth) vs reference ("),
-            col("ref_bins"), lit(", "), col("ref_bin_width"), lit(")"))))
-          .otherwise(when(known, ksNumExpr)))
+    windowedDriftFrame(events, reference, windowDur, watermark, bins,
+      binWidth, "ksDriftStream", ksNumExpr, "ks_num")
       .withColumn("ks",
         when(known, round(col("ks_num").cast("double") /
           (col("n_ref") * col("n_window")).cast("double"), 6)))

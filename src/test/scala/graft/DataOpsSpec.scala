@@ -202,6 +202,34 @@ class DataOpsSpec extends SparkSpec {
       ("D", 3L, 0L, 1, 0, -1.0, true)), s"got ${got.toSeq}")
   }
 
+  test("drift ops exclude null values from mass and totals alike") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // two real values per window plus a null in each: without the
+    // exclusion rule Spark's least/greatest would clamp the nulls into
+    // the TOP bin (phantom drift mass) while still counting them
+    Seq(
+      (1L, "2024-01-10 00:00:00", "A", Some(10.0)),
+      (2L, "2024-01-10 00:00:00", "A", Some(60.0)),
+      (3L, "2024-01-10 00:00:00", "A", None),
+      (4L, "2024-01-20 00:00:00", "A", Some(10.0)),
+      (5L, "2024-01-20 00:00:00", "A", Some(60.0)),
+      (6L, "2024-01-20 00:00:00", "A", None))
+      .map { case (id, t, typ, v) =>
+        (id, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val psi = DataOps.psiDrift(spark, dir).collect().head
+    assert((psi.getLong(1), psi.getLong(2), psi.getDouble(3)) ==
+      ((2L, 2L, 0.0)), s"psi row: ${psi.toSeq}")
+    val ks = DataOps.ksDrift(spark, dir).collect().head
+    assert((ks.getLong(1), ks.getLong(2), ks.getLong(3)) == ((2L, 2L, 0L)),
+      s"ks row: ${ks.toSeq}")
+    val chi = DataOps.chi2Drift(spark, dir).collect().head
+    assert((chi.getLong(1), chi.getLong(2), chi.getDouble(5)) ==
+      ((2L, 2L, 0.0)), s"chi2 row: ${chi.toSeq}")
+  }
+
   test("v2 integrity audit counts orphans per relationship") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -1287,6 +1287,22 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("referenceHistogram excludes null values from mass and totals") {
+    import spark.implicits._
+    // a null value must not clamp into the top bin nor count toward
+    // n_ref — the batch drift ops apply the identical rule, which is
+    // what keeps the stream-vs-batch equality pins honest on real feeds
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", Some(10.0)),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", None))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    assert(ref.getAs[Long]("n_ref") == 1L, s"got ${ref.toSeq}")
+    assert(ref.getSeq[Long](ref.fieldIndex("ref_counts")).toSeq ==
+      (1L +: Seq.fill(9)(0L)),
+      s"got ${ref.getSeq[Long](ref.fieldIndex("ref_counts")).toSeq}")
+  }
+
   test("streaming KS drift: binning mismatch vs the reference fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
