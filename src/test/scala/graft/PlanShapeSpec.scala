@@ -99,6 +99,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("drift2's per-value cumsum windows partition on (type, bucket), never the type alone") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // same scale guard as x36's: the CDF walk over the distinct-value
+    // support must sort within (event_type, bucket) sub-partitions — a
+    // window on event_type alone re-creates the type-wide single sort
+    // the two-phase form exists to avoid, while passing every value check
+    val dir = tempSfDir()
+    (1 to 50).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1L, "A",
+        i * 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val plan = withStaticPlan(
+      graft.operators.DataOps.ksDrift(spark, dir)
+        .queryExecution.executedPlan.toString)
+    // the corpus-proportional windows are the ones ordered by the raw
+    // value; the bucket-subtotal offset windows (ordered by bucket) are
+    // bounded and may partition on the type alone
+    val valueWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") &&
+        l.contains("value") && l.contains("ASC NULLS FIRST")).toSeq
+    assert(valueWindows.nonEmpty, s"expected per-value cumsum windows:\n$plan")
+    valueWindows.foreach { w =>
+      assert(w.contains("bucket"),
+        s"per-value cumsum must partition on (event_type, bucket): $w")
+    }
+  }
+
+  test("cls5's rank cumsum partitions on the score bucket, never globally") {
+    import spark.implicits._
+    val scored = (1 to 200).map(i => (i * 4999L, i % 3 == 0))
+      .toDF("prob_micros", "label_high")
+    val plan = withStaticPlan(
+      graft.operators.Curation.aucOf(scored)
+        .queryExecution.executedPlan.toString)
+    val cumWindows = plan.linesIterator
+      .filter(l => l.contains("windowspecdefinition(") && l.contains("p6")).toSeq
+    assert(cumWindows.nonEmpty, s"expected the negatives-below window:\n$plan")
+    cumWindows.foreach { w =>
+      assert(w.contains("bucket"),
+        s"the per-score cumsum must partition on the decile bucket: $w")
+    }
+  }
+
   test("spark.graft.orderedOutput=false drops the global output sort, same rows") {
     import org.apache.spark.sql.execution.SortExec
     val dir = writeDocs(Seq(
