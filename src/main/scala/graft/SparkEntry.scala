@@ -175,6 +175,8 @@ object SparkEntry {
       Curation.leakageSplit(s, d)),
     "drift2_ks" -> ((s: SparkSession, d: String) => DataOps.ksDrift(s, d)),
     "drift3_chi2" -> ((s: SparkSession, d: String) => DataOps.chi2Drift(s, d)),
+    "x38_source_datasheet" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceDatasheet(s, d)),
   )
 
   private val cosExpr =
@@ -2468,6 +2470,31 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
         |  round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS avg_ws_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // x38: the per-source datasheet replayed naively — one grouped scan
+    // for the totals (x3's token conventions), a (source, lang) count
+    // window for the deterministic top language, truncating micro rates
+    "x38_source_datasheet" ->
+      """WITH base AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    count(DISTINCT text) AS n_uniq,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM documents GROUP BY 1),
+        |lng AS (
+        |  SELECT source, lang, count(*) AS ln,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY count(*) DESC, lang) AS rk
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT b.source, b.n_docs, b.n_chars, b.n_tokens,
+        |  b.n_chars // b.n_docs AS avg_chars,
+        |  b.n_langs, l.lang AS top_lang,
+        |  (l.ln * 1000000) // b.n_docs AS top_lang_micros,
+        |  b.n_docs - b.n_uniq AS dup_docs,
+        |  ((b.n_docs - b.n_uniq) * 1000000) // b.n_docs AS dup_rate_micros
+        |FROM base b JOIN lng l ON l.source = b.source AND l.rk = 1
+        |ORDER BY b.source""".stripMargin,
 
     // c2: c1's shingle CTEs with a LEFT join so zero-overlap docs keep a
     // row; the contaminated verdict is an integer cross-multiply

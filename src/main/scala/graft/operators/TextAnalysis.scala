@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Output.OutputOps
 import graft.Tables
 import graft.functions.{Doubles, RollingHash, Sketches}
 
@@ -102,6 +104,47 @@ object TextAnalysis {
         round(col("ws_tokens").cast("double") / col("n_docs"), 4))
       .select("source", "n_docs", "ws_tokens", "re_tokens", "avg_ws_tokens")
       .orderBy("source")
+
+  /** x38: the per-source corpus DATASHEET — the first table every
+    * dataset card reports (docs, bytes, tokens, language mix, exact-dup
+    * rate per source), composed as ONE exact frame so the numbers a
+    * release ships are oracle-checkable rather than notebook folklore.
+    * `top_lang` breaks count ties lexicographically (deterministic);
+    * rates are micro-unit truncating divisions (exact longs, the cls3
+    * convention); `dup_docs` counts redundant byte-identical copies
+    * (n_docs − distinct texts, d1's notion).
+    *
+    * Scale shape: one scan → one (source, lang) count (tiny) + one
+    * per-source aggregate. The exact `count(DISTINCT text)` is the one
+    * data-proportional exchange (text-hash partitioned, the same cost
+    * class as d1); at fleet scale the same frame takes
+    * `approx_count_distinct` (the q8 sketch path) or d1's digest
+    * pre-hash — a column swap, not a plan change.
+    */
+  def sourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("text"), col("n_chars"))
+    val base = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      countDistinct(col("text")).as("n_uniq"),
+      countDistinct(col("lang")).as("n_langs"))
+    val topLang = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("ln").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_n"))
+    base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        expr("n_chars div n_docs").as("avg_chars"),
+        col("n_langs"), col("top_lang"),
+        expr("(top_n * 1000000) div n_docs").as("top_lang_micros"),
+        (col("n_docs") - col("n_uniq")).as("dup_docs"),
+        expr("((n_docs - n_uniq) * 1000000) div n_docs").as("dup_rate_micros"))
+      .orderedBy("source")
+  }
 
   /** x5: unigram log-probability scoring — the perplexity-style fluency
     * filter. The corpus token frequencies ARE the model (self-scored here;

@@ -69,6 +69,7 @@ object ScalingCurve {
       "i2_bm25_topk" -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
       "x30_corpus_shuffle" -> ((s, d) => Curation.corpusShuffle(s, d)),
       "x36_split_assign" -> ((s, d) => Curation.splitAssign(s, d)),
+      "x38_source_datasheet" -> ((s, d) => TextAnalysis.sourceDatasheet(s, d)),
       "x31_token_budget_sample" -> ((s, d) => Curation.tokenBudgetSample(s, d)),
       "x32_bigram_logprob" -> ((s, d) => TextAnalysis.bigramLogProb(s, d)),
       "x33_ccnet_buckets" -> ((s, d) => TextAnalysis.ccnetBuckets(s, d)),

@@ -292,4 +292,29 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 4L, 0.0, 0.0),
       (3L, 1L, 0.0, 0.0)))
   }
+
+  test("x38 datasheet: exact counts, truncating rates, deterministic top-lang tie") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // s0: 3 docs (two byte-identical), langs {en, en, de} -> top en;
+    // s1: 2 docs with a TIED lang count {de, en} -> lexicographic tie
+    // goes to 'de'; avg_chars exercises the truncating division
+    Seq(
+      (1L, "aa bb cc", "en", "s0", 8L),
+      (2L, "aa bb cc", "en", "s0", 8L),
+      (3L, "dd ee", "de", "s0", 5L),
+      (4L, "x y z w", "en", "s1", 7L),
+      (5L, "p q", "de", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.sourceDatasheet(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(got.toSeq == Seq(
+      // (source, docs, chars, tokens, avg_chars = 21 div 3, langs,
+      //  top, top_micros, dup_docs, dup_micros)
+      ("s0", 3L, 21L, 8L, 7L, 2L, "en", 666666L, 1L, 333333L),
+      ("s1", 2L, 10L, 6L, 5L, 2L, "de", 500000L, 0L, 0L)), s"got ${got.toSeq}")
+  }
 }
