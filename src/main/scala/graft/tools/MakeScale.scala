@@ -19,12 +19,26 @@ import org.apache.spark.sql.functions._
   * clouds mean k-means cells keep constant population when the seed count
   * scales with m, which is how SemDedup is provisioned at fleet scale.
   *
+  * EVENTS MODE (optional 4th arg `events`): writes an m-fold events.parquet
+  * instead, the way a real event stream grows — SAME wall-clock span with
+  * m× the traffic. Replica k offsets user_id by k·10⁷ and event_id by k·10⁸
+  * (namespace-disjoint keys: per-user run/session/pair structure scales
+  * like m independent tenants, never manufacturing cross-replica
+  * consecutive pairs), keeps event_type/value/props unchanged (per-type
+  * distributions — the drift triad's support — gain m× the mass at the
+  * same shape), and shifts ts by k microseconds (replicas stay inside the
+  * same windows while exact global-timestamp ties never collide). The
+  * default mode (`docs`) is unchanged; symlink whichever tables a slice
+  * does not synthesize.
+  *
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/sfx10 10"
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/evx10 10 events"
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, mStr) = args.take(3)
     val m = mStr.toInt
+    val mode = args.lift(3).getOrElse("docs")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -34,6 +48,25 @@ object MakeScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "events") {
+      // Tables.events normalizes the base table's INT64-nanos parquet ts
+      // to a real micro-precision TIMESTAMP; the slice writes plain
+      // micros, which every reader (Tables.events case _, DuckDB) takes
+      // as-is.
+      val ev = graft.Tables.events(spark, baseDir)
+      (0 until m).map { k =>
+        ev.select(
+          (col("event_id") + lit(k.toLong * 100000000L)).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + lit(k.toLong)).as("ts"),
+          (col("user_id") + lit(k.toLong * 10000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+      println(s"[make-scale] wrote $outDir at ${m}x $baseDir (events mode)")
+      spark.stop()
+      return
+    }
 
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val replicas = (0 until m).map { k =>

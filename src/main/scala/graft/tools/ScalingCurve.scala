@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.CacheRegistry
 import graft.operators.{Curation, DataOps, Decontamination, Dedup, Multimodal,
-  Similarity, TextAnalysis}
+  Similarity, Telematics, TextAnalysis}
 
 /** Scaling-curve measurement for the guarded dedup/ANN/graph operators:
   * times each at every supplied scale slice (see MakeScale) and prints
@@ -96,6 +96,11 @@ object ScalingCurve {
       "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
       "drift2_ks" -> ((s, d) => DataOps.ksDrift(s, d)),
       "drift3_chi2" -> ((s, d) => DataOps.chi2Drift(s, d)),
+      // events-axis queries: flat on docs-mode slices (events base-linked);
+      // run against MakeScale's events mode for real exponents
+      "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),
+      "t5_saturated_pairs" -> ((s, d) => Telematics.saturatedPairs(s, d)),
+      "t6_session_windows" -> ((s, d) => Telematics.sessionWindows(s, d)),
       "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)),
       "cls1_quality_classifier" -> ((s, d) => Curation.qualityClassifier(s, d)),
       "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)),
