@@ -2493,7 +2493,8 @@ object SparkEntry {
         |  (l.ln * 1000000) // b.n_docs AS top_lang_micros,
         |  b.n_docs - b.n_uniq AS dup_docs,
         |  ((b.n_docs - b.n_uniq) * 1000000) // b.n_docs AS dup_rate_micros
-        |FROM base b JOIN lng l ON l.source = b.source AND l.rk = 1
+        |FROM base b JOIN lng l
+        |  ON l.source IS NOT DISTINCT FROM b.source AND l.rk = 1
         |ORDER BY b.source""".stripMargin,
 
     // c2: c1's shingle CTEs with a LEFT join so zero-overlap docs keep a
@@ -3093,10 +3094,12 @@ object SparkEntry {
         |  FROM c GROUP BY 1)
         |SELECT t.event_type, t.n_old, t.n_new,
         |  CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS BIGINT) AS ks_num,
-        |  round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
-        |        / (t.n_old * t.n_new), 6) AS ks,
-        |  round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
-        |        / (t.n_old * t.n_new), 6) > 0.05 AS drifted
+        |  CASE WHEN t.n_old > 0 AND t.n_new > 0 THEN
+        |    round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
+        |          / (t.n_old * t.n_new), 6) END AS ks,
+        |  CASE WHEN t.n_old = 0 OR t.n_new = 0 THEN TRUE ELSE
+        |    round(CAST(max(abs(f_old * t.n_new - f_new * t.n_old)) AS DOUBLE)
+        |          / (t.n_old * t.n_new), 6) > 0.05 END AS drifted
         |FROM cum JOIN tot t USING (event_type)
         |GROUP BY 1, 2, 3
         |ORDER BY 1""".stripMargin,

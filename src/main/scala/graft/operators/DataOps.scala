@@ -270,7 +270,9 @@ object DataOps {
     * type's whole support (bucket = floor(value/width) is monotone in
     * value, so composed ranks are provably the global CDF). The oracle
     * runs the NAIVE one-window-per-type form; the hash check certifies
-    * the equivalence.
+    * the equivalence. A type with an empty window (all its events one
+    * side of the cutoff) has no defined two-sample statistic: `ks` is
+    * NULL and `drifted` is true — drift3's degenerate-window convention.
     */
   def ksDrift(spark: SparkSession, dir: String,
               cutoff: String = "2024-01-16", threshold: Double = 0.05,
@@ -307,9 +309,17 @@ object DataOps {
       .agg(
         max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
         max(col("gap")).as("ks_num"))
-      .withColumn("ks", graft.functions.Doubles.roundZ(
-        col("ks_num").cast("double") / (col("n_old") * col("n_new")).cast("double"), 6))
-      .withColumn("drifted", col("ks") > threshold)
+      // degenerate window (drift3's convention): a type whose events all
+      // fall one side of the cutoff has no defined two-sample statistic —
+      // ks is NULL (not 0/0 = NaN) and drifted is true, since a type that
+      // appeared or vanished outright is definitionally drifted
+      .withColumn("ks", when(col("n_old") > 0 && col("n_new") > 0,
+        graft.functions.Doubles.roundZ(
+          col("ks_num").cast("double") /
+            (col("n_old") * col("n_new")).cast("double"), 6)))
+      .withColumn("drifted",
+        when(col("n_old") === 0 || col("n_new") === 0, lit(true))
+          .otherwise(col("ks") > threshold))
       .select("event_type", "n_old", "n_new", "ks_num", "ks", "drifted")
       .orderBy("event_type")
   }
@@ -319,7 +329,7 @@ object DataOps {
     * verdict deterministic and engine-portable (no incomplete-gamma
     * evaluation to disagree about).
     */
-  private val Chi2Crit05: Seq[Double] =
+  private[graft] val Chi2Crit05: Seq[Double] =
     Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067, 15.507, 16.919)
 
   /** drift3: two-sample chi-squared drift test — the SIGNIFICANCE-tested

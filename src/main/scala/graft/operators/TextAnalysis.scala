@@ -136,7 +136,11 @@ object TextAnalysis {
         Window.partitionBy("source").orderBy(col("ln").desc, col("lang"))))
       .filter(col("rk") === 1)
       .select(col("source"), col("lang").as("top_lang"), col("ln").as("top_n"))
-    base.join(topLang, "source")
+    // null-safe join (the rankSplit discipline): groupBy keeps NULL as its
+    // own source stratum, so a plain equi-join would silently drop that
+    // stratum from the datasheet
+    base.join(topLang, base("source") <=> topLang("source"))
+      .drop(topLang("source"))
       .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
         expr("n_chars div n_docs").as("avg_chars"),
         col("n_langs"), col("top_lang"),

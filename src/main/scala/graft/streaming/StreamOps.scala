@@ -1262,4 +1262,75 @@ object StreamOps {
         (!known).as("unknown_reference"),
         (!known || col("ks") > threshold).as("drifted"))
   }
+
+  /** Streaming χ² drift monitor — the drift3 twin completing the triad
+    * (PSI = effect size, KS = shape, χ² = significance): per event-time
+    * window and event type, the two-sample chi-squared homogeneity test
+    * of the window's binned value counts against the static reference
+    * histogram (the SAME `referenceHistogram` frame the PSI and KS
+    * monitors broadcast — one reference serves all three), paging at the
+    * α = 0.05 critical value for the occupied-bin dof. Unlike the KS
+    * twin, binning costs this monitor nothing semantically: batch drift3
+    * is ALREADY a binned statistic on the same clamped grid, so with a
+    * reference built from the pre-cutoff events the closing-window χ² is
+    * bit-equal to batch drift3's — identical per-bin term arithmetic
+    * (exact long cross term, ONE 9-rounded double division per occupied
+    * bin, exact decimal(28,9) term sum, final round to 6) and identical
+    * occupied-bin dof; the spec pins that equality. dof = 0 (both sides
+    * in one bin) can never reject, exactly like batch drift3.
+    *
+    * Shape: the shared `windowedDriftFrame` scaffold — ONE stateful
+    * windowed aggregate with per-bin conditional counters, a types-sized
+    * broadcast left join, then an O(bins) unrolled codegen projection
+    * per closing window (bins is a compile-time constant, so the term
+    * sum is a plain left-to-right decimal fold — no HOF, no
+    * CodegenFallback on the hot path). Failure modes mirror the other
+    * twins: an event type with no reference row survives as
+    * `unknown_reference = true` + NULL χ² + `drifted = true`, and a
+    * reference built on a different bin grid raises a descriptive error
+    * instead of silently pairing mismatched arrays.
+    */
+  def chi2DriftStream(events: DataFrame, reference: DataFrame,
+                      windowDur: String = "1 day", watermark: String = "1 day",
+                      bins: Int = 10, binWidth: Double = 50.0): DataFrame = {
+    val crit = graft.operators.DataOps.Chi2Crit05
+    require(bins >= 2 && bins <= crit.length + 1,
+      s"bins must be in [2, ${crit.length + 1}] for the dof table; got $bins")
+    val known = col("ref_counts").isNotNull
+    // per-bin χ² terms over (reference, window) counts — batch drift3's
+    // exact arithmetic with c_old → ref count, c_new → window count;
+    // empty (cr + cw = 0) bins contribute neither a term nor a dof
+    def cr(i: Int) = element_at(col("ref_counts"), i + 1)
+    def cw(i: Int) = element_at(col("counts"), i + 1)
+    val terms = (0 until bins).map { i =>
+      val cross = cr(i) * col("n_window") - cw(i) * col("n_ref")
+      when(cr(i) + cw(i) > 0, graft.functions.Doubles.roundZ(
+        cross.cast("double") * cross.cast("double") /
+          (col("n_ref").cast("double") * col("n_window").cast("double") *
+            (cr(i) + cw(i)).cast("double")), 9))
+        .otherwise(lit(0.0)).cast("decimal(28,9)")
+    }
+    val occupied = (0 until bins).map(i =>
+      when(cr(i) + cw(i) > 0, 1).otherwise(0)).reduce(_ + _)
+    val statExpr = struct(
+      graft.functions.Doubles.roundZ(
+        terms.reduce(_ + _).cast("double"), 6).as("chi2"),
+      occupied.cast("int").as("n_bins"))
+    windowedDriftFrame(events, reference, windowDur, watermark, bins,
+      binWidth, "chi2DriftStream", statExpr, "chi2s")
+      .withColumn("chi2", col("chi2s.chi2"))
+      .withColumn("n_bins", col("chi2s.n_bins"))
+      .withColumn("dof", (col("n_bins") - 1).cast("int"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        unix_micros(col("w.end")).as("window_end_us"),
+        col("event_type"), col("n_window"), col("n_ref"),
+        col("n_bins"), col("dof"), col("chi2"),
+        (!known).as("unknown_reference"),
+        when(!known, lit(true))
+          // dof = 0 must not reach element_at (ANSI rejects index 0)
+          .when(col("dof") >= 1,
+            col("chi2") > element_at(array(crit.map(lit): _*), col("dof")))
+          .otherwise(lit(false)).as("drifted"))
+  }
 }

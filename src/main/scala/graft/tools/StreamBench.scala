@@ -97,6 +97,8 @@ object StreamBench {
       best("psi_drift_window", () => StreamOps.psiDriftStream(stream(),
         StreamOps.referenceHistogram(base))),
       best("ks_drift_window", () => StreamOps.ksDriftStream(stream(),
+        StreamOps.referenceHistogram(base))),
+      best("chi2_drift_window", () => StreamOps.chi2DriftStream(stream(),
         StreamOps.referenceHistogram(base))))
 
     // cdc2 twin: orders-shaped events through the foreachBatch MERGE loop;
@@ -124,23 +126,27 @@ object StreamBench {
       r
     }
 
+    // The 9-token synthetic doc shape shared by every text-twin bench row
+    // (contamination guard, quality score, Pareto gate): one definition so
+    // a tweak can never make the rows silently measure different inputs.
+    def textify(df: DataFrame) = df.select(
+      col("event_id").as("doc_id"), col("ts"),
+      concat_ws(" ", col("event_type"),
+        concat(lit("u"), pmod(col("user_id"), lit(50000))),
+        concat(lit("g"), pmod(col("event_id"), lit(5000))),
+        concat(lit("v"), floor(col("value")).cast("long")),
+        concat(lit("a"), pmod(col("user_id"), lit(7))),
+        concat(lit("b"), pmod(col("event_id"), lit(13))),
+        concat(lit("c"), pmod(col("event_id"), lit(17))),
+        concat(lit("d"), pmod(col("user_id"), lit(3))),
+        lit("zz")).as("text"))
+
     // c1 twin: events re-shaped into 9-token synthetic docs; the benchmark
     // side is the shingle set of every 10th doc (a ~10% true-hit rate), a
     // static frame materialized ONCE and broadcast into each micro-batch's
     // stateless join — the measured rate pays the full per-batch verdict
     // (shingle kernel + broadcast join + per-doc rollup + noop write).
     val guard = {
-      def textify(df: DataFrame) = df.select(
-        col("event_id").as("doc_id"), col("ts"),
-        concat_ws(" ", col("event_type"),
-          concat(lit("u"), pmod(col("user_id"), lit(50000))),
-          concat(lit("g"), pmod(col("event_id"), lit(5000))),
-          concat(lit("v"), floor(col("value")).cast("long")),
-          concat(lit("a"), pmod(col("user_id"), lit(7))),
-          concat(lit("b"), pmod(col("event_id"), lit(13))),
-          concat(lit("c"), pmod(col("event_id"), lit(17))),
-          concat(lit("d"), pmod(col("user_id"), lit(3))),
-          lit("zz")).as("text"))
       val bench = textify(base.withColumn("event_id", col("event_id")))
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(explode(array_distinct(
@@ -170,17 +176,6 @@ object StreamBench {
     // synthetic vector stands in for a trained one.
     val qualityRow = {
       val wq = Array.tabulate(65)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
-      def textify(df: DataFrame) = df.select(
-        col("event_id").as("doc_id"), col("ts"),
-        concat_ws(" ", col("event_type"),
-          concat(lit("u"), pmod(col("user_id"), lit(50000))),
-          concat(lit("g"), pmod(col("event_id"), lit(5000))),
-          concat(lit("v"), floor(col("value")).cast("long")),
-          concat(lit("a"), pmod(col("user_id"), lit(7))),
-          concat(lit("b"), pmod(col("event_id"), lit(13))),
-          concat(lit("c"), pmod(col("event_id"), lit(17))),
-          concat(lit("d"), pmod(col("user_id"), lit(3))),
-          lit("zz")).as("text"))
       best("quality_score_stateless", () =>
         StreamOps.qualityScoreStream(textify(stream()), wq))
     }
@@ -190,17 +185,6 @@ object StreamBench {
     // rule over plain scoring
     val paretoRow = {
       val wq = Array.tabulate(65)(j => ((j * 2654435761L) % 2000001L) - 1000000L)
-      def textify(df: DataFrame) = df.select(
-        col("event_id").as("doc_id"), col("ts"),
-        concat_ws(" ", col("event_type"),
-          concat(lit("u"), pmod(col("user_id"), lit(50000))),
-          concat(lit("g"), pmod(col("event_id"), lit(5000))),
-          concat(lit("v"), floor(col("value")).cast("long")),
-          concat(lit("a"), pmod(col("user_id"), lit(7))),
-          concat(lit("b"), pmod(col("event_id"), lit(13))),
-          concat(lit("c"), pmod(col("event_id"), lit(17))),
-          concat(lit("d"), pmod(col("user_id"), lit(3))),
-          lit("zz")).as("text"))
       best("pareto_filter_stateless", () =>
         StreamOps.paretoFilterStream(textify(stream()), wq))
     }

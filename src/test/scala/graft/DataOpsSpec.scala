@@ -170,6 +170,31 @@ class DataOpsSpec extends SparkSpec {
       ("C", 4L, 4L, 8L, 0.5, true)), s"got ${got.toSeq}")
   }
 
+  test("drift2 KS degenerate window: a one-sided type pages with NULL ks") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // A straddles the cutoff (defined statistic); D exists only BEFORE it
+    // and E only AFTER — neither has a defined two-sample KS, so ks must
+    // be NULL (never 0/0 = NaN) and drifted true (drift3's convention: a
+    // type that appeared or vanished outright is definitionally drifted)
+    Seq(
+      (1L, "2024-01-10 00:00:00", "A", 10.0),
+      (2L, "2024-01-20 00:00:00", "A", 10.0),
+      (3L, "2024-01-10 00:00:00", "D", 10.0),
+      (4L, "2024-01-20 00:00:00", "E", 10.0))
+      .map { case (id, t, typ, v) =>
+        (id, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = DataOps.ksDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("A", 1L, 1L, 0L, 0.0, false),
+      ("D", 1L, 0L, 0L, -1.0, true),
+      ("E", 0L, 1L, 0L, -1.0, true)), s"got ${got.toSeq}")
+  }
+
   test("drift3 chi2 is exact on crafted tables incl. the degenerate windows") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -317,4 +317,23 @@ class PipelineOpsSpec extends SparkSpec {
       ("s0", 3L, 21L, 8L, 7L, 2L, "en", 666666L, 1L, 333333L),
       ("s1", 2L, 10L, 6L, 5L, 2L, "de", 500000L, 0L, 0L)), s"got ${got.toSeq}")
   }
+
+  test("x38 datasheet: a NULL-source stratum survives the top-lang join") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // groupBy keeps NULL as its own source group; the base↔topLang join
+    // is null-safe (<=>), so the unattributed stratum must appear in the
+    // datasheet instead of silently vanishing in an equi-join
+    Seq(
+      (1L, "aa bb", Some("en"), Some("s0"), 5L),
+      (2L, "cc dd", Some("en"), None, 5L),
+      (3L, "cc dd", Some("de"), None, 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.sourceDatasheet(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getString(6)))
+    assert(got.toSet == Set(
+      (Some("s0"), 1L, "en"),
+      (None, 2L, "de")), s"got ${got.toSeq}")
+  }
 }

@@ -1334,4 +1334,102 @@ class StreamOpsSpec extends SparkSpec {
         s"expected the binning tripwire, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("streaming chi2 drift equals batch drift3 exactly and pages unknown types") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    // batch drift3's crafted fixture re-split: old window = reference,
+    // new window = stream. drift3 is ALREADY binned on the default grid,
+    // so the streaming statistic must be bit-equal with no grid-resolving
+    // fixture tricks — A identical (chi2 0, dof 1), B disjoint bins
+    // (chi2 8.0 > 3.841, drifted), C one occupied bin (dof 0, never
+    // rejects). E streams with no reference row -> unknown pages.
+    def rows(ids: Range, t: String, typ: String, vs: Seq[Double]) =
+      ids.zip(vs).map { case (i, v) =>
+        (i.toLong, Timestamp.valueOf(t), 1L, typ, v, "{}") }
+    val old =
+      rows(1 to 4, "2024-01-10 00:00:00", "A", Seq(10, 10, 60, 60)) ++
+      rows(9 to 12, "2024-01-10 00:00:00", "B", Seq(10, 10, 10, 10)) ++
+      rows(17 to 20, "2024-01-10 00:00:00", "C", Seq(10, 10, 10, 10))
+    val fresh =
+      rows(5 to 8, "2024-01-20 00:00:00", "A", Seq(10, 10, 60, 60)) ++
+      rows(13 to 16, "2024-01-20 00:00:00", "B", Seq(110, 110, 110, 110)) ++
+      rows(21 to 24, "2024-01-20 00:00:00", "C", Seq(10, 10, 10, 10))
+    val dir = tempSfDir()
+    (old ++ fresh)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val batch = graft.operators.DataOps.chi2Drift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    val ref = StreamOps.referenceHistogram(
+      old.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val input = MemoryStream[Event]
+    val q = StreamOps.chi2DriftStream(input.toDF(), ref,
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("chi2_eq_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(fresh.map { case (id, ts, u, typ, v, _) =>
+        Event(id, ts, u, typ, v) } :+
+        Event(98L, Timestamp.valueOf("2024-01-20 00:00:00"), 9L, "E", 10.0))
+      q.processAllAvailable()
+      input.addData(Seq(Event(99L, Timestamp.valueOf("2024-01-25 00:00:00"),
+        9L, "A", 10.0)))
+      q.processAllAvailable()
+      val out = spark.table("chi2_eq_out").collect()
+        .filter(_.getAs[Long]("window_start_us") ==
+          Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000)
+      val streamed = out.filter(!_.getAs[Boolean]("unknown_reference"))
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_ref"), r.getAs[Long]("n_window"),
+            r.getAs[Int]("n_bins"), r.getAs[Int]("dof"),
+            r.getAs[Double]("chi2"), r.getAs[Boolean]("drifted")))
+        .toMap
+      assert(streamed.keySet == Set("A", "B", "C"), s"got ${streamed.keySet}")
+      streamed.foreach { case (typ, s) =>
+        assert(s == batch(typ), s"type $typ: stream $s != batch ${batch(typ)}")
+      }
+      val unknown = out.filter(_.getAs[Boolean]("unknown_reference"))
+      assert(unknown.map(_.getAs[String]("event_type")).toSeq == Seq("E"),
+        s"got ${unknown.toSeq}")
+      assert(unknown.head.isNullAt(unknown.head.fieldIndex("chi2")) &&
+        unknown.head.getAs[Boolean]("drifted"),
+        s"unknown row must page with NULL chi2: ${unknown.head.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming chi2 drift: binning mismatch vs the reference fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ref = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      bins = 20, binWidth = 25.0)
+    // a frame missing the binning columns entirely fails at the driver
+    val bare = ref.drop("ref_bins", "ref_bin_width")
+    val e0 = intercept[IllegalArgumentException] {
+      StreamOps.chi2DriftStream(spark.range(1).toDF(), bare)
+    }
+    assert(e0.getMessage.contains("ref_bins"), e0.getMessage)
+    val input = MemoryStream[Event]
+    val q = StreamOps.chi2DriftStream(input.toDF(), ref, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("chi2_mismatch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(1, 0, 1L, "A", 10.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("bins/binWidth mismatch")),
+        s"expected the binning tripwire, got: ${messages(e)}")
+    } finally q.stop()
+  }
 }
