@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
   * never a cached, pre-materialized copy.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Loads `name` from the sf dir — unless `spark.graft.bucketedDb` names
+    * a database that has the table, in which case the CATALOG table is
+    * returned instead. That table is typically `Sinks.writeBucketedFacts`'
+    * output, bucketed on the fact's recurring join key, so the SAME
+    * operator code then plans co-located fact⋈fact joins with zero
+    * shuffle exchange (see BucketingSpec / PLANS.md's bucketed-substrate
+    * delta). Default unset: plain parquet scans, pushdown intact. When
+    * the override is active the sf dir is ignored for tables the db
+    * holds — the caller owns keeping db and dir in sync.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val db = spark.conf.get("spark.graft.bucketedDb", "")
+    if (db.nonEmpty && spark.catalog.tableExists(s"$db.$name"))
+      spark.table(s"$db.$name")
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

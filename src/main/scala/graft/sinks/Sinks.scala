@@ -82,6 +82,43 @@ object Sinks {
                               partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Materialize the big fact tables as BUCKETED catalog tables — the
+    * co-located-join substrate for the recurring fact⋈fact paths:
+    * lineitem and orders bucket (and sort) on the order key, the join
+    * axis q12/q18/q21 shuffle on every run today, and events buckets on
+    * (user-keyed) `user_id`, the t-family/session/funnel axis. Pair with
+    * `spark.graft.bucketedDb = <db>`: Tables then serves these catalog
+    * tables to the UNCHANGED operators, whose order-key joins plan with
+    * zero shuffle exchange (BucketingSpec pins it; PLANS.md's
+    * bucketed-substrate section shows the per-query delta). At 100 TB
+    * this converts every recurring fact⋈fact join from a full network
+    * shuffle into local merges — paid once at ingest, amortized over
+    * every downstream query.
+    *
+    * Must run with the override conf UNSET (it reads the parquet dirs
+    * through Tables — with the conf live, an overwrite would read a
+    * table into itself).
+    */
+  def writeBucketedFacts(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, db: String = "graft_bucketed",
+                         buckets: Int = 32): Unit = {
+    require(spark.conf.get("spark.graft.bucketedDb", "").isEmpty,
+      "unset spark.graft.bucketedDb before writeBucketedFacts — the " +
+        "override would make the overwrite read a table into itself")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    graft.Tables.lineitem(spark, dir).write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem")
+    graft.Tables.orders(spark, dir).write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders")
+    // events keeps Tables.events' normalized micro-precision TIMESTAMP,
+    // so the catalog copy round-trips through the loader unchanged
+    graft.Tables.events(spark, dir).write.mode("overwrite")
+      .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+      .saveAsTable(s"$db.events")
+  }
+
   /** Training-shard writer: the curated corpus as reproducible, size-bounded
     * parquet shards — one directory per partition value, at most
     * `maxRecordsPerFile` rows per shard file, rows sorted by `sortCols`

@@ -61,4 +61,39 @@ class BucketingSpec extends SparkSpec {
         s"partial-key join must shuffle (bucket key is composite), got:\n$partialPlan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("q12/q21 on writeBucketedFacts' substrate drop the order-key shuffle, same rows") {
+    import graft.operators.DecisionSupport
+    import graft.sinks.Sinks
+    val dir = "/root/testdata/sf0.001"
+    Sinks.writeBucketedFacts(spark, dir, "bktfacts", buckets = 8)
+    // broadcast would hide the shuffle at this SF that bucketing elides
+    // at fleet scale — disable it so the SMJ exchange is what's compared
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    try {
+      val q12Parquet = DecisionSupport.lateShipments(spark, dir)
+      val q21Parquet = DecisionSupport.blameSupplier(spark, dir)
+      val (s12p, s21p) = (shuffles(q12Parquet), shuffles(q21Parquet))
+      val (r12, r21) = (q12Parquet.collect().toSet, q21Parquet.collect().toSet)
+
+      spark.conf.set("spark.graft.bucketedDb", "bktfacts")
+      val q12Bkt = DecisionSupport.lateShipments(spark, dir)
+      val q21Bkt = DecisionSupport.blameSupplier(spark, dir)
+      assert(shuffles(q12Bkt) < s12p,
+        s"q12 bucketed must shuffle less: ${shuffles(q12Bkt)} vs $s12p\n" +
+          q12Bkt.queryExecution.executedPlan.toString)
+      assert(shuffles(q21Bkt) < s21p,
+        s"q21 bucketed must shuffle less: ${shuffles(q21Bkt)} vs $s21p\n" +
+          q21Bkt.queryExecution.executedPlan.toString)
+      // the substrate changes the plan, never the answer
+      assert(q12Bkt.collect().toSet == r12, "q12 rows differ on bucketed substrate")
+      assert(q21Bkt.collect().toSet == r21, "q21 rows differ on bucketed substrate")
+    } finally {
+      spark.conf.unset("spark.graft.bucketedDb")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
