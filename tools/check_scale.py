@@ -21,10 +21,17 @@ only = set(sys.argv[4:])
 con = duckdb.connect()
 # Large-slice oracles (s5's PQ encode materializes ~0.5G intermediate rows
 # at 10x) need out-of-core execution: give DuckDB a spill dir and drop the
-# insertion-order guarantee (the compare sorts rows anyway).
+# insertion-order guarantee (the compare sorts rows anyway). The 100x
+# replays additionally need DUCKDB_THREADS / DUCKDB_MEMORY_LIMIT: per-thread
+# operator state is what OOMs (non-spillable "bad allocation"), so fewer
+# threads + an explicit limit trades wall-clock for completion.
 os.makedirs("/tmp/duckspill", exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckspill'")
 con.execute("SET preserve_insertion_order=false")
+if os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+    con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
 for p in sorted(glob.glob(os.path.join(slice_dir, "*.parquet"))):
     name = os.path.basename(p)[: -len(".parquet")]
     src = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
