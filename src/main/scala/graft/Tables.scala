@@ -27,6 +27,17 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** The substrate the session currently resolves tables against —
+    * "parquet" or the bucketed db name. Memo-shared frames embed this in
+    * their cache keys so a frame built on one substrate is never served
+    * after the override flips mid-session (BucketingSpec and PlanAudit's
+    * delta section do exactly that flip).
+    */
+  def substrate(spark: SparkSession): String = {
+    val db = spark.conf.get("spark.graft.bucketedDb", "")
+    if (db.isEmpty) "parquet" else db
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

@@ -894,7 +894,8 @@ object Curation {
                            positiveSources: Seq[String]): DataFrame =
     graft.CacheRegistry.memoShared(
       s"clsScored:${spark.sparkContext.applicationId}:$dir:$dim:" +
-        s"$trainSample:$iters:$lrDiv:${positiveSources.mkString(",")}") {
+        s"$trainSample:$iters:$lrDiv:${positiveSources.mkString(",")}:" +
+        graft.Tables.substrate(spark)) {
       val wq = trainQualityWeights(spark, dir, dim, trainSample, iters,
         lrDiv, positiveSources)
       scoreQuality(

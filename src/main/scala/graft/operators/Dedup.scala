@@ -312,7 +312,8 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String,
                    minJaccard: Double = 0.8): DataFrame =
     graft.CacheRegistry.memoShared(
-      s"d4scored:${spark.sparkContext.applicationId}:$dir:$minJaccard")(
+      s"d4scored:${spark.sparkContext.applicationId}:$dir:$minJaccard:" +
+        graft.Tables.substrate(spark))(
       computeNgramJaccard(spark, dir, minJaccard))
 
   private def computeNgramJaccard(spark: SparkSession, dir: String,
@@ -360,7 +361,8 @@ object Dedup {
   def dedupGroups(spark: SparkSession, dir: String,
                   minJaccard: Double = 0.8, maxIters: Int = 20): DataFrame =
     graft.CacheRegistry.memoShared(
-      s"d6groups:${spark.sparkContext.applicationId}:$dir:$minJaccard:$maxIters")(
+      s"d6groups:${spark.sparkContext.applicationId}:$dir:$minJaccard:" +
+        s"$maxIters:${graft.Tables.substrate(spark)}")(
       computeDedupGroups(spark, dir, minJaccard, maxIters))
 
   private def computeDedupGroups(spark: SparkSession, dir: String,

@@ -699,7 +699,8 @@ object TextAnalysis {
                            wordFreq: => DataFrame,
                            driverVocabCap: Long = DriverVocabCap): Seq[(Int, String, String, Long)] =
     graft.CacheRegistry.memoSharedValue(
-      s"bpe:${spark.sparkContext.applicationId}:$dir:$merges:$driverVocabCap")(
+      s"bpe:${spark.sparkContext.applicationId}:$dir:$merges:" +
+        s"$driverVocabCap:${graft.Tables.substrate(spark)}")(
       learnMerges(spark, wordFreq, merges, driverVocabCap))
 
   // pair separator inside the argmax key: NUL can never occur in a symbol

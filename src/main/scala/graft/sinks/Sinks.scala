@@ -101,22 +101,29 @@ object Sinks {
     */
   def writeBucketedFacts(spark: org.apache.spark.sql.SparkSession,
                          dir: String, db: String = "graft_bucketed",
-                         buckets: Int = 32): Unit = {
+                         buckets: Int = 32,
+                         tables: Seq[String] =
+                           Seq("lineitem", "orders", "events")): Unit = {
     require(spark.conf.get("spark.graft.bucketedDb", "").isEmpty,
       "unset spark.graft.bucketedDb before writeBucketedFacts — the " +
         "override would make the overwrite read a table into itself")
+    val unknown = tables.toSet -- Set("lineitem", "orders", "events")
+    require(unknown.isEmpty, s"unknown fact tables: ${unknown.mkString(",")}")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    graft.Tables.lineitem(spark, dir).write.mode("overwrite")
-      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(s"$db.lineitem")
-    graft.Tables.orders(spark, dir).write.mode("overwrite")
-      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(s"$db.orders")
+    if (tables.contains("lineitem"))
+      graft.Tables.lineitem(spark, dir).write.mode("overwrite")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem")
+    if (tables.contains("orders"))
+      graft.Tables.orders(spark, dir).write.mode("overwrite")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders")
     // events keeps Tables.events' normalized micro-precision TIMESTAMP,
     // so the catalog copy round-trips through the loader unchanged
-    graft.Tables.events(spark, dir).write.mode("overwrite")
-      .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
-      .saveAsTable(s"$db.events")
+    if (tables.contains("events"))
+      graft.Tables.events(spark, dir).write.mode("overwrite")
+        .bucketBy(buckets, "user_id").sortBy("user_id", "ts")
+        .saveAsTable(s"$db.events")
   }
 
   /** Training-shard writer: the curated corpus as reproducible, size-bounded

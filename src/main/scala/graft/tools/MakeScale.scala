@@ -39,6 +39,9 @@ object MakeScale {
     val Array(baseDir, outDir, mStr) = args.take(3)
     val m = mStr.toInt
     val mode = args.lift(3).getOrElse("docs")
+    require(Set("docs", "events")(mode),
+      s"unknown MakeScale mode '$mode' — expected 'docs' or 'events' " +
+        "(a typo here would silently measure a base-linked table)")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -55,6 +58,17 @@ object MakeScale {
       // micros, which every reader (Tables.events case _, DuckDB) takes
       // as-is.
       val ev = graft.Tables.events(spark, baseDir)
+      // the fixed replica offsets below ARE the namespace-disjoint
+      // invariant — a base that outgrows them (e.g. events mode chained
+      // on an already-scaled slice) would silently merge replicas into
+      // the same users and manufacture cross-replica runs/sessions
+      val Array(maxEv, maxUser) = ev
+        .agg(max(col("event_id")), max(col("user_id")))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(maxEv < 100000000L && maxUser < 10000000L,
+        s"events-mode replica offsets (1e8/1e7) would collide: base has " +
+          s"max event_id=$maxEv, max user_id=$maxUser — scale a base " +
+          "slice, not an already-scaled one")
       (0 until m).map { k =>
         ev.select(
           (col("event_id") + lit(k.toLong * 100000000L)).as("event_id"),

@@ -66,7 +66,8 @@ class BucketingSpec extends SparkSpec {
     import graft.operators.DecisionSupport
     import graft.sinks.Sinks
     val dir = "/root/testdata/sf0.001"
-    Sinks.writeBucketedFacts(spark, dir, "bktfacts", buckets = 8)
+    Sinks.writeBucketedFacts(spark, dir, "bktfacts", buckets = 8,
+      tables = Seq("lineitem", "orders"))
     // broadcast would hide the shuffle at this SF that bucketing elides
     // at fleet scale — disable it so the SMJ exchange is what's compared
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
