@@ -24,6 +24,17 @@ import org.apache.spark.sql.DataFrame
 object Output {
   val OrderedKey = "spark.graft.orderedOutput"
 
+  /** Exact-vs-sketch seam for data-proportional distinct counts (default
+    * false = exact, the oracle contract). A production session sets it to
+    * true and x38's `count(DISTINCT text)` — the datasheet's one
+    * data-proportional exchange — becomes `approx_count_distinct` (the q8
+    * HLL++ path): the same frame, estimate columns instead of exact ones.
+    */
+  val ApproxDistinctKey = "spark.graft.approxDistinct"
+
+  def approxDistinct(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(ApproxDistinctKey, "false").equalsIgnoreCase("true")
+
   implicit class OutputOps(private val df: DataFrame) extends AnyVal {
     /** `orderBy(cols…)` when `spark.graft.orderedOutput` is unset or true
       * (the harness contract), identity when a production session sets it

@@ -22,9 +22,19 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val db = spark.conf.get("spark.graft.bucketedDb", "")
-    if (db.nonEmpty && spark.catalog.tableExists(s"$db.$name"))
-      spark.table(s"$db.$name")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    if (db.nonEmpty) {
+      // Fail fast on a db that does not exist at all (a typo'd name, or
+      // writeBucketedFacts never ran): silently falling back to parquet
+      // would let a benchmark measure parquet under a "bucketed" label
+      // while substrate() tags memo keys with the db name. The per-table
+      // fallback below stays — the db intentionally holds only the
+      // bucketed FACT tables; dims keep their parquet scans.
+      require(spark.catalog.databaseExists(db),
+        s"spark.graft.bucketedDb='$db' but no such database exists — " +
+          "run Sinks.writeBucketedFacts first or unset the conf")
+      if (spark.catalog.tableExists(s"$db.$name")) spark.table(s"$db.$name")
+      else spark.read.parquet(s"$dir/$name.parquet")
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** The substrate the session currently resolves tables against —

@@ -119,16 +119,29 @@ object TextAnalysis {
     * data-proportional exchange (text-hash partitioned, the same cost
     * class as d1); at fleet scale the same frame takes
     * `approx_count_distinct` (the q8 sketch path) or d1's digest
-    * pre-hash — a column swap, not a plan change.
+    * pre-hash — a column swap, not a plan change. That swap is shipped
+    * behind `spark.graft.approxDistinct` (see graft.Output): default
+    * false keeps the exact oracle contract; true serves the HLL++
+    * estimate in the same schema.
     */
   def sourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("source"), col("lang"), col("text"), col("n_chars"))
+    // the conf-gated swap the scaladoc promises: exact count(DISTINCT
+    // text) for the oracle contract (default), HLL++ estimate under
+    // `spark.graft.approxDistinct=true` — the production posture, where
+    // the text-hash exchange (the datasheet's ONE data-proportional
+    // shuffle) collapses into the partial-aggregable sketch merge.
+    // n_langs stays exact either way: its domain is bounded (a language
+    // inventory), so sketching it saves nothing.
+    val uniq =
+      if (graft.Output.approxDistinct(spark)) approx_count_distinct(col("text"))
+      else countDistinct(col("text"))
     val base = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_chars")).as("n_chars"),
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-      countDistinct(col("text")).as("n_uniq"),
+      uniq.as("n_uniq"),
       countDistinct(col("lang")).as("n_langs"))
     val topLang = d.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("ln"))

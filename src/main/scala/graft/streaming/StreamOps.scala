@@ -1249,10 +1249,18 @@ object StreamOps {
             abs(fr * col("n_window") - fw * col("n_ref"))).as("mx"))
       },
       acc => acc.getField("mx"))
+    // degenerate reference (batch ksDrift's convention, DataOps.scala):
+    // a KNOWN reference row whose counts are all zero has no defined
+    // two-sample statistic — ks_num/(n_ref·n_window) would be 0/0 = NaN.
+    // ks is NULL and drifted is true: a type with reference mass zero
+    // that now produces events is definitionally drifted. n_window ≥ 1
+    // by construction (a window group only exists once an event arrives),
+    // but the guard covers it anyway so the twin and batch share one rule.
+    val degenerate = col("n_ref") === 0 || col("n_window") === 0
     windowedDriftFrame(events, reference, windowDur, watermark, bins,
       binWidth, "ksDriftStream", ksNumExpr, "ks_num")
       .withColumn("ks",
-        when(known, round(col("ks_num").cast("double") /
+        when(known && !degenerate, round(col("ks_num").cast("double") /
           (col("n_ref") * col("n_window")).cast("double"), 6)))
       .select(
         unix_micros(col("w.start")).as("window_start_us"),
@@ -1260,7 +1268,7 @@ object StreamOps {
         col("event_type"), col("n_window"), col("n_ref"),
         col("ks_num"), col("ks"),
         (!known).as("unknown_reference"),
-        (!known || col("ks") > threshold).as("drifted"))
+        (!known || degenerate || col("ks") > threshold).as("drifted"))
   }
 
   /** Streaming χ² drift monitor — the drift3 twin completing the triad
@@ -1302,12 +1310,18 @@ object StreamOps {
     // empty (cr + cw = 0) bins contribute neither a term nor a dof
     def cr(i: Int) = element_at(col("ref_counts"), i + 1)
     def cw(i: Int) = element_at(col("counts"), i + 1)
+    // the n_ref > 0 conjunct keeps a degenerate (all-zero-counts) KNOWN
+    // reference row from computing 0/0 = NaN — which the decimal cast
+    // below would reject at runtime under ANSI; the final select turns
+    // such rows into NULL χ² + drifted (n_window > 0 always holds in a
+    // stream, guarded anyway to share the batch rule verbatim)
     val terms = (0 until bins).map { i =>
       val cross = cr(i) * col("n_window") - cw(i) * col("n_ref")
-      when(cr(i) + cw(i) > 0, graft.functions.Doubles.roundZ(
-        cross.cast("double") * cross.cast("double") /
-          (col("n_ref").cast("double") * col("n_window").cast("double") *
-            (cr(i) + cw(i)).cast("double")), 9))
+      when(cr(i) + cw(i) > 0 && col("n_ref") > 0 && col("n_window") > 0,
+        graft.functions.Doubles.roundZ(
+          cross.cast("double") * cross.cast("double") /
+            (col("n_ref").cast("double") * col("n_window").cast("double") *
+              (cr(i) + cw(i)).cast("double")), 9))
         .otherwise(lit(0.0)).cast("decimal(28,9)")
     }
     val occupied = (0 until bins).map(i =>
@@ -1316,9 +1330,14 @@ object StreamOps {
       graft.functions.Doubles.roundZ(
         terms.reduce(_ + _).cast("double"), 6).as("chi2"),
       occupied.cast("int").as("n_bins"))
+    // degenerate reference — the ksDriftStream/batch convention: a KNOWN
+    // reference row with all-zero counts makes every occupied bin's term
+    // 0/0 = NaN (n_ref multiplies the denominator). χ² is NULL and
+    // drifted is true instead.
+    val degenerate = col("n_ref") === 0 || col("n_window") === 0
     windowedDriftFrame(events, reference, windowDur, watermark, bins,
       binWidth, "chi2DriftStream", statExpr, "chi2s")
-      .withColumn("chi2", col("chi2s.chi2"))
+      .withColumn("chi2", when(!degenerate, col("chi2s.chi2")))
       .withColumn("n_bins", col("chi2s.n_bins"))
       .withColumn("dof", (col("n_bins") - 1).cast("int"))
       .select(
@@ -1327,7 +1346,7 @@ object StreamOps {
         col("event_type"), col("n_window"), col("n_ref"),
         col("n_bins"), col("dof"), col("chi2"),
         (!known).as("unknown_reference"),
-        when(!known, lit(true))
+        when(!known || degenerate, lit(true))
           // dof = 0 must not reach element_at (ANSI rejects index 0)
           .when(col("dof") >= 1,
             col("chi2") > element_at(array(crit.map(lit): _*), col("dof")))

@@ -36,6 +36,18 @@ object BenchSome {
         catch { case _: Throwable => () }
       }
 
+    // Bucketed-substrate mode (SPARK_GRAFT_BUCKETED=<db>): build
+    // writeBucketedFacts' catalog tables in THIS session (the in-memory
+    // catalog does not survive JVMs) and flip the Tables override, so the
+    // timed queries read order-key/user-bucketed tables instead of parquet.
+    // The build itself is excluded from every timing below — it is the
+    // substrate a real deployment amortizes across thousands of queries.
+    sys.env.get("SPARK_GRAFT_BUCKETED").foreach { db =>
+      graft.sinks.Sinks.writeBucketedFacts(spark, sfDir, db)
+      spark.conf.set("spark.graft.bucketedDb", db)
+      println(s"[bench-some] bucketed substrate '$db' built and active")
+    }
+
     // Pass-structured like graft.Bench (iteration = one pass over the
     // query set) with the same cache discipline: per-query releaseAll,
     // per-pass releaseShared — so cross-query shared memos (d4 pairs /

@@ -31,17 +31,24 @@ import org.apache.spark.sql.functions._
   * default mode (`docs`) is unchanged; symlink whichever tables a slice
   * does not synthesize.
   *
+  * FACTS MODE (4th arg `facts`): writes m-fold lineitem+orders — same
+  * catalog and date span, m× the order traffic; only o_orderkey/
+  * l_orderkey are offset (k·10⁶ disjoint order books) so every dim
+  * foreign key stays valid against the base-linked customer/part/
+  * supplier tables. See the in-line rationale below.
+  *
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/sfx10 10"
   *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/evx10 10 events"
+  *   sbt "runMain graft.tools.MakeScale /root/testdata/sf0.1 /tmp/lix10 10 facts"
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val Array(baseDir, outDir, mStr) = args.take(3)
     val m = mStr.toInt
     val mode = args.lift(3).getOrElse("docs")
-    require(Set("docs", "events")(mode),
-      s"unknown MakeScale mode '$mode' — expected 'docs' or 'events' " +
-        "(a typo here would silently measure a base-linked table)")
+    require(Set("docs", "events", "facts")(mode),
+      s"unknown MakeScale mode '$mode' — expected 'docs', 'events' or " +
+        "'facts' (a typo here would silently measure a base-linked table)")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -62,9 +69,14 @@ object MakeScale {
       // invariant — a base that outgrows them (e.g. events mode chained
       // on an already-scaled slice) would silently merge replicas into
       // the same users and manufacture cross-replica runs/sessions
-      val Array(maxEv, maxUser) = ev
-        .agg(max(col("event_id")), max(col("user_id")))
-        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      // max() over an empty table is NULL; an unchecked unbox would read
+      // it as 0L and silently write m empty replicas — require a
+      // non-empty base instead
+      val aggRow = ev.agg(max(col("event_id")), max(col("user_id")))
+        .collect().head
+      require(!aggRow.isNullAt(0) && !aggRow.isNullAt(1),
+        s"base events table at $baseDir is empty — nothing to scale")
+      val (maxEv, maxUser) = (aggRow.getLong(0), aggRow.getLong(1))
       require(maxEv < 100000000L && maxUser < 10000000L,
         s"events-mode replica offsets (1e8/1e7) would collide: base has " +
           s"max event_id=$maxEv, max user_id=$maxUser — scale a base " +
@@ -78,6 +90,42 @@ object MakeScale {
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       println(s"[make-scale] wrote $outDir at ${m}x $baseDir (events mode)")
+      spark.stop()
+      return
+    }
+
+    if (mode == "facts") {
+      // FACTS MODE: m-fold lineitem+orders, the way a transactional fact
+      // table grows — the SAME catalog (customer/part/supplier base-linked,
+      // so every foreign key stays valid and referential-integrity queries
+      // keep zero orphans) taking m× the order traffic over the same date
+      // span. Replica k offsets ONLY the order key by k·10⁶ (disjoint
+      // order books: per-order line structure — quantity rollups, the
+      // multi-supplier EXISTS chains, semi/anti joins on orderkey — scales
+      // like m independent ledgers, never manufacturing cross-replica
+      // orders), and keeps custkey/partkey/suppkey/dates/prices unchanged
+      // (each dim row sees m× the facts: per-customer/part/supplier
+      // distributions gain m× the mass at the same shape).
+      val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val aggRow = orders.agg(max(col("o_orderkey"))).collect().head
+      require(!aggRow.isNullAt(0),
+        s"base orders table at $baseDir is empty — nothing to scale")
+      val maxOk = aggRow.getLong(0)
+      require(maxOk < 1000000L,
+        s"facts-mode replica offset (1e6) would collide: base has max " +
+          s"o_orderkey=$maxOk — scale a base slice, not an already-scaled one")
+      (0 until m).map { k =>
+        orders.withColumn("o_orderkey",
+          col("o_orderkey") + lit(k.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      (0 until m).map { k =>
+        li.withColumn("l_orderkey",
+          col("l_orderkey") + lit(k.toLong * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      println(s"[make-scale] wrote $outDir at ${m}x $baseDir (facts mode)")
       spark.stop()
       return
     }

@@ -99,8 +99,25 @@ object ScalingCurve {
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),
+      "t4_congestion_daily" -> ((s, d) => Telematics.congestionDaily(s, d)),
       "t5_saturated_pairs" -> ((s, d) => Telematics.saturatedPairs(s, d)),
       "t6_session_windows" -> ((s, d) => Telematics.sessionWindows(s, d)),
+      "t7_purchase_attribution" -> ((s, d) => {
+        val e = graft.Tables.events(s, d)
+        graft.streaming.StreamOps.purchaseAttribution(e, e)
+      }),
+      "t8_asof_attribution" -> ((s, d) => Telematics.asofAttribution(s, d)),
+      "t9_sliding_windows" -> ((s, d) => Telematics.slidingWindows(s, d)),
+      "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
+      "q_cohort_retention" -> ((s, d) => graft.operators.Analytics.cohortRetention(s, d)),
+      // fact-axis queries: flat on docs/events slices (lineitem/orders
+      // base-linked); run against MakeScale's facts mode for real exponents
+      "q1_pricing_summary" -> ((s, d) => graft.operators.Analytics.pricingSummary(s, d)),
+      "q9_nation_revenue" -> ((s, d) => graft.operators.DecisionSupport.nationRevenue(s, d)),
+      "q12_late_shipments" -> ((s, d) => graft.operators.DecisionSupport.lateShipments(s, d)),
+      "q18_large_orders" -> ((s, d) => graft.operators.DecisionSupport.largeOrders(s, d)),
+      "q21_blame_supplier" -> ((s, d) => graft.operators.DecisionSupport.blameSupplier(s, d)),
+      "cdc1_snapshot_diff" -> ((s, d) => DataOps.snapshotDiff(s, d)),
       "v3_expectation_check" -> ((s, d) => DataOps.expectationCheck(s, d)),
       "cls1_quality_classifier" -> ((s, d) => Curation.qualityClassifier(s, d)),
       "cls2_pareto_filter" -> ((s, d) => Curation.paretoFilter(s, d)),

@@ -12,7 +12,8 @@ import graft.streaming.StreamOps
   * operator — the number to hold against the reference's single-node Flink
   * throughput. The events table is replicated (disjoint event_id ranges) so
   * per-micro-batch launch overhead amortizes into a sustained rate.
-  * Usage: runMain graft.tools.StreamBench [sfDir] [chunks] [replicas]
+  * Usage: runMain graft.tools.StreamBench [sfDir] [chunks] [replicas] [names...]
+  * (extra args = only run ops whose name is listed — the BenchSome pattern)
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -20,6 +21,7 @@ object StreamBench {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.drop(3).toSet
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     // Shuffle partitions = state-store instances for stateful streams; size
@@ -72,10 +74,11 @@ object StreamBench {
     }
 
     // best of 2 runs per op (see Bench.scala on sandbox thread freezes)
-    def best(name: String, mk: () => DataFrame): (String, Double) = {
+    def best(name: String, mk: () => DataFrame): Option[(String, Double)] = {
+      if (only.nonEmpty && !only(name)) return None
       val r = Seq(run(name, mk()), run(name, mk())).maxBy(_._2)
       println(f"[stream-bench] $name: ${r._2}%.0f events/sec")
-      r
+      Some(r)
     }
 
     val results = Seq(
@@ -106,7 +109,7 @@ object StreamBench {
     // localCheckpoint, i.e. the upsert write amplification a daily-ingest
     // dimension actually sustains. scd2ApplyStream returns a writer (it
     // owns the foreachBatch sink), so it can't go through run()'s noop.
-    val scd2 = {
+    val scd2 = if (only.nonEmpty && !only("scd2_apply_fb")) None else Some {
       def once(): (String, Double) = {
         val state = new StreamOps.Scd2State(spark)
         val ckpt = s"/tmp/graft_stream_ckpt/scd2-${System.nanoTime()}"
@@ -146,7 +149,7 @@ object StreamBench {
     // static frame materialized ONCE and broadcast into each micro-batch's
     // stateless join — the measured rate pays the full per-batch verdict
     // (shingle kernel + broadcast join + per-doc rollup + noop write).
-    val guard = {
+    val guard = if (only.nonEmpty && !only("contamination_guard_fb")) None else Some {
       val bench = textify(base.withColumn("event_id", col("event_id")))
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(explode(array_distinct(
@@ -239,7 +242,8 @@ object StreamBench {
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val qs = (results ++ Seq(scd2, guard, qualityRow, paretoRow) ++ twsResults).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+    val qs = (results.flatten ++ Seq(scd2, guard, qualityRow, paretoRow).flatten ++
+      twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")
     spark.stop()

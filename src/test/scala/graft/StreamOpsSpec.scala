@@ -1432,4 +1432,52 @@ class StreamOpsSpec extends SparkSpec {
         s"expected the binning tripwire, got: ${messages(e)}")
     } finally q.stop()
   }
+
+  test("KS/chi2 streams: a KNOWN reference row with zero counts pages with NULL stat") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // referenceHistogram can't emit an all-zero row itself (nulls are
+    // filtered before the groupBy), but a caller composing a reference
+    // from a type inventory can — batch ksDrift's degenerate-window
+    // convention must hold: the statistic is NULL (never 0/0 = NaN) and
+    // drifted is true, since a type with zero reference mass that now
+    // produces events is definitionally drifted.
+    val refA = StreamOps.referenceHistogram(Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "A", 10.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val zeroB = Seq(("B", 0L, Seq.fill(10)(0L), 10, 50.0))
+      .toDF("event_type", "n_ref", "ref_counts", "ref_bins", "ref_bin_width")
+    val ref = refA.unionByName(zeroB)
+    Seq(
+      ("ks0_out", StreamOps.ksDriftStream(_: org.apache.spark.sql.DataFrame,
+        ref, watermark = "0 seconds"), "ks"),
+      ("chi20_out", StreamOps.chi2DriftStream(_: org.apache.spark.sql.DataFrame,
+        ref, watermark = "0 seconds"), "chi2")
+    ).foreach { case (sink, mk, statCol) =>
+      val input = MemoryStream[Event]
+      val q = mk(input.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(Seq(
+          ev(1, 0, 1L, "A", 10.0), ev(2, 10, 1L, "A", 10.0),
+          ev(3, 0, 1L, "B", 10.0), ev(4, 10, 1L, "B", 480.0)))
+        q.processAllAvailable()
+        input.addData(Seq(ev(9, 60 * 48, 9L, "A", 10.0)))
+        q.processAllAvailable()
+        val rows = spark.table(sink).collect()
+          .map(r => r.getAs[String]("event_type") ->
+            (r.isNullAt(r.fieldIndex(statCol)),
+              r.getAs[Boolean]("unknown_reference"),
+              r.getAs[Boolean]("drifted")))
+          .toMap
+        assert(rows.keySet == Set("A", "B"), s"$sink got ${rows.keySet}")
+        // stable known type: defined statistic, no page
+        assert(rows("A") == ((false, false, false)), s"$sink A: ${rows("A")}")
+        // zero-count KNOWN reference: NULL statistic, known, pages
+        assert(rows("B") == ((true, false, true)), s"$sink B: ${rows("B")}")
+      } finally q.stop()
+    }
+  }
 }
