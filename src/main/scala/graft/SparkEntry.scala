@@ -1141,14 +1141,19 @@ object SparkEntry {
         |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS nd_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // DOUBLE conversions here route through VARCHAR: DuckDB's direct
+    // decimal→double cast is not correctly rounded (first seen 1 ULP off
+    // on sum_charge at the 10× facts slice, 6M rows), while a string
+    // parse is — and Spark's decimal→double cast rounds correctly, so
+    // the hop makes both engines produce the identical IEEE double.
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum($moneyExpr) AS DOUBLE) AS sum_disc_price,
-        |       CAST(sum($moneyExpr * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
-        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
-        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(sum($moneyExpr) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |       CAST(CAST(sum($moneyExpr * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |       round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |       round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(*), 6) AS avg_price,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus

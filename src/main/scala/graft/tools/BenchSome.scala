@@ -43,6 +43,16 @@ object BenchSome {
     // The build itself is excluded from every timing below — it is the
     // substrate a real deployment amortizes across thousands of queries.
     sys.env.get("SPARK_GRAFT_BUCKETED").foreach { db =>
+      // the warehouse DIRECTORY outlives the in-memory catalog, so a
+      // fresh JVM's "overwrite" is really a CREATE that dies on the stale
+      // LOCATION — wipe the db dir first (PlanAudit's idempotency fix)
+      val wh = java.nio.file.Paths.get(spark.conf.get(
+        "spark.sql.warehouse.dir").stripPrefix("file:"), s"$db.db")
+      if (java.nio.file.Files.exists(wh)) {
+        java.nio.file.Files.walk(wh)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
       graft.sinks.Sinks.writeBucketedFacts(spark, sfDir, db)
       spark.conf.set("spark.graft.bucketedDb", db)
       println(s"[bench-some] bucketed substrate '$db' built and active")
