@@ -129,6 +129,8 @@ object SparkEntry {
     "m1_multimodal_meta"   -> Multimodal.mediaMetadata _,
     "m6_media_dedup"       -> Multimodal.mediaExactDedup _,
     "m4_image_phash"       -> ((s, d) => Multimodal.imageHashes(s, d)),
+    "m9_media_neardup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
     "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>
@@ -875,8 +877,12 @@ object SparkEntry {
        |FROM ch, ct
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
-  private val m4OracleSql: String =
-    s"""WITH d AS (SELECT doc_id, length(text) AS n,
+  /** m4's pixel-rebuild + aHash CTE chain (through `bits`, the unsigned
+    * HUGEINT hash `ub`) — shared verbatim by the m4 oracle and m9's
+    * banded near-dup oracle.
+    */
+  private val m4HashCtes: String =
+    s"""d AS (SELECT doc_id, length(text) AS n,
        |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS INT)) AS tb
        |      FROM documents WHERE doc_id % 3 = 0),
        |geo AS (
@@ -901,11 +907,47 @@ object SparkEntry {
        |    sum(CASE WHEN l > mn.mn THEN CAST(power(2, k) AS HUGEINT)
        |        ELSE CAST(0 AS HUGEINT) END) AS ub
        |  FROM lum JOIN mn ON lum.doc_id = mn.doc_id
-       |  GROUP BY lum.doc_id, w, h)
+       |  GROUP BY lum.doc_id, w, h)""".stripMargin
+
+  private val m4OracleSql: String =
+    s"""WITH $m4HashCtes
        |SELECT doc_id, w AS width, h AS height,
        |  CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
        |       THEN ub - CAST(18446744073709551616 AS HUGEINT) ELSE ub END AS BIGINT) AS ahash64
        |FROM bits ORDER BY doc_id""".stripMargin
+
+  /** m9: m4's hash chain, then the 4×16-bit band blocking replayed on the
+    * UNSIGNED HUGEINT hash (band bits by exact divide/modulo — no shift
+    * semantics to disagree about), signed conversion for the xor+bit_count
+    * hamming verify (two's-complement bit patterns are identical either
+    * way). `banded` is MATERIALIZED: it is self-joined, and DuckDB
+    * re-inlines multiply-referenced CTEs otherwise (the g2 lesson).
+    */
+  private val m9OracleSql: String =
+    s"""WITH $m4HashCtes,
+       |hashes AS (
+       |  SELECT doc_id, CAST(CASE WHEN ub >= CAST(9223372036854775808 AS HUGEINT)
+       |       THEN ub - CAST(18446744073709551616 AS HUGEINT) ELSE ub END AS BIGINT) AS h,
+       |       ub
+       |  FROM bits),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, h, CAST(b.range AS INT) AS band,
+       |    CAST((ub // (CASE CAST(b.range AS INT)
+       |      WHEN 0 THEN CAST(1 AS HUGEINT)
+       |      WHEN 1 THEN CAST(65536 AS HUGEINT)
+       |      WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+       |      ELSE CAST(281474976710656 AS HUGEINT) END)) % 65536 AS INT) AS bb
+       |  FROM hashes, range(0, 4) b),
+       |overfull AS (
+       |  SELECT band, bb FROM banded GROUP BY band, bb HAVING count(*) > 2000),
+       |bounded AS MATERIALIZED (
+       |  SELECT b.* FROM banded b ANTI JOIN overfull o USING (band, bb))
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming,
+       |  bit_count(xor(a.h, b.h)) <= 3 AS near_dup
+       |FROM bounded a JOIN bounded b
+       |  ON a.band = b.band AND a.bb = b.bb AND a.doc_id < b.doc_id
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** s7: the greedy MMR selection unrolled — step i excludes the selected
     * set u(i-1) with an ANTI JOIN, takes each survivor's max pair-cosine
@@ -2067,6 +2109,40 @@ object SparkEntry {
         |SELECT a_id, b_id, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // x40: tau literals interpolated from Dedup.curveTaus — the SAME Scala
+    // doubles the operator compares against — parsed via string CAST
+    // (DuckDB decimal literals → double are not correctly rounded; string
+    // parses are). grid is MATERIALIZED: referenced by both aggregates.
+    "x40_dedup_curve" ->
+      s"""WITH pairs AS MATERIALIZED ($d4PairsSql),
+        |taus AS (${operators.Dedup.curveTaus()
+          .map(t => s"SELECT CAST('$t' AS DOUBLE) AS tau")
+          .mkString(" UNION ALL ")}),
+        |grid AS MATERIALIZED (
+        |  SELECT t.tau, p.a_id, p.b_id
+        |  FROM pairs p JOIN taus t ON p.jaccard >= t.tau),
+        |stats AS (
+        |  SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(count(DISTINCT b_id) AS BIGINT) AS n_dropped
+        |  FROM grid GROUP BY tau),
+        |docs AS (
+        |  SELECT tau, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_in_pairs
+        |  FROM (SELECT tau, a_id AS id FROM grid
+        |        UNION ALL SELECT tau, b_id FROM grid)
+        |  GROUP BY tau),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT t.tau,
+        |  coalesce(s.n_pairs, 0) AS n_pairs,
+        |  coalesce(d.n_docs_in_pairs, 0) AS n_docs_in_pairs,
+        |  coalesce(s.n_dropped, 0) AS n_dropped,
+        |  n_total - coalesce(s.n_dropped, 0) AS n_kept,
+        |  ((n_total - coalesce(s.n_dropped, 0)) * 1000000) // n_total AS keep_micros
+        |FROM taus t LEFT JOIN stats s USING (tau)
+        |  LEFT JOIN docs d USING (tau) CROSS JOIN tot
+        |ORDER BY tau""".stripMargin,
+
+    "m9_media_neardup" -> m9OracleSql,
 
     "g1_triangle_counts" ->
       s"""WITH pairs AS ($d4PairsSql),

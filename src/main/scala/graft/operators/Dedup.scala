@@ -337,6 +337,64 @@ object Dedup {
       .orderedBy("a_id", "b_id")
   }
 
+  /** The x40 threshold grid — one Scala definition interpolated into BOTH
+    * the operator's literals and the DuckDB oracle, so the two engines
+    * compare jaccard against bit-identical doubles.
+    */
+  private[graft] def curveTaus(minJaccard: Double = 0.8,
+                               steps: Int = 10): Seq[Double] =
+    (0 until steps).map(i => minJaccard + i * 0.02)
+
+  /** x40: the dedup threshold operating CURVE — for each candidate
+    * threshold τ at or above d4's generation floor, the near-dup pair
+    * count, the documents touched, the documents dropped under the
+    * keep-smallest rule, and the resulting corpus keep rate. This is the
+    * table a curation run reads to CHOOSE its dedup threshold by its
+    * data-budget consequence — the k5-elbow / cls4-operating-point
+    * analogue for dedup. The drop rule is d7's canonical-keeper rule in
+    * DIRECT-PAIR form (a doc is dropped iff some smaller doc_id is a ≥τ
+    * near-dup of it); d4 components are near-cliques, so this tracks the
+    * transitive d7 decision without re-running connected components once
+    * per τ. Rates are exact truncating micro-units (the cls3/x38
+    * convention).
+    *
+    * Scale shape: a pure RIDER on the d4 memo — one pass over the pair
+    * list exploded by the |τ|-sized grid (two grid-keyed aggregates onto
+    * ≤ |τ| rows) plus one pruned count of `documents`. Nothing beyond
+    * d4's own build is data-proportional, and the grid is materialized
+    * for ALL τ (a threshold no pair survives still gets its row — the
+    * drift1 grid discipline), so the curve's shape never silently
+    * truncates.
+    */
+  def dedupCurve(spark: SparkSession, dir: String,
+                 minJaccard: Double = 0.8, steps: Int = 10): DataFrame = {
+    val taus = curveTaus(minJaccard, steps)
+    val tauCol = explode(array(taus.map(lit(_)): _*)).as("tau")
+    val grid = ngramJaccard(spark, dir, minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"), tauCol)
+      .filter(col("jaccard") >= col("tau"))
+    val pairStats = grid.groupBy(col("tau")).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("b_id")).as("n_dropped"))
+    val docStats = grid
+      .select(col("tau"), explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy(col("tau")).agg(countDistinct(col("id")).as("n_docs_in_pairs"))
+    val total = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    spark.range(1).select(tauCol)
+      .join(pairStats, Seq("tau"), "left")
+      .join(docStats, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_total") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        expr("(n_total - coalesce(n_dropped, 0)) * 1000000 div n_total")
+          .as("keep_micros"))
+      .orderBy("tau")
+  }
+
   /** The d4 near-dup pair list d6/d7/g1 start from — a projection of the
     * memo-shared scored frame, so within one harness process the
     * similarity-join chain runs once no matter which family member runs

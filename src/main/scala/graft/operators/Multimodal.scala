@@ -1076,29 +1076,75 @@ object Multimodal {
       .orderedBy("doc_id")
   }
 
-  /** Perceptual near-dup pairs over a (doc_id, ahash64) frame: the d3
-    * discipline on image fingerprints — 4×16-bit band blocking (pigeonhole
-    * guarantees every pair at hamming ≤ 3 shares a band), exact hamming
-    * verify inside the join, distinct after. Shuffle tracks band
-    * collisions, never n².
+  /** m9: the perceptual media near-dup AUDIT — the companion to m6's exact
+    * byte-identity dedup: decode every image payload through the pixel
+    * seam (m4's aHash), band-block the fingerprints (d3's discipline on
+    * images), and emit EVERY band-sharing candidate pair with its exact
+    * hamming distance and the `near_dup` verdict (hamming ≤ `maxHamming`,
+    * the 4-band pigeonhole guarantee bound — every true ≤ 3 pair is
+    * provably present). Emitting the rejected candidates too is what
+    * makes this the TUNING table: a curation run reads the hamming
+    * distribution of band collisions to place its cutoff, exactly like
+    * x40 reads the jaccard curve — a verdict-only frame would be empty
+    * on any corpus without sub-threshold twins and silent about where
+    * the next-nearest pairs sit. Catches the re-encoded /
+    * slightly-retouched copies m6's CRC can never see. Plan: m4's
+    * shuffle-free decode + one band-keyed exchange of 4 rows per image —
+    * payloads never shuffle, only 64-bit fingerprints do, and buckets
+    * over `maxBucketSize` are dropped whole (d2's guard — degenerate
+    * content piles into one band value and its pair volume is quadratic
+    * in the bucket; the cap is the documented recall trade that bounds
+    * the join at any corpus size, and the oracle replays it).
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def mediaNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                   maxBucketSize: Int = 2000,
+                   decoder: PixelDecoder = BmpPixelDecoder): DataFrame =
+    bandedHashPairs(imageHashes(spark, dir, decoder)
+        .select("doc_id", "ahash64"), maxBucketSize)
+      .withColumn("near_dup", col("hamming") <= maxHamming)
+      .orderedBy("a_id", "b_id")
+
+  /** All DISTINCT band-sharing fingerprint pairs with exact hamming —
+    * the candidate stage `imageNearDupPairs` and m9 share. `maxBucketSize`
+    * is d2's over-full-bucket guard on image fingerprints: synthetic-flat
+    * or degenerate content (tiny/uniform images hash near zero) piles one
+    * band value into a bucket whose pair volume is quadratic in the
+    * bucket, so buckets over the cap are dropped whole — the documented
+    * SemDedup-style recall trade that keeps the join's cost ∝ capped
+    * collisions at any corpus size. The oracle replays the cap.
+    */
+  private def bandedHashPairs(hashes: DataFrame,
+                              maxBucketSize: Int = 2000): DataFrame = {
     val banded = hashes.select(col("doc_id"), col("ahash64"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("ahash64"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("ahash64"), col("bb.band"), col("bb.bits"))
-    val a = banded.select(col("band"), col("bits"),
+    val overfull = banded.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+      .select(col("band"), col("bits"))
+    val bounded = banded.join(broadcast(overfull), Seq("band", "bits"),
+      "left_anti")
+    val a = bounded.select(col("band"), col("bits"),
       col("doc_id").as("a_id"), col("ahash64").as("a_h"))
-    val b = banded.select(col("band"), col("bits"),
+    val b = bounded.select(col("band"), col("bits"),
       col("doc_id").as("b_id"), col("ahash64").as("b_h"))
     a.join(b, Seq("band", "bits"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
       .distinct()
-      .orderedBy("a_id", "b_id")
   }
+
+  /** Perceptual near-dup pairs over a (doc_id, ahash64) frame: the d3
+    * discipline on image fingerprints — 4×16-bit band blocking (pigeonhole
+    * guarantees every pair at hamming ≤ 3 shares a band), exact hamming
+    * verify inside the join, distinct after. Shuffle tracks band
+    * collisions, never n².
+    */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHashPairs(hashes)
+      .filter(col("hamming") <= maxHamming)
+      .orderedBy("a_id", "b_id")
 }

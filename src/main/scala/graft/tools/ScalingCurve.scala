@@ -78,6 +78,8 @@ object ScalingCurve {
       "k4_cluster_quality" -> ((s, d) => Curation.clusterQuality(s, d, k = 8 * m)),
       "m5_image_resize" -> ((s, d) => Multimodal.imageThumbnails(s, d)),
       "m6_media_dedup" -> ((s, d) => Multimodal.mediaExactDedup(s, d)),
+      "m9_media_neardup" -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+      "x40_dedup_curve" -> ((s, d) => Dedup.dedupCurve(s, d)),
       "m7_scene_cuts" -> ((s, d) => Multimodal.sceneCuts(s, d).toDF()),
       "m8_scene_keyframes" -> ((s, d) => Multimodal.sceneKeyframes(s, d).toDF()),
       "x35_dsir_resample" -> ((s, d) => Curation.dsirResample(s, d)),

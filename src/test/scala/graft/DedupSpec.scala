@@ -296,4 +296,29 @@ class DedupSpec extends SparkSpec {
       counts.forall(_._2 == (n - 1).toLong * (n - 2) / 2),
       "every clique vertex participates in C(n-1,2) triangles")
   }
+
+  test("x40 dedup curve: exact per-threshold counts, all-tau grid, truncating keep rate") {
+    // 6 docs: {1,2} identical (J=1.0), {3,4} share 9/10 tokens (J=9/11 ≈
+    // 0.818 — inside [0.80, 0.82) only), 5 and 6 unrelated. The curve must
+    // step down EXACTLY at tau=0.82 and keep emitting zero-pair rows for
+    // every higher tau (the materialized grid discipline).
+    val t = (1 to 10).map(i => s"w$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, t, "s0"), (2L, t, "s0"),
+      (3L, t, "s1"), (4L, (1 to 9).map(i => s"w$i").mkString(" ") + " zz", "s1"),
+      (5L, "aa bb cc", "s0"), (6L, "dd ee ff", "s0")))
+    val got = Dedup.dedupCurve(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 10, s"grid must hold all 10 thresholds, got ${got.length}")
+    // tau=0.80: both pairs. J(3,4) = 9/11 = 0.818182 (round-6) >= 0.80.
+    assert(got.head == ((0.8, 2L, 4L, 2L, 4L, 666666L)), s"got ${got.head}")
+    // tau=0.82: J(3,4) drops out; only the identical pair remains
+    assert(got(1)._1 == 0.8200000000000001 && got(1)._2 == 1L &&
+      got(1)._3 == 2L && got(1)._4 == 1L && got(1)._5 == 5L &&
+      got(1)._6 == 833333L, s"got ${got(1)}")
+    // every remaining tau keeps the identical pair (J=1.0 >= all taus < 1)
+    assert(got.drop(2).forall(r => r._2 == 1L && r._4 == 1L),
+      s"got ${got.drop(2).toSeq}")
+  }
 }

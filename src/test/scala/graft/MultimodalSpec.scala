@@ -174,6 +174,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 0L), (1L, 4L, 1L), (2L, 4L, 1L)), s"got $got")
   }
 
+  test("m9 audit emits every band-sharing pair with exact hamming and the <=3 verdict") {
+    // end-to-end through the BMP decode: ids 0/3/6/9 are images. Expected
+    // rows replicated independently from the per-payload aHashes + the
+    // 4x16-bit banding rule, so the operator's banding/hamming can never
+    // drift from the documented pigeonhole contract unnoticed.
+    // 0 and 1581 (= 3·lcm(31,17)) get IDENTICAL id-derived dimensions, so
+    // the same text makes byte-identical pixels: hamming 0, near_dup true
+    // — the one guaranteed collision; 3 and 9 are unrelated fillers
+    val texts = Seq(0L -> "img zero", 1581L -> "img zero",
+      3L -> "img three", 9L -> "img nine?")
+    val dir = writeDocs(texts)
+    def hashOf(id: Long, t: String): Long = Multimodal.aHash64(
+      Multimodal.buildBmp(1 + (id % 31).toInt, 1 + (id % 17).toInt,
+        t.getBytes("UTF-8"))).get
+    val hs = texts.map { case (id, t) => id -> hashOf(id, t) }
+    val expected = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if (0 until 4).exists(k => ((ha >> (k * 16)) & 0xFFFFL) == ((hb >> (k * 16)) & 0xFFFFL))
+    } yield {
+      val ham = java.lang.Long.bitCount(ha ^ hb).toLong
+      (a, b, ham, ham <= 3)
+    }).toSet
+    assert(expected.nonEmpty,
+      "fixture must produce band collisions or the equality below is vacuous")
+    val got = Multimodal.mediaNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("m4 image hashes are emitted for every image-modality doc") {
     val dir = writeDocs(Seq((0L, "img zero"), (3L, "img three"), (1L, "audio")))
     val got = Multimodal.imageHashes(spark, dir)
