@@ -1141,10 +1141,13 @@ object Multimodal {
     * discipline on image fingerprints — 4×16-bit band blocking (pigeonhole
     * guarantees every pair at hamming ≤ 3 shares a band), exact hamming
     * verify inside the join, distinct after. Shuffle tracks band
-    * collisions, never n².
+    * collisions, never n². The default keeps the documented EXACT-recall
+    * contract (no bucket cap); pass a finite `maxBucketSize` to opt into
+    * m9's over-full-bucket recall trade on skewed corpora.
     */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHashPairs(hashes)
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    bandedHashPairs(hashes, maxBucketSize)
       .filter(col("hamming") <= maxHamming)
       .orderedBy("a_id", "b_id")
 }

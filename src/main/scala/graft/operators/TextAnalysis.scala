@@ -158,8 +158,14 @@ object TextAnalysis {
         expr("n_chars div n_docs").as("avg_chars"),
         col("n_langs"), col("top_lang"),
         expr("(top_n * 1000000) div n_docs").as("top_lang_micros"),
-        (col("n_docs") - col("n_uniq")).as("dup_docs"),
-        expr("((n_docs - n_uniq) * 1000000) div n_docs").as("dup_rate_micros"))
+        // clamped at zero: exact mode can never go negative (n_uniq <=
+        // n_docs by construction, so the clamp is a no-op and the oracle
+        // hash is untouched), but the HLL++ estimate under approxDistinct
+        // routinely OVERestimates — a dup-free source must report 0 dup
+        // docs, not a negative count
+        greatest(lit(0L), col("n_docs") - col("n_uniq")).as("dup_docs"),
+        expr("(greatest(0L, n_docs - n_uniq) * 1000000) div n_docs")
+          .as("dup_rate_micros"))
       .orderedBy("source")
   }
 

@@ -45,13 +45,17 @@ object BenchSome {
     sys.env.get("SPARK_GRAFT_BUCKETED").foreach { db =>
       // the warehouse DIRECTORY outlives the in-memory catalog, so a
       // fresh JVM's "overwrite" is really a CREATE that dies on the stale
-      // LOCATION — wipe the db dir first (PlanAudit's idempotency fix)
-      val wh = java.nio.file.Paths.get(spark.conf.get(
-        "spark.sql.warehouse.dir").stripPrefix("file:"), s"$db.db")
+      // LOCATION — wipe the db dir first (PlanAudit's idempotency fix).
+      // Spark stores unquoted db names LOWERCASED, so the on-disk dir is
+      // <warehouse>/<lowercase>.db whatever the env var's case.
+      val wh = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"${db.toLowerCase(java.util.Locale.ROOT)}.db")
       if (java.nio.file.Files.exists(wh)) {
-        java.nio.file.Files.walk(wh)
-          .sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(wh)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.delete(p))
+        finally walk.close()
       }
       graft.sinks.Sinks.writeBucketedFacts(spark, sfDir, db)
       spark.conf.set("spark.graft.bucketedDb", db)
