@@ -55,6 +55,30 @@ object GuardProbe {
     }
     sizes.unpersist(blocking = false)
 
+    // m9: aHash band-bucket sizes vs the over-full-bucket cap (perceptual
+    // hashes are SKEWED — degenerate content piles one band value — so
+    // unlike d2's near-uniform minhash bands, these buckets grow with the
+    // corpus; the cap is what linearizes the audit's candidate volume)
+    val m9Sizes = graft.operators.Multimodal.imageHashes(spark, dir)
+      .select(col("doc_id"), col("ahash64"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash64"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
+          .as("bb"))
+      .groupBy(col("bb.band"), col("bb.bits")).agg(count(lit(1)).as("n"))
+      .persist()
+    val m9Max = m9Sizes.agg(max(col("n"))).first().getLong(0)
+    println(s"GUARD m9 dir=$dir max_bucket=$m9Max")
+    caps.foreach { c =>
+      val row = m9Sizes.filter(col("n") > c).agg(
+        count(lit(1)).as("k"),
+        coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("pairs_capped"))
+        .first()
+      println(s"GUARD m9 dir=$dir cap=$c overfull_buckets=${row.getLong(0)} " +
+        s"in_bucket_pairs_dropped=${row.getLong(1)}")
+    }
+    m9Sizes.unpersist(blocking = false)
+
     // d5: label block sizes vs the hot-label sub-bucket cap
     val lbl = Tables.embeddings(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("n")).persist()
