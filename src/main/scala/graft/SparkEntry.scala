@@ -131,6 +131,7 @@ object SparkEntry {
     "m4_image_phash"       -> ((s, d) => Multimodal.imageHashes(s, d)),
     "m9_media_neardup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
+    "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
     "m3_audio_chunks"      -> ((s: SparkSession, d: String) =>
@@ -2143,6 +2144,31 @@ object SparkEntry {
         |ORDER BY tau""".stripMargin,
 
     "m9_media_neardup" -> m9OracleSql,
+
+    // v4: quantile_cont = Spark's exact interpolated percentile (the
+    // q_winsorize-proven convention); the outlier test compares unrounded
+    // doubles on both sides, published med/mad round-4 (+0.0 normalizes
+    // any -0.0 like the winsorize columns).
+    "v4_outlier_audit" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type AS et, quantile_cont(value, 0.5) AS med
+        |  FROM ev GROUP BY 1),
+        |dev AS MATERIALIZED (
+        |  SELECT event_type, med, abs(value - med) AS adev
+        |  FROM ev JOIN med ON event_type = et),
+        |madt AS (
+        |  SELECT event_type AS et2, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(min(med), 4) + 0.0 AS median,
+        |  round(min(mad), 4) + 0.0 AS mad,
+        |  CAST(count(*) FILTER (WHERE adev > 3.0 * mad) AS BIGINT) AS n_outliers,
+        |  (CAST(count(*) FILTER (WHERE adev > 3.0 * mad) AS BIGINT) * 1000000)
+        |    // count(*) AS outlier_micros
+        |FROM dev JOIN madt ON event_type = et2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "g1_triangle_counts" ->
       s"""WITH pairs AS ($d4PairsSql),

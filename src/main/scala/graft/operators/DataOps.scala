@@ -111,6 +111,57 @@ object DataOps {
       .orderBy("rule")
   }
 
+  /** v4: robust OUTLIER audit — the anomaly companion to v1's profile and
+    * v3's expectations: per event type, the median and the MAD (median
+    * absolute deviation — the robust spread a monitoring pipeline trusts
+    * where mean/stddev are themselves dragged by the outliers being
+    * hunted), and the count/rate of values beyond `k`·MAD of the median
+    * (k = 3, the classic robust z-score cut). A type where >50% of values
+    * are identical has MAD 0 and every deviating value flags — the
+    * degenerate case is the correct verdict, not an error.
+    *
+    * Exactness: median/MAD via exact interpolated `percentile`, the same
+    * cross-engine-proven convention as q_winsorize's p01/p99
+    * (quantile_cont in the oracle); the outlier test compares the
+    * UNROUNDED doubles identically in both engines, published med/mad are
+    * round-4 (roundZ normalizes −0.0 like the winsorize columns); the
+    * rate is the exact truncating micro-unit division. Scale shape: two
+    * percentile aggregates (types-sized output) + two types-sized
+    * broadcast joins — like q_winsorize, the exact percentile buffers
+    * per-group values, so a 100 TB deployment flips `exact = false` for
+    * the approx_percentile sketch (same plan, mergeable state).
+    */
+  def outlierAudit(spark: SparkSession, dir: String, k: Double = 3.0,
+                   exact: Boolean = true): DataFrame = {
+    def pct(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(10000))
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull) // the drift-family null rule
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(pct(col("value")).as("med"))
+      .withColumnRenamed("event_type", "et")
+    val dev = ev.join(broadcast(med), col("event_type") === col("et"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val madf = dev.groupBy(col("event_type"))
+      .agg(pct(col("adev")).as("mad"))
+      .withColumnRenamed("event_type", "et2")
+    dev.join(broadcast(madf), col("event_type") === col("et2"))
+      .select(col("event_type"), col("med"), col("mad"),
+        (col("adev") > lit(k) * col("mad")).as("is_out"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Doubles.roundZ(min(col("med")), 4).as("median"),
+        graft.functions.Doubles.roundZ(min(col("mad")), 4).as("mad"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_micros", expr("(n_outliers * 1000000) div n"))
+      .select("event_type", "n", "median", "mad", "n_outliers",
+        "outlier_micros")
+      .orderBy("event_type")
+  }
+
   /** cdc2: SCD type-2 history build — turn per-period keyed states into
     * validity intervals (valid_from / valid_to / is_current), the
     * slowly-changing-dimension table every warehouse keeps next to the

@@ -98,6 +98,7 @@ object ScalingCurve {
       "drift1_psi" -> ((s, d) => DataOps.psiDrift(s, d)),
       "drift2_ks" -> ((s, d) => DataOps.ksDrift(s, d)),
       "drift3_chi2" -> ((s, d) => DataOps.chi2Drift(s, d)),
+      "v4_outlier_audit" -> ((s, d) => DataOps.outlierAudit(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),

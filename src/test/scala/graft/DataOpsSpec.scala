@@ -31,6 +31,31 @@ class DataOpsSpec extends SparkSpec {
       ("l_returnflag", 3L, 1L, 2L)))
   }
 
+  test("v4 outlier audit: exact median/MAD, k*MAD verdicts, null exclusion, MAD-0 degenerate") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // A: {10,20,30,40,1000} -> med 30? no: interpolated median of 5 values
+    //    = 30? sorted {10,20,30,40,1000} middle = 30; adev {20,10,0,10,970}
+    //    -> MAD = 10; cut 3*10=30: only 970 > 30 -> 1 outlier of 5.
+    //    A null value must not count anywhere.
+    // B: {5,5,5,5,9} -> med 5, adev {0,0,0,0,4} -> MAD 0; cut 0: the one
+    //    deviating value flags (the degenerate verdict, not an error)
+    val rows =
+      Seq((1L, "A", Some(10.0)), (2L, "A", Some(20.0)), (3L, "A", Some(30.0)),
+        (4L, "A", Some(40.0)), (5L, "A", Some(1000.0)), (6L, "A", None),
+        (7L, "B", Some(5.0)), (8L, "B", Some(5.0)), (9L, "B", Some(5.0)),
+        (10L, "B", Some(5.0)), (11L, "B", Some(9.0)))
+    rows.map { case (id, t, v) => (id, ts("2024-01-10"), id, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = DataOps.outlierAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("A", 5L, 30.0, 10.0, 1L, 200000L),
+      ("B", 5L, 5.0, 0.0, 1L, 200000L)), s"got ${got.toSeq}")
+  }
+
   test("v3 expectation rules fail on crafted violations and pass on clean data") {
     import spark.implicits._
     val dir = tempSfDir()
