@@ -142,9 +142,13 @@ object DataOps {
     val med = ev.groupBy(col("event_type"))
       .agg(pct(col("value")).as("med"))
       .withColumnRenamed("event_type", "et")
-    val dev = ev.join(broadcast(med), col("event_type") === col("et"))
-      .select(col("event_type"), col("med"),
-        abs(col("value") - col("med")).as("adev"))
+    // dev feeds BOTH the MAD aggregate and the final aggregate — without
+    // a tracked persist its lineage (including the events scan) executes
+    // twice; at 100 TB that is one avoidable corpus scan.
+    val dev = graft.CacheRegistry.persistTracked(
+      ev.join(broadcast(med), col("event_type") === col("et"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("adev")))
     val madf = dev.groupBy(col("event_type"))
       .agg(pct(col("adev")).as("mad"))
       .withColumnRenamed("event_type", "et2")

@@ -370,9 +370,15 @@ object Dedup {
                  minJaccard: Double = 0.8, steps: Int = 10): DataFrame = {
     val taus = curveTaus(minJaccard, steps)
     val tauCol = explode(array(taus.map(lit(_)): _*)).as("tau")
-    val grid = ngramJaccard(spark, dir, minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"), tauCol)
-      .filter(col("jaccard") >= col("tau"))
+    // pairStats and docStats each consume the exploded grid; persist the
+    // small (tau, a_id, b_id) projection so the explode+filter over the
+    // d4 frame runs once per curve build (mirrors the oracle's
+    // MATERIALIZED grid CTE).
+    val grid = graft.CacheRegistry.persistTracked(
+      ngramJaccard(spark, dir, minJaccard)
+        .select(col("a_id"), col("b_id"), col("jaccard"), tauCol)
+        .filter(col("jaccard") >= col("tau"))
+        .select(col("tau"), col("a_id"), col("b_id")))
     val pairStats = grid.groupBy(col("tau")).agg(
       count(lit(1)).as("n_pairs"),
       countDistinct(col("b_id")).as("n_dropped"))

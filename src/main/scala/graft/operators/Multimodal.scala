@@ -1121,11 +1121,17 @@ object Multimodal {
           shiftright(col("ahash64"), b * 16).bitwiseAND(0xFFFFL).as("bits"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("ahash64"), col("bb.band"), col("bb.bits"))
-    val overfull = banded.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
-      .select(col("band"), col("bits"))
-    val bounded = banded.join(broadcast(overfull), Seq("band", "bits"),
-      "left_anti")
+    // At the cap-free default (Int.MaxValue) `overfull` is empty by
+    // construction — skip the extra full aggregation pass + anti-join so
+    // the exact-recall path pays only the band join itself.
+    val bounded =
+      if (maxBucketSize == Int.MaxValue) banded
+      else {
+        val overfull = banded.groupBy(col("band"), col("bits"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucketSize)
+          .select(col("band"), col("bits"))
+        banded.join(broadcast(overfull), Seq("band", "bits"), "left_anti")
+      }
     val a = bounded.select(col("band"), col("bits"),
       col("doc_id").as("a_id"), col("ahash64").as("a_h"))
     val b = bounded.select(col("band"), col("bits"),

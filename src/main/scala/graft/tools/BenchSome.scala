@@ -43,6 +43,13 @@ object BenchSome {
     // The build itself is excluded from every timing below — it is the
     // substrate a real deployment amortizes across thousands of queries.
     sys.env.get("SPARK_GRAFT_BUCKETED").foreach { db =>
+      // The wipe below is recursive — an env value containing '/' or '..'
+      // would walk outside the warehouse. Require a bare identifier before
+      // constructing any path (Tables' databaseExists guard would only
+      // catch a typo after the wipe already ran).
+      require(db.matches("[A-Za-z0-9_]+"),
+        s"SPARK_GRAFT_BUCKETED must be a bare database identifier " +
+          s"([A-Za-z0-9_]+), got '$db'")
       // the warehouse DIRECTORY outlives the in-memory catalog, so a
       // fresh JVM's "overwrite" is really a CREATE that dies on the stale
       // LOCATION — wipe the db dir first (PlanAudit's idempotency fix).

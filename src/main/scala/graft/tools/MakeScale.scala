@@ -115,6 +115,16 @@ object MakeScale {
       require(maxOk < 1000000L,
         s"facts-mode replica offset (1e6) would collide: base has max " +
           s"o_orderkey=$maxOk — scale a base slice, not an already-scaled one")
+      // lineitem is offset by the same constant — an orphan l_orderkey
+      // >= 1e6 (no matching order, so unseen by the check above) would
+      // silently collide replicas; validate it independently.
+      val liRow = li.agg(max(col("l_orderkey"))).collect().head
+      require(!liRow.isNullAt(0),
+        s"base lineitem table at $baseDir is empty — nothing to scale")
+      val maxLk = liRow.getLong(0)
+      require(maxLk < 1000000L,
+        s"facts-mode replica offset (1e6) would collide: base has max " +
+          s"l_orderkey=$maxLk — scale a base slice, not an already-scaled one")
       (0 until m).map { k =>
         orders.withColumn("o_orderkey",
           col("o_orderkey") + lit(k.toLong * 1000000L))
