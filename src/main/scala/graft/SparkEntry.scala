@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Output.OutputOps
-import graft.operators.{Analytics, Curation, DataOps, Decontamination, DecisionSupport, Dedup, Multimodal, Similarity, Telematics, TextAnalysis}
+import graft.operators.{Analytics, Curation, DataOps, Decontamination, DecisionSupport, Dedup, Html, Multimodal, Similarity, Telematics, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -131,6 +131,7 @@ object SparkEntry {
     "m4_image_phash"       -> ((s, d) => Multimodal.imageHashes(s, d)),
     "m9_media_neardup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
+    "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -775,6 +776,56 @@ object SparkEntry {
          |  min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM fp GROUP BY 1, 2, 3
          |ORDER BY media_type, keep_id""".stripMargin
+
+  /** x41's DuckDB twin — rebuilds the synthesized page BYTE-FOR-BYTE from
+    * (doc_id, text) with the same concat/escape rules as `Html.buildHtml`
+    * (html_len / html_crc32 pin the container, the m1 convention), and
+    * derives the expected extraction ANALYTICALLY from the synthesis: the
+    * main blocks are the trim-collapsed 80-char chunks (kept iff ≥ 25
+    * chars — they carry no anchors, so the density rule never fires on
+    * them), and every wrapper block's collapsed length follows from the
+    * id-derived boilerplate text (title 4+len(id), h1 6, nav
+    * 12+len(id%13), link box 38, ad 18 on id%5=0, footer 24 — all below
+    * the length rule or above the 1/3 anchor-density rule by
+    * construction, which the TagWalkBlocker specs pin block-by-block).
+    */
+  private val x41OracleSql: String = {
+    val htmlBytes =
+      "list_transform(range(1, length(html)+1), i -> CAST(unicode(html[i]) AS BIGINT))"
+    val mainBytes =
+      "list_transform(range(1, length(main_text)+1), i -> CAST(unicode(main_text[i]) AS BIGINT))"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, CAST(ci AS INT) AS ci,
+       |    trim(regexp_replace(substr(text, CAST(ci*80+1 AS INT), 80), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS ctext,
+       |    replace(replace(replace(substr(text, CAST(ci*80+1 AS INT), 80), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS cesc
+       |  FROM (SELECT doc_id, text, unnest(range(0, (n + 79) // 80)) AS ci FROM d)),
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    count(*) FILTER (WHERE length(ctext) > 0) AS n_chunks,
+       |    count(*) FILTER (WHERE length(ctext) >= 25) AS n_content,
+       |    coalesce(sum(length(ctext)) FILTER (WHERE length(ctext) > 0 AND length(ctext) < 25), 0) AS short_len,
+       |    coalesce(string_agg(ctext, chr(10) ORDER BY ci) FILTER (WHERE length(ctext) >= 25), '') AS main_text,
+       |    coalesce(string_agg('<p>' || cesc || '</p>', '' ORDER BY ci), '') AS pblock
+       |  FROM ch GROUP BY doc_id),
+       |page AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    '<html><head><title>Doc ' || d.doc_id || '</title><style>body{font-size:12px;color:#222}</style><script>var page=' || d.doc_id || ';track(page);</script></head><body><header><h1>Site ' || (d.doc_id % 7) || '</h1></header><nav><a href="/home">home</a> <a href="/about">about</a> <a href="/p' || (d.doc_id % 13) || '">p' || (d.doc_id % 13) || '</a></nav><div class="links"><a href="/l0">link zero</a> <a href="/l1">link one</a> <a href="/l2">link two</a> <a href="/l3">link three</a></div><div class="main">' || pblock || CASE WHEN d.doc_id % 5 = 0 THEN '<p class="ad"><a href="/buy">buy now</a> <a href="/deal">deal</a> promo</p>' ELSE '' END || '</div><footer>(c) site ' || (d.doc_id % 7) || ' <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html,
+       |    n_chunks, n_content, short_len, main_text
+       |  FROM d JOIN agg USING (doc_id))
+       |SELECT doc_id,
+       |  CAST(length(html) AS BIGINT) AS html_len,
+       |  ${crc32Sql(htmlBytes)} AS html_crc32,
+       |  CAST(5 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks AS BIGINT) AS n_blocks,
+       |  CAST(n_content AS BIGINT) AS n_content,
+       |  CAST(5 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks - n_content AS BIGINT) AS n_boiler,
+       |  CAST(length(main_text) AS BIGINT) AS main_len,
+       |  ${crc32Sql(mainBytes)} AS main_crc32,
+       |  CAST(4 + length(CAST(doc_id AS VARCHAR)) + 6 + 12 + length(CAST(doc_id % 13 AS VARCHAR)) + 38 + CASE WHEN doc_id % 5 = 0 THEN 18 ELSE 0 END + 24 + short_len AS BIGINT) AS boiler_len
+       |FROM page, ct
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val m2OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
@@ -2144,6 +2195,8 @@ object SparkEntry {
         |ORDER BY tau""".stripMargin,
 
     "m9_media_neardup" -> m9OracleSql,
+
+    "x41_html_extract" -> x41OracleSql,
 
     // v4: quantile_cont = Spark's exact interpolated percentile (the
     // q_winsorize-proven convention); the outlier test compares unrounded

@@ -1,0 +1,306 @@
+package graft.operators
+
+import java.util.Locale
+import java.util.zip.CRC32
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Output._
+
+/** x41: HTML / boilerplate extraction — the stage every web-scale corpus
+  * runs before any text-quality or dedup operator sees a character
+  * (trafilatura / jusText shaped; no reference analog — the reference
+  * consumes pre-extracted text). The engine side is a zero-dependency
+  * tag-walk block parser behind a seam (`HtmlBlocker`, the `PixelDecoder`
+  * discipline from Multimodal): it segments a page into text blocks at
+  * block-level tag boundaries, skips `script`/`style` raw text and
+  * comments, decodes entities, collapses whitespace, and tracks per-block
+  * anchor-text mass. Classification is the jusText-core rule pair in
+  * exact integer arithmetic — a block is CONTENT iff it is long enough
+  * (`length >= minLen`) AND not link-dense (`linkChars * 3 <= length`,
+  * i.e. anchor density ≤ 1/3); everything else is boilerplate.
+  *
+  * Corpus plumbing mirrors m1 (`Multimodal.mediaBlobs`): each document is
+  * wrapped in a REAL synthesized page — id-derived title/nav/link-box/
+  * ad/footer boilerplate around the document text as escaped `<p>` chunks
+  * — so the parser is exercised against genuine markup and the DuckDB
+  * oracle can rebuild the page BYTE-FOR-BYTE (html_len/html_crc32 pin the
+  * container) while deriving the expected extraction analytically from
+  * the synthesis parameters. Crafted-fixture specs pin the parser on
+  * markup the synthesis never emits (malformed tags, nested anchors,
+  * comments, entities, raw-text edge cases).
+  *
+  * Scale shape: ONE narrow `mapPartitions` pass — no shuffle, no driver
+  * involvement, decode parallelism = partition count; at 100 TB the HTML
+  * is the input column and this same pass is the first stage of the
+  * pipeline. Only the fixed-width audit row (counts + CRCs) leaves the
+  * partition, never page bodies.
+  */
+object Html {
+
+  /** One segmented text block: whitespace-collapsed text plus the
+    * collapsed length of its anchor spans (link mass for the density
+    * rule). Created executor-side, never shipped.
+    */
+  case class HtmlBlock(text: String, linkChars: Int)
+
+  /** THE EXTRACTION SEAM — a parser turns raw markup into text blocks;
+    * the operator, schema, classification rules and partitioning never
+    * change. Implementations ship to executors inside the mapPartitions
+    * closure, hence Serializable. A deployment with a native extraction
+    * library swaps this one object.
+    */
+  trait HtmlBlocker extends Serializable {
+    def blocks(html: String): Seq[HtmlBlock]
+  }
+
+  /** Zero-dependency tag-walk block parser — the default `HtmlBlocker`.
+    * Single forward scan: tags are lexed quote-aware (a '>' inside a
+    * quoted attribute does not close the tag), `<!-- -->` comments and
+    * `script`/`style` raw text are skipped case-insensitively, entities
+    * (`&amp; &lt; &gt; &quot; &apos; &nbsp; &#N; &#xH;`) decode inline,
+    * and whitespace collapses as characters stream into the current
+    * block. Block-level tags (open OR close) finalize the current block;
+    * inline tags pass through; `<a>` spans accumulate the block's link
+    * mass (each span's text is collapsed independently, so separator
+    * whitespace BETWEEN anchors belongs to the block, not the links).
+    * Unterminated constructs at EOF finalize gracefully — mutated input
+    * must degrade, never throw.
+    */
+  object TagWalkBlocker extends HtmlBlocker {
+    private val blockTags: Set[String] = Set(
+      "html", "head", "body", "title", "style", "script", "header", "nav",
+      "div", "p", "h1", "h2", "h3", "h4", "h5", "h6", "footer", "aside",
+      "section", "article", "main", "ul", "ol", "li", "table", "tr", "td",
+      "th", "blockquote", "pre", "hr", "form", "br")
+
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+    // scalastyle:off method.length cyclomatic.complexity
+    def blocks(html: String): Seq[HtmlBlock] = {
+      val n = html.length
+      val lower = html.toLowerCase(Locale.ROOT) // for raw-text end scans
+      val out = ArrayBuffer.empty[HtmlBlock]
+      val sb = new java.lang.StringBuilder
+      val linkSb = new java.lang.StringBuilder
+      var pending = false      // whitespace seen since last emitted char
+      var linkPending = false
+      var linkDepth = 0
+      var linkChars = 0
+      var i = 0
+
+      def flushLinkSpan(): Unit = {
+        linkChars += linkSb.length
+        linkSb.setLength(0)
+        linkPending = false
+      }
+      def finalizeBlock(): Unit = {
+        // a block boundary inside an open anchor closes the span's
+        // accounting for THIS block; the anchor continues into the next
+        if (linkDepth > 0) flushLinkSpan()
+        if (sb.length > 0) out += HtmlBlock(sb.toString, linkChars)
+        sb.setLength(0)
+        pending = false
+        linkChars = 0
+      }
+      def emit(c: Char): Unit =
+        if (isWs(c)) {
+          pending = true
+          if (linkDepth > 0) linkPending = true
+        } else {
+          if (pending && sb.length > 0) sb.append(' ')
+          pending = false
+          sb.append(c)
+          if (linkDepth > 0) {
+            if (linkPending && linkSb.length > 0) linkSb.append(' ')
+            linkPending = false
+            linkSb.append(c)
+          }
+        }
+
+      // '<' opens markup only before a letter, '/', '!' or '?' (the HTML5
+      // tokenizer rule) — "i <3 u" is text, not a tag
+      def opensMarkup(at: Int): Boolean = at + 1 < n && {
+        val c1 = html.charAt(at + 1)
+        Character.isLetter(c1) || c1 == '/' || c1 == '!' || c1 == '?'
+      }
+
+      while (i < n) {
+        val c = html.charAt(i)
+        if (c == '<' && opensMarkup(i)) {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            // lex the tag quote-aware
+            var j = i + 1
+            var quote: Char = 0
+            var closed = false
+            while (j < n && !closed) {
+              val cj = html.charAt(j)
+              if (quote != 0) { if (cj == quote) quote = 0; j += 1 }
+              else if (cj == '"' || cj == '\'') { quote = cj; j += 1 }
+              else if (cj == '>') closed = true
+              else j += 1
+            }
+            val inner = html.substring(i + 1, j)
+            i = if (closed) j + 1 else n
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.substring(1) else inner
+            var k = 0
+            while (k < body.length && Character.isLetterOrDigit(body.charAt(k))) k += 1
+            val name = body.substring(0, k).toLowerCase(Locale.ROOT)
+            if (name.isEmpty) {
+              // "<" followed by junk — not markup; drop it (degrade, not throw)
+            } else if (!closing && (name == "script" || name == "style")) {
+              finalizeBlock()
+              val e = lower.indexOf("</" + name, i)
+              // leave the close tag itself to the main loop (it finalizes)
+              i = if (e < 0) n else e
+            } else if (name == "a") {
+              if (closing) {
+                if (linkDepth > 0) {
+                  linkDepth -= 1
+                  if (linkDepth == 0) flushLinkSpan()
+                }
+              } else if (!inner.endsWith("/")) linkDepth += 1
+            } else if (blockTags.contains(name)) {
+              finalizeBlock()
+            } // inline non-anchor tags: transparent
+          }
+        } else if (c == '&') {
+          val semi = html.indexOf(';', i + 1)
+          val cp: Int =
+            if (semi > i && semi - i <= 10) html.substring(i + 1, semi) match {
+              case "amp"  => '&'.toInt
+              case "lt"   => '<'.toInt
+              case "gt"   => '>'.toInt
+              case "quot" => '"'.toInt
+              case "apos" => '\''.toInt
+              case "nbsp" => ' '.toInt
+              case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+                try Integer.parseInt(e.substring(2), 16)
+                catch { case _: NumberFormatException => -1 }
+              case e if e.length > 1 && e.startsWith("#") =>
+                try Integer.parseInt(e.substring(1))
+                catch { case _: NumberFormatException => -1 }
+              case _ => -1
+            } else -1
+          if (cp >= 0 && cp <= 0x10FFFF) {
+            Character.toChars(cp).foreach(emit)
+            i = semi + 1
+          } else {
+            emit('&')
+            i += 1
+          }
+        } else {
+          emit(c)
+          i += 1
+        }
+      }
+      finalizeBlock()
+      out.toSeq
+    }
+    // scalastyle:on method.length cyclomatic.complexity
+  }
+
+  /** HTML-escape `text[from, until)` into `sb` — `&` first, then the angle
+    * brackets, matching the oracle's replace chain order.
+    */
+  private def escapeInto(sb: java.lang.StringBuilder, text: String,
+                         from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) {
+      text.charAt(i) match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c   => sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  /** The synthesized page: id-derived boilerplate (short title/h1/nav, a
+    * link-dense link box that PASSES the length rule — so the density rule
+    * is load-bearing, not shadowed — an ad block on every fifth doc, a
+    * footer) around the document text as escaped 80-char `<p>` chunks.
+    * Deterministic in (doc_id, text) so the oracle rebuilds it
+    * byte-for-byte.
+    */
+  private[graft] def buildHtml(id: Long, text: String): String = {
+    val k7 = id % 7
+    val k13 = id % 13
+    val sb = new java.lang.StringBuilder(text.length + text.length / 10 + 512)
+    sb.append("<html><head><title>Doc ").append(id)
+      .append("</title><style>body{font-size:12px;color:#222}</style>")
+      .append("<script>var page=").append(id).append(";track(page);</script>")
+      .append("</head><body><header><h1>Site ").append(k7)
+      .append("</h1></header><nav><a href=\"/home\">home</a> ")
+      .append("<a href=\"/about\">about</a> <a href=\"/p").append(k13)
+      .append("\">p").append(k13).append("</a></nav>")
+      .append("<div class=\"links\"><a href=\"/l0\">link zero</a> ")
+      .append("<a href=\"/l1\">link one</a> <a href=\"/l2\">link two</a> ")
+      .append("<a href=\"/l3\">link three</a></div><div class=\"main\">")
+    val nChunks = (text.length + 79) / 80
+    var ci = 0
+    while (ci < nChunks) {
+      sb.append("<p>")
+      escapeInto(sb, text, ci * 80, math.min(text.length, ci * 80 + 80))
+      sb.append("</p>")
+      ci += 1
+    }
+    if (id % 5 == 0)
+      sb.append("<p class=\"ad\"><a href=\"/buy\">buy now</a> ")
+        .append("<a href=\"/deal\">deal</a> promo</p>")
+    sb.append("</div><footer>(c) site ").append(k7)
+      .append(" <a href=\"/terms\">terms</a> ")
+      .append("<a href=\"/privacy\">privacy</a></footer></body></html>")
+    sb.toString
+  }
+
+  private def crc32(s: String): Long = {
+    val c = new CRC32()
+    c.update(s.getBytes("UTF-8"))
+    c.getValue
+  }
+
+  /** One extraction audit row per page — fixed width regardless of page
+    * size (CRCs pin the exact bytes of both the container and the
+    * extracted main text).
+    */
+  case class HtmlExtractRow(doc_id: Long, html_len: Long, html_crc32: Long,
+                            n_blocks: Long, n_content: Long, n_boiler: Long,
+                            main_len: Long, main_crc32: Long, boiler_len: Long)
+
+  /** x41: extract main content from the synthesized page corpus and audit
+    * the split — block counts, kept/dropped text mass, byte-exact CRCs of
+    * the page and of the extracted main text (content blocks joined with
+    * '\n').
+    */
+  def htmlExtract(spark: SparkSession, dir: String, minLen: Int = 25,
+                  blocker: HtmlBlocker = TagWalkBlocker): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val html = buildHtml(id, text)
+        val bs = blocker.blocks(html)
+        val (content, boiler) = bs.partition(b =>
+          b.text.length >= minLen && b.linkChars * 3 <= b.text.length)
+        val mainText = content.iterator.map(_.text).mkString("\n")
+        HtmlExtractRow(id, html.length.toLong, crc32(html),
+          bs.length.toLong, content.length.toLong, boiler.length.toLong,
+          mainText.length.toLong, crc32(mainText),
+          boiler.iterator.map(_.text.length.toLong).sum)
+      })
+      .toDF()
+      .orderedBy("doc_id")
+  }
+}
