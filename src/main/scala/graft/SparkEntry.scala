@@ -132,6 +132,7 @@ object SparkEntry {
     "m9_media_neardup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
     "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
+    "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -824,6 +825,31 @@ object SparkEntry {
        |  ${crc32Sql(mainBytes)} AS main_crc32,
        |  CAST(4 + length(CAST(doc_id AS VARCHAR)) + 6 + 12 + length(CAST(doc_id % 13 AS VARCHAR)) + 38 + CASE WHEN doc_id % 5 = 0 THEN 18 ELSE 0 END + 24 + short_len AS BIGINT) AS boiler_len
        |FROM page, ct
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** x42's DuckDB twin — the same first-failing-rule CASE with the
+    * blocklists interpolated from the ONE Scala definition in Curation
+    * (domains/words/phrases can never drift between engines).
+    */
+  private val x42OracleSql: String = {
+    val domains = operators.Curation.blockedDomains
+      .map(d => s"'$d'").mkString(", ")
+    val words = operators.Curation.blockedWords
+      .map(w => s"'$w'").mkString(", ")
+    val phrases = operators.Curation.blockedPhrases
+      .map(p => s"contains(lower(text), '$p')").mkString(" OR ")
+    s"""SELECT doc_id, reason = 'ok' AS keep, reason FROM (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN source IN ($domains) THEN 'blocked_domain'
+       |      WHEN len(list_intersect(string_split(lower(text), ' '),
+       |                              [$words])) > 0 THEN 'blocked_word'
+       |      WHEN $phrases THEN 'blocked_phrase'
+       |      WHEN contains(text, '{') OR contains(lower(text), 'javascript')
+       |        THEN 'markup'
+       |      ELSE 'ok' END AS reason
+       |  FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -2197,6 +2223,8 @@ object SparkEntry {
     "m9_media_neardup" -> m9OracleSql,
 
     "x41_html_extract" -> x41OracleSql,
+
+    "x42_blocklist_filter" -> x42OracleSql,
 
     // v4: quantile_cont = Spark's exact interpolated percentile (the
     // q_winsorize-proven convention); the outlier test compares unrounded

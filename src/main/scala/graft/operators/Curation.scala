@@ -112,6 +112,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x42's blocklist constants — ONE Scala definition interpolated into
+    * the operator, the p1 composition and the DuckDB oracle (the x40 tau
+    * convention, so the two engines can never drift). C4-shaped lists: a
+    * bad-word list (token membership), canonical boilerplate phrases
+    * (substring), a source/domain blocklist, and the curly-brace/
+    * "javascript" code-page rule. The corpus-live entries ("dup",
+    * src7/src13) make the gate fire at meaningful rates on the driver
+    * tables; the canonical web entries fire on crafted spec fixtures.
+    */
+  private[graft] val blockedDomains: Seq[String] = Seq("src7", "src13")
+  private[graft] val blockedWords: Seq[String] = Seq("deadlock", "dup", "lorem")
+  private[graft] val blockedPhrases: Seq[String] =
+    Seq("lorem ipsum", "privacy policy", "terms of use", "uses cookies")
+
+  /** The x42 reason column over (source, text) — shared verbatim by the
+    * standalone gate and the p1 composition. First-failing-rule order is
+    * the production order: the free metadata rule, then token membership,
+    * then the substring scans.
+    */
+  private[graft] def blocklistReason: Column = {
+    val lowered = lower(col("text"))
+    val toks = split(lowered, " ")
+    when(col("source").isin(blockedDomains: _*), "blocked_domain")
+      .when(Sketches.countInSet(toks, blockedWords) > 0, "blocked_word")
+      .when(blockedPhrases.map(p => contains(lowered, lit(p))).reduce(_ || _),
+        "blocked_phrase")
+      .when(contains(col("text"), lit("{")) || contains(lowered, lit("javascript")),
+        "markup")
+      .otherwise("ok")
+  }
+
+  /** x42: C4-style blocklist gate — one row per document with the
+    * keep/drop verdict and the FIRST failing rule as the reason (p1's
+    * convention): domain blocklist, bad-word token membership, canonical
+    * boilerplate phrases, code-page markup. ONE codegen'd projection over
+    * one scan (the x1/x2 discipline) — the blocklists ride the plan as
+    * literal sets (the degenerate broadcast; a production-size list —
+    * C4's is ~400 words, a URL blocklist millions — swaps to a broadcast
+    * join on exploded tokens or a Bloom-filter expression, same
+    * one-scan shape). No shuffle at all except the ordered output.
+    */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("reason", blocklistReason)
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderedBy("doc_id")
+
   /** k1: centroid assignment — the clustering stage of SemDedup-style
     * semantic curation (cluster the corpus, then near-dup within clusters;
     * d5 is the within-cluster stage). Centroids are the `k` seed vectors

@@ -84,6 +84,30 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, false, "lang_mismatch")))
   }
 
+  test("x42 reason-codes the FIRST failing blocklist rule in production order") {
+    val dir = writeDocs(Seq(
+      (1L, "clean words only here", "s0"),
+      // domain rule fires before the bad word it also contains
+      (2L, "dup text on a blocked domain", "src7"),
+      (3L, "this doc mentions dup once", "s0"),       // word list
+      (4L, "Lorem Ipsum dolor sit amet", "s0"),       // phrase, case-folded
+      // "lorem" the TOKEN also fires first on the lowercased split —
+      // word rule precedes phrase, so reason is blocked_word
+      (5L, "read our privacy policy for details", "s0"), // phrase only
+      (6L, "function f() { return 1 } end", "s0"),    // curly brace markup
+      (7L, "enable JavaScript to continue", "s0")))   // js rule, case-folded
+    val got = Curation.blocklistFilter(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, true, "ok"),
+      (2L, false, "blocked_domain"),
+      (3L, false, "blocked_word"),
+      (4L, false, "blocked_word"),
+      (5L, false, "blocked_phrase"),
+      (6L, false, "markup"),
+      (7L, false, "markup")), s"got ${got.toSeq}")
+  }
+
   private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
     val dir = tempSfDir()
