@@ -461,6 +461,82 @@ object SparkEntry {
        |FROM scored s JOIN lut t ON t.s3 = s.prob_micros // 1000
        |ORDER BY s.doc_id""".stripMargin)
 
+  /** p1's DuckDB twin — the full composed pipeline: cls1's trained
+    * scoring CTEs (shared prefix), cls2's HUGEINT Pareto LUT + LCG
+    * uniform, c1's raw-string shingle contamination, the x42 shared CASE,
+    * and the original heuristic stages, ordered by the same
+    * first-failing-rule CASE as the operator. Positive-label sources
+    * (the clsOracleWith posSet) pass the classifier stage outright — the
+    * GPT-3-recipe routing `trainingCorpus` ships.
+    */
+  private val p1OracleSql: String = clsOracleWith(
+    s""", lut AS (
+       |  SELECT CAST(s3 AS BIGINT) AS s3,
+       |    CAST((CAST(32768 AS HUGEINT) * CAST('1000000000000000000000000000' AS HUGEINT)
+       |          + d9 - 1) // d9 AS BIGINT) AS t_keep
+       |  FROM (
+       |    SELECT s3, d*d*d*d*d*d*d*d*d AS d9
+       |    FROM (SELECT s3, CAST(2000 - s3 AS HUGEINT) AS d
+       |          FROM (SELECT unnest(range(0, 1001)) AS s3)))),
+       |clsv AS (
+       |  SELECT c.doc_id,
+       |    (c.source IN ('src0','src1','src2','src3','src4')
+       |     OR c.u15 < t.t_keep) AS cls_ok
+       |  FROM (
+       |    SELECT l.doc_id, l.source, ${clsP6("z")} AS prob_micros,
+       |      CAST((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)
+       |           // 65536 % 32768 AS BIGINT) AS u15
+       |    FROM zf JOIN lab l USING (doc_id)) c
+       |  JOIN lut t ON t.s3 = c.prob_micros // 1000),
+       |pt AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |psh AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(list_transform(range(1, len(t) - 6),
+       |      i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS s
+       |  FROM pt WHERE len(t) >= 8),
+       |pbench AS (SELECT DISTINCT s FROM psh WHERE source = 'src0'),
+       |pcon AS (
+       |  SELECT DISTINCT psh.doc_id FROM psh JOIN pbench ON psh.s = pbench.s
+       |  WHERE psh.source <> 'src0'),
+       |pb AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks2,
+       |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm,
+       |  $x42CaseSql AS block_reason
+       |  FROM documents),
+       |ps2 AS (SELECT doc_id, lang, source, norm, block_reason,
+       |  CAST(len(toks2) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(toks2)) AS DOUBLE) / len(toks2) AS ttr_raw,
+       |  CAST(len(list_filter(toks2, x -> list_contains(
+       |    ['the','a','fast','data','table','row','join','merge','group','window','stream','batch','spark','vector','hash'],
+       |    x))) AS DOUBLE) / len(toks2) AS stop_raw,
+       |  len(list_filter(toks2, x -> list_contains(['the','a','fast'], x))) AS s_en,
+       |  len(list_filter(toks2, x -> list_contains(['data','table','row'], x))) AS s_es,
+       |  len(list_filter(toks2, x -> list_contains(['join','merge','group'], x))) AS s_de,
+       |  len(list_filter(toks2, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
+       |  len(list_filter(toks2, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
+       | FROM pb),
+       |pk AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep_id,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang,
+       |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
+       |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS q
+       | FROM ps2),
+       |pd AS (SELECT pk.doc_id,
+       |  CASE WHEN block_reason <> 'ok' THEN block_reason
+       |       WHEN pk.doc_id <> keep_id THEN 'duplicate'
+       |       WHEN n_words < 5 OR n_words > 1000 THEN 'length'
+       |       WHEN q < 0.55 THEN 'low_quality'
+       |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+       |       WHEN pcon.doc_id IS NOT NULL THEN 'contaminated'
+       |       WHEN NOT clsv.cls_ok THEN 'classifier_reject'
+       |       ELSE 'ok' END AS reason
+       | FROM pk LEFT JOIN pcon ON pk.doc_id = pcon.doc_id
+       |   JOIN clsv ON pk.doc_id = clsv.doc_id)
+       |SELECT doc_id, (reason = 'ok') AS keep, reason
+       |FROM pd ORDER BY doc_id""".stripMargin)
+
   /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
     * unrolled — assignment cosines as ORDERED list folds (round-9 leaves
     * no room for summation-order error, so no list_cosine_similarity
@@ -828,30 +904,34 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** x42's DuckDB twin — the same first-failing-rule CASE with the
+  /** The x42 first-failing-rule CASE over (source, text) columns with the
     * blocklists interpolated from the ONE Scala definition in Curation
-    * (domains/words/phrases can never drift between engines).
+    * (domains/words/phrases can never drift between engines) — shared by
+    * the standalone x42 oracle and the p1 composition oracle, mirroring
+    * how `Curation.blocklistReason` serves both operators.
     */
-  private val x42OracleSql: String = {
+  // lazy: referenced by p1OracleSql, whose val initializer runs EARLIER in
+  // this file — a plain val would interpolate as "null" (Scala init order)
+  private lazy val x42CaseSql: String = {
     val domains = operators.Curation.blockedDomains
       .map(d => s"'$d'").mkString(", ")
     val words = operators.Curation.blockedWords
       .map(w => s"'$w'").mkString(", ")
     val phrases = operators.Curation.blockedPhrases
       .map(p => s"contains(lower(text), '$p')").mkString(" OR ")
+    s"CASE WHEN source IN ($domains) THEN 'blocked_domain' " +
+      s"WHEN len(list_intersect(string_split(lower(text), ' '), [$words])) > 0 THEN 'blocked_word' " +
+      s"WHEN $phrases THEN 'blocked_phrase' " +
+      "WHEN contains(text, '{') OR contains(lower(text), 'javascript') THEN 'markup' " +
+      "ELSE 'ok' END"
+  }
+
+  /** x42's DuckDB twin — the shared CASE over the raw corpus. */
+  private val x42OracleSql: String =
     s"""SELECT doc_id, reason = 'ok' AS keep, reason FROM (
-       |  SELECT doc_id,
-       |    CASE
-       |      WHEN source IN ($domains) THEN 'blocked_domain'
-       |      WHEN len(list_intersect(string_split(lower(text), ' '),
-       |                              [$words])) > 0 THEN 'blocked_word'
-       |      WHEN $phrases THEN 'blocked_phrase'
-       |      WHEN contains(text, '{') OR contains(lower(text), 'javascript')
-       |        THEN 'markup'
-       |      ELSE 'ok' END AS reason
+       |  SELECT doc_id, $x42CaseSql AS reason
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   private val m2OracleSql: String =
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
@@ -1986,39 +2066,7 @@ object SparkEntry {
     // in SQL — generated (trainIters Lloyd rounds unrolled as CTEs).
     "s5_ann_ivf_pq" -> s5OracleSql(),
 
-    "p1_pipeline_decision" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
-        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-        |  FROM documents),
-        |s AS (SELECT doc_id, lang, norm, CAST(len(toks) AS BIGINT) AS n_words,
-        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr_raw,
-        |  CAST(len(list_filter(toks, x -> list_contains(
-        |    ['the','a','fast','data','table','row','join','merge','group','window','stream','batch','spark','vector','hash'],
-        |    x))) AS DOUBLE) / len(toks) AS stop_raw,
-        |  len(list_filter(toks, x -> list_contains(['the','a','fast'], x))) AS s_en,
-        |  len(list_filter(toks, x -> list_contains(['data','table','row'], x))) AS s_es,
-        |  len(list_filter(toks, x -> list_contains(['join','merge','group'], x))) AS s_de,
-        |  len(list_filter(toks, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
-        |  len(list_filter(toks, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
-        | FROM t),
-        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep_id,
-        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
-        |       ELSE 'zh' END AS pred_lang,
-        |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
-        |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS q
-        | FROM s),
-        |d AS (SELECT doc_id,
-        |  CASE WHEN doc_id <> keep_id THEN 'duplicate'
-        |       WHEN n_words < 5 OR n_words > 1000 THEN 'length'
-        |       WHEN q < 0.55 THEN 'low_quality'
-        |       WHEN pred_lang <> lang THEN 'lang_mismatch'
-        |       ELSE 'ok' END AS reason
-        | FROM k)
-        |SELECT doc_id, (reason = 'ok') AS keep, reason
-        |FROM d ORDER BY doc_id""".stripMargin,
+    "p1_pipeline_decision" -> p1OracleSql,
 
     "k1_centroid_assign" ->
       s"""$kAssignSql

@@ -66,24 +66,38 @@ object Curation {
 
   /** p1: the end-to-end curation decision — one row per document with the
     * keep/drop verdict and the FIRST failing rule as the reason, combining
-    * the pipeline's stages in their production order: normalized dedup
-    * (keeper = smallest doc_id in the n1 group), length bounds, x2 quality
-    * threshold, x1 language agreement. This is the frame a training-data
-    * pipeline joins against its corpus to build the final shard list.
+    * the pipeline's stages in their production order: the x42 blocklist
+    * gate (domain / word / phrase / markup — the free rules run before
+    * anything pays a shuffle), normalized dedup (keeper = smallest doc_id
+    * in the n1 group), length bounds, x2 quality threshold, x1 language
+    * agreement, c1 benchmark contamination, and the cls1/cls2 trained
+    * quality gate (positive-label sources pass outright — they DEFINE
+    * "high quality", the GPT-3-recipe routing the E2E composition ships —
+    * while every bulk-source document faces the Pareto acceptance draw on
+    * its trained score). This is the frame a training-data pipeline joins
+    * against its corpus to build the final shard list, and it now carries
+    * the SAME modern gates as `trainingCorpus`' composition.
     *
-    * One pass over the corpus: scoring and language prediction are pure
-    * codegen projection; the only shuffle is the per-norm-group min (a
-    * window over the normalized-text key — at 100 TB, over its digest).
-    * Thresholds compare ROUNDED scores so the boundary is engine-portable.
+    * Scale shape: the heuristic stages stay one codegen scan + the
+    * per-norm-group window (at 100 TB, keyed on the norm's digest); the
+    * two added stages each join ONE doc-keyed verdict frame — c1's
+    * hit list (bench side broadcast, hit volume bounds the shuffle) and
+    * the memo-shared cls scored corpus (trained ONCE per pass on the
+    * bounded id-prefix sample; the acceptance is a stateless projection
+    * over it). Thresholds compare ROUNDED scores / exact integers so
+    * every boundary is engine-portable.
     */
   def pipelineDecision(spark: SparkSession, dir: String,
                        minWords: Int = 5, maxWords: Int = 1000,
-                       minQuality: Double = 0.55): DataFrame = {
+                       minQuality: Double = 0.55,
+                       positiveSources: Seq[String] =
+                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
     val toks = split(col("text"), " ")
     val stops = TextAnalysis.markers.flatMap(_._2)
     val scored = Tables.documents(spark, dir)
       .select(
-        (col("doc_id") +: col("lang") +:
+        (col("doc_id") +: col("lang") +: col("source") +:
+          blocklistReason.as("block_reason") +:
           trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
             .as("norm") +:
           size(toks).cast("long").as("n_words") +:
@@ -100,13 +114,28 @@ object Curation {
       .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
       .withColumn("keep_id",
         min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+    val contam = Decontamination.contaminatedIds(spark, dir)
+      .withColumn("contam", lit(true))
+    val cls = acceptPareto(
+      scoredCorpus(spark, dir, dim = 64, trainSample = 4096, iters = 3,
+        lrDiv = 2, positiveSources = positiveSources)
+        .select(col("doc_id"), col("prob_micros")))
+      .select(col("doc_id"), col("keep").as("cls_keep"))
     val reason =
-      when(col("doc_id") =!= col("keep_id"), "duplicate")
+      when(col("block_reason") =!= "ok", col("block_reason"))
+        .when(col("doc_id") =!= col("keep_id"), "duplicate")
         .when(col("n_words") < minWords || col("n_words") > maxWords, "length")
         .when(col("q") < minQuality, "low_quality")
         .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+        .when(col("contam"), "contaminated")
+        .when(!(col("source").isin(positiveSources: _*) || col("cls_keep")),
+          "classifier_reject")
         .otherwise("ok")
     scored
+      .join(contam, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+      .withColumn("cls_keep", coalesce(col("cls_keep"), lit(false)))
       .withColumn("reason", reason)
       .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
       .orderBy("doc_id")

@@ -62,6 +62,23 @@ object Decontamination {
       .select(explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
       .distinct()
 
+  /** The per-doc any-hit verdict p1 joins as its contamination stage —
+    * c1's candidate join without the per-doc rollup or ordered output:
+    * distinct doc_ids outside `benchSource` sharing ≥ 1 k-shingle with
+    * it. Same scale posture (broadcast bench hash set, hit volume bounds
+    * the shuffle).
+    */
+  private[operators] def contaminatedIds(spark: SparkSession, dir: String,
+                                         k: Int = 8,
+                                         benchSource: String = "src0"): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= benchSource)
+      .filter(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+      .join(broadcast(benchShingles(spark, dir, k, benchSource)), "h")
+      .select("doc_id").distinct()
+
   /** c2: fraction-based decontamination — the graded form of c1 used by
     * production pretraining pipelines (PaLM / GPT-4 style): a document is
     * contaminated when at least `1/denom` of its distinct k-shingles also

@@ -65,8 +65,10 @@ class CurationSpec extends SparkSpec {
       (3L, "the a", "s0"),              // 2 words -> length (before quality)
       (4L, "w w w w w w w w w w", "s0"))) // no markers, repetitive -> low quality
     // docs are written with lang="en" by the fixture helper
+    // s0 as a positive-label source: the classifier stage passes these
+    // docs outright, so the heuristic-stage expectations stay exact
     val got = Curation.pipelineDecision(spark, dir0, minWords = 5,
-        maxWords = 1000, minQuality = 0.3)
+        maxWords = 1000, minQuality = 0.3, positiveSources = Seq("s0"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
     assert(got.toSeq == Seq(
       (1L, true, "ok"),
@@ -79,9 +81,35 @@ class CurationSpec extends SparkSpec {
     // strong es markers but the fixture labels the doc en
     val dir = writeDocs(Seq(
       (1L, "data table row data table row w1 w2 w3 w4 w5 w6", "s0")))
-    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0)
+    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0,
+      positiveSources = Seq("s0"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
     assert(got.toSeq == Seq((1L, false, "lang_mismatch")))
+  }
+
+  test("p1 composition: blocklist precedes dedup; contamination flags shingle overlap") {
+    val bench = "the a fast alpha beta gamma delta eps zeta"
+    val hit   = "the a fast alpha beta gamma delta eps omega"
+    val dir = writeDocs(Seq(
+      (1L, bench, "src0"), // benchmark-source doc, positive-label: ok
+      (2L, hit, "src1"),   // shares an 8-shingle with doc 1 -> contaminated
+      (3L, bench, "src7"))) // blocked domain fires BEFORE its duplicate reason
+    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(
+      1L -> "ok", 2L -> "contaminated", 3L -> "blocked_domain"), s"got $got")
+  }
+
+  test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
+    // all-negative labels: every trained weight moves negative, so
+    // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
+    // T(500) <= 853, so the draw rejects — the one stage left to fail
+    val dir = writeDocs(Seq(
+      (7L, "the a fast plain words here today now", "s0")))
+    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0,
+        positiveSources = Seq("zz"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    assert(got.toSeq == Seq((7L, false, "classifier_reject")), s"got ${got.toSeq}")
   }
 
   test("x42 reason-codes the FIRST failing blocklist rule in production order") {
