@@ -8,6 +8,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
 
+import graft.operators.Multimodal
+
 /** Structured Streaming twins of the reference's Flink reports. Each op
   * takes an unbounded DataFrame (from `readStream`) with the `events`
   * schema and returns a transformed streaming DataFrame — source and sink
@@ -206,6 +208,120 @@ object StreamOps {
       .toDF("doc_id", "ts", "media_type", "byte_len", "crc32")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("media_type", "byte_len", "crc32")
+  }
+
+  /** An arriving media blob carrying d8's corpus/feed role flag — the
+    * ingest shape of [[mediaNearDupStream]]: `is_new = false` rows seed
+    * the standing fingerprint index silently, `is_new = true` rows are
+    * the guarded feed.
+    */
+  case class SeedableMediaEvent(doc_id: Long, ts: Timestamp,
+                                media_type: String, payload: Array[Byte],
+                                is_new: Boolean)
+
+  /** One (band, fingerprint) row after the shuffle — payloads never get
+    * this far; only the 64-bit aHash travels and is stored.
+    */
+  case class BandedMediaHash(bkey: String, doc_id: Long, ts: Timestamp,
+                             is_new: Boolean, ahash64: Long)
+
+  case class SeededHashEntry(ahash64: Long, is_new: Boolean)
+
+  /** One perceptual collision detection: exact hamming + the ≤ maxHamming
+    * verdict (sub-threshold candidates emit too — batch m9's tuning-table
+    * contract), with d8's role flags.
+    */
+  case class MediaNearDupHit(a_id: Long, b_id: Long, hamming: Long,
+                             near_dup: Boolean, a_new: Boolean,
+                             b_new: Boolean, ts: Timestamp)
+
+  /** The per-band standing index + compare for [[mediaNearDupStream]] —
+    * the IncrementalDedupProcessor discipline on image fingerprints:
+    * MapState holds (doc_id → 64-bit aHash + role), never payloads; a
+    * full bucket (`maxBucketSize`) stops admitting — the streaming face
+    * of m9's over-full-bucket recall trade (batch drops degenerate
+    * buckets whole; an ingest guard caps the standing side so one flat
+    * band value can never make per-arrival work unbounded). Seeds sort
+    * first within a micro-batch (d8's convention: corpus rows never pair
+    * with each other, whatever the batch split).
+    */
+  class MediaNearDupProcessor(maxHamming: Int, maxBucketSize: Int,
+                              ttl: java.time.Duration)
+      extends StatefulProcessor[String, BandedMediaHash, MediaNearDupHit] {
+    @transient private var hashes: MapState[Long, SeededHashEntry] = _
+    @transient private var bucketN: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      hashes = getHandle.getMapState[Long, SeededHashEntry](
+        "hashes", Encoders.scalaLong, Encoders.product[SeededHashEntry], cfg)
+      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(bkey: String, rows: Iterator[BandedMediaHash],
+                                 tv: TimerValues): Iterator[MediaNearDupHit] = {
+      var n = if (bucketN.exists()) bucketN.get() else 0L
+      val out = Seq.newBuilder[MediaNearDupHit]
+      rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
+        if (n < maxBucketSize && !hashes.containsKey(d.doc_id)) {
+          if (d.is_new) {
+            hashes.iterator().foreach { case (otherId, e) =>
+              val ham = java.lang.Long.bitCount(e.ahash64 ^ d.ahash64).toLong
+              val (a, b, aN, bN) =
+                if (otherId < d.doc_id) (otherId, d.doc_id, e.is_new, true)
+                else (d.doc_id, otherId, true, e.is_new)
+              out += MediaNearDupHit(a, b, ham, ham <= maxHamming, aN, bN, d.ts)
+            }
+          }
+          hashes.updateValue(d.doc_id, SeededHashEntry(d.ahash64, d.is_new))
+          n += 1
+        }
+      }
+      bucketN.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** m9's streaming twin: perceptual near-dup ingest guard against a
+    * standing fingerprint index (the d8/incrementalDedupStream pattern on
+    * image fingerprints). Arriving image payloads decode through the SAME
+    * pixel seam and aHash kernel as batch m4/m9 — one narrow flatMap, so
+    * payload bytes never shuffle and never enter state — then fan out to
+    * the SAME 4×16-bit bands as `Multimodal.bandedHashPairs` (pigeonhole:
+    * every pair at hamming ≤ 3 shares a band) and compare against the
+    * per-band standing index with exact hamming. Emissions carry the
+    * sub-threshold candidates and role flags exactly like batch m9 /
+    * stream d8; one detection per colliding band — chain
+    * `dropDuplicatesWithinWatermark("a_id","b_id")` for one-row-per-pair.
+    * On the shared corpus (all rows `is_new`, fed in id order) the
+    * deduped pair set is batch `mediaNearDup`'s, which StreamOpsSpec
+    * pins.
+    */
+  def mediaNearDupStream(spark: SparkSession, blobs: Dataset[SeedableMediaEvent],
+                         maxHamming: Int = 3, maxBucketSize: Int = 2000,
+                         decoder: Multimodal.PixelDecoder = Multimodal.BmpPixelDecoder,
+                         ttl: java.time.Duration = java.time.Duration.ofHours(1),
+                         watermark: String = "10 seconds"): Dataset[MediaNearDupHit] = {
+    import spark.implicits._
+    blobs
+      .filter(_.media_type == "image")
+      .flatMap { b =>
+        decoder.decode(b.payload).toSeq.flatMap { img =>
+          val h = Multimodal.aHash64(img)
+          (0 until 4).map { band =>
+            BandedMediaHash(s"$band:${(h >>> (band * 16)) & 0xFFFFL}",
+              b.doc_id, b.ts, b.is_new, h)
+          }
+        }
+      }
+      .toDF()
+      .withWatermark("ts", watermark)
+      .as[BandedMediaHash]
+      .groupByKey(_.bkey)
+      .transformWithState(
+        new MediaNearDupProcessor(maxHamming, maxBucketSize, ttl),
+        if (ttl.isZero) TimeMode.EventTime() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** One micro-batch of the ingest-time contamination guard — the pure

@@ -239,6 +239,25 @@ object StreamBench {
             (pmod(col("event_id"), lit(10)) === 0).as("is_new"))
             .as[StreamOps.SeedableDoc],
           maxBucketSize = 64,
+          ttl = java.time.Duration.ZERO).toDF()),
+      // m9 twin: events wrapped in REAL id-derived BMP containers so the
+      // measured rate pays the full ingest path — decode + aHash + band
+      // fan-out + standing-index compare — with the same 10%-new split
+      // and bucket cap as the d8 row (tiny near-flat images collide
+      // heavily, so the cap is load-bearing here too)
+      best("media_neardup_tws", () =>
+        StreamOps.mediaNearDupStream(spark,
+          stream().select(col("event_id"), col("ts"), col("user_id"),
+              col("value"), (pmod(col("event_id"), lit(10)) === 0).as("is_new"))
+            .as[(Long, java.sql.Timestamp, Long, Double, Boolean)]
+            .map { case (id, ts, uid, v, isNew) =>
+              StreamOps.SeedableMediaEvent(id, ts, "image",
+                graft.operators.Multimodal.buildBmp(
+                  1 + (id % 31).toInt, 1 + (id % 17).toInt,
+                  s"u${uid % 50000} v${v.toLong}".getBytes("UTF-8")),
+                isNew)
+            },
+          maxBucketSize = 64,
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 

@@ -549,6 +549,82 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  private def mblob(id: Long, minute: Int, text: String,
+                    isNew: Boolean): StreamOps.SeedableMediaEvent =
+    StreamOps.SeedableMediaEvent(id,
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      "image",
+      graft.operators.Multimodal.buildBmp(
+        1 + (id % 31).toInt, 1 + (id % 17).toInt, text.getBytes("UTF-8")),
+      isNew)
+
+  test("media near-dup stream: deduped pair set matches batch m9 on the shared corpus") {
+    import org.apache.spark.sql.SaveMode
+    implicit val sqlCtx = spark.sqlContext
+    // batch m9's own fixture: 0 and 1581 share id-derived dimensions, so
+    // identical text makes identical pixels (hamming 0); 3 and 9 fillers
+    val texts = Seq(0L -> "img zero", 1581L -> "img zero",
+      3L -> "img three", 9L -> "img nine?")
+    val dir = java.nio.file.Files.createTempDirectory("m9stream-").toString
+    import spark.implicits._
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Multimodal.mediaNearDup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must produce batch pairs")
+    withRocksDb {
+      val input = MemoryStream[StreamOps.SeedableMediaEvent]
+      val q = StreamOps.mediaNearDupStream(spark, input.toDS(),
+          ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("m9_parity_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+          mblob(id, i + 1, t, isNew = true)
+        })
+        q.processAllAvailable()
+        val stream = spark.table("m9_parity_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Long]("hamming"), r.getAs[Boolean]("near_dup"))).toSet
+        assert(stream == batch,
+          s"stream pair set must equal batch m9:\n stream=$stream\n batch=$batch")
+      } finally q.stop()
+    }
+  }
+
+  test("media near-dup stream: standing index seeds never pair; arrivals flag against them") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.SeedableMediaEvent]
+      val q = StreamOps.mediaNearDupStream(spark, input.toDS(),
+          ttl = java.time.Duration.ZERO)
+        .writeStream.format("memory").queryName("m9_guard_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // two byte-identical seed images (1581 = 3·lcm(31,17): same
+        // id-derived dimensions as 0): index only, no emission
+        input.addData(Seq(mblob(0, 1, "img zero", isNew = false),
+          mblob(1581, 2, "img zero", isNew = false)))
+        q.processAllAvailable()
+        assert(spark.table("m9_guard_out").count() == 0,
+          "seeds must never pair with each other")
+        // a new arrival with the same pixels: flagged against BOTH seeds
+        input.addData(Seq(mblob(3162, 101, "img zero", isNew = true)))
+        q.processAllAvailable()
+        val got = spark.table("m9_guard_out").collect()
+          .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+            r.getAs[Long]("hamming"), r.getAs[Boolean]("near_dup"),
+            r.getAs[Boolean]("a_new"), r.getAs[Boolean]("b_new"))).toSet
+        assert(got == Set(
+          (0L, 3162L, 0L, true, false, true),
+          (1581L, 3162L, 0L, true, false, true)), s"got $got")
+      } finally q.stop()
+    }
+  }
+
   test("frame sampling fans a video blob out to sampled frame rows") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("mm-").toString
