@@ -174,6 +174,31 @@ object PipelineScale {
       check(key == key.sorted, s"v2 $part not Morton-clustered with tie-break")
     }
 
+    // Phase 4 — the round-12 ONE-QUERY production verdict at scale:
+    // p1's composed decision (x42 blocklist → dedup → length/quality/
+    // lang heuristics → c1 contamination → cls1/cls2 Pareto gate) run
+    // twice with the memo caches dropped in between; the reason
+    // histogram must reproduce exactly, cover every document, and keep
+    // a non-empty corpus — the verdict frame a pipeline ships next to
+    // the shard lists the earlier phases wrote.
+    def p1Counts(): Map[String, Long] = {
+      val m = Curation.pipelineDecision(spark, dir)
+        .groupBy(col("reason")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.CacheRegistry.releaseAll()
+      graft.CacheRegistry.releaseShared()
+      m
+    }
+    val tP1 = System.nanoTime()
+    val p1a = p1Counts()
+    val secP1 = (System.nanoTime() - tP1) / 1e9
+    val p1b = p1Counts()
+    check(p1a == p1b, "p1 verdict histogram must reproduce")
+    check(p1a.getOrElse("ok", 0L) > 0, "p1 must keep something")
+    check(p1a.values.sum == total, "p1 must verdict every doc")
+    val p1Json = p1a.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
     val line =
       s"""{"dir":"$dir","docs_total":$total,"kept":${all.size},""" +
         s""""partitions":$parts,"files":${c1.size},"max_file_rows":$maxRows,""" +
@@ -182,7 +207,8 @@ object PipelineScale {
         f""""sec_run1":$sec1%.1f,"sec_run2":$sec2%.1f,"sec_compact":$secCompact%.1f,""" +
         s""""v2_kept":${vAll.size},"v2_files":${v1.size},"v2_splits":3,""" +
         s""""v2_reproducible":true,"v2_zorder_total":true,""" +
-        f""""sec_v2_run1":$secV2a%.1f,"sec_v2_run2":$secV2b%.1f}"""
+        f""""sec_v2_run1":$secV2a%.1f,"sec_v2_run2":$secV2b%.1f,""" +
+        f""""p1_reasons":$p1Json%s,"p1_reproducible":true,"sec_p1":$secP1%.1f}"""
     Files.write(Paths.get(outJson), (line + "\n").getBytes)
     println(s"E2ESCALE $line")
     spark.stop()
