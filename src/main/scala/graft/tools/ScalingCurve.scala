@@ -99,6 +99,9 @@ object ScalingCurve {
       "drift2_ks" -> ((s, d) => DataOps.ksDrift(s, d)),
       "drift3_chi2" -> ((s, d) => DataOps.chi2Drift(s, d)),
       "v4_outlier_audit" -> ((s, d) => DataOps.outlierAudit(s, d)),
+      "x41_html_extract" -> ((s, d) => graft.operators.Html.htmlExtract(s, d)),
+      "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
+      "p1_pipeline_decision" -> ((s, d) => Curation.pipelineDecision(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),
