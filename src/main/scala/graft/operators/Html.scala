@@ -278,6 +278,22 @@ object Html {
                             n_blocks: Long, n_content: Long, n_boiler: Long,
                             main_len: Long, main_crc32: Long, boiler_len: Long)
 
+  /** The per-page audit — parse, classify, account — as ONE definition
+    * shared by the batch operator and the streaming twin
+    * (`StreamOps.htmlExtractStream`), so the two can never drift.
+    */
+  private[graft] def auditRow(id: Long, html: String, minLen: Int,
+                              blocker: HtmlBlocker): HtmlExtractRow = {
+    val bs = blocker.blocks(html)
+    val (content, boiler) = bs.partition(b =>
+      b.text.length >= minLen && b.linkChars * 3 <= b.text.length)
+    val mainText = content.iterator.map(_.text).mkString("\n")
+    HtmlExtractRow(id, html.length.toLong, crc32(html),
+      bs.length.toLong, content.length.toLong, boiler.length.toLong,
+      mainText.length.toLong, crc32(mainText),
+      boiler.iterator.map(_.text.length.toLong).sum)
+  }
+
   /** x41: extract main content from the synthesized page corpus and audit
     * the split — block counts, kept/dropped text mass, byte-exact CRCs of
     * the page and of the extracted main text (content blocks joined with
@@ -290,15 +306,7 @@ object Html {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val html = buildHtml(id, text)
-        val bs = blocker.blocks(html)
-        val (content, boiler) = bs.partition(b =>
-          b.text.length >= minLen && b.linkChars * 3 <= b.text.length)
-        val mainText = content.iterator.map(_.text).mkString("\n")
-        HtmlExtractRow(id, html.length.toLong, crc32(html),
-          bs.length.toLong, content.length.toLong, boiler.length.toLong,
-          mainText.length.toLong, crc32(mainText),
-          boiler.iterator.map(_.text.length.toLong).sum)
+        auditRow(id, buildHtml(id, text), minLen, blocker)
       })
       .toDF()
       .orderedBy("doc_id")

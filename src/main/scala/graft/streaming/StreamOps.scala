@@ -210,6 +210,47 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("media_type", "byte_len", "crc32")
   }
 
+  /** A raw fetched page on the ingest stream — x41's unbounded input
+    * shape (at 100 TB the HTML is the input column; extraction is the
+    * first narrow stage of the pipeline).
+    */
+  case class HtmlPage(doc_id: Long, ts: Timestamp, html: String)
+
+  /** x41's streaming twin: boilerplate extraction at ingest — each
+    * arriving page runs the SAME parse/classify/account audit as batch
+    * x41 (`Html.auditRow`, one shared definition, so verdicts are
+    * bit-equal by construction and StreamOpsSpec pins it). Stateless
+    * narrow map: no watermark, no state store, no join; only the
+    * fixed-width audit row leaves the stage — page bodies never shuffle.
+    */
+  def htmlExtractStream(spark: SparkSession, pages: Dataset[HtmlPage],
+                        minLen: Int = 25,
+                        blocker: graft.operators.Html.HtmlBlocker =
+                          graft.operators.Html.TagWalkBlocker): DataFrame = {
+    import spark.implicits._
+    pages
+      .map { p =>
+        val r = graft.operators.Html.auditRow(p.doc_id, p.html, minLen, blocker)
+        (p.doc_id, p.ts, r.html_len, r.html_crc32, r.n_blocks, r.n_content,
+          r.n_boiler, r.main_len, r.main_crc32, r.boiler_len)
+      }
+      .toDF("doc_id", "ts", "html_len", "html_crc32", "n_blocks",
+        "n_content", "n_boiler", "main_len", "main_crc32", "boiler_len")
+  }
+
+  /** x42's streaming twin: the blocklist gate at ingest — the SAME
+    * first-failing-rule Column as batch x42
+    * (`Curation.blocklistReason`, one shared definition) applied per
+    * micro-batch. Stateless codegen projection over (doc_id, ts, source,
+    * text) — the blocklists ride the plan as literal sets exactly like
+    * the batch scan.
+    */
+  def blocklistFilterStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("reason", graft.operators.Curation.blocklistReason)
+      .select(col("doc_id"), col("ts"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+
   /** An arriving media blob carrying d8's corpus/feed role flag — the
     * ingest shape of [[mediaNearDupStream]]: `is_new = false` rows seed
     * the standing fingerprint index silently, `is_new = true` rows are

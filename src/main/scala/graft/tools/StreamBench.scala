@@ -192,6 +192,22 @@ object StreamBench {
         StreamOps.paretoFilterStream(textify(stream()), wq))
     }
 
+    // x41's ingest twin: page synthesis + the full tag-walk audit per
+    // event — the parse dominates, which is the honest rate for an
+    // extraction-at-ingest stage
+    val htmlRow = best("html_extract_stateless", () =>
+      StreamOps.htmlExtractStream(spark,
+        textify(stream()).as[(Long, java.sql.Timestamp, String)]
+          .map { case (id, ts, text) =>
+            StreamOps.HtmlPage(id, ts, graft.operators.Html.buildHtml(id, text))
+          }))
+
+    // x42's ingest twin: one stateless codegen projection per batch
+    val blockRow = best("blocklist_stateless", () =>
+      StreamOps.blocklistFilterStream(
+        textify(stream()).withColumn("source",
+          concat(lit("src"), pmod(col("doc_id"), lit(20))))))
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -261,7 +277,8 @@ object StreamBench {
           ttl = java.time.Duration.ZERO).toDF()))
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    val qs = (results.flatten ++ Seq(scd2, guard, qualityRow, paretoRow).flatten ++
+    val qs = (results.flatten ++
+      Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

@@ -625,6 +625,71 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("html extract stream: audit rows bit-equal batch x41 on the same pages") {
+    import org.apache.spark.sql.SaveMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = Seq(
+      5L -> ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim,
+      10L -> "short tail doc", // id%5==0 -> ad block; short chunk drops
+      21L -> ("one two three four five six seven eight nine ten " * 3).trim)
+    val dir = java.nio.file.Files.createTempDirectory("x41stream-").toString
+    texts.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Html.htmlExtract(spark, dir).collect()
+      .map(r => (0 to 8).map(r.get).toList).toSet
+    val input = MemoryStream[StreamOps.HtmlPage]
+    val q = StreamOps.htmlExtractStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("x41_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(texts.zipWithIndex.map { case ((id, t), i) =>
+        StreamOps.HtmlPage(id,
+          Timestamp.valueOf(f"2024-01-01 00:${i + 1}%02d:00"),
+          graft.operators.Html.buildHtml(id, t))
+      })
+      q.processAllAvailable()
+      val stream = spark.table("x41_out")
+        .select("doc_id", "html_len", "html_crc32", "n_blocks", "n_content",
+          "n_boiler", "main_len", "main_crc32", "boiler_len")
+        .collect().map(r => (0 to 8).map(r.get).toList).toSet
+      assert(stream == batch, s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
+  test("blocklist stream: verdicts bit-equal batch x42 on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val rows = Seq(
+      (1L, "clean words only here", "s0"),
+      (2L, "mentions dup here", "s0"),
+      (3L, "read the privacy policy", "src7"),
+      (4L, "code { inside } braces", "s1"))
+    val dir = java.nio.file.Files.createTempDirectory("x42stream-").toString
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Curation.blocklistFilter(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val q = StreamOps.blocklistFilterStream(
+        input.toDF().toDF("doc_id", "ts", "source", "text"))
+      .writeStream.format("memory").queryName("x42_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.zipWithIndex.map { case ((id, t, src), i) =>
+        (id, Timestamp.valueOf(f"2024-01-01 00:${i + 1}%02d:00"), src, t)
+      })
+      q.processAllAvailable()
+      val stream = spark.table("x42_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("keep"),
+          r.getAs[String]("reason"))).toSet
+      assert(stream == batch, s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("frame sampling fans a video blob out to sampled frame rows") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("mm-").toString
