@@ -133,6 +133,7 @@ object SparkEntry {
     "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
     "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
     "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
+    "x43_url_canonicalize" -> ((s, d) => operators.Urls.urlCanonicalize(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -2273,6 +2274,55 @@ object SparkEntry {
     "x41_html_extract" -> x41OracleSql,
 
     "x42_blocklist_filter" -> x42OracleSql,
+
+    // x43: the raw URL rebuilt byte-for-byte with the same CASE axes as
+    // Urls.buildUrl (pins the synthesis), the canonical form derived
+    // ANALYTICALLY from the identity dims (the m1/x41 convention — the
+    // general parser is spec-driven on crafted inputs), and the same
+    // canon-keyed dedup window.
+    "x43_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 100 AS k,
+        |    (doc_id % 100) % 2 = 0 AS https
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN CASE WHEN https THEN 'https' ELSE 'http' END
+        |      WHEN 1 THEN CASE WHEN https THEN 'HTTPS' ELSE 'HTTP' END
+        |      ELSE CASE WHEN https THEN 'Https' ELSE 'Http' END END
+        |    || '://'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+        |    || CASE doc_id % 5
+        |         WHEN 0 THEN 'SITE' || (k % 7) || '.EXAMPLE.COM'
+        |         WHEN 1 THEN 'Site' || (k % 7) || '.Example.Com'
+        |         ELSE 'site' || (k % 7) || '.example.com' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN
+        |         CASE WHEN https THEN ':443' ELSE ':80' END ELSE '' END
+        |    || CASE doc_id % 7
+        |         WHEN 0 THEN '/a/b' || k || '/'
+        |         WHEN 1 THEN '/a/./b' || k
+        |         WHEN 2 THEN '/a/x/../b' || k || '/'
+        |         WHEN 3 THEN '/./a/b' || k
+        |         WHEN 4 THEN '/a//b' || k
+        |         WHEN 5 THEN '/a/b' || k || '/c/..'
+        |         ELSE '/a/b' || k END
+        |    || '?'
+        |    || CASE WHEN doc_id % 2 = 0 THEN 'q=' || (k % 11) || '&lang=en'
+        |            ELSE 'lang=en&q=' || (k % 11) END
+        |    || CASE doc_id % 3 WHEN 0 THEN '&utm_source=s' || (doc_id % 9)
+        |            WHEN 1 THEN '&ref=tw' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 4)
+        |            ELSE '' END AS url,
+        |    CASE WHEN https THEN 'https' ELSE 'http' END
+        |    || '://site' || (k % 7) || '.example.com/a/b' || k
+        |    || '?lang=en&q=' || (k % 11) AS canon_url
+        |  FROM u)
+        |SELECT doc_id, url, canon_url,
+        |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical,
+        |  count(*) OVER (PARTITION BY canon_url) AS n_copies
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // v4: quantile_cont = Spark's exact interpolated percentile (the
     // q_winsorize-proven convention); the outlier test compares unrounded

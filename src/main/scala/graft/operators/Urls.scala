@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Output._
+
+/** x43: URL canonicalization + URL-level dedup — the crawl-frontier stage
+  * every web pipeline runs BEFORE any content operator (C4/CCNet dedupe
+  * by URL first; fetch queues key on the canonical form): normalize the
+  * RFC-3986 surface variance (scheme/host case, default ports, `www.`,
+  * dot-segments, empty segments, trailing slash, fragments), strip
+  * tracking parameters, order the remaining query params, then group by
+  * the canonical form and keep the smallest doc_id.
+  *
+  * Corpus plumbing follows m1/x41: each document gets a REAL synthesized
+  * URL whose IDENTITY dims derive from `doc_id % 100` and whose VARIANCE
+  * dims (case spelling, port presence, dot-segment shape, param order,
+  * tracking junk, fragment) derive from the full id — so every canonical
+  * group holds genuinely different raw spellings of the same resource,
+  * every normalization rule fires corpus-wide, and the oracle can rebuild
+  * the raw URL byte-for-byte while deriving the canonical form
+  * analytically from the identity dims. The canonicalizer itself is
+  * general (crafted-fixture specs drive it with inputs the synthesis
+  * never emits); percent-encoding normalization is out of scope here and
+  * documented as such — the synthesized corpus is encoding-free, and a
+  * deployment adds a decode pass in the same per-row function.
+  *
+  * Scale shape: ONE narrow pass builds + canonicalizes (no shuffle), then
+  * ONE hash exchange on the canonical key for the group window — the
+  * exact frontier-dedup shape at fleet scale, where the canonical URL
+  * (or its 128-bit digest) is the partition key.
+  */
+object Urls {
+
+  private val trackingKeys = Set("ref", "fbclid", "gclid", "msclkid")
+
+  private def defaultPort(scheme: String): String =
+    if (scheme == "https") "443" else if (scheme == "http") "80" else ""
+
+  /** Zero-dep canonicalizer. A value without a `://` scheme separator is
+    * returned unchanged (opaque — degrade, never throw), matching the
+    * crawl convention of quarantining unparseable frontier entries.
+    */
+  def canonicalizeUrl(raw: String): String = {
+    val sep = raw.indexOf("://")
+    if (sep < 0) return raw
+    val scheme = raw.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
+    var rest = raw.substring(sep + 3)
+    // fragment first: everything after the first '#' is client-side
+    val hash = rest.indexOf('#')
+    if (hash >= 0) rest = rest.substring(0, hash)
+    val q = rest.indexOf('?')
+    val query = if (q >= 0) rest.substring(q + 1) else ""
+    val hostPath = if (q >= 0) rest.substring(0, q) else rest
+    val slash = hostPath.indexOf('/')
+    val authority = if (slash >= 0) hostPath.substring(0, slash) else hostPath
+    val rawPath = if (slash >= 0) hostPath.substring(slash) else ""
+    val colon = authority.indexOf(':')
+    var host = (if (colon >= 0) authority.substring(0, colon) else authority)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (host.startsWith("www.")) host = host.substring(4)
+    val port = if (colon >= 0) authority.substring(colon + 1) else ""
+    val portPart =
+      if (port.isEmpty || port == defaultPort(scheme)) "" else s":$port"
+    // dot-segment + empty-segment resolution (RFC 3986 §5.2.4, with the
+    // crawl conventions: drop empty segments, no trailing slash)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    rawPath.split('/').foreach {
+      case "" | "."  => ()
+      case ".."      => if (segs.nonEmpty) segs.remove(segs.length - 1)
+      case s         => segs += s
+    }
+    val pathPart = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
+    // query: drop tracking params, byte-order the survivors ("k=v" string
+    // sort == key-then-value sort, since '=' precedes every key char)
+    val params = query.split('&').iterator.filter(_.nonEmpty).filterNot { p =>
+      val key = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
+      key.startsWith("utm_") || trackingKeys(key)
+    }.toSeq.sorted
+    val queryPart = if (params.isEmpty) "" else params.mkString("?", "&", "")
+    s"$scheme://$host$portPart$pathPart$queryPart"
+  }
+
+  /** The synthesized raw URL: identity dims from `id % 100` (scheme
+    * choice, site, page, q param), variance dims from the full id — six
+    * independent spelling axes over the same canonical resource.
+    * Deterministic in doc_id so the oracle rebuilds it byte-for-byte.
+    */
+  private[graft] def buildUrl(id: Long): String = {
+    val k = id % 100
+    val https = k % 2 == 0
+    val scheme = (id % 3) match {
+      case 0 => if (https) "https" else "http"
+      case 1 => if (https) "HTTPS" else "HTTP"
+      case _ => if (https) "Https" else "Http"
+    }
+    val www = if (id % 2 == 0) "www." else ""
+    val host = (id % 5) match {
+      case 0 => s"SITE${k % 7}.EXAMPLE.COM"
+      case 1 => s"Site${k % 7}.Example.Com"
+      case _ => s"site${k % 7}.example.com"
+    }
+    val port = if (id % 4 == 0) { if (https) ":443" else ":80" } else ""
+    val path = (id % 7) match {
+      case 0 => s"/a/b$k/"
+      case 1 => s"/a/./b$k"
+      case 2 => s"/a/x/../b$k/"
+      case 3 => s"/./a/b$k"
+      case 4 => s"/a//b$k"
+      case 5 => s"/a/b$k/c/.."
+      case _ => s"/a/b$k"
+    }
+    val qreal =
+      if (id % 2 == 0) s"q=${k % 11}&lang=en" else s"lang=en&q=${k % 11}"
+    val junk = (id % 3) match {
+      case 0 => s"&utm_source=s${id % 9}"
+      case 1 => "&ref=tw"
+      case _ => ""
+    }
+    val frag = if (id % 2 == 1) s"#sec${id % 4}" else ""
+    s"$scheme://$www$host$port$path?$qreal$junk$frag"
+  }
+
+  private case class UrlRow(doc_id: Long, url: String, canon_url: String)
+
+  /** x43: per-document raw + canonical URL with the frontier-dedup
+    * verdict — keeper (smallest doc_id in the canonical group), copy
+    * count, and the is_canonical flag a fetch queue filters on.
+    */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("canon_url"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val raw = buildUrl(id)
+        UrlRow(id, raw, canonicalizeUrl(raw))
+      })
+      .toDF()
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        col("keep_id"), (col("doc_id") === col("keep_id")).as("is_canonical"),
+        col("n_copies"))
+      .orderedBy("doc_id")
+  }
+}

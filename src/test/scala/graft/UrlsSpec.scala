@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+import graft.operators.Urls
+import graft.operators.Urls.canonicalizeUrl
+
+/** x43 — canonicalizer rule semantics on crafted URLs the synthesis never
+  * emits, plus the end-to-end frontier-dedup verdict.
+  */
+class UrlsSpec extends SparkSpec {
+
+  test("scheme/host lowercase, www strip, default-port strip") {
+    assert(canonicalizeUrl("HTTPS://WWW.Site.EXAMPLE.com:443/x") ==
+      "https://site.example.com/x")
+    assert(canonicalizeUrl("HTTP://www.a.B:80/x") == "http://a.b/x")
+    // non-default ports survive; default port of the OTHER scheme survives
+    assert(canonicalizeUrl("http://a.b:8080/x") == "http://a.b:8080/x")
+    assert(canonicalizeUrl("http://a.b:443/x") == "http://a.b:443/x")
+    // empty port (trailing colon) normalizes away
+    assert(canonicalizeUrl("http://a.b:/x") == "http://a.b/x")
+  }
+
+  test("dot-segments, empty segments, trailing slash") {
+    assert(canonicalizeUrl("http://h/a/./b/../c/") == "http://h/a/c")
+    assert(canonicalizeUrl("http://h//a///b") == "http://h/a/b")
+    // leading '..' at root cannot pop below root
+    assert(canonicalizeUrl("http://h/../../a") == "http://h/a")
+    // root path and no path converge
+    assert(canonicalizeUrl("http://h/") == "http://h")
+    assert(canonicalizeUrl("http://h") == "http://h")
+    assert(canonicalizeUrl("http://h/a/..") == "http://h")
+  }
+
+  test("fragments drop; tracking params drop; survivors byte-order") {
+    assert(canonicalizeUrl("http://h/x?b=2&a=1#frag") == "http://h/x?a=1&b=2")
+    assert(canonicalizeUrl("http://h/x?utm_source=s&utm_medium=m&a=1&REF=tw") ==
+      "http://h/x?a=1")
+    // all-junk query: the '?' itself disappears
+    assert(canonicalizeUrl("http://h/x?utm_campaign=c&gclid=g") == "http://h/x")
+    // stray empty params collapse; duplicate keys keep both, value-ordered
+    assert(canonicalizeUrl("http://h/x?&&a=2&a=1&") == "http://h/x?a=1&a=2")
+    // '#' before '?' means the whole query is fragment (no params survive)
+    assert(canonicalizeUrl("http://h/x#frag?a=1") == "http://h/x")
+  }
+
+  test("degrade, never throw: schemeless and odd inputs pass through opaque") {
+    assert(canonicalizeUrl("not a url") == "not a url")
+    assert(canonicalizeUrl("") == "")
+    assert(canonicalizeUrl("mailto:x@y.z") == "mailto:x@y.z")
+    assert(canonicalizeUrl("http://") == "http://")
+    // unknown scheme: no default port to strip, host still lowercases,
+    // path case is preserved
+    assert(canonicalizeUrl("ftp://H.OST/A") == "ftp://h.ost/A")
+  }
+
+  test("every synthesis variance axis collapses to the analytic canonical form") {
+    // ids congruent mod 100 share identity dims; spot-check a full group
+    val ids = Seq(7L, 107L, 207L, 307L, 1207L, 2107L)
+    val canon = ids.map(id => canonicalizeUrl(Urls.buildUrl(id))).distinct
+    assert(canon == Seq("http://site0.example.com/a/b7?lang=en&q=7"),
+      s"got $canon")
+    // and a different identity bucket lands elsewhere
+    assert(canonicalizeUrl(Urls.buildUrl(8L)) ==
+      "https://site1.example.com/a/b8?lang=en&q=8")
+  }
+
+  test("x43 end-to-end: frontier dedup keeps the smallest id per canonical group") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // ids 3 and 103 collide (k=3); 14 is alone
+    Seq(3L, 103L, 14L)
+      .map(id => (id, s"doc $id", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Urls.urlCanonicalize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (3L, 3L, true, 2L), (14L, 14L, true, 1L), (103L, 3L, false, 2L)),
+      s"got ${got.toSeq}")
+  }
+}
