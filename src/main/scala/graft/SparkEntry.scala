@@ -515,7 +515,9 @@ object SparkEntry {
        |  len(list_filter(toks2, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
        |  len(list_filter(toks2, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
        | FROM pb),
-       |pk AS (SELECT *, min(doc_id) OVER (PARTITION BY norm) AS keep_id,
+       |pk AS (SELECT *,
+       |  min(CASE WHEN block_reason = 'ok' THEN doc_id END)
+       |    OVER (PARTITION BY norm) AS keep_id,
        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
@@ -888,10 +890,15 @@ object SparkEntry {
        |    coalesce(string_agg('<p>' || cesc || '</p>', '' ORDER BY ci), '') AS pblock
        |  FROM ch GROUP BY doc_id),
        |page AS MATERIALIZED (
+       |  -- LEFT join + coalesce: an empty-text doc has zero chunk rows but
+       |  -- the engine still audits its (boilerplate-only) page
        |  SELECT d.doc_id,
-       |    '<html><head><title>Doc ' || d.doc_id || '</title><style>body{font-size:12px;color:#222}</style><script>var page=' || d.doc_id || ';track(page);</script></head><body><header><h1>Site ' || (d.doc_id % 7) || '</h1></header><nav><a href="/home">home</a> <a href="/about">about</a> <a href="/p' || (d.doc_id % 13) || '">p' || (d.doc_id % 13) || '</a></nav><div class="links"><a href="/l0">link zero</a> <a href="/l1">link one</a> <a href="/l2">link two</a> <a href="/l3">link three</a></div><div class="main">' || pblock || CASE WHEN d.doc_id % 5 = 0 THEN '<p class="ad"><a href="/buy">buy now</a> <a href="/deal">deal</a> promo</p>' ELSE '' END || '</div><footer>(c) site ' || (d.doc_id % 7) || ' <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html,
-       |    n_chunks, n_content, short_len, main_text
-       |  FROM d JOIN agg USING (doc_id))
+       |    '<html><head><title>Doc ' || d.doc_id || '</title><style>body{font-size:12px;color:#222}</style><script>var page=' || d.doc_id || ';track(page);</script></head><body><header><h1>Site ' || (d.doc_id % 7) || '</h1></header><nav><a href="/home">home</a> <a href="/about">about</a> <a href="/p' || (d.doc_id % 13) || '">p' || (d.doc_id % 13) || '</a></nav><div class="links"><a href="/l0">link zero</a> <a href="/l1">link one</a> <a href="/l2">link two</a> <a href="/l3">link three</a></div><div class="main">' || coalesce(pblock, '') || CASE WHEN d.doc_id % 5 = 0 THEN '<p class="ad"><a href="/buy">buy now</a> <a href="/deal">deal</a> promo</p>' ELSE '' END || '</div><footer>(c) site ' || (d.doc_id % 7) || ' <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html,
+       |    coalesce(n_chunks, 0) AS n_chunks,
+       |    coalesce(n_content, 0) AS n_content,
+       |    coalesce(short_len, 0) AS short_len,
+       |    coalesce(main_text, '') AS main_text
+       |  FROM d LEFT JOIN agg USING (doc_id))
        |SELECT doc_id,
        |  CAST(length(html) AS BIGINT) AS html_len,
        |  ${crc32Sql(htmlBytes)} AS html_crc32,

@@ -112,8 +112,13 @@ object Curation {
           + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
           + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
       .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
+      // keeper = smallest doc_id that SURVIVED the blocklist stage — the
+      // staged-pipeline semantic (blocklist runs first, dedup sees only
+      // survivors). A global min would let a blocked smallest copy drag
+      // every clean duplicate down with it, deleting the content outright.
       .withColumn("keep_id",
-        min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+        min(when(col("block_reason") === "ok", col("doc_id")))
+          .over(Window.partitionBy(col("norm"))))
     val contam = Decontamination.contaminatedIds(spark, dir)
       .withColumn("contam", lit(true))
     val cls = acceptPareto(

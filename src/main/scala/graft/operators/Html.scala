@@ -84,7 +84,15 @@ object Html {
     // scalastyle:off method.length cyclomatic.complexity
     def blocks(html: String): Seq[HtmlBlock] = {
       val n = html.length
-      val lower = html.toLowerCase(Locale.ROOT) // for raw-text end scans
+      // for raw-text end scans — per-CHAR lowercase, which is length-
+      // preserving (String.toLowerCase is not: e.g. 'İ' expands to two
+      // chars, desynchronizing every index after it)
+      val lower = {
+        val a = html.toCharArray
+        var li = 0
+        while (li < a.length) { a(li) = Character.toLowerCase(a(li)); li += 1 }
+        new String(a)
+      }
       val out = ArrayBuffer.empty[HtmlBlock]
       val sb = new java.lang.StringBuilder
       val linkSb = new java.lang.StringBuilder

@@ -58,11 +58,24 @@ object Urls {
     val slash = hostPath.indexOf('/')
     val authority = if (slash >= 0) hostPath.substring(0, slash) else hostPath
     val rawPath = if (slash >= 0) hostPath.substring(slash) else ""
-    val colon = authority.indexOf(':')
-    var host = (if (colon >= 0) authority.substring(0, colon) else authority)
-      .toLowerCase(java.util.Locale.ROOT)
+    // userinfo drops entirely (crawl convention: credentials never key a
+    // frontier); IPv6 literals keep their brackets and split the port at
+    // "]:", not at the address's own colons
+    val auth0 = authority.substring(authority.lastIndexOf('@') + 1)
+    val (hostRaw, port) =
+      if (auth0.startsWith("[")) {
+        val e = auth0.indexOf(']')
+        if (e < 0) (auth0, "")
+        else if (e + 1 < auth0.length && auth0.charAt(e + 1) == ':')
+          (auth0.substring(0, e + 1), auth0.substring(e + 2))
+        else (auth0.substring(0, e + 1), "")
+      } else {
+        val c = auth0.indexOf(':')
+        if (c >= 0) (auth0.substring(0, c), auth0.substring(c + 1))
+        else (auth0, "")
+      }
+    var host = hostRaw.toLowerCase(java.util.Locale.ROOT)
     if (host.startsWith("www.")) host = host.substring(4)
-    val port = if (colon >= 0) authority.substring(colon + 1) else ""
     val portPart =
       if (port.isEmpty || port == defaultPort(scheme)) "" else s":$port"
     // dot-segment + empty-segment resolution (RFC 3986 §5.2.4, with the
@@ -74,8 +87,10 @@ object Urls {
       case s         => segs += s
     }
     val pathPart = if (segs.isEmpty) "" else segs.mkString("/", "/", "")
-    // query: drop tracking params, byte-order the survivors ("k=v" string
-    // sort == key-then-value sort, since '=' precedes every key char)
+    // query: drop tracking params, then byte-order the surviving "k=v"
+    // strings — the DEFINED canonical order (deterministic and cheap; it
+    // is NOT key-major in general, e.g. "a0=1" sorts before "a=2" because
+    // '0' < '=', and no consumer may assume otherwise)
     val params = query.split('&').iterator.filter(_.nonEmpty).filterNot { p =>
       val key = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
       key.startsWith("utm_") || trackingKeys(key)

@@ -290,18 +290,19 @@ object StreamOps {
                               ttl: java.time.Duration)
       extends StatefulProcessor[String, BandedMediaHash, MediaNearDupHit] {
     @transient private var hashes: MapState[Long, SeededHashEntry] = _
-    @transient private var bucketN: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
       hashes = getHandle.getMapState[Long, SeededHashEntry](
         "hashes", Encoders.scalaLong, Encoders.product[SeededHashEntry], cfg)
-      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
     }
 
     override def handleInputRows(bkey: String, rows: Iterator[BandedMediaHash],
                                  tv: TimerValues): Iterator[MediaNearDupHit] = {
-      var n = if (bucketN.exists()) bucketN.get() else 0L
+      // LIVE index size, recounted at batch start: an admission counter in
+      // ValueState would never decrement when TTL expires entries, leaving
+      // a once-full band permanently closed after its index drained
+      var n = { var c = 0L; hashes.iterator().foreach(_ => c += 1); c }
       val out = Seq.newBuilder[MediaNearDupHit]
       rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
         if (n < maxBucketSize && !hashes.containsKey(d.doc_id)) {
@@ -318,7 +319,6 @@ object StreamOps {
           n += 1
         }
       }
-      bucketN.update(n)
       out.result().iterator
     }
   }
@@ -929,18 +929,19 @@ object StreamOps {
                           maxBucketSize: Int, ttl: java.time.Duration)
       extends StatefulProcessor[String, BandedSig, NearDupPair] {
     @transient private var sigs: MapState[Long, SigEntry] = _
-    @transient private var bucketN: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
       sigs = getHandle.getMapState[Long, SigEntry](
         "sigs", Encoders.scalaLong, Encoders.product[SigEntry], cfg)
-      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
     }
 
     override def handleInputRows(bkey: String, rows: Iterator[BandedSig],
                                  tv: TimerValues): Iterator[NearDupPair] = {
-      var n = if (bucketN.exists()) bucketN.get() else 0L
+      // live index size, recounted at batch start (see MediaNearDupProcessor:
+      // a TTL-expired index must re-open its bucket, which an admission
+      // counter never would)
+      var n = { var c = 0L; sigs.iterator().foreach(_ => c += 1); c }
       val out = Seq.newBuilder[NearDupPair]
       // within a batch, docs score in doc_id order so a replay of the same
       // batch boundaries reproduces the same pair set
@@ -964,7 +965,6 @@ object StreamOps {
           n += 1
         }
       }
-      bucketN.update(n)
       out.result().iterator
     }
   }
@@ -1047,18 +1047,19 @@ object StreamOps {
                                   maxBucketSize: Int, ttl: java.time.Duration)
       extends StatefulProcessor[String, SeededBandedSig, IncNearDupPair] {
     @transient private var sigs: MapState[Long, SeededSigEntry] = _
-    @transient private var bucketN: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
       sigs = getHandle.getMapState[Long, SeededSigEntry](
         "sigs", Encoders.scalaLong, Encoders.product[SeededSigEntry], cfg)
-      bucketN = getHandle.getValueState[Long]("n", Encoders.scalaLong, cfg)
     }
 
     override def handleInputRows(bkey: String, rows: Iterator[SeededBandedSig],
                                  tv: TimerValues): Iterator[IncNearDupPair] = {
-      var n = if (bucketN.exists()) bucketN.get() else 0L
+      // live index size, recounted at batch start (see MediaNearDupProcessor:
+      // a TTL-expired index must re-open its bucket, which an admission
+      // counter never would)
+      var n = { var c = 0L; sigs.iterator().foreach(_ => c += 1); c }
       val out = Seq.newBuilder[IncNearDupPair]
       rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
         if (n < maxBucketSize && !sigs.containsKey(d.doc_id)) {
@@ -1084,7 +1085,6 @@ object StreamOps {
           n += 1
         }
       }
-      bucketN.update(n)
       out.result().iterator
     }
   }

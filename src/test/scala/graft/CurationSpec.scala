@@ -100,6 +100,22 @@ class CurationSpec extends SparkSpec {
       1L -> "ok", 2L -> "contaminated", 3L -> "blocked_domain"), s"got $got")
   }
 
+  test("p1 dedup keeper is the smallest SURVIVING copy, not a blocked one") {
+    // the staged semantic: doc 1 (smallest id) is domain-blocked, so the
+    // norm group's keeper is doc 2 — the content survives through its
+    // first clean copy instead of being deleted outright
+    val text = "the a fast alpha beta gamma delta eps zeta"
+    val dir = writeDocs(Seq(
+      (1L, text, "src7"),   // blocked domain, would be global-min keeper
+      (2L, text, "s0"),     // smallest surviving copy -> keeper
+      (3L, text, "s0")))    // duplicate of doc 2
+    val got = Curation.pipelineDecision(spark, dir, minQuality = 0.0,
+        positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(
+      1L -> "blocked_domain", 2L -> "ok", 3L -> "duplicate"), s"got $got")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
