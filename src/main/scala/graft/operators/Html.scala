@@ -217,6 +217,97 @@ object Html {
     // scalastyle:on method.length cyclomatic.complexity
   }
 
+  /** The SECOND HtmlBlocker implementation — the JDK Swing HTML parser
+    * (javax.swing.text.html.parser.ParserDelegator) driving the same
+    * block/anchor accounting, proving the seam is real the way
+    * ImageIoPixelDecoder does for the pixel seam: operator, schema,
+    * classification and partitioning are untouched by the swap, and
+    * HtmlSpec pins audit parity with TagWalkBlocker on the synthesized
+    * corpus shape. Differences are the parser's, not the seam's: the
+    * HTML-3.2 DTD doesn't know nav/footer/header (they arrive as
+    * name-keyed unknown-tag events, mapped to block boundaries here),
+    * script bodies surface as comment events, and malformed-markup
+    * recovery follows Swing's DTD rather than the HTML5 tokenizer rule,
+    * so the crafted-edge-case contract is pinned on TagWalkBlocker only.
+    */
+  object SwingBlocker extends HtmlBlocker {
+    private val extraBlockNames = Set("nav", "footer", "header", "aside",
+      "section", "article", "main")
+
+    def blocks(html: String): Seq[HtmlBlock] = {
+      import javax.swing.text.MutableAttributeSet
+      import javax.swing.text.html.{HTML, HTMLEditorKit}
+      val out = ArrayBuffer.empty[HtmlBlock]
+      val sb = new java.lang.StringBuilder
+      val linkSb = new java.lang.StringBuilder
+      var pending = false
+      var linkPending = false
+      var linkDepth = 0
+      var linkChars = 0
+      var rawSkip = 0 // inside style (script bodies arrive as comments)
+
+      def flushLinkSpan(): Unit = {
+        linkChars += linkSb.length
+        linkSb.setLength(0)
+        linkPending = false
+      }
+      def finalizeBlock(): Unit = {
+        if (linkDepth > 0) flushLinkSpan()
+        if (sb.length > 0) out += HtmlBlock(sb.toString, linkChars)
+        sb.setLength(0)
+        pending = false
+        linkChars = 0
+      }
+      def emit(c: Char): Unit =
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f') {
+          pending = true
+          if (linkDepth > 0) linkPending = true
+        } else {
+          if (pending && sb.length > 0) sb.append(' ')
+          pending = false
+          sb.append(c)
+          if (linkDepth > 0) {
+            if (linkPending && linkSb.length > 0) linkSb.append(' ')
+            linkPending = false
+            linkSb.append(c)
+          }
+        }
+      def isBlockTag(t: HTML.Tag): Boolean =
+        t.isBlock || t.breaksFlow ||
+          extraBlockNames(t.toString.toLowerCase(Locale.ROOT))
+
+      val cb = new HTMLEditorKit.ParserCallback {
+        override def handleText(data: Array[Char], pos: Int): Unit =
+          if (rawSkip == 0) data.foreach(emit)
+        override def handleStartTag(t: HTML.Tag, a: MutableAttributeSet,
+                                    pos: Int): Unit =
+          if (t == HTML.Tag.SCRIPT || t == HTML.Tag.STYLE) {
+            finalizeBlock(); rawSkip += 1
+          } else if (t == HTML.Tag.A) linkDepth += 1
+          else if (isBlockTag(t)) finalizeBlock()
+        override def handleEndTag(t: HTML.Tag, pos: Int): Unit =
+          if (t == HTML.Tag.SCRIPT || t == HTML.Tag.STYLE) {
+            if (rawSkip > 0) rawSkip -= 1
+          } else if (t == HTML.Tag.A) {
+            if (linkDepth > 0) {
+              linkDepth -= 1
+              if (linkDepth == 0) flushLinkSpan()
+            }
+          } else if (isBlockTag(t)) finalizeBlock()
+        override def handleSimpleTag(t: HTML.Tag, a: MutableAttributeSet,
+                                     pos: Int): Unit =
+          if (t != HTML.Tag.A && isBlockTag(t)) finalizeBlock()
+        // script bodies and real comments both land here: neither is text
+        override def handleComment(data: Array[Char], pos: Int): Unit = ()
+        override def handleError(msg: String, pos: Int): Unit = ()
+      }
+      new javax.swing.text.html.parser.ParserDelegator()
+        .parse(new java.io.StringReader(html), cb, true)
+      finalizeBlock()
+      out.toSeq
+    }
+  }
+
   /** HTML-escape `text[from, until)` into `sb` — `&` first, then the angle
     * brackets, matching the oracle's replace chain order.
     */
