@@ -251,6 +251,31 @@ object StreamOps {
       .select(col("doc_id"), col("ts"),
         (col("reason") === "ok").as("keep"), col("reason"))
 
+  /** A discovered URL on the crawl stream — x43's unbounded input shape. */
+  case class UrlEvent(doc_id: Long, ts: Timestamp, url: String)
+
+  /** x43's streaming twin: the LIVE crawl frontier — canonicalize each
+    * arriving URL with the SAME zero-dep canonicalizer as batch x43 (one
+    * shared definition), then admit only the FIRST arrival per canonical
+    * resource inside the watermark horizon (`dropDuplicatesWithinWatermark`
+    * keyed on the canonical form, the dedupStream discipline; state is one
+    * canonical string — at fleet scale its 128-bit digest — per admitted
+    * resource). Batch x43 keeps the smallest doc_id per group; a frontier
+    * keeps the first ARRIVAL — the stream-native keeper rule, which
+    * coincides with batch whenever discovery order follows ids (the spec
+    * pins both the coincidence and a deliberate divergence case).
+    */
+  def urlFrontierStream(spark: SparkSession, urls: Dataset[UrlEvent],
+                        watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    urls
+      .map(u => (u.doc_id, u.ts, u.url,
+        graft.operators.Urls.canonicalizeUrl(u.url)))
+      .toDF("doc_id", "ts", "url", "canon_url")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canon_url")
+  }
+
   /** An arriving media blob carrying d8's corpus/feed role flag — the
     * ingest shape of [[mediaNearDupStream]]: `is_new = false` rows seed
     * the standing fingerprint index silently, `is_new = true` rows are

@@ -202,6 +202,18 @@ object StreamBench {
             StreamOps.HtmlPage(id, ts, graft.operators.Html.buildHtml(id, text))
           }))
 
+    // x43's frontier twin: canonicalize + first-arrival dedup on the
+    // canonical key (watermark-bounded state, one row per live resource);
+    // synthetic URLs reuse the x43 identity/variance split so real dedup
+    // state builds up (one canonical resource per 100-id bucket)
+    val frontierRow = best("url_frontier_dedup", () =>
+      StreamOps.urlFrontierStream(spark,
+        stream().select(col("event_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .map { case (id, ts) =>
+            StreamOps.UrlEvent(id, ts, graft.operators.Urls.buildUrl(id))
+          }))
+
     // x42's ingest twin: one stateless codegen projection per batch
     val blockRow = best("blocklist_stateless", () =>
       StreamOps.blocklistFilterStream(
@@ -278,7 +290,8 @@ object StreamBench {
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results.flatten ++
-      Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow).flatten ++
+      Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
+        frontierRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

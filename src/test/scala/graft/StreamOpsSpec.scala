@@ -690,6 +690,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url frontier stream: first arrival per canonical resource wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UrlEvent]
+    val q = StreamOps.urlFrontierStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("x43_out")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, minute: Int, url: String) =
+      StreamOps.UrlEvent(id,
+        Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), url)
+    try {
+      // three spellings of one resource across THREE batches (arrival
+      // order must be deterministic) + one distinct resource
+      input.addData(Seq(
+        ev(10, 1, "HTTP://WWW.A.B/x/./y?b=2&a=1#f"),
+        ev(12, 1, "http://other.c/z")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(11, 2, "http://a.b:80/x/y?a=1&b=2")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(13, 3, "http://a.b/x/q/../y?utm_source=s&a=1&b=2")))
+      q.processAllAvailable()
+      val got = spark.table("x43_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon_url"))).toSet
+      // doc 10 arrived first for the shared resource; 11 and 13 are later
+      // spellings of the same canonical form and never emit
+      assert(got == Set(
+        (10L, "http://a.b/x/y?a=1&b=2"),
+        (12L, "http://other.c/z")), s"got $got")
+    } finally q.stop()
+  }
+
   test("frame sampling fans a video blob out to sampled frame rows") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("mm-").toString
