@@ -75,7 +75,10 @@ object Urls {
         else (auth0, "")
       }
     var host = hostRaw.toLowerCase(java.util.Locale.ROOT)
-    if (host.startsWith("www.")) host = host.substring(4)
+    // strip ALL leading www. labels, not one: a single strip would make
+    // canonicalization non-idempotent on stacked aliases
+    // (canon("www.www.x") -> "www.x" -> a second pass changes it again)
+    while (host.startsWith("www.")) host = host.substring(4)
     val portPart =
       if (port.isEmpty || port == defaultPort(scheme)) "" else s":$port"
     // dot-segment + empty-segment resolution (RFC 3986 §5.2.4, with the

@@ -76,6 +76,27 @@ class UrlsSpec extends SparkSpec {
       "https://site1.example.com/a/b8?lang=en&q=8")
   }
 
+  test("canonicalization is idempotent and never throws (fuzzed)") {
+    // idempotence is THE canonicalizer property a frontier relies on: a
+    // re-queued already-canonical URL must map to itself
+    assert(canonicalizeUrl("http://www.www.x/") == "http://x")
+    assert(canonicalizeUrl(canonicalizeUrl("http://www.www.x/")) == "http://x")
+    val rnd = new scala.util.Random(43)
+    val alphabet = ":/?#&=@[].wabc019 %"
+    (1 to 5000).foreach { _ =>
+      val base = Urls.buildUrl(rnd.nextInt(100000).toLong)
+      val chars = base.toCharArray
+      (1 to 1 + rnd.nextInt(6)).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) =
+          alphabet.charAt(rnd.nextInt(alphabet.length))
+      }
+      val mutated = new String(chars)
+      val once = canonicalizeUrl(mutated)    // must not throw
+      val twice = canonicalizeUrl(once)
+      assert(twice == once, s"not idempotent on '$mutated': '$once' -> '$twice'")
+    }
+  }
+
   test("x43 end-to-end: frontier dedup keeps the smallest id per canonical group") {
     import spark.implicits._
     val dir = tempSfDir()
