@@ -134,6 +134,7 @@ object SparkEntry {
     "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
     "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
     "x43_url_canonicalize" -> ((s, d) => operators.Urls.urlCanonicalize(s, d)),
+    "x44_robots_gate"      -> ((s, d) => operators.Urls.robotsGate(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -2329,6 +2330,29 @@ object SparkEntry {
         |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical,
         |  count(*) OVER (PARTITION BY canon_url) AS n_copies
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x44: the REP verdict derived analytically from the synthesized
+    // rules (Urls.robotsRules — allow prefix strictly longer than the
+    // disallow, so longest-match reduces to allow-first CASE order here;
+    // the general tie rule is spec-pinned on crafted rule sets).
+    "x44_robots_gate" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 100 AS k, (doc_id % 100) % 7 AS s
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  'site' || s || '.example.com' AS domain,
+        |  '/a/b' || k AS path,
+        |  '/a/b' || s AS dis,
+        |  '/a/b' || s || ((s + 1) % 10) AS alw
+        | FROM u)
+        |SELECT doc_id, domain, path,
+        |  CASE WHEN starts_with(path, alw) THEN alw
+        |       WHEN starts_with(path, dis) THEN dis
+        |       ELSE '' END AS matched_rule,
+        |  CASE WHEN starts_with(path, alw) THEN true
+        |       WHEN starts_with(path, dis) THEN false
+        |       ELSE true END AS allowed
         |FROM r ORDER BY doc_id""".stripMargin,
 
     // v4: quantile_cont = Spark's exact interpolated percentile (the

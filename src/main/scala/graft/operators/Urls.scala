@@ -144,6 +144,85 @@ object Urls {
 
   private case class UrlRow(doc_id: Long, url: String, canon_url: String)
 
+  /** x44's per-domain robots rules — ONE Scala definition interpolated
+    * into the oracle (the x42 blocklist convention). Synthesized like the
+    * URLs themselves: every site disallows the path prefix of its own
+    * site-number page family and re-allows the doubled-digit subfamily,
+    * so the longest-match override rule fires corpus-wide in both
+    * directions. (prefix, allow) pairs; domains absent from the map are
+    * unrestricted — the REP default.
+    */
+  private[graft] val robotsRules: Map[String, Seq[(String, Boolean)]] =
+    (0 until 7).map { s =>
+      s"site$s.example.com" -> Seq(
+        (s"/a/b$s", false),                   // Disallow: /a/b<s>
+        (s"/a/b$s${(s + 1) % 10}", true))     // Allow: longer -> overrides
+      // the digit pair is chosen so BOTH directions fire on the
+      // synthesized corpus: plenty of page families hit the disallow
+      // (k's leading digit == k%7), and the k=23 family hits the allow
+      // override (23%7=2, path /a/b23, allow prefix /a/b23 beats /a/b2)
+    }.toMap
+
+  /** REP longest-match verdict for one (domain, path): among the
+    * domain's rules whose prefix matches the path, the LONGEST prefix
+    * wins; equal lengths resolve to allow (Google's REP tie rule); no
+    * matching rule — or no rules for the domain — allows. Returns the
+    * winning rule's prefix ('' when none matched) plus the verdict.
+    */
+  private[graft] def robotsVerdict(domain: String,
+                                   path: String): (String, Boolean) =
+    repMatch(robotsRules.getOrElse(domain, Nil), path)
+
+  /** The pure REP matcher over one domain's (prefix, allow) rules —
+    * injectable so the tie semantics are spec-pinned on crafted rule
+    * sets the synthesized map never contains.
+    */
+  private[graft] def repMatch(rules: Seq[(String, Boolean)],
+                              path: String): (String, Boolean) = {
+    val matches = rules.filter { case (prefix, _) => path.startsWith(prefix) }
+    if (matches.isEmpty) ("", true)
+    else {
+      // longest prefix wins; among equal lengths, allow wins (REP)
+      val (prefix, allow) =
+        matches.maxBy { case (p, a) => (p.length, a) }
+      (prefix, allow)
+    }
+  }
+
+  /** x44: the robots-exclusion gate — the third leg of the frontier
+    * stack (x42 content blocklists, x43 canonicalization, x44 REP):
+    * each document's canonical URL is split into (domain, path) and
+    * gated by its domain's robots rules under the REP longest-match
+    * algorithm. One narrow pass (the rules ride the closure as a tiny
+    * broadcast constant — at fleet scale, a broadcast frame keyed on
+    * domain joined before a codegen prefix evaluation); no shuffle
+    * beyond the ordered output.
+    */
+  def robotsGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val canon = canonicalizeUrl(buildUrl(id))
+        val sep = canon.indexOf("://")
+        val rest = canon.substring(sep + 3)
+        val slash = rest.indexOf('/')
+        val authority = if (slash >= 0) rest.substring(0, slash) else rest
+        // rules key on the bare host — a canonical non-default port is
+        // not part of the robots identity
+        val colon = authority.indexOf(':')
+        val domain = if (colon >= 0) authority.substring(0, colon) else authority
+        val afterHost = if (slash >= 0) rest.substring(slash) else ""
+        val q = afterHost.indexOf('?')
+        val path = if (q >= 0) afterHost.substring(0, q) else afterHost
+        val (rule, allowed) = robotsVerdict(domain, path)
+        (id, domain, path, rule, allowed)
+      })
+      .toDF("doc_id", "domain", "path", "matched_rule", "allowed")
+      .orderedBy("doc_id")
+  }
+
   /** x43: per-document raw + canonical URL with the frontier-dedup
     * verdict — keeper (smallest doc_id in the canonical group), copy
     * count, and the is_canonical flag a fetch queue filters on.

@@ -102,6 +102,7 @@ object ScalingCurve {
       "x41_html_extract" -> ((s, d) => graft.operators.Html.htmlExtract(s, d)),
       "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
       "x43_url_canonicalize" -> ((s, d) => graft.operators.Urls.urlCanonicalize(s, d)),
+      "x44_robots_gate" -> ((s, d) => graft.operators.Urls.robotsGate(s, d)),
       "p1_pipeline_decision" -> ((s, d) => Curation.pipelineDecision(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents

@@ -97,6 +97,42 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("x44 REP matching: longest prefix wins, equal lengths resolve to allow, no rules allow") {
+    import graft.operators.Urls.robotsVerdict
+    // synthesized rules: site2 disallows /a/b2, allows /a/b23
+    assert(robotsVerdict("site2.example.com", "/a/b2") == ("/a/b2", false))
+    assert(robotsVerdict("site2.example.com", "/a/b25") == ("/a/b2", false))
+    assert(robotsVerdict("site2.example.com", "/a/b23") == ("/a/b23", true))
+    assert(robotsVerdict("site2.example.com", "/other") == ("", true))
+    assert(robotsVerdict("unruled.example.com", "/a/b2") == ("", true))
+    // the REP tie rule on a crafted rule set: equal-length prefixes
+    // resolve to allow, whatever the rule order
+    assert(Urls.repMatch(Seq(("/p", false), ("/q", true), ("/pq", false),
+      ("/px", true)), "/px") == ("/px", true))
+    assert(Urls.repMatch(Seq(("/x", true), ("/x", false)), "/xyz") ==
+      ("/x", true))
+    assert(Urls.repMatch(Seq(("/x", false), ("/x", true)), "/xyz") ==
+      ("/x", true))
+  }
+
+  test("x44 end-to-end: disallow and the longest-match allow override both fire") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // k=15 -> site1, path /a/b15, disallow /a/b1 fires;
+    // k=23 -> site2, path /a/b23, allow /a/b23 overrides disallow /a/b2;
+    // k=40 -> site5, path /a/b40, no rule of site5 matches
+    Seq(15L, 23L, 40L)
+      .map(id => (id, s"doc $id", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Urls.robotsGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (15L, "site1.example.com", "/a/b1", false),
+      (23L, "site2.example.com", "/a/b23", true),
+      (40L, "site5.example.com", "", true)), s"got ${got.toSeq}")
+  }
+
   test("x43 end-to-end: frontier dedup keeps the smallest id per canonical group") {
     import spark.implicits._
     val dir = tempSfDir()
