@@ -922,12 +922,13 @@ object SparkEntry {
   // lazy: referenced by p1OracleSql, whose val initializer runs EARLIER in
   // this file — a plain val would interpolate as "null" (Scala init order)
   private lazy val x42CaseSql: String = {
-    val domains = operators.Curation.blockedDomains
-      .map(d => s"'$d'").mkString(", ")
-    val words = operators.Curation.blockedWords
-      .map(w => s"'$w'").mkString(", ")
+    // blocklist entries land inside SQL string literals: escape embedded
+    // quotes so a future entry like "don't" can't malform the oracle
+    def q(s: String): String = s"'${s.replace("'", "''")}'"
+    val domains = operators.Curation.blockedDomains.map(q).mkString(", ")
+    val words = operators.Curation.blockedWords.map(q).mkString(", ")
     val phrases = operators.Curation.blockedPhrases
-      .map(p => s"contains(lower(text), '$p')").mkString(" OR ")
+      .map(p => s"contains(lower(text), ${q(p)})").mkString(" OR ")
     s"CASE WHEN source IN ($domains) THEN 'blocked_domain' " +
       s"WHEN len(list_intersect(string_split(lower(text), ' '), [$words])) > 0 THEN 'blocked_word' " +
       s"WHEN $phrases THEN 'blocked_phrase' " +
@@ -2291,7 +2292,15 @@ object SparkEntry {
     "x43_url_canonicalize" ->
       """WITH u AS (
         |  SELECT doc_id, doc_id % 100 AS k,
-        |    (doc_id % 100) % 2 = 0 AS https
+        |    (doc_id % 100) % 2 = 0 AS https,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN '/a/b' || (doc_id % 100) || '/'
+        |      WHEN 1 THEN '/a/./b' || (doc_id % 100)
+        |      WHEN 2 THEN '/a/x/../b' || (doc_id % 100) || '/'
+        |      WHEN 3 THEN '/./a/b' || (doc_id % 100)
+        |      WHEN 4 THEN '/a//b' || (doc_id % 100)
+        |      WHEN 5 THEN '/a/b' || (doc_id % 100) || '/c/..'
+        |      ELSE '/a/b' || (doc_id % 100) END AS p
         |  FROM documents),
         |r AS (
         |  SELECT doc_id,
@@ -2307,18 +2316,14 @@ object SparkEntry {
         |         ELSE 'site' || (k % 7) || '.example.com' END
         |    || CASE WHEN doc_id % 4 = 0 THEN
         |         CASE WHEN https THEN ':443' ELSE ':80' END ELSE '' END
-        |    || CASE doc_id % 7
-        |         WHEN 0 THEN '/a/b' || k || '/'
-        |         WHEN 1 THEN '/a/./b' || k
-        |         WHEN 2 THEN '/a/x/../b' || k || '/'
-        |         WHEN 3 THEN '/./a/b' || k
-        |         WHEN 4 THEN '/a//b' || k
-        |         WHEN 5 THEN '/a/b' || k || '/c/..'
-        |         ELSE '/a/b' || k END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN replace(p, '/a/', '/%61/') ELSE p END
         |    || '?'
         |    || CASE WHEN doc_id % 2 = 0 THEN 'q=' || (k % 11) || '&lang=en'
         |            ELSE 'lang=en&q=' || (k % 11) END
-        |    || CASE doc_id % 3 WHEN 0 THEN '&utm_source=s' || (doc_id % 9)
+        |    || CASE doc_id % 3 WHEN 0 THEN
+        |            '&utm' || CASE WHEN doc_id % 2 = 0 THEN '%5F' ELSE '_' END
+        |            || 'source=s' || (doc_id % 9)
         |            WHEN 1 THEN '&ref=tw' ELSE '' END
         |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 4)
         |            ELSE '' END AS url,

@@ -24,9 +24,9 @@ import graft.Output._
   * the raw URL byte-for-byte while deriving the canonical form
   * analytically from the identity dims. The canonicalizer itself is
   * general (crafted-fixture specs drive it with inputs the synthesis
-  * never emits); percent-encoding normalization is out of scope here and
-  * documented as such — the synthesized corpus is encoding-free, and a
-  * deployment adds a decode pass in the same per-row function.
+  * never emits), including RFC 3986 §6.2.2 percent-encoding
+  * normalization: unreserved octets decode, other triplets uppercase,
+  * malformed triplets pass through.
   *
   * Scale shape: ONE narrow pass builds + canonicalizes (no shuffle), then
   * ONE hash exchange on the canonical key for the group window — the
@@ -39,6 +39,62 @@ object Urls {
 
   private def defaultPort(scheme: String): String =
     if (scheme == "https") "443" else if (scheme == "http") "80" else ""
+
+  /** Split an authority into (host, port), keeping IPv6 brackets on the
+    * host and splitting the port at "]:" — NOT at the address's own
+    * colons. Shared by canonicalizeUrl and robotsGate so the two stages
+    * can never disagree on where the host ends.
+    */
+  private[graft] def splitHostPort(auth: String): (String, String) =
+    if (auth.startsWith("[")) {
+      val e = auth.indexOf(']')
+      if (e < 0) (auth, "")
+      else if (e + 1 < auth.length && auth.charAt(e + 1) == ':')
+        (auth.substring(0, e + 1), auth.substring(e + 2))
+      else (auth.substring(0, e + 1), "")
+    } else {
+      val c = auth.indexOf(':')
+      if (c >= 0) (auth.substring(0, c), auth.substring(c + 1))
+      else (auth, "")
+    }
+
+  private[graft] def stripPort(auth: String): String = splitHostPort(auth)._1
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' || v == '~'
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization: decode triplets
+    * whose octet is unreserved (ALPHA / DIGIT / - . _ ~), uppercase the
+    * hex of every other triplet, pass malformed triplets through
+    * untouched (degrade, never throw). Idempotent by construction: a
+    * decoded octet is never '%' (0x25 is reserved), so no pass can
+    * create a new triplet, and surviving triplets are already uppercase.
+    */
+  private[graft] def normPct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Zero-dep canonicalizer. A value without a `://` scheme separator is
     * returned unchanged (opaque — degrade, never throw), matching the
@@ -62,19 +118,8 @@ object Urls {
     // frontier); IPv6 literals keep their brackets and split the port at
     // "]:", not at the address's own colons
     val auth0 = authority.substring(authority.lastIndexOf('@') + 1)
-    val (hostRaw, port) =
-      if (auth0.startsWith("[")) {
-        val e = auth0.indexOf(']')
-        if (e < 0) (auth0, "")
-        else if (e + 1 < auth0.length && auth0.charAt(e + 1) == ':')
-          (auth0.substring(0, e + 1), auth0.substring(e + 2))
-        else (auth0.substring(0, e + 1), "")
-      } else {
-        val c = auth0.indexOf(':')
-        if (c >= 0) (auth0.substring(0, c), auth0.substring(c + 1))
-        else (auth0, "")
-      }
-    var host = hostRaw.toLowerCase(java.util.Locale.ROOT)
+    val (hostRaw, port) = splitHostPort(auth0)
+    var host = normPct(hostRaw).toLowerCase(java.util.Locale.ROOT)
     // strip ALL leading www. labels, not one: a single strip would make
     // canonicalization non-idempotent on stacked aliases
     // (canon("www.www.x") -> "www.x" -> a second pass changes it again)
@@ -82,9 +127,13 @@ object Urls {
     val portPart =
       if (port.isEmpty || port == defaultPort(scheme)) "" else s":$port"
     // dot-segment + empty-segment resolution (RFC 3986 §5.2.4, with the
-    // crawl conventions: drop empty segments, no trailing slash)
+    // crawl conventions: drop empty segments, no trailing slash).
+    // Percent-normalize BEFORE resolving: a "%2E%2E" segment decodes to
+    // ".." and must collapse here, or a second canonicalization pass
+    // would see a fresh dot-segment and the function would lose
+    // idempotence.
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
-    rawPath.split('/').foreach {
+    normPct(rawPath).split('/').foreach {
       case "" | "."  => ()
       case ".."      => if (segs.nonEmpty) segs.remove(segs.length - 1)
       case s         => segs += s
@@ -94,7 +143,11 @@ object Urls {
     // strings — the DEFINED canonical order (deterministic and cheap; it
     // is NOT key-major in general, e.g. "a0=1" sorts before "a=2" because
     // '0' < '=', and no consumer may assume otherwise)
-    val params = query.split('&').iterator.filter(_.nonEmpty).filterNot { p =>
+    // percent-normalize before the param split: a decoded octet is never
+    // '&' or '=' (neither is unreserved), so param structure is stable,
+    // and an encoded tracking key ("utm%5Fsource") decodes before the
+    // blocklist check
+    val params = normPct(query).split('&').iterator.filter(_.nonEmpty).filterNot { p =>
       val key = p.takeWhile(_ != '=').toLowerCase(java.util.Locale.ROOT)
       key.startsWith("utm_") || trackingKeys(key)
     }.toSeq.sorted
@@ -103,9 +156,10 @@ object Urls {
   }
 
   /** The synthesized raw URL: identity dims from `id % 100` (scheme
-    * choice, site, page, q param), variance dims from the full id — six
-    * independent spelling axes over the same canonical resource.
-    * Deterministic in doc_id so the oracle rebuilds it byte-for-byte.
+    * choice, site, page, q param), variance dims from the full id —
+    * eight independent spelling axes (incl. two percent-encoded ones)
+    * over the same canonical resource. Deterministic in doc_id so the
+    * oracle rebuilds it byte-for-byte.
     */
   private[graft] def buildUrl(id: Long): String = {
     val k = id % 100
@@ -131,15 +185,21 @@ object Urls {
       case 5 => s"/a/b$k/c/.."
       case _ => s"/a/b$k"
     }
+    // percent-encoding variance: both spellings decode to unreserved
+    // octets, so the canonical form (and the x44 path identity) is
+    // untouched — the decode rule fires corpus-wide, the uppercase-hex
+    // rule on SURVIVING reserved triplets is spec-pinned on crafted
+    // inputs (a surviving triplet would have to join the identity dims)
+    val pathEnc = if (id % 11 == 0) path.replace("/a/", "/%61/") else path
     val qreal =
       if (id % 2 == 0) s"q=${k % 11}&lang=en" else s"lang=en&q=${k % 11}"
     val junk = (id % 3) match {
-      case 0 => s"&utm_source=s${id % 9}"
+      case 0 => s"&utm${if (id % 2 == 0) "%5F" else "_"}source=s${id % 9}"
       case 1 => "&ref=tw"
       case _ => ""
     }
     val frag = if (id % 2 == 1) s"#sec${id % 4}" else ""
-    s"$scheme://$www$host$port$path?$qreal$junk$frag"
+    s"$scheme://$www$host$port$pathEnc?$qreal$junk$frag"
   }
 
   private case class UrlRow(doc_id: Long, url: String, canon_url: String)
@@ -211,8 +271,7 @@ object Urls {
         val authority = if (slash >= 0) rest.substring(0, slash) else rest
         // rules key on the bare host — a canonical non-default port is
         // not part of the robots identity
-        val colon = authority.indexOf(':')
-        val domain = if (colon >= 0) authority.substring(0, colon) else authority
+        val domain = stripPort(authority)
         val afterHost = if (slash >= 0) rest.substring(slash) else ""
         val q = afterHost.indexOf('?')
         val path = if (q >= 0) afterHost.substring(0, q) else afterHost

@@ -285,6 +285,17 @@ object StreamOps {
                                 media_type: String, payload: Array[Byte],
                                 is_new: Boolean)
 
+  /** Live-index recount, short-circuited at the admission cap: the count
+    * only gates against `maxBucketSize`, so once `cap` entries are seen
+    * the bucket is closed and iterating the rest of the state store is
+    * wasted work.
+    */
+  private def liveCountUpTo(it: Iterator[_], cap: Int): Long = {
+    var c = 0L
+    while (c < cap && it.hasNext) { it.next(); c += 1 }
+    c
+  }
+
   /** One (band, fingerprint) row after the shuffle — payloads never get
     * this far; only the 64-bit aHash travels and is stored.
     */
@@ -327,7 +338,7 @@ object StreamOps {
       // LIVE index size, recounted at batch start: an admission counter in
       // ValueState would never decrement when TTL expires entries, leaving
       // a once-full band permanently closed after its index drained
-      var n = { var c = 0L; hashes.iterator().foreach(_ => c += 1); c }
+      var n = liveCountUpTo(hashes.iterator(), maxBucketSize)
       val out = Seq.newBuilder[MediaNearDupHit]
       rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
         if (n < maxBucketSize && !hashes.containsKey(d.doc_id)) {
@@ -966,7 +977,7 @@ object StreamOps {
       // live index size, recounted at batch start (see MediaNearDupProcessor:
       // a TTL-expired index must re-open its bucket, which an admission
       // counter never would)
-      var n = { var c = 0L; sigs.iterator().foreach(_ => c += 1); c }
+      var n = liveCountUpTo(sigs.iterator(), maxBucketSize)
       val out = Seq.newBuilder[NearDupPair]
       // within a batch, docs score in doc_id order so a replay of the same
       // batch boundaries reproduces the same pair set
@@ -1084,7 +1095,7 @@ object StreamOps {
       // live index size, recounted at batch start (see MediaNearDupProcessor:
       // a TTL-expired index must re-open its bucket, which an admission
       // counter never would)
-      var n = { var c = 0L; sigs.iterator().foreach(_ => c += 1); c }
+      var n = liveCountUpTo(sigs.iterator(), maxBucketSize)
       val out = Seq.newBuilder[IncNearDupPair]
       rows.toSeq.sortBy(d => (d.is_new, d.doc_id)).foreach { d =>
         if (n < maxBucketSize && !sigs.containsKey(d.doc_id)) {

@@ -76,13 +76,38 @@ class UrlsSpec extends SparkSpec {
       "https://site1.example.com/a/b8?lang=en&q=8")
   }
 
+  test("percent-encoding: unreserved decode, reserved uppercase, malformed pass") {
+    // unreserved octets decode, whatever the hex case
+    assert(canonicalizeUrl("http://h/%7Euser") == "http://h/~user")
+    assert(canonicalizeUrl("http://h/%7euser") == "http://h/~user")
+    assert(canonicalizeUrl("http://h/%41%62c") == "http://h/Abc")
+    // reserved octets stay encoded; their hex uppercases
+    assert(canonicalizeUrl("http://h/a%2Fb") == "http://h/a%2Fb")
+    assert(canonicalizeUrl("http://h/a%2fb") == "http://h/a%2Fb")
+    // decoded dot-segments collapse — idempotence demands it
+    assert(canonicalizeUrl("http://h/a/%2E%2E/b") == "http://h/b")
+    assert(canonicalizeUrl("http://h/a/%2e/b") == "http://h/a/b")
+    // host decodes then lowercases
+    assert(canonicalizeUrl("http://%48ost/x") == "http://host/x")
+    // an encoded tracking key decodes, then drops
+    assert(canonicalizeUrl("http://h/x?utm%5Fsource=s&a=1") == "http://h/x?a=1")
+    // params byte-order AFTER normalization ('~' > 'z', '%' < 'z')
+    assert(canonicalizeUrl("http://h/x?%7Ea=1&z=2") == "http://h/x?z=2&~a=1")
+    // malformed triplets pass through untouched (degrade, never throw)
+    assert(canonicalizeUrl("http://h/a%zz") == "http://h/a%zz")
+    assert(canonicalizeUrl("http://h/a%2") == "http://h/a%2")
+    assert(canonicalizeUrl("http://h/a%") == "http://h/a%")
+  }
+
   test("canonicalization is idempotent and never throws (fuzzed)") {
     // idempotence is THE canonicalizer property a frontier relies on: a
     // re-queued already-canonical URL must map to itself
     assert(canonicalizeUrl("http://www.www.x/") == "http://x")
     assert(canonicalizeUrl(canonicalizeUrl("http://www.www.x/")) == "http://x")
     val rnd = new scala.util.Random(43)
-    val alphabet = ":/?#&=@[].wabc019 %"
+    // hex-forming chars ('2','7','E','e','F') let mutations assemble and
+    // break percent triplets; buildUrl itself now emits %61/%5F axes
+    val alphabet = ":/?#&=@[].wabc019 %27EeF"
     (1 to 5000).foreach { _ =>
       val base = Urls.buildUrl(rnd.nextInt(100000).toLong)
       val chars = base.toCharArray
