@@ -135,6 +135,8 @@ object SparkEntry {
     "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
     "x43_url_canonicalize" -> ((s, d) => operators.Urls.urlCanonicalize(s, d)),
     "x44_robots_gate"      -> ((s, d) => operators.Urls.robotsGate(s, d)),
+    "x45_outlink_graph"    -> ((s, d) => operators.Html.outlinkGraph(s, d)),
+    "g3_link_pagerank"     -> ((s, d) => operators.Html.linkPageRank(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -866,8 +868,8 @@ object SparkEntry {
     * chars — they carry no anchors, so the density rule never fires on
     * them), and every wrapper block's collapsed length follows from the
     * id-derived boilerplate text (title 4+len(id), h1 6, nav
-    * 12+len(id%13), link box 38, ad 18 on id%5=0, footer 24 — all below
-    * the length rule or above the 1/3 anchor-density rule by
+    * 12+len(id%13), link box 38, ad 18 on id%5=0, rel box 19, footer 24
+    * — all below the length rule or above the 1/3 anchor-density rule by
     * construction, which the TagWalkBlocker specs pin block-by-block).
     */
   private val x41OracleSql: String = {
@@ -894,7 +896,7 @@ object SparkEntry {
        |  -- LEFT join + coalesce: an empty-text doc has zero chunk rows but
        |  -- the engine still audits its (boilerplate-only) page
        |  SELECT d.doc_id,
-       |    '<html><head><title>Doc ' || d.doc_id || '</title><style>body{font-size:12px;color:#222}</style><script>var page=' || d.doc_id || ';track(page);</script></head><body><header><h1>Site ' || (d.doc_id % 7) || '</h1></header><nav><a href="/home">home</a> <a href="/about">about</a> <a href="/p' || (d.doc_id % 13) || '">p' || (d.doc_id % 13) || '</a></nav><div class="links"><a href="/l0">link zero</a> <a href="/l1">link one</a> <a href="/l2">link two</a> <a href="/l3">link three</a></div><div class="main">' || coalesce(pblock, '') || CASE WHEN d.doc_id % 5 = 0 THEN '<p class="ad"><a href="/buy">buy now</a> <a href="/deal">deal</a> promo</p>' ELSE '' END || '</div><footer>(c) site ' || (d.doc_id % 7) || ' <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html,
+       |    '<html><head><title>Doc ' || d.doc_id || '</title><style>body{font-size:12px;color:#222}</style><script>var page=' || d.doc_id || ';track(page);</script></head><body><header><h1>Site ' || (d.doc_id % 7) || '</h1></header><nav><a href="/home">home</a> <a href="/about">about</a> <a href="/p' || (d.doc_id % 13) || '">p' || (d.doc_id % 13) || '</a></nav><div class="links"><a href="/l0">link zero</a> <a href="/l1">link one</a> <a href="/l2">link two</a> <a href="/l3">link three</a></div><div class="main">' || coalesce(pblock, '') || CASE WHEN d.doc_id % 5 = 0 THEN '<p class="ad"><a href="/buy">buy now</a> <a href="/deal">deal</a> promo</p>' ELSE '' END || '</div><div class="rel"><a href="/a/b' || (((d.doc_id % 100) + 7) % 100) || '">r one</a> <a href="/a/x/../b' || (((d.doc_id % 100) + 14) % 100) || '/">r two</a> <a href="' || CASE WHEN (((d.doc_id % 100) + 1) % 100) % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END || '://www.Site' || ((((d.doc_id % 100) + 1) % 100) % 7) || '.Example.Com' || CASE WHEN (((d.doc_id % 100) + 1) % 100) % 2 = 0 THEN ':443' ELSE ':80' END || '/a/b' || (((d.doc_id % 100) + 1) % 100) || '?lang=en&q=' || ((((d.doc_id % 100) + 1) % 100) % 11) || '&utm_source=x#f">r three</a></div><footer>(c) site ' || (d.doc_id % 7) || ' <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>' AS html,
        |    coalesce(n_chunks, 0) AS n_chunks,
        |    coalesce(n_content, 0) AS n_content,
        |    coalesce(short_len, 0) AS short_len,
@@ -903,15 +905,55 @@ object SparkEntry {
        |SELECT doc_id,
        |  CAST(length(html) AS BIGINT) AS html_len,
        |  ${crc32Sql(htmlBytes)} AS html_crc32,
-       |  CAST(5 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks AS BIGINT) AS n_blocks,
+       |  CAST(6 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks AS BIGINT) AS n_blocks,
        |  CAST(n_content AS BIGINT) AS n_content,
-       |  CAST(5 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks - n_content AS BIGINT) AS n_boiler,
+       |  CAST(6 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks - n_content AS BIGINT) AS n_boiler,
        |  CAST(length(main_text) AS BIGINT) AS main_len,
        |  ${crc32Sql(mainBytes)} AS main_crc32,
-       |  CAST(4 + length(CAST(doc_id AS VARCHAR)) + 6 + 12 + length(CAST(doc_id % 13 AS VARCHAR)) + 38 + CASE WHEN doc_id % 5 = 0 THEN 18 ELSE 0 END + 24 + short_len AS BIGINT) AS boiler_len
+       |  CAST(4 + length(CAST(doc_id AS VARCHAR)) + 6 + 12 + length(CAST(doc_id % 13 AS VARCHAR)) + 38 + CASE WHEN doc_id % 5 = 0 THEN 18 ELSE 0 END + 19 + 24 + short_len AS BIGINT) AS boiler_len
        |FROM page, ct
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** x45's analytic edge list — the synthesized page's anchors with their
+    * resolved canonical targets, derived from the same identity dims as
+    * the x43 oracle (host/scheme/page family) and the buildHtml anchor
+    * inventory (nav, link box, ad on id%5=0, rel box, footer). Shared by
+    * the x45 and g3 oracles. Declared BEFORE the oracle map so the val
+    * initializer order can never interpolate null.
+    */
+  private val x45EdgesCte: String =
+    """u AS MATERIALIZED (
+      |  SELECT doc_id, doc_id % 100 AS k,
+      |    ((doc_id % 100) + 1) % 100 AS t,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END
+      |      || '://site' || ((doc_id % 100) % 7) || '.example.com' AS host
+      |  FROM documents),
+      |uu AS MATERIALIZED (
+      |  SELECT doc_id, k, t, host,
+      |    host || '/a/b' || k || '?lang=en&q=' || (k % 11) AS src
+      |  FROM u),
+      |ed AS MATERIALIZED (
+      |  SELECT doc_id, src, '/home' AS href, host || '/home' AS dst_url FROM uu
+      |  UNION ALL SELECT doc_id, src, '/about', host || '/about' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/p' || (doc_id % 13), host || '/p' || (doc_id % 13) FROM uu
+      |  UNION ALL SELECT doc_id, src, '/l0', host || '/l0' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/l1', host || '/l1' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/l2', host || '/l2' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/l3', host || '/l3' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/buy', host || '/buy' FROM uu WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id, src, '/deal', host || '/deal' FROM uu WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id, src, '/a/b' || ((k + 7) % 100), host || '/a/b' || ((k + 7) % 100) FROM uu
+      |  UNION ALL SELECT doc_id, src, '/a/x/../b' || ((k + 14) % 100) || '/', host || '/a/b' || ((k + 14) % 100) FROM uu
+      |  UNION ALL SELECT doc_id, src,
+      |      CASE WHEN t % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END || '://www.Site' || (t % 7)
+      |        || '.Example.Com' || CASE WHEN t % 2 = 0 THEN ':443' ELSE ':80' END
+      |        || '/a/b' || t || '?lang=en&q=' || (t % 11) || '&utm_source=x#f',
+      |      CASE WHEN t % 2 = 0 THEN 'https' ELSE 'http' END || '://site' || (t % 7)
+      |        || '.example.com/a/b' || t || '?lang=en&q=' || (t % 11)
+      |    FROM uu
+      |  UNION ALL SELECT doc_id, src, '/terms', host || '/terms' FROM uu
+      |  UNION ALL SELECT doc_id, src, '/privacy', host || '/privacy' FROM uu)""".stripMargin
 
   /** The x42 first-failing-rule CASE over (source, text) columns with the
     * blocklists interpolated from the ONE Scala definition in Curation
@@ -2359,6 +2401,46 @@ object SparkEntry {
         |       WHEN starts_with(path, dis) THEN false
         |       ELSE true END AS allowed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x45: the analytic per-page anchor list with resolved canonical
+    // targets — the edges CTE is shared with the g3 oracle. Concatenated,
+    // NOT interpolated-then-stripMargin'd: the CTE text carries || concats
+    // at line heads, which a second stripMargin would mangle to bitwise |.
+    "x45_outlink_graph" ->
+      ("WITH " + x45EdgesCte + "\n" +
+        """SELECT doc_id, src AS src_url, href, dst_url
+          |FROM ed ORDER BY doc_id, href""".stripMargin),
+
+    // g3: g2's unrolled three-superstep integer PageRank over x45's
+    // distinct symmetrized edges; node ids are canonical URL strings.
+    "g3_link_pagerank" ->
+      ("WITH " + x45EdgesCte + ",\n" +
+        s"""pairs AS MATERIALIZED (
+         |  SELECT DISTINCT src AS a_id, dst_url AS b_id FROM ed),
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION ALL SELECT b_id, a_id FROM pairs),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+         |p0 AS MATERIALIZED (SELECT src AS id, deg, 1000000000000 // (SELECT n FROM nn) AS pr
+         |       FROM deg),
+         |p1 AS MATERIALIZED (SELECT e.dst AS id,
+         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+         |           + CAST((85 * sum(p.pr // p.deg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN p0 p ON p.id = e.src GROUP BY e.dst),
+         |p2 AS MATERIALIZED (SELECT e.dst AS id,
+         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+         |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN p1 p ON p.id = e.src
+         |         JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |p3 AS MATERIALIZED (SELECT e.dst AS id,
+         |         (15 * (1000000000000 // (SELECT n FROM nn))) // 100
+         |           + CAST((85 * sum(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+         |       FROM edges e JOIN p2 p ON p.id = e.src
+         |         JOIN deg d ON d.src = e.src GROUP BY e.dst)
+         |SELECT p3.id AS url, d.deg, p3.pr AS pr_micros,
+         |       CAST(p3.pr AS DOUBLE) / 1000000000000.0 AS pagerank
+         |FROM p3 JOIN deg d ON d.src = p3.id
+         |ORDER BY url""".stripMargin),
 
     // v4: quantile_cont = Spark's exact interpolated percentile (the
     // q_winsorize-proven convention); the outlier test compares unrounded

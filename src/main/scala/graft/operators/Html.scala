@@ -56,6 +56,92 @@ object Html {
     */
   trait HtmlBlocker extends Serializable {
     def blocks(html: String): Seq[HtmlBlock]
+
+    /** Every anchor's href attribute value, entity-decoded, in document
+      * order — the raw material of the outlink graph (x45). Same lexing
+      * rules as `blocks`: comments and script/style raw text never yield
+      * links; anchors without an href yield nothing.
+      */
+    def outlinks(html: String): Seq[String]
+  }
+
+  /** Entity-decode a string with the same table and malformed-passthrough
+    * rules as the text path (`&amp; &lt; &gt; &quot; &apos; &nbsp;`,
+    * `&#N;`, `&#xH;`; anything else passes literally) — attribute values
+    * carry `&amp;` in real markup and must decode before URL resolution.
+    */
+  private[graft] def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val cp: Int =
+          if (semi > i && semi - i <= 10) s.substring(i + 1, semi) match {
+            case "amp"  => '&'.toInt
+            case "lt"   => '<'.toInt
+            case "gt"   => '>'.toInt
+            case "quot" => '"'.toInt
+            case "apos" => '\''.toInt
+            case "nbsp" => ' '.toInt
+            case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+              try Integer.parseInt(e.substring(2), 16)
+              catch { case _: NumberFormatException => -1 }
+            case e if e.length > 1 && e.startsWith("#") =>
+              try Integer.parseInt(e.substring(1))
+              catch { case _: NumberFormatException => -1 }
+            case _ => -1
+          } else -1
+        if (cp >= 0 && cp <= 0x10FFFF) {
+          sb.append(Character.toChars(cp))
+          i = semi + 1
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The href attribute's value from a lexed tag's attribute region
+    * (quoted with either quote or bare), entity-decoded; None when the
+    * tag carries no valued href. Standard forward attribute tokenizer —
+    * name, optional `=` value — so a quoted '>' or a bare-valued attr
+    * before the href cannot derail the scan.
+    */
+  private[graft] def hrefOf(attrs: String): Option[String] = {
+    def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    val n = attrs.length
+    var i = 0
+    while (i < n) {
+      while (i < n && (isWs(attrs.charAt(i)) || attrs.charAt(i) == '/')) i += 1
+      val ns = i
+      while (i < n && !isWs(attrs.charAt(i)) &&
+        attrs.charAt(i) != '=' && attrs.charAt(i) != '/') i += 1
+      val name = attrs.substring(ns, i)
+      while (i < n && isWs(attrs.charAt(i))) i += 1
+      var value: String = null
+      if (i < n && attrs.charAt(i) == '=') {
+        i += 1
+        while (i < n && isWs(attrs.charAt(i))) i += 1
+        if (i < n && (attrs.charAt(i) == '"' || attrs.charAt(i) == '\'')) {
+          val q = attrs.charAt(i)
+          i += 1
+          val vs = i
+          while (i < n && attrs.charAt(i) != q) i += 1
+          value = attrs.substring(vs, i)
+          if (i < n) i += 1
+        } else {
+          val vs = i
+          while (i < n && !isWs(attrs.charAt(i))) i += 1
+          value = attrs.substring(vs, i)
+        }
+      }
+      if (name.equalsIgnoreCase("href") && value != null)
+        return Some(decodeEntities(value))
+    }
+    None
   }
 
   /** Zero-dependency tag-walk block parser — the default `HtmlBlocker`.
@@ -215,6 +301,61 @@ object Html {
       out.toSeq
     }
     // scalastyle:on method.length cyclomatic.complexity
+
+    /** Outlink walk: the same quote-aware tag lexer, comment skip and
+      * script/style raw-text skip as `blocks`, collecting the href of
+      * every opening (or self-closing) `<a>`. Text and entities need no
+      * decoding here — only tags matter — so this scan is leaner than a
+      * full block parse.
+      */
+    def outlinks(html: String): Seq[String] = {
+      val n = html.length
+      val lower = {
+        val a = html.toCharArray
+        var li = 0
+        while (li < a.length) { a(li) = Character.toLowerCase(a(li)); li += 1 }
+        new String(a)
+      }
+      val out = ArrayBuffer.empty[String]
+      def opensMarkup(at: Int): Boolean = at + 1 < n && {
+        val c1 = html.charAt(at + 1)
+        Character.isLetter(c1) || c1 == '/' || c1 == '!' || c1 == '?'
+      }
+      var i = 0
+      while (i < n) {
+        if (html.charAt(i) == '<' && opensMarkup(i)) {
+          if (html.startsWith("<!--", i)) {
+            val e = html.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else {
+            var j = i + 1
+            var quote: Char = 0
+            var closed = false
+            while (j < n && !closed) {
+              val cj = html.charAt(j)
+              if (quote != 0) { if (cj == quote) quote = 0; j += 1 }
+              else if (cj == '"' || cj == '\'') { quote = cj; j += 1 }
+              else if (cj == '>') closed = true
+              else j += 1
+            }
+            val inner = html.substring(i + 1, j)
+            i = if (closed) j + 1 else n
+            val closing = inner.startsWith("/")
+            val body = if (closing) inner.substring(1) else inner
+            var k = 0
+            while (k < body.length && Character.isLetterOrDigit(body.charAt(k))) k += 1
+            val name = body.substring(0, k).toLowerCase(Locale.ROOT)
+            if (!closing && (name == "script" || name == "style")) {
+              val e = lower.indexOf("</" + name, i)
+              i = if (e < 0) n else e
+            } else if (!closing && name == "a") {
+              hrefOf(body.substring(k)).foreach(out += _)
+            }
+          }
+        } else i += 1
+      }
+      out.toSeq
+    }
   }
 
   /** The SECOND HtmlBlocker implementation — the JDK Swing HTML parser
@@ -306,6 +447,31 @@ object Html {
       finalizeBlock()
       out.toSeq
     }
+
+    /** Outlinks via the Swing callback's attribute sets — entity decoding
+      * in attribute values is the parser's own. Self-closing anchors
+      * arrive as simple-tag events.
+      */
+    def outlinks(html: String): Seq[String] = {
+      import javax.swing.text.MutableAttributeSet
+      import javax.swing.text.html.{HTML, HTMLEditorKit}
+      val out = ArrayBuffer.empty[String]
+      def collect(t: HTML.Tag, a: MutableAttributeSet): Unit =
+        if (t == HTML.Tag.A) {
+          val v = a.getAttribute(HTML.Attribute.HREF)
+          if (v != null) out += v.toString
+        }
+      val cb = new HTMLEditorKit.ParserCallback {
+        override def handleStartTag(t: HTML.Tag, a: MutableAttributeSet,
+                                    pos: Int): Unit = collect(t, a)
+        override def handleSimpleTag(t: HTML.Tag, a: MutableAttributeSet,
+                                     pos: Int): Unit = collect(t, a)
+        override def handleError(msg: String, pos: Int): Unit = ()
+      }
+      new javax.swing.text.html.parser.ParserDelegator()
+        .parse(new java.io.StringReader(html), cb, true)
+      out.toSeq
+    }
   }
 
   /** HTML-escape `text[from, until)` into `sb` — `&` first, then the angle
@@ -357,7 +523,25 @@ object Html {
     if (id % 5 == 0)
       sb.append("<p class=\"ad\"><a href=\"/buy\">buy now</a> ")
         .append("<a href=\"/deal\">deal</a> promo</p>")
-    sb.append("</div><footer>(c) site ").append(k7)
+    // the related-articles box (x45's doc-to-doc substrate): two
+    // root-relative links into neighbor page families — one plain, one
+    // through dot-segments — and one absolute cross-family link whose
+    // spelling variance (case, www, default port, tracking junk,
+    // fragment) canonicalizes to the target family's EXACT canonical URL,
+    // so the parsed link graph carries a real doc-family cycle. Pure
+    // boilerplate by construction (19 chars, 17 link chars: fails both
+    // the length and the density rule), so x41's content columns are
+    // untouched by its presence.
+    val k100 = id % 100
+    val r3 = (k100 + 1) % 100
+    sb.append("</div><div class=\"rel\"><a href=\"/a/b").append((k100 + 7) % 100)
+      .append("\">r one</a> <a href=\"/a/x/../b").append((k100 + 14) % 100)
+      .append("/\">r two</a> <a href=\"")
+      .append(if (r3 % 2 == 0) "HTTPS" else "HTTP")
+      .append("://www.Site").append(r3 % 7).append(".Example.Com")
+      .append(if (r3 % 2 == 0) ":443" else ":80")
+      .append("/a/b").append(r3).append("?lang=en&q=").append(r3 % 11)
+      .append("&utm_source=x#f\">r three</a></div><footer>(c) site ").append(k7)
       .append(" <a href=\"/terms\">terms</a> ")
       .append("<a href=\"/privacy\">privacy</a></footer></body></html>")
     sb.toString
@@ -410,4 +594,55 @@ object Html {
       .toDF()
       .orderedBy("doc_id")
   }
+
+  /** x45: the parsed outlink graph — every anchor href on the page,
+    * extracted during the same tag walk as x41's block parse, resolved
+    * against the page's canonical URL and canonicalized through x43's
+    * kernel. One row per parsed anchor: (doc_id, src_url, href,
+    * dst_url); hrefs a frontier never enqueues (fragment-only, mailto:,
+    * javascript:) are dropped by resolution.
+    *
+    * Scale shape: x41's — ONE narrow `mapPartitions` pass, output
+    * ∝ anchors, no shuffle beyond the ordered output. At fleet scale
+    * this pass and the block parse fuse into a single page walk; the
+    * edge frame's natural partition key is the dst digest (the frontier
+    * enqueue key).
+    */
+  def outlinkGraph(spark: SparkSession, dir: String,
+                   blocker: HtmlBlocker = TagWalkBlocker): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val src = Urls.canonicalizeUrl(Urls.buildUrl(id))
+        blocker.outlinks(buildHtml(id, text)).iterator.flatMap { href =>
+          Urls.resolveHref(src, href).map(dst => (id, src, href, dst))
+        }
+      })
+      .toDF("doc_id", "src_url", "href", "dst_url")
+      .orderedBy("doc_id", "href")
+  }
+
+  /** g3: PageRank over the PARSED link graph — g2's exact integer kernel
+    * (micro-unit ranks, truncating division, three unrollable
+    * supersteps) pointed at x45's edges instead of the near-dup pair
+    * graph. Nodes are canonical URLs; the distinct (src, dst) edge set
+    * collapses a canonical group's copies into one node, and the kernel
+    * symmetrizes edges (the undirected co-citation form g2 defines —
+    * every vertex keeps degree ≥ 1, so no dangling-mass term enters the
+    * oracle). The synthesized corpus gives the graph real topology: the
+    * rel box's cross-family link chains the 100 page families into a
+    * cycle, and each site's nav/footer hubs accumulate in-degree. At
+    * fleet scale the node key would be a 128-bit URL digest rather than
+    * the string; the per-superstep cost model (one shuffle on src, one
+    * on dst, volume ∝ |edges|) is unchanged.
+    */
+  def linkPageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    Dedup.pageRankFromPairs(
+      outlinkGraph(spark, dir)
+        .select(col("src_url").as("a_id"), col("dst_url").as("b_id"))
+        .distinct(),
+      iters)
+      .withColumnRenamed("doc_id", "url")
 }

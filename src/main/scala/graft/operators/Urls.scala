@@ -155,6 +155,60 @@ object Urls {
     s"$scheme://$host$portPart$pathPart$queryPart"
   }
 
+  /** Resolve an href against a CANONICAL base URL (RFC 3986 §5 reference
+    * resolution over the crawl cases), then canonicalize the result.
+    * Absolute hierarchical hrefs stand alone; `//host/..` inherits the
+    * base scheme; `/path` keeps the authority; `?q` keeps the base path;
+    * a bare relative path merges with the base path's directory (the
+    * canonicalizer collapses any resulting dot-segments). None for the
+    * hrefs a frontier never enqueues: empty, fragment-only, and
+    * non-hierarchical schemes (`mailto:`, `javascript:`, `data:`).
+    */
+  private[graft] def resolveHref(baseCanon: String, href: String): Option[String] = {
+    val h = href.trim
+    if (h.isEmpty || h.startsWith("#")) return None
+    // a scheme prefix ends at the first ':' and is ALPHA *(alnum/+/-/.)
+    val colon = h.indexOf(':')
+    val hasScheme = colon > 0 && Character.isLetter(h.charAt(0)) && {
+      var ok = true
+      var i = 1
+      while (ok && i < colon) {
+        val c = h.charAt(i)
+        ok = Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+        i += 1
+      }
+      ok
+    }
+    if (hasScheme) {
+      return if (h.regionMatches(colon, "://", 0, 3)) Some(canonicalizeUrl(h))
+      else None // mailto:, javascript:, data:, tel: — not fetchable
+    }
+    val sep = baseCanon.indexOf("://")
+    if (sep < 0) return None // opaque base: nothing to resolve against
+    val scheme = baseCanon.substring(0, sep)
+    val rest = baseCanon.substring(sep + 3)
+    val cut = {
+      val sl = rest.indexOf('/')
+      val qm = rest.indexOf('?')
+      if (sl < 0) qm else if (qm < 0) sl else math.min(sl, qm)
+    }
+    val authority = if (cut < 0) rest else rest.substring(0, cut)
+    val afterAuth = if (cut < 0) "" else rest.substring(cut)
+    val qm2 = afterAuth.indexOf('?')
+    val basePath = if (qm2 < 0) afterAuth else afterAuth.substring(0, qm2)
+    if (h.startsWith("//")) Some(canonicalizeUrl(scheme + ":" + h))
+    else if (h.startsWith("/")) Some(canonicalizeUrl(s"$scheme://$authority$h"))
+    else if (h.startsWith("?"))
+      Some(canonicalizeUrl(s"$scheme://$authority$basePath$h"))
+    else {
+      val dir = basePath.lastIndexOf('/') match {
+        case -1 => "/"
+        case p  => basePath.substring(0, p + 1)
+      }
+      Some(canonicalizeUrl(s"$scheme://$authority$dir$h"))
+    }
+  }
+
   /** The synthesized raw URL: identity dims from `id % 100` (scheme
     * choice, site, page, q param), variance dims from the full id —
     * eight independent spelling axes (incl. two percent-encoded ones)

@@ -122,6 +122,27 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("resolveHref: absolute, scheme-relative, root/path/query-relative; frontier drops") {
+    import graft.operators.Urls.resolveHref
+    val base = "https://site0.example.com/a/b7?lang=en&q=7"
+    assert(resolveHref(base, "HTTP://X.com/Y") == Some("http://x.com/Y"))
+    assert(resolveHref(base, "//cdn.example.com/img") ==
+      Some("https://cdn.example.com/img"))
+    assert(resolveHref(base, "/top") == Some("https://site0.example.com/top"))
+    assert(resolveHref(base, "next.html") ==
+      Some("https://site0.example.com/a/next.html"))
+    assert(resolveHref(base, "../up") == Some("https://site0.example.com/up"))
+    assert(resolveHref(base, "?q=1") ==
+      Some("https://site0.example.com/a/b7?q=1"))
+    assert(resolveHref(base, "") == None)
+    assert(resolveHref(base, "  ") == None)
+    assert(resolveHref(base, "#frag") == None)
+    assert(resolveHref(base, "mailto:a@b.c") == None)
+    assert(resolveHref(base, "javascript:void(0)") == None)
+    // base with no path: the directory is the root
+    assert(resolveHref("https://h.com", "x") == Some("https://h.com/x"))
+  }
+
   test("x44 REP matching: longest prefix wins, equal lengths resolve to allow, no rules allow") {
     import graft.operators.Urls.robotsVerdict
     // synthesized rules: site2 disallows /a/b2, allows /a/b23
