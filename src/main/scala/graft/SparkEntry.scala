@@ -137,6 +137,7 @@ object SparkEntry {
     "x44_robots_gate"      -> ((s, d) => operators.Urls.robotsGate(s, d)),
     "x45_outlink_graph"    -> ((s, d) => operators.Html.outlinkGraph(s, d)),
     "g3_link_pagerank"     -> ((s, d) => operators.Html.linkPageRank(s, d)),
+    "x46_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -751,6 +752,51 @@ object SparkEntry {
        |FROM srcf JOIN lens USING (wd)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** x46's DuckDB twin: the shared 10-step training chain's final state
+    * (st10) is the tokenizer; the dictionary ranks corpus alphabet ∪
+    * merge products in byte order; per-word id strings join back to the
+    * documents' word sequence and the comma-joined id stream is pinned
+    * by the same CRC32 fold as the engine's audit row. LEFT JOIN +
+    * coalesce so an empty-text doc still audits (0 tokens, CRC of '').
+    */
+  private lazy val x46OracleSql: String = {
+    val msym = (0 until 10).map(k => s"SELECT l || r AS sym FROM bp$k")
+      .mkString(" UNION ")
+    val idBytes =
+      "list_transform(range(1, length(idstr)+1), i -> CAST(unicode(idstr[i]) AS BIGINT))"
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT wd, count(*) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents) GROUP BY wd),
+       |$bpeSt0Cte,
+       |$bpeChainCtes,
+       |ct AS (SELECT $crcTableLiteral AS tbl),
+       |alpha AS (SELECT DISTINCT sym FROM st0),
+       |dict AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
+       |  FROM (SELECT sym FROM alpha UNION $msym)),
+       |wids AS MATERIALIZED (
+       |  SELECT st10.wd, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS idstr,
+       |         count(*) AS n
+       |  FROM st10 JOIN dict USING (sym) GROUP BY st10.wd),
+       |docw AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS wd,
+       |    CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INT) AS ord
+       |  FROM documents),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(idstr, ',' ORDER BY ord) AS idstr,
+       |         CAST(sum(n) AS BIGINT) AS n_tokens
+       |  FROM docw JOIN wids USING (wd) GROUP BY doc_id),
+       |ids AS (
+       |  SELECT d.doc_id, coalesce(p.idstr, '') AS idstr,
+       |         coalesce(p.n_tokens, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |  ${crc32Sql(idBytes)} AS ids_crc32
+       |FROM ids, ct
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The m-family oracles rebuild the synthesized media payloads in SQL —
     * byte-exact BMP/WAV containers as integer lists from (doc_id, text),
     * little-endian header fields spelled as div/mod arithmetic — and run
@@ -1251,6 +1297,7 @@ object SparkEntry {
     "k3_kmeans_refine" -> k3OracleSql,
     "x23_bpe_merges" -> x23OracleSql,
     "x24_token_compression" -> x24OracleSql,
+    "x46_bpe_encode" -> x46OracleSql,
     "m1_multimodal_meta" -> m1OracleSql,
     "m6_media_dedup" -> m6OracleSql,
     "m2_frame_sample" -> m2OracleSql,

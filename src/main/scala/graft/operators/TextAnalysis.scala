@@ -952,6 +952,81 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** x46: BPE ENCODE — apply the x23-learned merge table to emit the
+    * actual token-id sequence per document (x23 learns the merges, x24
+    * prices them; this is the pass that tokenizes the corpus for
+    * training). The token dictionary is corpus alphabet ∪ merge products
+    * in UTF-8 byte order with dense 0-based ids — like the merge table
+    * itself, a bounded model artifact (|alphabet| + ≤ `merges` entries)
+    * held on the driver and shipped in the closure. Every symbol
+    * `applyMerges` can produce is covered: unmerged symbols are alphabet
+    * characters, merged ones are some rank's `l+r` product.
+    *
+    * Output is the m1 audit-row discipline — fixed width per document
+    * regardless of length: the BPE token count plus a CRC32 over the
+    * comma-joined decimal id sequence, which pins the EXACT ids in exact
+    * order without shipping a token column that would dwarf the corpus.
+    * (A production sink would write the ids as an array column straight
+    * to parquet — same pass, wider row.)
+    *
+    * Scale shape: train once (vocabulary-sized state, memo-shared with
+    * x23/x24), then ONE narrow encode pass — per-partition cost ∝ bytes
+    * scanned, a per-partition word→encoding memo capping the repeated
+    * `applyMerges` work on duplicate words, no shuffle beyond the
+    * ordered output.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val wordFreq = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ms: Seq[(String, String)] =
+      sharedMerges(spark, dir, merges, wordFreq).map(t => (t._2, t._3))
+    val alphabet = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().as[String].collect().toSeq
+    val dict: Map[String, Long] =
+      (alphabet ++ ms.map { case (l, r) => l + r })
+        .distinct.sortWith(utf8Less).zipWithIndex
+        .map { case (s, i) => s -> i.toLong }.toMap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // word -> (ids-csv, token count): partition-local memo so
+        // duplicate words tokenize once; bounded to keep a pathological
+        // vocabulary from pinning executor memory
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        def enc(w: String): (String, Long) = {
+          val hit = memo.get(w)
+          if (hit != null) hit
+          else {
+            val syms = applyMerges(w, ms)
+            val v = (syms.iterator.map(dict(_)).mkString(","), syms.length.toLong)
+            if (memo.size < 100000) memo.put(w, v)
+            v
+          }
+        }
+        it.map { case (id, text) =>
+          val sb = new java.lang.StringBuilder
+          var n = 0L
+          text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+            val (ids, k) = enc(w)
+            if (sb.length > 0) sb.append(',')
+            sb.append(ids)
+            n += k
+          }
+          val c = new java.util.zip.CRC32
+          c.update(sb.toString.getBytes("UTF-8"))
+          (id, n, c.getValue)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "ids_crc32")
+      .orderedBy("doc_id")
+  }
+
   /** i2: BM25 top-k retrieval — score every document against a term query
     * with Okapi BM25 (k1 = 1.2, b = 0.75, the Robertson/Sparck-Jones idf in
     * its always-positive ln(1 + …) form) and keep the best `topK`. This is

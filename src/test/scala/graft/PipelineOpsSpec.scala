@@ -266,6 +266,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("s0", 3L, 10L, 3L, 3.3333)))
   }
 
+  test("x46 encodes docs under the learned merges: byte-ordered dict, order-exact CRC") {
+    val dir = writeDocs(Seq(
+      (1L, "aaab aaab", "s0"), (2L, "ab", "s0"), (3L, "b aaab", "s0")))
+    // learned merges on this corpus: (a,a), (a,b), (aa,ab) — so every
+    // "aaab" collapses to the single token "aaab". Dictionary = alphabet
+    // {a,b} ∪ products {aa,ab,aaab} in byte order:
+    // a=0, aa=1, aaab=2, ab=3, b=4
+    def crc(s: String) = {
+      val c = new java.util.zip.CRC32
+      c.update(s.getBytes("UTF-8")); c.getValue
+    }
+    val got = TextAnalysis.bpeEncode(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, crc("2,2")),   // aaab aaab -> [2, 2]
+      (2L, 1L, crc("3")),     // ab        -> [3]
+      (3L, 2L, crc("4,2"))),  // b aaab    -> [4, 2]: word order pins the CRC
+      s"got $got")
+  }
+
   test("x25 temperature mixing upweights small sources") {
     val dir = writeDocs(
       (1L to 16L).map(i => (i, "w", "big")) :+ (17L, "w", "small"))
