@@ -138,6 +138,7 @@ object SparkEntry {
     "x45_outlink_graph"    -> ((s, d) => operators.Html.outlinkGraph(s, d)),
     "g3_link_pagerank"     -> ((s, d) => operators.Html.linkPageRank(s, d)),
     "x46_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
+    "p2_web_pipeline"      -> ((s, d) => Curation.webPipelineDecision(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -474,7 +475,13 @@ object SparkEntry {
     * (the clsOracleWith posSet) pass the classifier stage outright — the
     * GPT-3-recipe routing `trainingCorpus` ships.
     */
-  private val p1OracleSql: String = clsOracleWith(
+  // The gate CTEs shared VERBATIM by the p1 and p2 composed oracles (one
+  // definition, the blocklist-constants convention): cls2's HUGEINT
+  // Pareto LUT + LCG uniform over the trained scores, c1's raw-string
+  // shingle contamination, the x42 shared CASE, and the heuristic
+  // scoring frame. lazy: references x42CaseSql (itself lazy, declared
+  // later in the file).
+  private lazy val p1SharedCtes: String =
     s""", lut AS (
        |  SELECT CAST(s3 AS BIGINT) AS s3,
        |    CAST((CAST(32768 AS HUGEINT) * CAST('1000000000000000000000000000' AS HUGEINT)
@@ -518,30 +525,103 @@ object SparkEntry {
        |  len(list_filter(toks2, x -> list_contains(['join','merge','group'], x))) AS s_de,
        |  len(list_filter(toks2, x -> list_contains(['window','stream','batch'], x))) AS s_fr,
        |  len(list_filter(toks2, x -> list_contains(['spark','vector','hash'], x))) AS s_zh
-       | FROM pb),
-       |pk AS (SELECT *,
+       | FROM pb)""".stripMargin
+
+  /** The shared language vote + quality score expressions over ps2's
+    * columns (identical text in both composed oracles).
+    */
+  private val p1PredLangCase: String =
+    """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END""".stripMargin
+  private val p1QExpr: String =
+    """round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
+      |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6)""".stripMargin
+  private val p1ContentGates: String =
+    """WHEN n_words < 5 OR n_words > 1000 THEN 'length'
+      |       WHEN q < 0.55 THEN 'low_quality'
+      |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+      |       WHEN pcon.doc_id IS NOT NULL THEN 'contaminated'
+      |       WHEN NOT clsv.cls_ok THEN 'classifier_reject'
+      |       ELSE 'ok' END""".stripMargin
+
+  private lazy val p1OracleSql: String = clsOracleWith(
+    p1SharedCtes + ",\n" +
+    s"""pk AS (SELECT *,
        |  min(CASE WHEN block_reason = 'ok' THEN doc_id END)
        |    OVER (PARTITION BY norm) AS keep_id,
-       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
-       |       ELSE 'zh' END AS pred_lang,
-       |  round(0.4 * ttr_raw + 0.3 * (1.0 - abs(stop_raw - 0.4))
-       |        + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6) AS q
+       |  $p1PredLangCase AS pred_lang,
+       |  $p1QExpr AS q
        | FROM ps2),
        |pd AS (SELECT pk.doc_id,
        |  CASE WHEN block_reason <> 'ok' THEN block_reason
        |       WHEN pk.doc_id <> keep_id THEN 'duplicate'
-       |       WHEN n_words < 5 OR n_words > 1000 THEN 'length'
-       |       WHEN q < 0.55 THEN 'low_quality'
-       |       WHEN pred_lang <> lang THEN 'lang_mismatch'
-       |       WHEN pcon.doc_id IS NOT NULL THEN 'contaminated'
-       |       WHEN NOT clsv.cls_ok THEN 'classifier_reject'
-       |       ELSE 'ok' END AS reason
+       |       $p1ContentGates AS reason
        | FROM pk LEFT JOIN pcon ON pk.doc_id = pcon.doc_id
        |   JOIN clsv ON pk.doc_id = clsv.doc_id)
        |SELECT doc_id, (reason = 'ok') AS keep, reason
+       |FROM pd ORDER BY doc_id""".stripMargin)
+
+  /** p2's DuckDB twin — the crawl-to-corpus funnel composed onto the p1
+    * gate stack: the x43/x44 analytic canonical URL + REP verdict CTEs
+    * (identity dims from doc_id, the proven frontier-oracle convention),
+    * x41's analytic extraction yield (trim-collapsed 80-char chunks ≥ 25
+    * chars), the fetch keeper = smallest ROBOTS-ALLOWED copy per
+    * canonical group, and the norm keeper restricted to docs that
+    * survived every earlier stage — then p1's content gates verbatim
+    * (the shared CTE/expression strings make drift impossible).
+    */
+  private lazy val p2OracleSql: String = clsOracleWith(
+    p1SharedCtes + ",\n" +
+    s"""fu AS (
+       |  SELECT doc_id,
+       |    CASE WHEN (doc_id % 100) % 2 = 0 THEN 'https' ELSE 'http' END ||
+       |      '://site' || ((doc_id % 100) % 7) || '.example.com/a/b' || (doc_id % 100) ||
+       |      '?lang=en&q=' || ((doc_id % 100) % 11) AS canon_url,
+       |    '/a/b' || (doc_id % 100) AS path,
+       |    '/a/b' || ((doc_id % 100) % 7) AS dis,
+       |    '/a/b' || ((doc_id % 100) % 7) || (((doc_id % 100) % 7 + 1) % 10) AS alw
+       |  FROM documents),
+       |fw AS (
+       |  SELECT doc_id, canon_url,
+       |    CASE WHEN starts_with(path, alw) THEN true
+       |         WHEN starts_with(path, dis) THEN false
+       |         ELSE true END AS allowed,
+       |    min(CASE WHEN (CASE WHEN starts_with(path, alw) THEN true
+       |                        WHEN starts_with(path, dis) THEN false
+       |                        ELSE true END) THEN doc_id END)
+       |      OVER (PARTITION BY canon_url) AS url_keep_id
+       |  FROM fu),
+       |chk AS (
+       |  SELECT doc_id,
+       |    count(*) FILTER (WHERE length(ctext) >= 25) AS n_content
+       |  FROM (
+       |    SELECT doc_id,
+       |      trim(regexp_replace(substr(text, CAST(ci*80+1 AS INT), 80), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS ctext
+       |    FROM (SELECT doc_id, text, unnest(range(0, (length(text) + 79) // 80)) AS ci
+       |          FROM documents))
+       |  GROUP BY doc_id),
+       |pk AS (SELECT ps2.*, fw.canon_url, fw.allowed, fw.url_keep_id,
+       |  coalesce(chk.n_content, 0) AS n_content,
+       |  min(CASE WHEN fw.allowed AND ps2.doc_id = fw.url_keep_id
+       |        AND coalesce(chk.n_content, 0) > 0 AND block_reason = 'ok'
+       |      THEN ps2.doc_id END) OVER (PARTITION BY norm) AS keep_id,
+       |  $p1PredLangCase AS pred_lang,
+       |  $p1QExpr AS q
+       | FROM ps2 JOIN fw ON ps2.doc_id = fw.doc_id
+       |   LEFT JOIN chk ON ps2.doc_id = chk.doc_id),
+       |pd AS (SELECT pk.doc_id, pk.canon_url,
+       |  CASE WHEN NOT allowed THEN 'robots_disallowed'
+       |       WHEN pk.doc_id <> url_keep_id THEN 'url_duplicate'
+       |       WHEN n_content = 0 THEN 'no_content'
+       |       WHEN block_reason <> 'ok' THEN block_reason
+       |       WHEN pk.doc_id <> keep_id THEN 'duplicate'
+       |       $p1ContentGates AS reason
+       | FROM pk LEFT JOIN pcon ON pk.doc_id = pcon.doc_id
+       |   JOIN clsv ON pk.doc_id = clsv.doc_id)
+       |SELECT doc_id, canon_url, (reason = 'ok') AS keep, reason
        |FROM pd ORDER BY doc_id""".stripMargin)
 
   /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
@@ -2166,6 +2246,8 @@ object SparkEntry {
     "s5_ann_ivf_pq" -> s5OracleSql(),
 
     "p1_pipeline_decision" -> p1OracleSql,
+
+    "p2_web_pipeline" -> p2OracleSql,
 
     "k1_centroid_assign" ->
       s"""$kAssignSql

@@ -146,6 +146,114 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** p2: the composed WEB pipeline — the full crawl-to-corpus funnel as
+    * ONE audited verdict frame, chaining the frontier stack into p1's
+    * content gates in production order: the x44 robots gate on the x43
+    * canonical URL (a URL a crawler may not fetch never costs a byte of
+    * bandwidth), URL-level dedup (keeper = smallest ROBOTS-ALLOWED copy of
+    * the canonical group — the staged-keeper discipline: a disallowed
+    * smallest copy must not delete the fetchable resource), the x41
+    * extraction yield gate (a page whose parse yields zero content blocks
+    * has nothing to curate), then the p1 stack unchanged: x42 blocklist,
+    * normalized dedup (keeper = smallest copy that survived EVERY earlier
+    * stage), length, quality, language agreement, c1 contamination, and
+    * the cls1/cls2 trained Pareto gate. One row per document: canonical
+    * URL, keep verdict, first-failing-rule reason spanning the funnel.
+    *
+    * Scale shape: ONE narrow kernel pass computes the three fetch-funnel
+    * columns (canonicalize + REP match + page parse fused into a single
+    * document walk) with the corpus columns passed through, so the
+    * heuristic gates stay one codegen projection over the same scan — no
+    * self-join back to the table. Two hash exchanges for the group
+    * windows (canonical-URL key, then norm key — at 100 TB, their 128-bit
+    * digests), plus p1's two doc-keyed verdict joins (c1 hits, memo-shared
+    * cls scores). Robots rules ride the closure as a constant (at fleet
+    * scale, a broadcast frame keyed on domain).
+    */
+  def webPipelineDecision(spark: SparkSession, dir: String,
+                          minWords: Int = 5, maxWords: Int = 1000,
+                          minQuality: Double = 0.55,
+                          minBlockLen: Int = 25,
+                          positiveSources: Seq[String] =
+                            Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    import spark.implicits._
+    val funnel = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions(_.map { case (id, lang, source, text) =>
+        val canon = Urls.canonicalizeUrl(Urls.buildUrl(id))
+        val (domain, path) = Urls.canonDomainPath(canon)
+        val allowed = Urls.robotsVerdict(domain, path)._2
+        val nContent = Html.auditRow(id, Html.buildHtml(id, text),
+          minBlockLen, Html.TagWalkBlocker).n_content
+        (id, lang, source, text, canon, allowed, nContent)
+      })
+      .toDF("doc_id", "lang", "source", "text", "canon_url", "allowed",
+        "n_content")
+    val toks = split(col("text"), " ")
+    val stops = TextAnalysis.markers.flatMap(_._2)
+    val scored = funnel
+      .select(
+        (col("doc_id") +: col("lang") +: col("source") +: col("canon_url") +:
+          col("allowed") +: col("n_content") +:
+          blocklistReason.as("block_reason") +:
+          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+            .as("norm") +:
+          size(toks).cast("long").as("n_words") +:
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw") +:
+          (Sketches.countInSet(toks, stops).cast("double") / size(toks))
+            .as("stop_raw") +:
+          TextAnalysis.markers.map { case (l, ws) =>
+            Sketches.countInSet(toks, ws).as(s"s_$l")
+          }): _*)
+      .withColumn("q",
+        round(lit(0.4) * col("ttr_raw")
+          + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
+          + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
+      .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
+      // fetch keeper = smallest ROBOTS-ALLOWED copy of the canonical URL
+      .withColumn("url_keep_id",
+        min(when(col("allowed"), col("doc_id")))
+          .over(Window.partitionBy(col("canon_url"))))
+      // content keeper = smallest copy that survived the WHOLE fetch
+      // funnel and the blocklist — p1's staged-keeper discipline extended
+      // to the frontier stages
+      .withColumn("keep_id",
+        min(when(col("allowed") && col("doc_id") === col("url_keep_id")
+          && col("n_content") > 0 && col("block_reason") === "ok",
+          col("doc_id")))
+          .over(Window.partitionBy(col("norm"))))
+    val contam = Decontamination.contaminatedIds(spark, dir)
+      .withColumn("contam", lit(true))
+    val cls = acceptPareto(
+      scoredCorpus(spark, dir, dim = 64, trainSample = 4096, iters = 3,
+        lrDiv = 2, positiveSources = positiveSources)
+        .select(col("doc_id"), col("prob_micros")))
+      .select(col("doc_id"), col("keep").as("cls_keep"))
+    val reason =
+      when(!col("allowed"), "robots_disallowed")
+        .when(col("doc_id") =!= col("url_keep_id"), "url_duplicate")
+        .when(col("n_content") === 0, "no_content")
+        .when(col("block_reason") =!= "ok", col("block_reason"))
+        .when(col("doc_id") =!= col("keep_id"), "duplicate")
+        .when(col("n_words") < minWords || col("n_words") > maxWords, "length")
+        .when(col("q") < minQuality, "low_quality")
+        .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+        .when(col("contam"), "contaminated")
+        .when(!(col("source").isin(positiveSources: _*) || col("cls_keep")),
+          "classifier_reject")
+        .otherwise("ok")
+    scored
+      .join(contam, Seq("doc_id"), "left")
+      .join(cls, Seq("doc_id"), "left")
+      .withColumn("contam", coalesce(col("contam"), lit(false)))
+      .withColumn("cls_keep", coalesce(col("cls_keep"), lit(false)))
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("canon_url"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+      .orderBy("doc_id")
+  }
+
   /** x42's blocklist constants — ONE Scala definition interpolated into
     * the operator, the p1 composition and the DuckDB oracle (the x40 tau
     * convention, so the two engines can never drift). C4-shaped lists: a

@@ -319,21 +319,33 @@ object Urls {
       .as[Long]
       .mapPartitions(_.map { id =>
         val canon = canonicalizeUrl(buildUrl(id))
-        val sep = canon.indexOf("://")
-        val rest = canon.substring(sep + 3)
-        val slash = rest.indexOf('/')
-        val authority = if (slash >= 0) rest.substring(0, slash) else rest
-        // rules key on the bare host — a canonical non-default port is
-        // not part of the robots identity
-        val domain = stripPort(authority)
-        val afterHost = if (slash >= 0) rest.substring(slash) else ""
-        val q = afterHost.indexOf('?')
-        val path = if (q >= 0) afterHost.substring(0, q) else afterHost
+        val (domain, path) = canonDomainPath(canon)
         val (rule, allowed) = robotsVerdict(domain, path)
         (id, domain, path, rule, allowed)
       })
       .toDF("doc_id", "domain", "path", "matched_rule", "allowed")
       .orderedBy("doc_id")
+  }
+
+  /** The robots identity of a CANONICAL url: (bare host, path before the
+    * query). Rules key on the bare host — a canonical non-default port is
+    * not part of the robots identity. Shared by the x44 gate, the p2
+    * composed pipeline and the streaming frontier twin.
+    */
+  private[graft] def canonDomainPath(canon: String): (String, String) = {
+    val sep = canon.indexOf("://")
+    // schemeless/opaque form (live streams see arbitrary input; the
+    // canonicalizer degrades rather than throws): no robots identity —
+    // no domain means no rules, and REP's default is allow
+    if (sep < 0) return ("", canon)
+    val rest = canon.substring(sep + 3)
+    val slash = rest.indexOf('/')
+    val authority = if (slash >= 0) rest.substring(0, slash) else rest
+    val domain = stripPort(authority)
+    val afterHost = if (slash >= 0) rest.substring(slash) else ""
+    val q = afterHost.indexOf('?')
+    val path = if (q >= 0) afterHost.substring(0, q) else afterHost
+    (domain, path)
   }
 
   /** x43: per-document raw + canonical URL with the frontier-dedup

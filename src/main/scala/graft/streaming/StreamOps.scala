@@ -254,24 +254,36 @@ object StreamOps {
   /** A discovered URL on the crawl stream — x43's unbounded input shape. */
   case class UrlEvent(doc_id: Long, ts: Timestamp, url: String)
 
-  /** x43's streaming twin: the LIVE crawl frontier — canonicalize each
-    * arriving URL with the SAME zero-dep canonicalizer as batch x43 (one
-    * shared definition), then admit only the FIRST arrival per canonical
-    * resource inside the watermark horizon (`dropDuplicatesWithinWatermark`
-    * keyed on the canonical form, the dedupStream discipline; state is one
+  /** x43+x44's streaming twin: the LIVE crawl frontier — canonicalize
+    * each arriving URL with the SAME zero-dep canonicalizer as batch x43
+    * (one shared definition), gate it through x44's REP longest-match
+    * verdict on the canonical (domain, path) — a URL a crawler may not
+    * fetch must never reach the fetch queue NOR occupy a row of dedup
+    * state — then admit only the FIRST arrival per canonical resource
+    * inside the watermark horizon (`dropDuplicatesWithinWatermark` keyed
+    * on the canonical form, the dedupStream discipline; state is one
     * canonical string — at fleet scale its 128-bit digest — per admitted
     * resource). Batch x43 keeps the smallest doc_id per group; a frontier
     * keeps the first ARRIVAL — the stream-native keeper rule, which
     * coincides with batch whenever discovery order follows ids (the spec
-    * pins both the coincidence and a deliberate divergence case).
+    * pins both the coincidence and a deliberate divergence case). The
+    * robots rules ride the closure as a constant, exactly like batch x44
+    * (at fleet scale, a broadcast frame keyed on domain, refreshed on the
+    * robots.txt recrawl cadence).
     */
   def urlFrontierStream(spark: SparkSession, urls: Dataset[UrlEvent],
                         watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
     urls
-      .map(u => (u.doc_id, u.ts, u.url,
-        graft.operators.Urls.canonicalizeUrl(u.url)))
-      .toDF("doc_id", "ts", "url", "canon_url")
+      .map { u =>
+        val canon = graft.operators.Urls.canonicalizeUrl(u.url)
+        val (domain, path) = graft.operators.Urls.canonDomainPath(canon)
+        val allowed = graft.operators.Urls.robotsVerdict(domain, path)._2
+        (u.doc_id, u.ts, u.url, canon, allowed)
+      }
+      .toDF("doc_id", "ts", "url", "canon_url", "allowed")
+      .filter(col("allowed"))
+      .drop("allowed")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canon_url")
   }

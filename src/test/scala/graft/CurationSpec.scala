@@ -116,6 +116,48 @@ class CurationSpec extends SparkSpec {
       1L -> "blocked_domain", 2L -> "ok", 3L -> "duplicate"), s"got $got")
   }
 
+  test("p2 chains the fetch funnel before the content gates in production order") {
+    val tB = "the a fast w1 w2 w3 w4 w5 the a fast w6 w7 w8 w9 w10 " * 3
+    val tD = "the a fast v1 v2 v3 v4 v5 the a fast v6 v7 v8 v9 v10 " * 3
+    val dir = writeDocs(Seq(
+      // site1 disallows /a/b1 and the allow override /a/b12 does not
+      // match -> never fetched, even though the text is fine
+      (1L, tB.trim, "s0"),
+      // /a/b23 hits BOTH rules of site2; the longer allow prefix wins
+      // (REP longest-match) -> fetched, survives everything
+      (23L, tB.trim, "s0"),
+      // same canonical family as 23 (id % 100) -> the fetch queue never
+      // requests it, whatever its text says
+      (123L, "different words entirely here now", "s0"),
+      // fetchable, but the page parses to zero content blocks
+      (30L, "tiny", "s0"),
+      // fetched fine, then the x42 domain blocklist fires
+      (24L, tB.trim, "src7"),
+      // canonical twin of 24 -> url_duplicate (24 is the allowed keeper)
+      (124L, tD.trim, "s0"),
+      // norm twin of 124: keeper, because 124 died at the URL stage —
+      // the staged-keeper discipline across the frontier stages
+      (225L, tD.trim, "s0")))
+    val got = Curation.webPipelineDecision(spark, dir, minQuality = 0.3,
+        positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got == Map(
+      1L -> "robots_disallowed", 23L -> "ok", 123L -> "url_duplicate",
+      30L -> "no_content", 24L -> "blocked_domain",
+      124L -> "url_duplicate", 225L -> "ok"), s"got $got")
+  }
+
+  test("p2 carries the canonical URL and the keep flag in the verdict frame") {
+    val t = "the a fast w1 w2 w3 w4 w5 the a fast w6 w7 w8 w9 w10 " * 3
+    val dir = writeDocs(Seq((30L, t.trim, "s0")))
+    val got = Curation.webPipelineDecision(spark, dir, minQuality = 0.3,
+        positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (30L, "https://site2.example.com/a/b30?lang=en&q=8", true, "ok")),
+      s"got ${got.toSeq}")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above

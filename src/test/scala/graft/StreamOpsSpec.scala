@@ -690,6 +690,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("url frontier stream drops robots-disallowed URLs before dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.UrlEvent]
+    val q = StreamOps.urlFrontierStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("x44_stream_out")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, minute: Int, url: String) =
+      StreamOps.UrlEvent(id,
+        Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), url)
+    try {
+      input.addData(Seq(
+        // site1 disallows /a/b1 (and the /a/b12 override doesn't match):
+        // never enqueued, never a row of dedup state — whatever spelling
+        ev(1, 1, "HTTP://WWW.Site1.Example.Com/a/b1?q=1"),
+        // /a/b23 hits site2's disallow /a/b2 AND allow /a/b23; the longer
+        // allow prefix wins (REP longest-match) -> admitted
+        ev(2, 1, "http://site2.example.com/a/b23?q=1"),
+        // a domain with no rules at all: REP default-allow
+        ev(3, 2, "http://norules.example.org/a/b1")))
+      q.processAllAvailable()
+      val got = spark.table("x44_stream_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(got == Set(2L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("url frontier stream: first arrival per canonical resource wins") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UrlEvent]
