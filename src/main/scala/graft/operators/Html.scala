@@ -368,8 +368,20 @@ object Html {
     * HTML-3.2 DTD doesn't know nav/footer/header (they arrive as
     * name-keyed unknown-tag events, mapped to block boundaries here),
     * script bodies surface as comment events, and malformed-markup
-    * recovery follows Swing's DTD rather than the HTML5 tokenizer rule,
-    * so the crafted-edge-case contract is pinned on TagWalkBlocker only.
+    * recovery follows Swing's DTD rather than the HTML5 tokenizer rule.
+    * HtmlSpec's parity-breadth test extends the agreement to every
+    * crafted fixture the event model can express (block splits, quoted
+    * '>' in attributes, whitespace collapse, anchor-span separators,
+    * stray closes, unterminated tags, EOF-in-script, the full outlinks
+    * href inventory); the EXACT divergence set is probed and PINNED in
+    * the companion divergence test — six departures, all attributable to
+    * the JDK event model, none to the seam: (1) style bodies arrive as
+    * TEXT (script bodies as comments), (2) the HTML-3.2 entity table (no
+    * &apos;, &nbsp; -> U+00A0 non-collapsible, bare &amp eats the next
+    * space, malformed numeric refs -> NUL), (3) nested <a> implies </a>,
+    * (4) self-closing <a/> stays open, (5) a block boundary inside an
+    * anchor implies </a> so link mass doesn't carry across blocks,
+    * (6) '<' before a digit is swallowed instead of HTML5's treat-as-text.
     */
   object SwingBlocker extends HtmlBlocker {
     private val extraBlockNames = Set("nav", "footer", "header", "aside",

@@ -199,6 +199,32 @@ object PipelineScale {
     val p1Json = p1a.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
+    // Phase 5 — the round-13 composed WEB verdict at scale: p2 chains
+    // the crawl funnel (robots gate -> URL dedup -> extraction yield)
+    // onto p1's content stack; same discipline — run twice with the memo
+    // caches dropped, the full-funnel reason histogram must reproduce
+    // exactly, cover every document, and keep a non-empty corpus.
+    def p2Counts(): Map[String, Long] = {
+      val m = Curation.webPipelineDecision(spark, dir)
+        .groupBy(col("reason")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.CacheRegistry.releaseAll()
+      graft.CacheRegistry.releaseShared()
+      m
+    }
+    val tP2 = System.nanoTime()
+    val p2a = p2Counts()
+    val secP2 = (System.nanoTime() - tP2) / 1e9
+    val p2b = p2Counts()
+    check(p2a == p2b, "p2 verdict histogram must reproduce")
+    check(p2a.getOrElse("ok", 0L) > 0, "p2 must keep something")
+    check(p2a.values.sum == total, "p2 must verdict every doc")
+    check(p2a.getOrElse("robots_disallowed", 0L) > 0
+      && p2a.getOrElse("url_duplicate", 0L) > 0,
+      "p2's frontier stages must fire at scale")
+    val p2Json = p2a.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
     val line =
       s"""{"dir":"$dir","docs_total":$total,"kept":${all.size},""" +
         s""""partitions":$parts,"files":${c1.size},"max_file_rows":$maxRows,""" +
@@ -208,7 +234,8 @@ object PipelineScale {
         s""""v2_kept":${vAll.size},"v2_files":${v1.size},"v2_splits":3,""" +
         s""""v2_reproducible":true,"v2_zorder_total":true,""" +
         f""""sec_v2_run1":$secV2a%.1f,"sec_v2_run2":$secV2b%.1f,""" +
-        f""""p1_reasons":$p1Json%s,"p1_reproducible":true,"sec_p1":$secP1%.1f}"""
+        f""""p1_reasons":$p1Json%s,"p1_reproducible":true,"sec_p1":$secP1%.1f,""" +
+        f""""p2_reasons":$p2Json%s,"p2_reproducible":true,"sec_p2":$secP2%.1f}"""
     Files.write(Paths.get(outJson), (line + "\n").getBytes)
     println(s"E2ESCALE $line")
     spark.stop()

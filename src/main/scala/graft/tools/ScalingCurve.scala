@@ -104,6 +104,10 @@ object ScalingCurve {
       "x43_url_canonicalize" -> ((s, d) => graft.operators.Urls.urlCanonicalize(s, d)),
       "x44_robots_gate" -> ((s, d) => graft.operators.Urls.robotsGate(s, d)),
       "p1_pipeline_decision" -> ((s, d) => Curation.pipelineDecision(s, d)),
+      "x45_outlink_graph" -> ((s, d) => graft.operators.Html.outlinkGraph(s, d)),
+      "g3_link_pagerank" -> ((s, d) => graft.operators.Html.linkPageRank(s, d)),
+      "x46_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
+      "p2_web_pipeline" -> ((s, d) => Curation.webPipelineDecision(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),

@@ -163,6 +163,76 @@ class HtmlSpec extends SparkSpec {
     assert(viaTagWalk == viaSwing)
   }
 
+  test("SwingBlocker parity breadth: the crafted fixtures the JDK event model agrees on") {
+    // every crafted TagWalkBlocker fixture where the JDK parser's event
+    // model can express the same semantics — block-for-block equality,
+    // so a silent drift in EITHER implementation fails here
+    val agreeing = Seq(
+      "<div>alpha <b>beta</b> gamma</div><p>delta</p><span>same block " +
+        "until</span> a block tag<h2>next</h2>",
+      """<p data-x="a>b">text</p><p title='1>2'>more</p>""",
+      "<p>\t  one \n\r two\f three  </p>",
+      """<nav><a href="/x">home</a> <a href="/y">about us</a> tail</nav>""",
+      "<p></a>no link</p>",
+      "<p>left open",
+      "<p>tail<div unterminated",
+      "<script>never closed",
+      "",
+      "<P>one<BR>two</P><H3>three</H3>")
+    agreeing.foreach { html =>
+      assert(TagWalkBlocker.blocks(html) == Html.SwingBlocker.blocks(html),
+        s"divergence on: $html")
+    }
+    // the outlinks contract agrees on the full crafted href inventory
+    val linkHtml = """<a href="/x">x</a><a href='/y?a=1&amp;b=2'>y</a>""" +
+      """<a href=/bare>b</a><a class="z">no href</a><a HREF="/up">u</a>""" +
+      """<script>var s = '<a href="/ghost">g</a>';</script>""" +
+      """<!-- <a href="/c">c</a> --><a data-x="1>2" href="/after">a</a>""" +
+      """<a href="">empty</a></a><a href="/sc"/>"""
+    assert(TagWalkBlocker.outlinks(linkHtml) == Html.SwingBlocker.outlinks(linkHtml))
+  }
+
+  test("SwingBlocker divergence set: the exact JDK-event-model departures, pinned") {
+    // where the JDK parser's event model CANNOT express TagWalkBlocker's
+    // HTML5-leaning semantics, the divergence is documented and PINNED —
+    // if either side moves, this fails and the seam doc must be revisited.
+    def swing(html: String) = Html.SwingBlocker.blocks(html)
+
+    // 1. <style> bodies: the JDK parser delivers script bodies as comment
+    //    events but style bodies as TEXT, so SwingBlocker emits the CSS
+    //    as a block (TagWalkBlocker skips both raw-text elements)
+    assert(swing("<p>keep</p><SCRIPT>var x = '<div>not a block</div>';" +
+      "</SCRIPT><style>p { color: red }</style><!-- <p>ghost</p> --><p>end</p>")
+      == Seq(HtmlBlock("keep", 0), HtmlBlock("p { color: red }", 0),
+        HtmlBlock("end", 0)))
+
+    // 2. entity table: HTML-3.2 DTD — no &apos; (literal passthrough),
+    //    &nbsp; -> U+00A0 (NOT collapsible whitespace), bare &amp eats the
+    //    following space, malformed &#xZZ; -> NUL + literal tail
+    assert(swing("<p>&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos; " +
+      "x&nbsp;y &#65;&#x42; &bogus; &amp &#xZZ;</p>")
+      == Seq(HtmlBlock(
+        "<tag> & \"q\" &apos;a&apos; x\u00a0y AB &bogus; & \u0000ZZ;", 0)))
+
+    // 3. nested anchors: the DTD implies </a> when a second <a> opens, so
+    //    only "deep" (4 chars) counts as link mass, not "deep link" (9)
+    assert(swing("<p><a><a>deep</a> link</a> out</p>")
+      == Seq(HtmlBlock("deep link out", 4)))
+
+    // 4. self-closing <a/>: XML syntax isn't HTML 3.2 — the parser keeps
+    //    the anchor open, so the trailing text lands inside the link span
+    assert(swing("<p><a/>plain</p>") == Seq(HtmlBlock("plain", 5)))
+
+    // 5. a block boundary inside an open anchor: the DTD implies </a> at
+    //    the <p> close, so the span's mass does not carry across blocks
+    assert(swing("<a>one<p>two</p>three</a>")
+      == Seq(HtmlBlock("one", 3), HtmlBlock("two", 0), HtmlBlock("three", 0)))
+
+    // 6. '<' before a digit: TagWalkBlocker applies the HTML5 text rule;
+    //    the JDK tokenizer swallows the '<'
+    assert(swing("<p>i <3 parsers</p>") == Seq(HtmlBlock("i 3 parsers", 0)))
+  }
+
   test("outlinks: quoted/bare hrefs, entity decode, script/comment/closing skips") {
     val html = """<a href="/x">x</a><a href='/y?a=1&amp;b=2'>y</a>""" +
       """<a href=/bare>b</a><a class="z">no href</a><a HREF="/up">u</a>""" +
