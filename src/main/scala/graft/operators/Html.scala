@@ -577,11 +577,17 @@ object Html {
     * shared by the batch operator and the streaming twin
     * (`StreamOps.htmlExtractStream`), so the two can never drift.
     */
+  /** The jusText-core content rule — length ≥ minLen ∧ link density
+    * ≤ 1/3 in exact integers. ONE definition shared by the batch audit
+    * and the streaming ingest gate.
+    */
+  private[graft] def isContent(b: HtmlBlock, minLen: Int): Boolean =
+    b.text.length >= minLen && b.linkChars * 3 <= b.text.length
+
   private[graft] def auditRow(id: Long, html: String, minLen: Int,
                               blocker: HtmlBlocker): HtmlExtractRow = {
     val bs = blocker.blocks(html)
-    val (content, boiler) = bs.partition(b =>
-      b.text.length >= minLen && b.linkChars * 3 <= b.text.length)
+    val (content, boiler) = bs.partition(isContent(_, minLen))
     val mainText = content.iterator.map(_.text).mkString("\n")
     HtmlExtractRow(id, html.length.toLong, crc32(html),
       bs.length.toLong, content.length.toLong, boiler.length.toLong,

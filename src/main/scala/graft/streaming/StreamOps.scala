@@ -251,6 +251,58 @@ object StreamOps {
       .select(col("doc_id"), col("ts"),
         (col("reason") === "ok").as("keep"), col("reason"))
 
+  /** A fetched page on the crawl stream — p2's unbounded input shape:
+    * the URL as fetched plus the raw page bytes (source tags the feed,
+    * the x42 domain-rule key).
+    */
+  case class FetchEvent(doc_id: Long, ts: Timestamp, url: String,
+                        source: String, html: String)
+
+  /** p2's INGEST face: every per-page stage of the composed web pipeline
+    * as ONE stateless pass over the fetch stream, in p2's
+    * first-failing-rule order — x44's REP verdict on the x43 canonical
+    * URL, the x41 extraction-yield gate (zero content blocks → drop),
+    * then the x42 blocklist over the EXTRACTED main text (at ingest the
+    * extracted text IS the document — batch p2 gates the stored corpus
+    * column, which the page synthesis embeds). Every kernel is the ONE
+    * shared definition (`canonicalizeUrl`/`canonDomainPath`/
+    * `robotsVerdict`, `HtmlBlocker.blocks` + `Html.isContent`,
+    * `Curation.blocklistReason`), so the per-page verdicts can never
+    * drift from batch. The KEYED stages stay where they belong:
+    * canonical-URL dedup is [[urlFrontierStream]]'s watermark state
+    * (upstream — a disallowed URL never reaches the fetcher), and the
+    * norm-dedup/contamination/classifier gates are corpus-level batch
+    * passes. No watermark, no state store; only the verdict row leaves
+    * the stage — page bodies never shuffle.
+    */
+  def webIngestGateStream(spark: SparkSession, fetches: Dataset[FetchEvent],
+                          minBlockLen: Int = 25,
+                          blocker: graft.operators.Html.HtmlBlocker =
+                            graft.operators.Html.TagWalkBlocker): DataFrame = {
+    import spark.implicits._
+    fetches
+      .map { f =>
+        val canon = graft.operators.Urls.canonicalizeUrl(f.url)
+        val (domain, path) = graft.operators.Urls.canonDomainPath(canon)
+        val allowed = graft.operators.Urls.robotsVerdict(domain, path)._2
+        val content = blocker.blocks(f.html)
+          .filter(graft.operators.Html.isContent(_, minBlockLen))
+        val mainText = content.iterator.map(_.text).mkString("\n")
+        (f.doc_id, f.ts, canon, allowed, content.length.toLong,
+          f.source, mainText)
+      }
+      .toDF("doc_id", "ts", "canon_url", "allowed", "n_content",
+        "source", "text")
+      .withColumn("block_reason", graft.operators.Curation.blocklistReason)
+      .withColumn("reason",
+        when(!col("allowed"), "robots_disallowed")
+          .when(col("n_content") === 0, "no_content")
+          .when(col("block_reason") =!= "ok", col("block_reason"))
+          .otherwise("ok"))
+      .select(col("doc_id"), col("ts"), col("canon_url"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+  }
+
   /** A discovered URL on the crawl stream — x43's unbounded input shape. */
   case class UrlEvent(doc_id: Long, ts: Timestamp, url: String)
 

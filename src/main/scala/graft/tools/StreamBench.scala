@@ -220,6 +220,18 @@ object StreamBench {
         textify(stream()).withColumn("source",
           concat(lit("src"), pmod(col("doc_id"), lit(20))))))
 
+    // p2's ingest face: canonicalize + REP verdict + page parse +
+    // extraction-yield + blocklist per fetch event — the composed
+    // per-page gate; page synthesis reuses x41's, URLs x43's, so the
+    // rate carries the full parse AND the frontier kernels
+    val ingestRow = best("web_ingest_gate_stateless", () =>
+      StreamOps.webIngestGateStream(spark,
+        textify(stream()).as[(Long, java.sql.Timestamp, String)]
+          .map { case (id, ts, text) =>
+            StreamOps.FetchEvent(id, ts, graft.operators.Urls.buildUrl(id),
+              s"src${id % 20}", graft.operators.Html.buildHtml(id, text))
+          }))
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -291,7 +303,7 @@ object StreamBench {
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow).flatten ++
+        frontierRow, ingestRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

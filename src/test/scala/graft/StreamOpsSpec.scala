@@ -690,6 +690,87 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("web ingest gate streams p2's per-page verdicts in production order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.FetchEvent]
+    val q = StreamOps.webIngestGateStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("p2_stream_out")
+      .outputMode(OutputMode.Append).start()
+    val ts = Timestamp.valueOf("2024-01-01 00:01:00")
+    def page(body: String) = s"<html><body>$body</body></html>"
+    try {
+      input.addData(Seq(
+        // robots first: site1 disallows /a/b1 — the page content is
+        // fine, but a compliant crawler never even fetched it
+        StreamOps.FetchEvent(1, ts, "http://site1.example.com/a/b1",
+          "s0", page("<p>perfectly good content that is long enough</p>")),
+        // extraction-yield gate: every block short or link-dense
+        StreamOps.FetchEvent(2, ts, "http://norules.example.org/x",
+          "s0", page("<p>tiny</p><nav><a href=\"/a\">all link text here</a></nav>")),
+        // blocklist on the EXTRACTED text: the bad word is inside a
+        // content-classified block
+        StreamOps.FetchEvent(3, ts, "http://norules.example.org/y",
+          "s0", page("<p>this doc mentions dup once it does</p>")),
+        // domain rule fires before the word rule, batch x42 order
+        StreamOps.FetchEvent(4, ts, "http://norules.example.org/z",
+          "src7", page("<p>dup on a blocked domain long enough here</p>")),
+        // clean page, allow-override URL: /a/b23 beats site2's /a/b2
+        StreamOps.FetchEvent(5, ts, "HTTP://WWW.Site2.Example.Com/a/b23",
+          "s0", page("<p>clean words only here and long enough too</p>"))))
+      q.processAllAvailable()
+      val got = spark.table("p2_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"))).toMap
+      assert(got == Map(
+        1L -> "robots_disallowed", 2L -> "no_content", 3L -> "blocked_word",
+        4L -> "blocked_domain", 5L -> "ok"), s"got $got")
+      // the canonical URL column rides the shared x43 kernel
+      val canon5 = spark.table("p2_stream_out").collect()
+        .find(_.getAs[Long]("doc_id") == 5L).get.getAs[String]("canon_url")
+      assert(canon5 == "http://site2.example.com/a/b23", canon5)
+    } finally q.stop()
+  }
+
+  test("web ingest gate agrees with batch p2 on the synthesized per-page stages") {
+    import org.apache.spark.sql.SaveMode
+    implicit val sqlCtx = spark.sqlContext
+    // short texts (< 80 chars: one extraction chunk, so the extracted
+    // main text round-trips the corpus column exactly)
+    val docs = Seq(
+      (1L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "s0"),   // robots
+      (30L, "tiny", "s0"),                                     // no_content
+      (24L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "src7"), // blocked_domain
+      (25L, "this doc mentions dup once it does", "s0"),       // blocked_word
+      (26L, "the a fast v1 v2 v3 v4 v5 the a fast v6", "s0"))  // ok throughout
+    val dir = tempSfDir()
+    import spark.implicits._
+    docs.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Curation.webPipelineDecision(spark, dir,
+        minQuality = 0.0, positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val input = MemoryStream[StreamOps.FetchEvent]
+    val q = StreamOps.webIngestGateStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("p2_agree_out")
+      .outputMode(OutputMode.Append).start()
+    val ts = Timestamp.valueOf("2024-01-01 00:01:00")
+    try {
+      input.addData(docs.map { case (id, text, src) =>
+        StreamOps.FetchEvent(id, ts,
+          graft.operators.Urls.buildUrl(id), src,
+          graft.operators.Html.buildHtml(id, text))
+      })
+      q.processAllAvailable()
+      val stream = spark.table("p2_agree_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"))).toMap
+      // every fixture's batch verdict is a PER-PAGE stage or a clean
+      // pass (no keyed dedup fires: distinct canon families, distinct
+      // norms; the ok doc also clears batch's corpus-level gates), so
+      // the stream gate must reproduce it reason-for-reason
+      assert(stream == batch, s"stream=$stream batch=$batch")
+    } finally q.stop()
+  }
+
   test("url frontier stream drops robots-disallowed URLs before dedup state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamOps.UrlEvent]
