@@ -139,6 +139,8 @@ object SparkEntry {
     "g3_link_pagerank"     -> ((s, d) => operators.Html.linkPageRank(s, d)),
     "x46_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
     "p2_web_pipeline"      -> ((s, d) => Curation.webPipelineDecision(s, d)),
+    "x47_crawl_schedule"   -> ((s, d) => operators.Urls.crawlSchedule(s, d)),
+    "x48_domain_profile"   -> ((s, d) => Curation.domainProfile(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -573,19 +575,23 @@ object SparkEntry {
     * survived every earlier stage — then p1's content gates verbatim
     * (the shared CTE/expression strings make drift impossible).
     */
-  private lazy val p2OracleSql: String = clsOracleWith(
-    p1SharedCtes + ",\n" +
+  // The composed-funnel CTEs shared VERBATIM by the p2 and x48 oracles
+  // (ONE definition, the p1SharedCtes discipline): analytic canonical
+  // URL + domain, REP verdict with the allowed-keeper window, x41's
+  // analytic extraction yield, and the staged pk/pd gate cascade.
+  private lazy val p2PdCtes: String =
     s"""fu AS (
        |  SELECT doc_id,
        |    CASE WHEN (doc_id % 100) % 2 = 0 THEN 'https' ELSE 'http' END ||
        |      '://site' || ((doc_id % 100) % 7) || '.example.com/a/b' || (doc_id % 100) ||
        |      '?lang=en&q=' || ((doc_id % 100) % 11) AS canon_url,
+       |    'site' || ((doc_id % 100) % 7) || '.example.com' AS domain,
        |    '/a/b' || (doc_id % 100) AS path,
        |    '/a/b' || ((doc_id % 100) % 7) AS dis,
        |    '/a/b' || ((doc_id % 100) % 7) || (((doc_id % 100) % 7 + 1) % 10) AS alw
        |  FROM documents),
        |fw AS (
-       |  SELECT doc_id, canon_url,
+       |  SELECT doc_id, canon_url, domain,
        |    CASE WHEN starts_with(path, alw) THEN true
        |         WHEN starts_with(path, dis) THEN false
        |         ELSE true END AS allowed,
@@ -603,7 +609,7 @@ object SparkEntry {
        |    FROM (SELECT doc_id, text, unnest(range(0, (length(text) + 79) // 80)) AS ci
        |          FROM documents))
        |  GROUP BY doc_id),
-       |pk AS (SELECT ps2.*, fw.canon_url, fw.allowed, fw.url_keep_id,
+       |pk AS (SELECT ps2.*, fw.canon_url, fw.domain, fw.allowed, fw.url_keep_id,
        |  coalesce(chk.n_content, 0) AS n_content,
        |  min(CASE WHEN fw.allowed AND ps2.doc_id = fw.url_keep_id
        |        AND coalesce(chk.n_content, 0) > 0 AND block_reason = 'ok'
@@ -612,7 +618,7 @@ object SparkEntry {
        |  $p1QExpr AS q
        | FROM ps2 JOIN fw ON ps2.doc_id = fw.doc_id
        |   LEFT JOIN chk ON ps2.doc_id = chk.doc_id),
-       |pd AS (SELECT pk.doc_id, pk.canon_url,
+       |pd AS (SELECT pk.doc_id, pk.canon_url, pk.domain,
        |  CASE WHEN NOT allowed THEN 'robots_disallowed'
        |       WHEN pk.doc_id <> url_keep_id THEN 'url_duplicate'
        |       WHEN n_content = 0 THEN 'no_content'
@@ -620,9 +626,62 @@ object SparkEntry {
        |       WHEN pk.doc_id <> keep_id THEN 'duplicate'
        |       $p1ContentGates AS reason
        | FROM pk LEFT JOIN pcon ON pk.doc_id = pcon.doc_id
-       |   JOIN clsv ON pk.doc_id = clsv.doc_id)
-       |SELECT doc_id, canon_url, (reason = 'ok') AS keep, reason
-       |FROM pd ORDER BY doc_id""".stripMargin)
+       |   JOIN clsv ON pk.doc_id = clsv.doc_id)""".stripMargin
+
+  private lazy val p2OracleSql: String = clsOracleWith(
+    p1SharedCtes + ",\n" + p2PdCtes + "\n" +
+    """SELECT doc_id, canon_url, (reason = 'ok') AS keep, reason
+      |FROM pd ORDER BY doc_id""".stripMargin)
+
+  /** x48's DuckDB twin — the domain rollup over p2's pd frame (shared
+    * verbatim via p2PdCtes): per-(domain, reason) counts, per-domain
+    * totals and keep counts, rounded rate/share.
+    */
+  private lazy val x48OracleSql: String = clsOracleWith(
+    p1SharedCtes + ",\n" + p2PdCtes + ",\n" +
+    """tot AS (
+      |  SELECT domain, CAST(count(*) AS BIGINT) AS domain_total,
+      |    CAST(sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM pd GROUP BY domain)
+      |SELECT pd.domain, reason, CAST(count(*) AS BIGINT) AS n,
+      |  t.domain_total, t.n_kept,
+      |  round(CAST(t.n_kept AS DOUBLE) / t.domain_total, 6) AS keep_rate,
+      |  round(CAST(count(*) AS DOUBLE) / t.domain_total, 6) AS share
+      |FROM pd JOIN tot t USING (domain)
+      |GROUP BY pd.domain, reason, t.domain_total, t.n_kept
+      |ORDER BY domain, reason""".stripMargin)
+
+  /** x47's DuckDB twin — the politeness schedule derived analytically:
+    * the x43/x44 identity dims give canon/domain/verdict, the allowed
+    * keeper window gives the fetchable work-list, row_number per domain
+    * gives the slot, and the per-site Crawl-delay (250·(s+1), the ONE
+    * Scala constant) prices it.
+    */
+  private val x47OracleSql: String =
+    """WITH u AS (SELECT doc_id, doc_id % 100 AS k FROM documents),
+      |fv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN k % 2 = 0 THEN 'https' ELSE 'http' END ||
+      |      '://site' || (k % 7) || '.example.com/a/b' || k ||
+      |      '?lang=en&q=' || (k % 11) AS canon_url,
+      |    'site' || (k % 7) || '.example.com' AS domain,
+      |    CASE WHEN starts_with('/a/b' || k, '/a/b' || (k % 7) || (((k % 7) + 1) % 10)) THEN true
+      |         WHEN starts_with('/a/b' || k, '/a/b' || (k % 7)) THEN false
+      |         ELSE true END AS allowed
+      |  FROM u),
+      |fk AS (SELECT *,
+      |  min(CASE WHEN allowed THEN doc_id END)
+      |    OVER (PARTITION BY canon_url) AS keep_id
+      | FROM fv),
+      |fr AS (SELECT doc_id, domain, canon_url FROM fk
+      |       WHERE allowed AND doc_id = keep_id),
+      |sl AS (SELECT *,
+      |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS slot,
+      |  CAST(250 * (CAST(substr(domain, 5, 1) AS INT) + 1) AS BIGINT) AS delay_ms
+      | FROM fr)
+      |SELECT doc_id, domain, canon_url, slot, delay_ms,
+      |  (slot - 1) * delay_ms AS scheduled_ms
+      |FROM sl ORDER BY doc_id""".stripMargin
 
   /** k3's DuckDB twin: the full 3-iteration spherical Lloyd refinement,
     * unrolled — assignment cosines as ORDERED list folds (round-9 leaves
@@ -2248,6 +2307,10 @@ object SparkEntry {
     "p1_pipeline_decision" -> p1OracleSql,
 
     "p2_web_pipeline" -> p2OracleSql,
+
+    "x47_crawl_schedule" -> x47OracleSql,
+
+    "x48_domain_profile" -> x48OracleSql,
 
     "k1_centroid_assign" ->
       s"""$kAssignSql

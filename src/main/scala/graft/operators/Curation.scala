@@ -254,6 +254,41 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** x48: domain-level curation profile — the RefinedWeb-style
+    * host-reputation rollup over the composed p2 verdicts: one row per
+    * (domain, reason) with the count, the domain's total and keep rate,
+    * and the reason's share of the domain. This is the frame that FEEDS
+    * the next crawl's domain blocklist (a host whose keep rate collapses
+    * gets demoted or dropped from the frontier) and the per-host crawl
+    * budget — domain-level curation is how web pipelines amortize
+    * per-document gates.
+    *
+    * Scale shape: p2's cost plus one keyed aggregate on the domain (the
+    * verdict frame is doc-keyed; the rollup output is bounded by
+    * |domains| × |reasons|) and a broadcast join of the domain totals.
+    * Shares are integer-by-integer double divisions rounded at 6 — the
+    * h1 engine-portable discipline.
+    */
+  def domainProfile(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = webPipelineDecision(spark, dir)
+      .withColumn("domain",
+        regexp_extract(col("canon_url"), "^[a-z]+://([^/]+)", 1))
+    val totals = verdicts
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    verdicts
+      .groupBy(col("domain"), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "domain")
+      .select(col("domain"), col("reason"), col("n"),
+        col("domain_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("domain_total"), 6)
+          .as("keep_rate"),
+        round(col("n").cast("double") / col("domain_total"), 6).as("share"))
+      .orderBy("domain", "reason")
+  }
+
   /** x42's blocklist constants — ONE Scala definition interpolated into
     * the operator, the p1 composition and the DuckDB oracle (the x40 tau
     * convention, so the two engines can never drift). C4-shaped lists: a

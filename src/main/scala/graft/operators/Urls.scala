@@ -348,6 +348,61 @@ object Urls {
     (domain, path)
   }
 
+  /** x47's per-domain politeness delays — the Crawl-delay face of the
+    * robots convention: ONE Scala definition interpolated into the
+    * oracle (the x42/x44 discipline). Synthesized per site so the delay
+    * axis varies corpus-wide; domains absent from the map fetch at the
+    * default cadence.
+    */
+  private[graft] val crawlDelayMs: Map[String, Long] =
+    (0 until 7).map(s => s"site$s.example.com" -> 250L * (s + 1)).toMap
+  private[graft] val defaultCrawlDelayMs: Long = 1000L
+
+  /** x47: crawl-frontier politeness scheduling — the stage between the
+    * frontier dedup and the fetcher fleet: the fetchable work-list (x43's
+    * canonical keepers restricted to x44-ALLOWED copies, p2's staged
+    * keeper) is sequenced per domain under its Crawl-delay — slot k of a
+    * domain fetches at (k-1)·delay, one in-flight request per host (the
+    * politeness contract every crawler honors). Deterministic: slots
+    * order by doc_id inside the domain.
+    *
+    * Scale shape: ONE narrow kernel pass (canonicalize + REP, the x44
+    * fuse), one hash exchange on the canonical key for the keeper
+    * window, one on the domain for the slot window — at fleet scale the
+    * domain IS the work-queue partition key (each fetcher owns domains,
+    * so the schedule is embarrassingly parallel across hosts), and the
+    * delay map is a broadcast frame keyed on domain.
+    */
+  def crawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delayExpr = crawlDelayMs.foldLeft(lit(defaultCrawlDelayMs)) {
+      case (acc, (d, ms)) => when(col("domain") === lit(d), lit(ms)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val canon = canonicalizeUrl(buildUrl(id))
+        val (domain, path) = canonDomainPath(canon)
+        val allowed = robotsVerdict(domain, path)._2
+        (id, canon, domain, allowed)
+      })
+      .toDF("doc_id", "canon_url", "domain", "allowed")
+      .withColumn("keep_id",
+        min(when(col("allowed"), col("doc_id")))
+          .over(Window.partitionBy(col("canon_url"))))
+      .filter(col("allowed") && col("doc_id") === col("keep_id"))
+      .withColumn("slot",
+        row_number().over(
+          Window.partitionBy(col("domain")).orderBy(col("doc_id")))
+          .cast("long"))
+      .withColumn("delay_ms", delayExpr)
+      .withColumn("scheduled_ms", (col("slot") - 1) * col("delay_ms"))
+      .select(col("doc_id"), col("domain"), col("canon_url"), col("slot"),
+        col("delay_ms"), col("scheduled_ms"))
+      .orderedBy("doc_id")
+  }
+
   /** x43: per-document raw + canonical URL with the frontier-dedup
     * verdict — keeper (smallest doc_id in the canonical group), copy
     * count, and the is_canonical flag a fetch queue filters on.

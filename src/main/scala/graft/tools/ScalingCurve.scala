@@ -108,6 +108,8 @@ object ScalingCurve {
       "g3_link_pagerank" -> ((s, d) => graft.operators.Html.linkPageRank(s, d)),
       "x46_bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(s, d)),
       "p2_web_pipeline" -> ((s, d) => Curation.webPipelineDecision(s, d)),
+      "x47_crawl_schedule" -> ((s, d) => graft.operators.Urls.crawlSchedule(s, d)),
+      "x48_domain_profile" -> ((s, d) => Curation.domainProfile(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),

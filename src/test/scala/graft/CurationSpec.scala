@@ -158,6 +158,45 @@ class CurationSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("x48 rolls p2 verdicts up into per-domain reputation rows") {
+    val tB = "the a fast w1 w2 w3 w4 w5 the a fast w6 w7 w8 w9 w10 " * 3
+    val tD = "the a fast v1 v2 v3 v4 v5 the a fast v6 v7 v8 v9 v10 " * 3
+    // the p2 spec's fixture: site1 {1: robots}, site2 {23: ok,
+    // 123: url_dup, 30: no_content}, site3 {24: blocked_domain,
+    // 124: url_dup}, site4 {225: ok}
+    val dir = writeDocs(Seq(
+      (1L, tB.trim, "s0"), (23L, tB.trim, "s0"),
+      (123L, "different words entirely here now", "s0"),
+      (30L, "tiny", "s0"), (24L, tB.trim, "src7"),
+      (124L, tD.trim, "s0"), (225L, tD.trim, "s0")))
+    // domainProfile runs p2 at its production defaults, so fixture docs
+    // that reach the content gates may land on any late reason — the
+    // assertions below pin the FUNNEL-stage rows (decided before the
+    // trained gates) plus the per-domain accounting invariants
+    val got = Curation.domainProfile(spark, dir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val reasons = got.keySet
+    assert(reasons.map(_._1) == Set("site1.example.com", "site2.example.com",
+      "site3.example.com", "site4.example.com"), s"domains ${reasons.map(_._1)}")
+    assert(got(("site1.example.com", "robots_disallowed"))._1 == 1L)
+    // site2: three docs, one url_duplicate, one no_content, one that
+    // reaches the content gates (whatever its final verdict)
+    val site2 = got.filter(_._1._1 == "site2.example.com")
+    assert(site2.values.map(_._1).sum == 3L, s"site2 $site2")
+    assert(site2(("site2.example.com", "url_duplicate"))._1 == 1L)
+    assert(site2(("site2.example.com", "no_content"))._1 == 1L)
+    // totals and shares are per-domain and rounded at 6 (every site2
+    // reason row counts exactly one doc of its three)
+    site2.foreach { case (_, (n, total, _, _, share)) =>
+      assert(n == 1L && total == 3L && share == 0.333333, s"site2 $site2")
+    }
+    assert(got(("site3.example.com", "blocked_domain"))._1 == 1L)
+    assert(got(("site3.example.com", "url_duplicate"))._1 == 1L)
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above

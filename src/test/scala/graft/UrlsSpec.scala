@@ -179,6 +179,26 @@ class UrlsSpec extends SparkSpec {
       (40L, "site5.example.com", "", true)), s"got ${got.toSeq}")
   }
 
+  test("x47 politeness schedule: per-domain slots under the domain's crawl delay") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 23 and 123 share canon family k=23 (site2) -> one keeper (23);
+    // 30 is also site2 -> slot 2 behind 23; 24 is site3 alone;
+    // 1 is robots-disallowed (site1 /a/b1) -> never scheduled
+    Seq(1L, 23L, 123L, 30L, 24L)
+      .map(id => (id, s"doc $id", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = Urls.crawlSchedule(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq == Seq(
+      // site2 crawl delay = 250*(2+1) = 750; site3 = 1000
+      (23L, "site2.example.com", 1L, 750L, 0L),
+      (24L, "site3.example.com", 1L, 1000L, 0L),
+      (30L, "site2.example.com", 2L, 750L, 750L)), s"got ${got.toSeq}")
+  }
+
   test("x43 end-to-end: frontier dedup keeps the smallest id per canonical group") {
     import spark.implicits._
     val dir = tempSfDir()
