@@ -654,11 +654,17 @@ object SparkEntry {
   /** x47's DuckDB twin — the politeness schedule derived analytically:
     * the x43/x44 identity dims give canon/domain/verdict, the allowed
     * keeper window gives the fetchable work-list, row_number per domain
-    * gives the slot, and the per-site Crawl-delay (250·(s+1), the ONE
-    * Scala constant) prices it.
+    * gives the slot, and the per-site Crawl-delay map (the ONE Scala
+    * constant, `Urls.crawlDelayMs`, interpolated here so the two
+    * engines can never drift — the x42 blocklist convention) prices it.
     */
-  private val x47OracleSql: String =
-    """WITH u AS (SELECT doc_id, doc_id % 100 AS k FROM documents),
+  private val x47DelayCase: String = {
+    val whens = operators.Urls.crawlDelayMs.toSeq.sorted
+      .map { case (d, ms) => s"WHEN '$d' THEN $ms" }.mkString(" ")
+    s"CAST(CASE domain $whens ELSE ${operators.Urls.defaultCrawlDelayMs} END AS BIGINT)"
+  }
+  private lazy val x47OracleSql: String =
+    s"""WITH u AS (SELECT doc_id, doc_id % 100 AS k FROM documents),
       |fv AS (
       |  SELECT doc_id,
       |    CASE WHEN k % 2 = 0 THEN 'https' ELSE 'http' END ||
@@ -677,7 +683,7 @@ object SparkEntry {
       |       WHERE allowed AND doc_id = keep_id),
       |sl AS (SELECT *,
       |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS slot,
-      |  CAST(250 * (CAST(substr(domain, 5, 1) AS INT) + 1) AS BIGINT) AS delay_ms
+      |  $x47DelayCase AS delay_ms
       | FROM fr)
       |SELECT doc_id, domain, canon_url, slot, delay_ms,
       |  (slot - 1) * delay_ms AS scheduled_ms

@@ -87,23 +87,27 @@ object Curation {
     * over it). Thresholds compare ROUNDED scores / exact integers so
     * every boundary is engine-portable.
     */
-  def pipelineDecision(spark: SparkSession, dir: String,
-                       minWords: Int = 5, maxWords: Int = 1000,
-                       minQuality: Double = 0.55,
-                       positiveSources: Seq[String] =
-                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+  /** The heuristic scoring projection shared VERBATIM by p1 and p2 (the
+    * Scala face of the oracle-side p1SharedCtes discipline): x42
+    * blocklist reason, n1 norm, length/TTR/stopword features, per-lang
+    * marker counts, the x2 quality score and the x1 language vote —
+    * computed over `passthrough` ++ the scoring columns in ONE codegen
+    * projection (the input frame must carry `source` and `text`).
+    */
+  private def heuristicScored(docs: DataFrame,
+                              passthrough: Seq[String]): DataFrame = {
     val toks = split(col("text"), " ")
     val stops = TextAnalysis.markers.flatMap(_._2)
-    val scored = Tables.documents(spark, dir)
+    docs
       .select(
-        (col("doc_id") +: col("lang") +: col("source") +:
-          blocklistReason.as("block_reason") +:
+        (passthrough.map(col) ++ Seq(
+          blocklistReason.as("block_reason"),
           trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-            .as("norm") +:
-          size(toks).cast("long").as("n_words") +:
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw") +:
+            .as("norm"),
+          size(toks).cast("long").as("n_words"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw"),
           (Sketches.countInSet(toks, stops).cast("double") / size(toks))
-            .as("stop_raw") +:
+            .as("stop_raw")) ++
           TextAnalysis.markers.map { case (l, ws) =>
             Sketches.countInSet(toks, ws).as(s"s_$l")
           }): _*)
@@ -112,13 +116,31 @@ object Curation {
           + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
           + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
       .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
-      // keeper = smallest doc_id that SURVIVED the blocklist stage — the
-      // staged-pipeline semantic (blocklist runs first, dedup sees only
-      // survivors). A global min would let a blocked smallest copy drag
-      // every clean duplicate down with it, deleting the content outright.
-      .withColumn("keep_id",
-        min(when(col("block_reason") === "ok", col("doc_id")))
-          .over(Window.partitionBy(col("norm"))))
+  }
+
+  /** The content-gate reason tail shared VERBATIM by p1 and p2: length,
+    * quality, language agreement, c1 contamination, cls Pareto — the
+    * stages downstream of whatever funnel the caller ran first (nested
+    * as the caller's CASE's ELSE branch).
+    */
+  private def contentGateReason(minWords: Int, maxWords: Int,
+                                minQuality: Double,
+                                positiveSources: Seq[String]): Column =
+    when(col("n_words") < minWords || col("n_words") > maxWords, "length")
+      .when(col("q") < minQuality, "low_quality")
+      .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+      .when(col("contam"), "contaminated")
+      .when(!(col("source").isin(positiveSources: _*) || col("cls_keep")),
+        "classifier_reject")
+      .otherwise("ok")
+
+  /** The two doc-keyed verdict joins shared by p1 and p2: c1's
+    * contamination hit list and the memo-shared cls Pareto acceptance,
+    * null-filled for docs neither frame mentions.
+    */
+  private def withVerdictJoins(spark: SparkSession, dir: String,
+                               positiveSources: Seq[String])
+                              (scored: DataFrame): DataFrame = {
     val contam = Decontamination.contaminatedIds(spark, dir)
       .withColumn("contam", lit(true))
     val cls = acceptPareto(
@@ -126,21 +148,35 @@ object Curation {
         lrDiv = 2, positiveSources = positiveSources)
         .select(col("doc_id"), col("prob_micros")))
       .select(col("doc_id"), col("keep").as("cls_keep"))
-    val reason =
-      when(col("block_reason") =!= "ok", col("block_reason"))
-        .when(col("doc_id") =!= col("keep_id"), "duplicate")
-        .when(col("n_words") < minWords || col("n_words") > maxWords, "length")
-        .when(col("q") < minQuality, "low_quality")
-        .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
-        .when(col("contam"), "contaminated")
-        .when(!(col("source").isin(positiveSources: _*) || col("cls_keep")),
-          "classifier_reject")
-        .otherwise("ok")
     scored
       .join(contam, Seq("doc_id"), "left")
       .join(cls, Seq("doc_id"), "left")
       .withColumn("contam", coalesce(col("contam"), lit(false)))
       .withColumn("cls_keep", coalesce(col("cls_keep"), lit(false)))
+  }
+
+  def pipelineDecision(spark: SparkSession, dir: String,
+                       minWords: Int = 5, maxWords: Int = 1000,
+                       minQuality: Double = 0.55,
+                       positiveSources: Seq[String] =
+                         Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    val scored = heuristicScored(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")),
+      Seq("doc_id", "lang", "source"))
+      // keeper = smallest doc_id that SURVIVED the blocklist stage — the
+      // staged-pipeline semantic (blocklist runs first, dedup sees only
+      // survivors). A global min would let a blocked smallest copy drag
+      // every clean duplicate down with it, deleting the content outright.
+      .withColumn("keep_id",
+        min(when(col("block_reason") === "ok", col("doc_id")))
+          .over(Window.partitionBy(col("norm"))))
+    val reason =
+      when(col("block_reason") =!= "ok", col("block_reason"))
+        .when(col("doc_id") =!= col("keep_id"), "duplicate")
+        .otherwise(contentGateReason(minWords, maxWords, minQuality,
+          positiveSources))
+    withVerdictJoins(spark, dir, positiveSources)(scored)
       .withColumn("reason", reason)
       .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
       .orderBy("doc_id")
@@ -175,7 +211,21 @@ object Curation {
                           minQuality: Double = 0.55,
                           minBlockLen: Int = 25,
                           positiveSources: Seq[String] =
-                            Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+                            Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
+    webPipelineVerdicts(spark, dir, minWords, maxWords, minQuality,
+      minBlockLen, positiveSources)
+      .orderBy("doc_id")
+
+  /** p2's verdict frame WITHOUT the deterministic output sort — the form
+    * downstream aggregators (x48) consume; the sort is the oracle
+    * harness's contract, not the rollup's.
+    */
+  private[graft] def webPipelineVerdicts(spark: SparkSession, dir: String,
+                                         minWords: Int = 5, maxWords: Int = 1000,
+                                         minQuality: Double = 0.55,
+                                         minBlockLen: Int = 25,
+                                         positiveSources: Seq[String] =
+                                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
     import spark.implicits._
     val funnel = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -184,33 +234,16 @@ object Curation {
         val canon = Urls.canonicalizeUrl(Urls.buildUrl(id))
         val (domain, path) = Urls.canonDomainPath(canon)
         val allowed = Urls.robotsVerdict(domain, path)._2
-        val nContent = Html.auditRow(id, Html.buildHtml(id, text),
-          minBlockLen, Html.TagWalkBlocker).n_content
+        // the gate needs only the content-block COUNT — the audit CRCs
+        // (x41's contract) would be two wasted hash folds per page here
+        val nContent = Html.TagWalkBlocker.blocks(Html.buildHtml(id, text))
+          .count(Html.isContent(_, minBlockLen)).toLong
         (id, lang, source, text, canon, allowed, nContent)
       })
       .toDF("doc_id", "lang", "source", "text", "canon_url", "allowed",
         "n_content")
-    val toks = split(col("text"), " ")
-    val stops = TextAnalysis.markers.flatMap(_._2)
-    val scored = funnel
-      .select(
-        (col("doc_id") +: col("lang") +: col("source") +: col("canon_url") +:
-          col("allowed") +: col("n_content") +:
-          blocklistReason.as("block_reason") +:
-          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-            .as("norm") +:
-          size(toks).cast("long").as("n_words") +:
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw") +:
-          (Sketches.countInSet(toks, stops).cast("double") / size(toks))
-            .as("stop_raw") +:
-          TextAnalysis.markers.map { case (l, ws) =>
-            Sketches.countInSet(toks, ws).as(s"s_$l")
-          }): _*)
-      .withColumn("q",
-        round(lit(0.4) * col("ttr_raw")
-          + lit(0.3) * (lit(1.0) - abs(col("stop_raw") - lit(0.4)))
-          + lit(0.3) * least(col("n_words").cast("double") / 100.0, lit(1.0)), 6))
-      .withColumn("pred_lang", TextAnalysis.predLangExpr(l => col(s"s_$l")))
+    val scored = heuristicScored(funnel,
+      Seq("doc_id", "lang", "source", "canon_url", "allowed", "n_content"))
       // fetch keeper = smallest ROBOTS-ALLOWED copy of the canonical URL
       .withColumn("url_keep_id",
         min(when(col("allowed"), col("doc_id")))
@@ -223,35 +256,18 @@ object Curation {
           && col("n_content") > 0 && col("block_reason") === "ok",
           col("doc_id")))
           .over(Window.partitionBy(col("norm"))))
-    val contam = Decontamination.contaminatedIds(spark, dir)
-      .withColumn("contam", lit(true))
-    val cls = acceptPareto(
-      scoredCorpus(spark, dir, dim = 64, trainSample = 4096, iters = 3,
-        lrDiv = 2, positiveSources = positiveSources)
-        .select(col("doc_id"), col("prob_micros")))
-      .select(col("doc_id"), col("keep").as("cls_keep"))
     val reason =
       when(!col("allowed"), "robots_disallowed")
         .when(col("doc_id") =!= col("url_keep_id"), "url_duplicate")
         .when(col("n_content") === 0, "no_content")
         .when(col("block_reason") =!= "ok", col("block_reason"))
         .when(col("doc_id") =!= col("keep_id"), "duplicate")
-        .when(col("n_words") < minWords || col("n_words") > maxWords, "length")
-        .when(col("q") < minQuality, "low_quality")
-        .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
-        .when(col("contam"), "contaminated")
-        .when(!(col("source").isin(positiveSources: _*) || col("cls_keep")),
-          "classifier_reject")
-        .otherwise("ok")
-    scored
-      .join(contam, Seq("doc_id"), "left")
-      .join(cls, Seq("doc_id"), "left")
-      .withColumn("contam", coalesce(col("contam"), lit(false)))
-      .withColumn("cls_keep", coalesce(col("cls_keep"), lit(false)))
+        .otherwise(contentGateReason(minWords, maxWords, minQuality,
+          positiveSources))
+    withVerdictJoins(spark, dir, positiveSources)(scored)
       .withColumn("reason", reason)
       .select(col("doc_id"), col("canon_url"),
         (col("reason") === "ok").as("keep"), col("reason"))
-      .orderBy("doc_id")
   }
 
   /** x48: domain-level curation profile — the RefinedWeb-style
@@ -270,17 +286,27 @@ object Curation {
     * h1 engine-portable discipline.
     */
   def domainProfile(spark: SparkSession, dir: String): DataFrame = {
-    val verdicts = webPipelineDecision(spark, dir)
-      .withColumn("domain",
-        regexp_extract(col("canon_url"), "^[a-z]+://([^/]+)", 1))
-    val totals = verdicts
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("domain_total"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-    verdicts
+    import spark.implicits._
+    // the SHARED host split (robotsGate/x47's kernel) — a regexp
+    // re-derivation here would disagree with the robots identity on
+    // non-default ports and path-less canonical forms
+    val byDomain = webPipelineVerdicts(spark, dir)
+      .select(col("canon_url"), col("reason"))
+      .as[(String, String)]
+      .map { case (canon, reason) =>
+        (Urls.canonDomainPath(canon)._1, reason)
+      }
+      .toDF("domain", "reason")
+    // ONE pass over the verdict frame: the per-(domain, reason) counts
+    // are the only doc-proportional aggregate; totals and kept counts
+    // fold over the bounded rollup itself (keep ≡ reason = 'ok')
+    val w = Window.partitionBy(col("domain"))
+    byDomain
       .groupBy(col("domain"), col("reason"))
       .agg(count(lit(1)).as("n"))
-      .join(broadcast(totals), "domain")
+      .withColumn("domain_total", sum(col("n")).over(w))
+      .withColumn("n_kept",
+        coalesce(sum(when(col("reason") === "ok", col("n"))).over(w), lit(0L)))
       .select(col("domain"), col("reason"), col("n"),
         col("domain_total"), col("n_kept"),
         round(col("n_kept").cast("double") / col("domain_total"), 6)

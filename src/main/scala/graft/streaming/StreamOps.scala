@@ -264,11 +264,18 @@ object StreamOps {
     * URL, the x41 extraction-yield gate (zero content blocks → drop),
     * then the x42 blocklist over the EXTRACTED main text (at ingest the
     * extracted text IS the document — batch p2 gates the stored corpus
-    * column, which the page synthesis embeds). Every kernel is the ONE
-    * shared definition (`canonicalizeUrl`/`canonDomainPath`/
-    * `robotsVerdict`, `HtmlBlocker.blocks` + `Html.isContent`,
-    * `Curation.blocklistReason`), so the per-page verdicts can never
-    * drift from batch. The KEYED stages stay where they belong:
+    * column, which the page synthesis embeds). Content blocks join with
+    * a SPACE for the blocklist view — blocklistReason tokenizes on
+    * spaces, so a newline join would fuse the last word of one block
+    * with the first of the next and let a boundary-straddling blocked
+    * word escape the gate (x41's audit mainText keeps its '\n' join;
+    * this is the gate's tokenization view, not the audit CRC's). Every
+    * kernel is the ONE shared definition (`canonicalizeUrl`/
+    * `canonDomainPath`/`robotsVerdict`, `HtmlBlocker.blocks` +
+    * `Html.isContent`, `Curation.blocklistReason`), so the per-page
+    * verdicts track batch; the one stream-native caveat is the
+    * extraction chunker itself, which can split a token at a block
+    * boundary. The KEYED stages stay where they belong:
     * canonical-URL dedup is [[urlFrontierStream]]'s watermark state
     * (upstream — a disallowed URL never reaches the fetcher), and the
     * norm-dedup/contamination/classifier gates are corpus-level batch
@@ -287,7 +294,7 @@ object StreamOps {
         val allowed = graft.operators.Urls.robotsVerdict(domain, path)._2
         val content = blocker.blocks(f.html)
           .filter(graft.operators.Html.isContent(_, minBlockLen))
-        val mainText = content.iterator.map(_.text).mkString("\n")
+        val mainText = content.iterator.map(_.text).mkString(" ")
         (f.doc_id, f.ts, canon, allowed, content.length.toLong,
           f.source, mainText)
       }

@@ -304,7 +304,7 @@ class HtmlSpec extends SparkSpec {
       val nMut = 1 + rnd.nextInt(8)
       (1 to nMut).foreach { _ =>
         chars(rnd.nextInt(chars.length)) =
-          "<>&;/\"'ax  ".charAt(rnd.nextInt(11))
+          "<>&;/\"'ax \u0000".charAt(rnd.nextInt(11))
       }
       val mutated = new String(chars)
       val a = TagWalkBlocker.blocks(mutated)

@@ -716,13 +716,21 @@ class StreamOpsSpec extends SparkSpec {
           "src7", page("<p>dup on a blocked domain long enough here</p>")),
         // clean page, allow-override URL: /a/b23 beats site2's /a/b2
         StreamOps.FetchEvent(5, ts, "HTTP://WWW.Site2.Example.Com/a/b23",
-          "s0", page("<p>clean words only here and long enough too</p>"))))
+          "s0", page("<p>clean words only here and long enough too</p>")),
+        // the blocked word sits at the START of the SECOND content
+        // block: the space join keeps it a standalone token (a newline
+        // join would fuse it with the first block's last word and let
+        // it escape the gate)
+        StreamOps.FetchEvent(6, ts, "http://norules.example.org/w",
+          "s0", page("<p>first content block long enough here</p>" +
+            "<p>dup starts the second content block here</p>"))))
       q.processAllAvailable()
       val got = spark.table("p2_stream_out").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"))).toMap
       assert(got == Map(
         1L -> "robots_disallowed", 2L -> "no_content", 3L -> "blocked_word",
-        4L -> "blocked_domain", 5L -> "ok"), s"got $got")
+        4L -> "blocked_domain", 5L -> "ok", 6L -> "blocked_word"),
+        s"got $got")
       // the canonical URL column rides the shared x43 kernel
       val canon5 = spark.table("p2_stream_out").collect()
         .find(_.getAs[Long]("doc_id") == 5L).get.getAs[String]("canon_url")
