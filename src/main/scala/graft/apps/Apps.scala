@@ -115,24 +115,34 @@ object SaturatedVendorApp {
   * shards, rows ordered by the reproducible shuffle key.
   *
   *   runMain graft.apps.CurationPipelineApp --input /root/testdata/sf0.01 \
-  *     --output /tmp/shards [--budget 1500] [--maxRecordsPerFile 10000]
+  *     --output /tmp/shards [--budget 1500] [--maxRecordsPerFile 10000] [--gate web]
+  *
+  * `--gate web` swaps the generic stack for the composed crawl-to-corpus
+  * gate (`Curation.webCorpus`: robots → URL dedup → extraction yield →
+  * the full p1 content stack, then the budget cut) — the crawl
+  * operator's form of the same shard handoff.
   */
 object CurationPipelineApp {
   def main(args: Array[String]): Unit = {
     val p = AppUtil.params(args)
-    val input = p.getOrElse("input",
-      sys.error("usage: --input <sfDir> --output <shardDir> [--budget N] [--maxRecordsPerFile N]"))
-    val output = p.getOrElse("output",
-      sys.error("usage: --input <sfDir> --output <shardDir> [--budget N] [--maxRecordsPerFile N]"))
+    val usage = "usage: --input <sfDir> --output <shardDir> " +
+      "[--budget N] [--maxRecordsPerFile N] [--gate curated|web]"
+    val input = p.getOrElse("input", sys.error(usage))
+    val output = p.getOrElse("output", sys.error(usage))
     val budget = p.get("budget").map(_.toLong).getOrElse(1500L)
     val maxRecords = p.get("maxRecordsPerFile").map(_.toInt).getOrElse(10000)
+    val gate = p.getOrElse("gate", "curated")
     val spark = AppUtil.session("curation-pipeline")
     spark.sparkContext.setLogLevel("WARN")
-    val curated = graft.operators.Curation.curatedCorpus(spark, input, budget)
+    val curated = gate match {
+      case "curated" => graft.operators.Curation.curatedCorpus(spark, input, budget)
+      case "web"     => graft.operators.Curation.webCorpus(spark, input, budget)
+      case other     => sys.error(s"unknown --gate '$other'; $usage")
+    }
     Sinks.writeShards(curated, output, partitionCol = "source",
       sortCols = Seq("shuffle_key", "doc_id"), maxRecordsPerFile = maxRecords)
     val n = spark.read.parquet(output).count()
-    println(s"[curation-pipeline] wrote $n curated docs to $output")
+    println(s"[curation-pipeline] wrote $n $gate docs to $output")
     spark.stop()
   }
 }

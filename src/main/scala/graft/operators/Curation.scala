@@ -1007,6 +1007,29 @@ object Curation {
       .join(shardKey, "doc_id")
   }
 
+  /** The WEB end-to-end composition: p2's composed crawl-to-corpus
+    * verdict as the gate (robots → URL dedup → extraction yield → the
+    * full content stack) ∧ x31's token-budget cut, with x30's
+    * reproducible shard key attached — `curatedCorpus`' crawl-side twin,
+    * consumed by the same training-shard writer. Same scale shape:
+    * verdict frames are doc-keyed and tiny relative to the corpus, so
+    * every stage is one keep-list join, never an extra corpus pass.
+    */
+  def webCorpus(spark: SparkSession, dir: String,
+                budget: Long = 1500L): DataFrame = {
+    import graft.Tables
+    val keepWeb = webPipelineVerdicts(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val keepBudget = tokenBudgetSample(spark, dir, budget = budget)
+      .filter(col("kept")).select("doc_id")
+    val shardKey = corpusShuffle(spark, dir)
+      .select(col("doc_id"), col("shuffle_key"))
+    Tables.documents(spark, dir)
+      .join(keepWeb, "doc_id")
+      .join(keepBudget, "doc_id")
+      .join(shardKey, "doc_id")
+  }
+
   def clusterQuality(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),

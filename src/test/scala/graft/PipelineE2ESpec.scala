@@ -76,6 +76,43 @@ class PipelineE2ESpec extends SparkSpec {
     assert(all.size <= lmKept, "survivors exceed the CCNet keep set")
   }
 
+  /** The round-13 WEB composition: p2's composed crawl-to-corpus verdict
+    * (robots → URL dedup → extraction yield → the full content stack) as
+    * the gate, budget-sampled and written through the same shard writer —
+    * "a crawl operator could ship this library" in one artifact. The
+    * budget is set high so the web FUNNEL is the binding stage and the
+    * test pins its semantics, not the sampler's.
+    */
+  test("web pipeline composes to reproducible training shards") {
+    def run(out: String): Unit =
+      Sinks.writeShards(Curation.webCorpus(spark, dir, budget = 100000L),
+        out, partitionCol = "source",
+        sortCols = Seq("shuffle_key", "doc_id"), maxRecordsPerFile = 8)
+    val out1 = tempSfDir() + "/web1"
+    val out2 = tempSfDir() + "/web2"
+    run(out1)
+    run(out2)
+    def contents(out: String): Seq[(String, Seq[Long])] =
+      shardFiles(Paths.get(out)).map { f =>
+        val rel = Paths.get(out).relativize(f).getParent.toString
+        (rel, spark.read.parquet(f.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq)
+      }
+    val c1 = contents(out1)
+    val c2 = contents(out2)
+    assert(c1 == c2, "web shard layout and row order must reproduce")
+    val written = c1.flatMap(_._2)
+    assert(written.nonEmpty, "web pipeline must keep something")
+    assert(written.distinct.size == written.size, "no doc written twice")
+    // survivors are exactly the p2 keepers that fit the (generous) budget:
+    // the funnel is the binding stage on this corpus
+    val p2Keep = Curation.webPipelineDecision(spark, dir)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(written.toSet.subsetOf(p2Keep), "a written doc escaped the p2 gate")
+    assert(written.size < Tables.documents(spark, dir).count(),
+      "web pipeline must drop something")
+  }
+
   /** The round-9 composition: the quality-gated, split-assigned training
     * set written through the Z-ordered shard writer — classifier training
     * (cls1) → Pareto routing (cls2, curated sources pass outright) →
