@@ -119,6 +119,12 @@ class UrlsSpec extends SparkSpec {
       val once = canonicalizeUrl(mutated)    // must not throw
       val twice = canonicalizeUrl(once)
       assert(twice == once, s"not idempotent on '$mutated': '$once' -> '$twice'")
+      // the live-stream seam: every canonical form must split into a
+      // robots identity without throwing, the domain must never carry a
+      // path separator, and the REP verdict must be total on it
+      val (domain, path) = Urls.canonDomainPath(once)
+      assert(!domain.contains('/'), s"domain '$domain' from '$once'")
+      Urls.robotsVerdict(domain, path) // must not throw
     }
   }
 
