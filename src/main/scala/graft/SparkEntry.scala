@@ -141,6 +141,7 @@ object SparkEntry {
     "p2_web_pipeline"      -> ((s, d) => Curation.webPipelineDecision(s, d)),
     "x47_crawl_schedule"   -> ((s, d) => operators.Urls.crawlSchedule(s, d)),
     "x48_domain_profile"   -> ((s, d) => Curation.domainProfile(s, d)),
+    "x49_fim_split"        -> ((s, d) => Curation.fimSplit(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -650,6 +651,47 @@ object SparkEntry {
       |FROM pd JOIN tot t USING (domain)
       |GROUP BY pd.domain, reason, t.domain_total, t.n_kept
       |ORDER BY domain, reason""".stripMargin)
+
+  /** x49's DuckDB twin — the LCG chain (cls2's exact integer form), the
+    * two cut points, the PSM/SPM re-serialization with the `<|fim|>`
+    * sentinel, and the proven CRC32 table-fold over the transformed
+    * bytes.
+    */
+  // lazy: interpolates crcTableLiteral, declared LATER in this file — a
+  // plain val here would interpolate "null" (the x42CaseSql init-order trap)
+  private lazy val x49OracleSql: String = {
+    val outBytes =
+      "list_transform(range(1, length(outt)+1), i -> CAST(unicode(outt[i]) AS BIGINT))"
+    val psm = "substr(text, 1, a) || '<|fim|>' || substr(text, CAST(b + 1 AS INT)) " +
+      "|| '<|fim|>' || substr(text, CAST(a + 1 AS INT), b - a)"
+    val spm = "substr(text, CAST(b + 1 AS INT)) || '<|fim|>' || substr(text, 1, a) " +
+      "|| '<|fim|>' || substr(text, CAST(a + 1 AS INT), b - a)"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS s1
+       |  FROM documents),
+       |d2 AS (SELECT *, (s1 * 1103515245 + 12345) % 2147483648 AS s2 FROM d),
+       |d3 AS (SELECT *, (s2 * 1103515245 + 12345) % 2147483648 AS s3 FROM d2),
+       |u AS (SELECT doc_id, text, n, s1 // 65536 % 32768 AS u1,
+       |  s2 // 65536 % 32768 AS u2, s3 // 65536 % 32768 AS u3 FROM d3),
+       |sp AS (SELECT doc_id, text, n, u1, u1 < 16384 AS fim,
+       |  CAST(u2 % (n + 1) AS INT) AS a, u3 FROM u),
+       |sp2 AS (SELECT doc_id, text, n, u1, fim, a,
+       |  CAST(a + u3 % (n - a + 1) AS INT) AS b FROM sp),
+       |tr AS (SELECT doc_id, fim,
+       |  CASE WHEN NOT fim THEN 'none'
+       |       WHEN u1 % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+       |  CASE WHEN fim THEN CAST(a AS BIGINT) ELSE n END AS prefix_len,
+       |  CASE WHEN fim THEN CAST(b - a AS BIGINT) ELSE CAST(0 AS BIGINT) END AS middle_len,
+       |  CASE WHEN fim THEN CAST(n - b AS BIGINT) ELSE CAST(0 AS BIGINT) END AS suffix_len,
+       |  CASE WHEN NOT fim THEN text
+       |       WHEN u1 % 2 = 0 THEN $psm
+       |       ELSE $spm END AS outt
+       | FROM sp2)
+       |SELECT doc_id, fim, mode, prefix_len, middle_len, suffix_len,
+       |  ${crc32Sql(outBytes)} AS out_crc32
+       |FROM tr, ct ORDER BY doc_id""".stripMargin
+  }
 
   /** x47's DuckDB twin — the politeness schedule derived analytically:
     * the x43/x44 identity dims give canon/domain/verdict, the allowed
@@ -2315,6 +2357,8 @@ object SparkEntry {
     "p2_web_pipeline" -> p2OracleSql,
 
     "x47_crawl_schedule" -> x47OracleSql,
+
+    "x49_fim_split" -> x49OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,
 

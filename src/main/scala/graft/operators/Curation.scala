@@ -1007,6 +1007,65 @@ object Curation {
       .join(shardKey, "doc_id")
   }
 
+  /** x49: fill-in-the-middle (FIM) splitting — the training transform
+    * code-model pipelines run over the whole corpus (Bavarian et al.
+    * 2022, "Efficient Training of Language Models to Fill in the
+    * Middle"): each selected document is cut at two deterministic points
+    * and re-serialized with the middle MOVED TO THE END (PSM order
+    * prefix→suffix→middle, or SPM suffix→prefix→middle), so the model
+    * learns infilling from an autoregressive objective. Selection (the
+    * ~50% FIM rate), the two cut points and the PSM/SPM choice all
+    * derive from the x28/cls2 LCG chain on doc_id — deterministic,
+    * engine-portable, no RNG. The audit row is fixed width: the split
+    * accounting plus a CRC32 over the transformed byte sequence (the
+    * `<|fim|>` sentinel joins the three segments), pinning the exact
+    * rewrite without materializing a second corpus column.
+    *
+    * Scale shape: ONE codegen projection over one scan — LCG arithmetic,
+    * three substrings, a concat and Spark's built-in crc32; no kernel,
+    * no shuffle beyond the ordered output. The transform is the
+    * pack-stage rewrite (x20/x27's neighbor) at fleet scale.
+    */
+  def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sep = "<|fim|>"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("s1",
+        expr("((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"))
+      .withColumn("s2", expr("(s1 * 1103515245 + 12345) % 2147483648"))
+      .withColumn("s3", expr("(s2 * 1103515245 + 12345) % 2147483648"))
+      .withColumn("u1", expr("s1 div 65536 % 32768"))
+      .withColumn("u2", expr("s2 div 65536 % 32768"))
+      .withColumn("u3", expr("s3 div 65536 % 32768"))
+      .withColumn("fim", col("u1") < 16384)
+      .withColumn("a", expr("CAST(u2 % (n + 1) AS INT)"))
+      .withColumn("b", expr("CAST(a + u3 % (n - a + 1) AS INT)"))
+      .withColumn("mode",
+        when(!col("fim"), "none")
+          .when(expr("u1 % 2 = 0"), "psm")
+          .otherwise("spm"))
+      .withColumn("out",
+        when(!col("fim"), col("text"))
+          .when(col("mode") === "psm",
+            expr(s"concat(substring(text, 1, a), '$sep', " +
+              s"substring(text, b + 1), '$sep', " +
+              "substring(text, a + 1, b - a))"))
+          .otherwise(
+            expr(s"concat(substring(text, b + 1), '$sep', " +
+              s"substring(text, 1, a), '$sep', " +
+              "substring(text, a + 1, b - a))")))
+      .select(col("doc_id"), col("fim"), col("mode"),
+        when(col("fim"), col("a").cast("long")).otherwise(col("n"))
+          .as("prefix_len"),
+        when(col("fim"), expr("CAST(b - a AS BIGINT)")).otherwise(lit(0L))
+          .as("middle_len"),
+        when(col("fim"), expr("CAST(n - b AS BIGINT)")).otherwise(lit(0L))
+          .as("suffix_len"),
+        crc32(col("out").cast("binary")).as("out_crc32"))
+      .orderedBy("doc_id")
+  }
+
   /** The WEB end-to-end composition: p2's composed crawl-to-corpus
     * verdict as the gate (robots → URL dedup → extraction yield → the
     * full content stack) ∧ x31's token-budget cut, with x30's

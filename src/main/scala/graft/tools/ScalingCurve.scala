@@ -110,6 +110,7 @@ object ScalingCurve {
       "p2_web_pipeline" -> ((s, d) => Curation.webPipelineDecision(s, d)),
       "x47_crawl_schedule" -> ((s, d) => graft.operators.Urls.crawlSchedule(s, d)),
       "x48_domain_profile" -> ((s, d) => Curation.domainProfile(s, d)),
+      "x49_fim_split" -> ((s, d) => Curation.fimSplit(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),

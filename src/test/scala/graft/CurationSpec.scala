@@ -197,6 +197,28 @@ class CurationSpec extends SparkSpec {
     assert(got(("site3.example.com", "url_duplicate"))._1 == 1L)
   }
 
+  test("x49 FIM split: LCG selection, cut points and PSM/SPM re-serialization, pinned") {
+    // expected values computed independently (python zlib.crc32 over the
+    // re-serialized bytes; LCG chain u_k = (s_k >> 16) % 32768):
+    // doc 1 u1 >= 16384 -> passthrough; doc 2 psm with an EMPTY middle
+    // (b == a edge); doc 4 spm; doc 3 empty text (crc 0); doc 7 passthrough
+    val dir = writeDocs(Seq(
+      (1L, "hello world of fim splitting", "s0"),
+      (2L, "abcdef", "s0"),
+      (3L, "", "s0"),
+      (4L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (7L, "x" * 10, "s0")))
+    val got = Curation.fimSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, false, "none", 28L, 0L, 0L, 2951123111L),
+      (2L, true, "psm", 4L, 0L, 2L, 3402654198L),
+      (3L, false, "none", 0L, 0L, 0L, 0L),
+      (4L, true, "spm", 10L, 19L, 14L, 4088901050L),
+      (7L, false, "none", 10L, 0L, 0L, 2396997495L)), s"got ${got.toSeq}")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
