@@ -52,20 +52,32 @@ object Bench {
     // get that key attributed to it, or the next attempt would drop the
     // upstream frame again and re-pay a build the convention says is reused.
     var attributionFrozen = false
+    // queries that completed at least one attempt: attribution freezes
+    // for THEM once the passes finish, but a query that failed BOTH
+    // passes at plan time has no recorded build — its first completed
+    // retry is the only key observation we will ever get, and without
+    // recording it the next retry would release nothing and publish a
+    // memo READ as the query's best time (the exact failure the
+    // releaseSharedKeys design exists to prevent).
+    val completedOnce = scala.collection.mutable.Set.empty[String]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val before = CacheRegistry.sharedKeys
       val t0 = System.nanoTime()
+      var ok = false
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        ok = true
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Double.PositiveInfinity
       } finally {
-        if (!attributionFrozen) publishedKeys.update(name,
-          publishedKeys.getOrElse(name, Set.empty) ++
-            (CacheRegistry.sharedKeys -- before))
+        if (!attributionFrozen || !completedOnce.contains(name))
+          publishedKeys.update(name,
+            publishedKeys.getOrElse(name, Set.empty) ++
+              (CacheRegistry.sharedKeys -- before))
+        if (ok) completedOnce += name
         // release operator-internal caches so storage memory from one query
         // never skews the next query's timing
         CacheRegistry.releaseAll()
@@ -106,9 +118,12 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // sfDir comes from the environment: escape it (Verify's q() lesson)
+    // or a quoted/backslashed path breaks the driver's json.load
+    val sfDirJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDirJson"}"""
     // The full per-query line is ~5 KB; the driver's log capture keeps only
     // the final ~2000 chars of stdout and parses its `parsed` slot from
     // THAT window — so the full map can never parse from the tail (126
@@ -137,7 +152,7 @@ object Bench {
       if (v.isInfinite) -1L else math.round(v * 1000)
     }.mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDirJson","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
     (1 to 28).foreach(_ => println("-" * 76))
     println(compact)
     if (failed.nonEmpty) {

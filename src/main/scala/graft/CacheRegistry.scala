@@ -45,7 +45,14 @@ object CacheRegistry {
         synchronized {
           shared.get(key) match {
             case Some(winner) =>
-              built.unpersist(blocking = false)
+              // do NOT unpersist the loser: Spark's CacheManager keys
+              // cache entries by CANONICALIZED plan, and deterministic
+              // builds produce structurally equal plans — the loser's
+              // persist() was a no-op on the winner's entry, so an
+              // unpersist here would evict the SHARED data and silently
+              // defeat the memo exactly when contended. Dropping the
+              // reference leaks nothing: both frames name one cache
+              // entry, released by the winner's release path.
               winner
             case None =>
               shared.update(key, built)
