@@ -73,10 +73,24 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Double.PositiveInfinity
       } finally {
-        if (!attributionFrozen || !completedOnce.contains(name))
+        if (!attributionFrozen)
           publishedKeys.update(name,
             publishedKeys.getOrElse(name, Set.empty) ++
               (CacheRegistry.sharedKeys -- before))
+        else if (!completedOnce.contains(name)) {
+          // First completed attempt of a query that failed BOTH passes:
+          // the only key observation we will ever get for it — but it may
+          // have rebuilt ABSENT upstream family frames whose owner simply
+          // wasn't retried. Attributing those would let this query's NEXT
+          // retry release them, over-timing any later retry that only
+          // READS them. Keep only keys no other query already owns.
+          val owned = publishedKeys.iterator
+            .collect { case (n, ks) if n != name => ks }
+            .foldLeft(Set.empty[String])(_ ++ _)
+          publishedKeys.update(name,
+            publishedKeys.getOrElse(name, Set.empty) ++
+              (CacheRegistry.sharedKeys -- before -- owned))
+        }
         if (ok) completedOnce += name
         // release operator-internal caches so storage memory from one query
         // never skews the next query's timing

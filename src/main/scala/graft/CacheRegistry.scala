@@ -45,14 +45,18 @@ object CacheRegistry {
         synchronized {
           shared.get(key) match {
             case Some(winner) =>
-              // do NOT unpersist the loser: Spark's CacheManager keys
-              // cache entries by CANONICALIZED plan, and deterministic
-              // builds produce structurally equal plans — the loser's
-              // persist() was a no-op on the winner's entry, so an
-              // unpersist here would evict the SHARED data and silently
-              // defeat the memo exactly when contended. Dropping the
-              // reference leaks nothing: both frames name one cache
-              // entry, released by the winner's release path.
+              // Spark's CacheManager keys cache entries by CANONICALIZED
+              // plan, and deterministic builds produce structurally equal
+              // plans — then the loser's persist() was a no-op on the
+              // winner's entry, and an unpersist here would evict the
+              // SHARED data and silently defeat the memo exactly when
+              // contended. But if the racing builds ever canonicalize
+              // DIFFERENTLY the loser holds its own cache entry that no
+              // release path tracks, so it must be dropped now or it
+              // leaks storage memory until the ContextCleaner runs.
+              if (built.queryExecution.analyzed.canonicalized !=
+                  winner.queryExecution.analyzed.canonicalized)
+                built.unpersist(blocking = false)
               winner
             case None =>
               shared.update(key, built)

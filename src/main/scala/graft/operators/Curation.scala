@@ -219,13 +219,34 @@ object Curation {
   /** p2's verdict frame WITHOUT the deterministic output sort — the form
     * downstream aggregators (x48) consume; the sort is the oracle
     * harness's contract, not the rollup's.
+    *
+    * Memo-shared on (dir, every gate parameter): p2 and x48 both start
+    * from this frame, so one harness pass runs the fused funnel kernel —
+    * the whole-page walk plus the two group windows and two verdict
+    * joins — exactly once, and x48 times its own marginal (a
+    * domain-bounded rollup) instead of re-paying the funnel. Same
+    * lifecycle as d4's pair list: survives per-query release, dropped at
+    * end of pass, keyed on applicationId so no frame outlives its
+    * session.
     */
   private[graft] def webPipelineVerdicts(spark: SparkSession, dir: String,
                                          minWords: Int = 5, maxWords: Int = 1000,
                                          minQuality: Double = 0.55,
                                          minBlockLen: Int = 25,
                                          positiveSources: Seq[String] =
-                                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+                                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"p2verdicts:${spark.sparkContext.applicationId}:$dir:$minWords:" +
+        s"$maxWords:$minQuality:$minBlockLen:" +
+        s"${positiveSources.mkString(",")}:${graft.Tables.substrate(spark)}")(
+      computeWebPipelineVerdicts(spark, dir, minWords, maxWords, minQuality,
+        minBlockLen, positiveSources))
+
+  private def computeWebPipelineVerdicts(spark: SparkSession, dir: String,
+                                         minWords: Int, maxWords: Int,
+                                         minQuality: Double,
+                                         minBlockLen: Int,
+                                         positiveSources: Seq[String]): DataFrame = {
     import spark.implicits._
     val funnel = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -1063,6 +1084,74 @@ object Curation {
         when(col("fim"), expr("CAST(n - b AS BIGINT)")).otherwise(lit(0L))
           .as("suffix_len"),
         crc32(col("out").cast("binary")).as("out_crc32"))
+      .orderedBy("doc_id")
+  }
+
+  /** x50: chat-template serialization — the post-training (SFT) sibling
+    * of x49's FIM transform: each document is re-serialized as a
+    * deterministic multi-turn conversation (a constant system prompt,
+    * then 1–3 user→assistant exchange pairs cut from the text at exact
+    * integer boundaries) with sentinel tokens, plus the loss-mask span
+    * audit every SFT pipeline needs — supervised fine-tuning trains only
+    * on assistant spans (+ the turn-end sentinel), so the mask is as
+    * load-bearing as the text. The pair count derives from the x49 LCG
+    * chain on doc_id (deterministic, engine-portable, no RNG); segment
+    * boundaries are b_i = (i·n) div (2p) (exact integers, contiguous,
+    * covering the text with no gaps — b_{2p} = n identically). The audit
+    * row is fixed width: pair/length accounting, the masked fraction in
+    * micros (truncating division, the c2 convention), and TWO CRC32s —
+    * one over the serialized bytes, one over the '0'/'1' mask string —
+    * pinning both the rewrite and the exact span structure without
+    * materializing either as a corpus column.
+    *
+    * Scale shape: ONE codegen projection over one scan — LCG arithmetic,
+    * six substrings, concat/repeat and Spark's built-in crc32; no
+    * kernel, no shuffle beyond the ordered output (x49's cost class).
+    */
+  def chatTemplate(spark: SparkSession, dir: String): DataFrame = {
+    // sentinel lengths: <|system|>+prompt = 38, <|user|> = 8,
+    // <|assistant|> = 13, <|end|> = 7 → 28 fixed chars per pair
+    val hdr = "'<|system|>You are a helpful assistant.'"
+    def seg(i: Int) =
+      s"substring(text, CAST(b${i - 1} + 1 AS INT), CAST(b$i - b${i - 1} AS INT))"
+    def pairS(k: Int) =
+      s"'<|user|>' || ${seg(2 * k - 1)} || '<|assistant|>' || " +
+        s"${seg(2 * k)} || '<|end|>'"
+    def maskS(k: Int) =
+      s"repeat('0', CAST(21 + b${2 * k - 1} - b${2 * k - 2} AS INT)) || " +
+        s"repeat('1', CAST(b${2 * k} - b${2 * k - 1} + 7 AS INT))"
+    var df = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("s1",
+        expr("((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"))
+      .withColumn("u1", expr("s1 div 65536 % 32768"))
+      .withColumn("p", expr("CAST(1 + u1 % 3 AS INT)"))
+      .withColumn("b0", lit(0L))
+    (1 to 6).foreach { i =>
+      df = df.withColumn(s"b$i", expr(s"$i * n div (2 * p)"))
+    }
+    df
+      .withColumn("asst_len", expr(
+        "CASE WHEN p = 1 THEN b2 - b1 WHEN p = 2 THEN (b2 - b1) + (b4 - b3) " +
+          "ELSE (b2 - b1) + (b4 - b3) + (b6 - b5) END"))
+      .withColumn("out", expr(
+        s"CASE WHEN p = 1 THEN $hdr || ${pairS(1)} " +
+          s"WHEN p = 2 THEN $hdr || ${pairS(1)} || ${pairS(2)} " +
+          s"ELSE $hdr || ${pairS(1)} || ${pairS(2)} || ${pairS(3)} END"))
+      .withColumn("mask", expr(
+        s"repeat('0', 38) || (CASE WHEN p = 1 THEN ${maskS(1)} " +
+          s"WHEN p = 2 THEN ${maskS(1)} || ${maskS(2)} " +
+          s"ELSE ${maskS(1)} || ${maskS(2)} || ${maskS(3)} END)"))
+      .select(col("doc_id"), col("p").cast("long").as("n_pairs"),
+        (col("n") - col("asst_len")).as("user_len"),
+        col("asst_len"),
+        (lit(38L) + lit(28L) * col("p") + col("n")).as("out_len"),
+        (col("asst_len") + lit(7L) * col("p")).as("mask_len"),
+        expr("(asst_len + 7 * p) * 1000000 div (38 + 28 * p + n)")
+          .as("mask_frac_micros"),
+        crc32(col("out").cast("binary")).as("out_crc32"),
+        crc32(col("mask").cast("binary")).as("mask_crc32"))
       .orderedBy("doc_id")
   }
 

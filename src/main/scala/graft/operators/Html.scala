@@ -573,10 +573,6 @@ object Html {
                             n_blocks: Long, n_content: Long, n_boiler: Long,
                             main_len: Long, main_crc32: Long, boiler_len: Long)
 
-  /** The per-page audit — parse, classify, account — as ONE definition
-    * shared by the batch operator and the streaming twin
-    * (`StreamOps.htmlExtractStream`), so the two can never drift.
-    */
   /** The jusText-core content rule — length ≥ minLen ∧ link density
     * ≤ 1/3 in exact integers. ONE definition shared by the batch audit
     * and the streaming ingest gate.
@@ -584,6 +580,10 @@ object Html {
   private[graft] def isContent(b: HtmlBlock, minLen: Int): Boolean =
     b.text.length >= minLen && b.linkChars * 3 <= b.text.length
 
+  /** The per-page audit — parse, classify, account — as ONE definition
+    * shared by the batch operator and the streaming twin
+    * (`StreamOps.htmlExtractStream`), so the two can never drift.
+    */
   private[graft] def auditRow(id: Long, html: String, minLen: Int,
                               blocker: HtmlBlocker): HtmlExtractRow = {
     val bs = blocker.blocks(html)
@@ -627,20 +627,35 @@ object Html {
     * enqueue key).
     */
   def outlinkGraph(spark: SparkSession, dir: String,
-                   blocker: HtmlBlocker = TagWalkBlocker): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val src = Urls.canonicalizeUrl(Urls.buildUrl(id))
-        blocker.outlinks(buildHtml(id, text)).iterator.flatMap { href =>
-          Urls.resolveHref(src, href).map(dst => (id, src, href, dst))
-        }
-      })
-      .toDF("doc_id", "src_url", "href", "dst_url")
-      .orderedBy("doc_id", "href")
-  }
+                   blocker: HtmlBlocker = TagWalkBlocker): DataFrame =
+    outlinkEdges(spark, dir, blocker).orderedBy("doc_id", "href")
+
+  /** x45's edge frame WITHOUT the deterministic output sort — the form
+    * g3 consumes. Memo-shared on (dir, blocker): x45 and g3 both start
+    * from the parsed anchor set, so one harness pass runs the page
+    * re-parse exactly once and g3 times its marginal (three supersteps
+    * over the distinct edge set) instead of re-walking every page. Same
+    * lifecycle as d4's pair list: survives per-query release, dropped at
+    * end of pass, keyed on applicationId so no frame outlives its
+    * session.
+    */
+  private[graft] def outlinkEdges(spark: SparkSession, dir: String,
+                                  blocker: HtmlBlocker = TagWalkBlocker): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"x45edges:${spark.sparkContext.applicationId}:$dir:" +
+        s"${blocker.getClass.getName}:${graft.Tables.substrate(spark)}") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          val src = Urls.canonicalizeUrl(Urls.buildUrl(id))
+          blocker.outlinks(buildHtml(id, text)).iterator.flatMap { href =>
+            Urls.resolveHref(src, href).map(dst => (id, src, href, dst))
+          }
+        })
+        .toDF("doc_id", "src_url", "href", "dst_url")
+    }
 
   /** g3: PageRank over the PARSED link graph — g2's exact integer kernel
     * (micro-unit ranks, truncating division, three unrollable
@@ -658,7 +673,7 @@ object Html {
     */
   def linkPageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
     Dedup.pageRankFromPairs(
-      outlinkGraph(spark, dir)
+      outlinkEdges(spark, dir)
         .select(col("src_url").as("a_id"), col("dst_url").as("b_id"))
         .distinct(),
       iters)

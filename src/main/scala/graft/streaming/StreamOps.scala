@@ -262,14 +262,18 @@ object StreamOps {
     * as ONE stateless pass over the fetch stream, in p2's
     * first-failing-rule order — x44's REP verdict on the x43 canonical
     * URL, the x41 extraction-yield gate (zero content blocks → drop),
-    * then the x42 blocklist over the EXTRACTED main text (at ingest the
-    * extracted text IS the document — batch p2 gates the stored corpus
-    * column, which the page synthesis embeds). Content blocks join with
-    * a SPACE for the blocklist view — blocklistReason tokenizes on
-    * spaces, so a newline join would fuse the last word of one block
-    * with the first of the next and let a boundary-straddling blocked
-    * word escape the gate (x41's audit mainText keeps its '\n' join;
-    * this is the gate's tokenization view, not the audit CRC's). Every
+    * then the x42 blocklist over the FULL parsed text — every block the
+    * parser yields, content AND boilerplate-classified (at ingest the
+    * parsed text IS the document — batch p2 gates the stored corpus
+    * column, which the page synthesis embeds; a blocked word that lands
+    * in a short boilerplate-classified chunk must still reject the page,
+    * the safety direction for an ingest gate: admit-what-batch-blocks is
+    * the divergence that matters). Blocks join with a SPACE for the
+    * blocklist view — blocklistReason tokenizes on spaces, so a newline
+    * join would fuse the last word of one block with the first of the
+    * next and let a boundary-straddling blocked word escape the gate
+    * (x41's audit mainText keeps its '\n' join; this is the gate's
+    * tokenization view, not the audit CRC's). Every
     * kernel is the ONE shared definition (`canonicalizeUrl`/
     * `canonDomainPath`/`robotsVerdict`, `HtmlBlocker.blocks` +
     * `Html.isContent`, `Curation.blocklistReason`), so the per-page
@@ -292,11 +296,11 @@ object StreamOps {
         val canon = graft.operators.Urls.canonicalizeUrl(f.url)
         val (domain, path) = graft.operators.Urls.canonDomainPath(canon)
         val allowed = graft.operators.Urls.robotsVerdict(domain, path)._2
-        val content = blocker.blocks(f.html)
-          .filter(graft.operators.Html.isContent(_, minBlockLen))
-        val mainText = content.iterator.map(_.text).mkString(" ")
-        (f.doc_id, f.ts, canon, allowed, content.length.toLong,
-          f.source, mainText)
+        val bs = blocker.blocks(f.html)
+        val nContent =
+          bs.count(graft.operators.Html.isContent(_, minBlockLen)).toLong
+        val gateText = bs.iterator.map(_.text).mkString(" ")
+        (f.doc_id, f.ts, canon, allowed, nContent, f.source, gateText)
       }
       .toDF("doc_id", "ts", "canon_url", "allowed", "n_content",
         "source", "text")

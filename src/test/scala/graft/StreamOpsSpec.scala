@@ -723,13 +723,22 @@ class StreamOpsSpec extends SparkSpec {
         // it escape the gate)
         StreamOps.FetchEvent(6, ts, "http://norules.example.org/w",
           "s0", page("<p>first content block long enough here</p>" +
-            "<p>dup starts the second content block here</p>"))))
+            "<p>dup starts the second content block here</p>")),
+        // the blocked word lives in a BOILERPLATE-classified chunk (a
+        // short trailing <p>, under the 25-char content floor): the gate
+        // runs over the FULL parsed text, so the page is still rejected
+        // — batch p2 gates the whole corpus column, and stream-admits-
+        // what-batch-blocks is the unsafe divergence direction
+        StreamOps.FetchEvent(7, ts, "http://norules.example.org/v",
+          "s0", page("<p>clean content block long enough right here</p>" +
+            "<p>dup here</p>"))))
       q.processAllAvailable()
       val got = spark.table("p2_stream_out").collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"))).toMap
       assert(got == Map(
         1L -> "robots_disallowed", 2L -> "no_content", 3L -> "blocked_word",
-        4L -> "blocked_domain", 5L -> "ok", 6L -> "blocked_word"),
+        4L -> "blocked_domain", 5L -> "ok", 6L -> "blocked_word",
+        7L -> "blocked_word"),
         s"got $got")
       // the canonical URL column rides the shared x43 kernel
       val canon5 = spark.table("p2_stream_out").collect()

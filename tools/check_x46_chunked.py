@@ -50,6 +50,12 @@ ct_cte = prefix[ct_start:ct_end]
 train_prefix = (prefix[:ct_start] + prefix[ct_end:]).rstrip().rstrip(",")
 # drop the now-dangling comma pair left where ct was cut
 train_prefix = train_prefix.replace(",\n,", ",")
+# the comma surgery assumes ct is neither WITH's first CTE nor separated
+# by an unexpected whitespace shape — fail HERE with a clear message if
+# the oracle's formatting ever drifts, not with a DuckDB parse error
+# mid-run
+assert "WITH ," not in train_prefix and ",," not in train_prefix, \
+    "x46 oracle formatting drifted: ct-CTE comma surgery left invalid SQL"
 
 db_path = "/tmp/x46_chunked.duckdb"
 for p in (db_path, db_path + ".wal"):
