@@ -133,6 +133,8 @@ object SparkEntry {
     "x40_dedup_curve"      -> ((s, d) => Dedup.dedupCurve(s, d)),
     "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
     "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
+    "x42b_blocklist_join"  -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
+    "p3_reputation_gate"   -> ((s, d) => Curation.reputationGate(s, d)),
     "x43_url_canonicalize" -> ((s, d) => operators.Urls.urlCanonicalize(s, d)),
     "x44_robots_gate"      -> ((s, d) => operators.Urls.robotsGate(s, d)),
     "x45_outlink_graph"    -> ((s, d) => operators.Html.outlinkGraph(s, d)),
@@ -142,6 +144,8 @@ object SparkEntry {
     "x47_crawl_schedule"   -> ((s, d) => operators.Urls.crawlSchedule(s, d)),
     "x48_domain_profile"   -> ((s, d) => Curation.domainProfile(s, d)),
     "x49_fim_split"        -> ((s, d) => Curation.fimSplit(s, d)),
+    "x50_chat_template"    -> ((s, d) => Curation.chatTemplate(s, d)),
+    "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -652,6 +656,25 @@ object SparkEntry {
       |GROUP BY pd.domain, reason, t.domain_total, t.n_kept
       |ORDER BY domain, reason""".stripMargin)
 
+  /** p3's DuckDB twin — the per-domain reputation rollup over p2's pd
+    * frame and the exact integer low-reputation override (strict
+    * cross-multiply, the c2 convention), mirroring the broadcast
+    * feedback join column-for-column.
+    */
+  private lazy val p3OracleSql: String = clsOracleWith(
+    p1SharedCtes + ",\n" + p2PdCtes + ",\n" +
+    """rep AS (
+      |  SELECT domain, CAST(count(*) AS BIGINT) AS domain_total,
+      |    CAST(sum(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM pd GROUP BY domain)
+      |SELECT pd.doc_id, pd.domain,
+      |  (CASE WHEN r.n_kept * 100 < r.domain_total THEN 'low_reputation'
+      |        ELSE pd.reason END) = 'ok' AS keep,
+      |  CASE WHEN r.n_kept * 100 < r.domain_total THEN 'low_reputation'
+      |       ELSE pd.reason END AS reason
+      |FROM pd JOIN rep r ON pd.domain = r.domain
+      |ORDER BY doc_id""".stripMargin)
+
   /** x49's DuckDB twin — the LCG chain (cls2's exact integer form), the
     * two cut points, the PSM/SPM re-serialization with the `<|fim|>`
     * sentinel, and the proven CRC32 table-fold over the transformed
@@ -691,6 +714,104 @@ object SparkEntry {
        |SELECT doc_id, fim, mode, prefix_len, middle_len, suffix_len,
        |  ${crc32Sql(outBytes)} AS out_crc32
        |FROM tr, ct ORDER BY doc_id""".stripMargin
+  }
+
+  /** x50's DuckDB twin — the LCG pair count, the exact integer segment
+    * boundaries, the sentinel serialization and the '0'/'1' loss-mask
+    * string, with BOTH proven CRC32 table-folds (serialized bytes and
+    * mask bytes). Expression strings are generated by the same Scala
+    * helpers shape as the operator so the two engines can never drift.
+    */
+  // lazy: interpolates crcTableLiteral (the x49 init-order convention)
+  private lazy val x50OracleSql: String = {
+    def seg(i: Int) =
+      s"substr(text, CAST(b${i - 1} + 1 AS INT), CAST(b$i - b${i - 1} AS INT))"
+    def pairS(k: Int) =
+      s"'<|user|>' || ${seg(2 * k - 1)} || '<|assistant|>' || " +
+        s"${seg(2 * k)} || '<|end|>'"
+    def maskS(k: Int) =
+      s"repeat('0', CAST(21 + b${2 * k - 1} - b${2 * k - 2} AS INT)) || " +
+        s"repeat('1', CAST(b${2 * k} - b${2 * k - 1} + 7 AS INT))"
+    val hdr = "'<|system|>You are a helpful assistant.'"
+    val bCols = (1 to 6).map(i => s"$i * n // (2 * p) AS b$i").mkString(", ")
+    val outBytes =
+      "list_transform(range(1, length(outt)+1), i -> CAST(unicode(outt[i]) AS BIGINT))"
+    val maskBytes =
+      "list_transform(range(1, length(maskt)+1), i -> CAST(unicode(maskt[i]) AS BIGINT))"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+       |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS s1
+       |  FROM documents),
+       |u AS (SELECT doc_id, text, n, s1 // 65536 % 32768 AS u1 FROM d),
+       |pp AS (SELECT doc_id, text, n, CAST(1 + u1 % 3 AS INT) AS p FROM u),
+       |bb AS (SELECT *, CAST(0 AS BIGINT) AS b0 FROM pp),
+       |bc AS (SELECT *, $bCols FROM bb),
+       |tr AS (SELECT doc_id, p, n,
+       |  CASE WHEN p = 1 THEN b2 - b1 WHEN p = 2 THEN (b2 - b1) + (b4 - b3)
+       |       ELSE (b2 - b1) + (b4 - b3) + (b6 - b5) END AS asst_len,
+       |  CASE WHEN p = 1 THEN $hdr || ${pairS(1)}
+       |       WHEN p = 2 THEN $hdr || ${pairS(1)} || ${pairS(2)}
+       |       ELSE $hdr || ${pairS(1)} || ${pairS(2)} || ${pairS(3)} END AS outt,
+       |  repeat('0', 38) || (CASE WHEN p = 1 THEN ${maskS(1)}
+       |       WHEN p = 2 THEN ${maskS(1)} || ${maskS(2)}
+       |       ELSE ${maskS(1)} || ${maskS(2)} || ${maskS(3)} END) AS maskt
+       | FROM bc)
+       |SELECT doc_id, CAST(p AS BIGINT) AS n_pairs, n - asst_len AS user_len,
+       |  asst_len, 38 + 28 * p + n AS out_len, asst_len + 7 * p AS mask_len,
+       |  (asst_len + 7 * p) * 1000000 // (38 + 28 * p + n) AS mask_frac_micros,
+       |  ${crc32Sql(outBytes)} AS out_crc32,
+       |  ${crc32Sql(maskBytes)} AS mask_crc32
+       |FROM tr, ct ORDER BY doc_id""".stripMargin
+  }
+
+  /** w1's DuckDB twin — every WARC record rebuilt BYTE-FOR-BYTE from
+    * (doc_id, text): the x43 raw URL (shared CTEs) as Target-URI, the
+    * x41 page (shared CTEs) as the HTTP body, the exact header strings
+    * the builder emits, and the record offset as a per-shard running
+    * sum over doc_id order — so the reader's Content-Length framing
+    * arithmetic is hash-checked end to end. html_crc32 must equal
+    * x41's for the same doc: the two oracles pin the same bytes from
+    * opposite directions.
+    */
+  // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
+  // declared LATER in this file (the x42CaseSql init-order trap)
+  private lazy val w1OracleSql: String = {
+    val htmlBytes =
+      "list_transform(range(1, length(html)+1), i -> CAST(unicode(html[i]) AS BIGINT))"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |k AS (SELECT chr(13) || chr(10) AS crlf),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),""".stripMargin +
+      "\n" + htmlPageCtes + ",\n" + x43RawUrlCtes + ",\n" +
+      s"""wrec AS (
+       |  SELECT page.doc_id AS doc_id, page.doc_id // 50 AS shard_id,
+       |    r.url AS url, page.html AS html,
+       |    'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' || crlf ||
+       |      'Content-Length: ' || length(page.html) || crlf || crlf ||
+       |      page.html AS http
+       |  FROM page JOIN r ON page.doc_id = r.doc_id, k),
+       |wrec2 AS (
+       |  SELECT doc_id, shard_id, url, html,
+       |    'WARC/1.0' || crlf ||
+       |      'WARC-Type: response' || crlf ||
+       |      'WARC-Record-ID: <urn:graft:doc-' || doc_id || '>' || crlf ||
+       |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
+       |      'WARC-Target-URI: ' || url || crlf ||
+       |      'Content-Type: application/http;msgtype=response' || crlf ||
+       |      'Content-Length: ' || length(http) || crlf || crlf ||
+       |      http || crlf || crlf AS rec
+       |  FROM wrec, k),
+       |woff AS (
+       |  SELECT *, CAST(coalesce(sum(length(rec)) OVER (
+       |      PARTITION BY shard_id ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS rec_offset
+       |  FROM wrec2)
+       |SELECT doc_id, shard_id, rec_offset,
+       |  CAST(length(rec) AS BIGINT) AS rec_len,
+       |  url AS target_uri, CAST(200 AS INTEGER) AS http_status,
+       |  CAST(length(html) AS BIGINT) AS html_len,
+       |  ${crc32Sql(htmlBytes)} AS html_crc32
+       |FROM woff, ct ORDER BY doc_id""".stripMargin
   }
 
   /** x47's DuckDB twin — the politeness schedule derived analytically:
@@ -1105,14 +1226,17 @@ object SparkEntry {
     * — all below the length rule or above the 1/3 anchor-density rule by
     * construction, which the TagWalkBlocker specs pin block-by-block).
     */
-  private val x41OracleSql: String = {
-    val htmlBytes =
-      "list_transform(range(1, length(html)+1), i -> CAST(unicode(html[i]) AS BIGINT))"
-    val mainBytes =
-      "list_transform(range(1, length(main_text)+1), i -> CAST(unicode(main_text[i]) AS BIGINT))"
-    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
-       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-       |ch AS MATERIALIZED (
+  /** The synthesized page rebuilt in SQL from (doc_id, text) — x41's
+    * byte-for-byte `Html.buildHtml` replica plus the analytic chunk
+    * accounting, as CTEs ending in `page (doc_id, html, n_chunks,
+    * n_content, short_len, main_text)`; requires a `d (doc_id, text, n)`
+    * CTE upstream. Shared by the x41 oracle and w1's WARC-record
+    * rebuild (the HTTP payload body), so the two can never drift.
+    * Concatenated, NOT re-stripMargin'd, by its users (the
+    * mediaAllmCtes convention).
+    */
+  private val htmlPageCtes: String =
+    s"""ch AS MATERIALIZED (
        |  SELECT doc_id, CAST(ci AS INT) AS ci,
        |    trim(regexp_replace(substr(text, CAST(ci*80+1 AS INT), 80), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS ctext,
        |    replace(replace(replace(substr(text, CAST(ci*80+1 AS INT), 80), '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS cesc
@@ -1134,8 +1258,17 @@ object SparkEntry {
        |    coalesce(n_content, 0) AS n_content,
        |    coalesce(short_len, 0) AS short_len,
        |    coalesce(main_text, '') AS main_text
-       |  FROM d LEFT JOIN agg USING (doc_id))
-       |SELECT doc_id,
+       |  FROM d LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  private val x41OracleSql: String = {
+    val htmlBytes =
+      "list_transform(range(1, length(html)+1), i -> CAST(unicode(html[i]) AS BIGINT))"
+    val mainBytes =
+      "list_transform(range(1, length(main_text)+1), i -> CAST(unicode(main_text[i]) AS BIGINT))"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),""".stripMargin +
+      "\n" + htmlPageCtes + "\n" +
+      s"""SELECT doc_id,
        |  CAST(length(html) AS BIGINT) AS html_len,
        |  ${crc32Sql(htmlBytes)} AS html_crc32,
        |  CAST(6 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + n_chunks AS BIGINT) AS n_blocks,
@@ -1147,6 +1280,58 @@ object SparkEntry {
        |FROM page, ct
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** The x43 raw URL rebuilt in SQL — `Urls.buildUrl`'s full spelling
+    * variance (scheme/www/host case, default ports, dot-segments,
+    * percent-encoding, tracking junk, fragments) plus the analytic
+    * canonical form, as CTEs ending in `r (doc_id, url, canon_url)`.
+    * Shared by the x43 oracle and w1's WARC-record rebuild (the
+    * Target-URI header), so the two can never drift. Declared BEFORE
+    * the oracle map so the val initializer order can never interpolate
+    * null.
+    */
+  private val x43RawUrlCtes: String =
+    """u AS (
+      |  SELECT doc_id, doc_id % 100 AS k,
+      |    (doc_id % 100) % 2 = 0 AS https,
+      |    CASE doc_id % 7
+      |      WHEN 0 THEN '/a/b' || (doc_id % 100) || '/'
+      |      WHEN 1 THEN '/a/./b' || (doc_id % 100)
+      |      WHEN 2 THEN '/a/x/../b' || (doc_id % 100) || '/'
+      |      WHEN 3 THEN '/./a/b' || (doc_id % 100)
+      |      WHEN 4 THEN '/a//b' || (doc_id % 100)
+      |      WHEN 5 THEN '/a/b' || (doc_id % 100) || '/c/..'
+      |      ELSE '/a/b' || (doc_id % 100) END AS p
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN CASE WHEN https THEN 'https' ELSE 'http' END
+      |      WHEN 1 THEN CASE WHEN https THEN 'HTTPS' ELSE 'HTTP' END
+      |      ELSE CASE WHEN https THEN 'Https' ELSE 'Http' END END
+      |    || '://'
+      |    || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+      |    || CASE doc_id % 5
+      |         WHEN 0 THEN 'SITE' || (k % 7) || '.EXAMPLE.COM'
+      |         WHEN 1 THEN 'Site' || (k % 7) || '.Example.Com'
+      |         ELSE 'site' || (k % 7) || '.example.com' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN
+      |         CASE WHEN https THEN ':443' ELSE ':80' END ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN replace(p, '/a/', '/%61/') ELSE p END
+      |    || '?'
+      |    || CASE WHEN doc_id % 2 = 0 THEN 'q=' || (k % 11) || '&lang=en'
+      |            ELSE 'lang=en&q=' || (k % 11) END
+      |    || CASE doc_id % 3 WHEN 0 THEN
+      |            '&utm' || CASE WHEN doc_id % 2 = 0 THEN '%5F' ELSE '_' END
+      |            || 'source=s' || (doc_id % 9)
+      |            WHEN 1 THEN '&ref=tw' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 4)
+      |            ELSE '' END AS url,
+      |    CASE WHEN https THEN 'https' ELSE 'http' END
+      |    || '://site' || (k % 7) || '.example.com/a/b' || k
+      |    || '?lang=en&q=' || (k % 11) AS canon_url
+      |  FROM u)""".stripMargin
 
   /** x45's analytic edge list — the synthesized page's anchors with their
     * resolved canonical targets, derived from the same identity dims as
@@ -2359,8 +2544,11 @@ object SparkEntry {
     "x47_crawl_schedule" -> x47OracleSql,
 
     "x49_fim_split" -> x49OracleSql,
+    "x50_chat_template" -> x50OracleSql,
+    "w1_warc_ingest" -> w1OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,
+    "p3_reputation_gate" -> p3OracleSql,
 
     "k1_centroid_assign" ->
       s"""$kAssignSql
@@ -2567,6 +2755,9 @@ object SparkEntry {
     "x41_html_extract" -> x41OracleSql,
 
     "x42_blocklist_filter" -> x42OracleSql,
+    // x42b is row-identical to x42 by construction (spec-pinned), so its
+    // oracle is x42's verbatim — the strongest form of the equivalence
+    "x42b_blocklist_join" -> x42OracleSql,
 
     // x43: the raw URL rebuilt byte-for-byte with the same CASE axes as
     // Urls.buildUrl (pins the synthesis), the canonical form derived
@@ -2574,52 +2765,12 @@ object SparkEntry {
     // general parser is spec-driven on crafted inputs), and the same
     // canon-keyed dedup window.
     "x43_url_canonicalize" ->
-      """WITH u AS (
-        |  SELECT doc_id, doc_id % 100 AS k,
-        |    (doc_id % 100) % 2 = 0 AS https,
-        |    CASE doc_id % 7
-        |      WHEN 0 THEN '/a/b' || (doc_id % 100) || '/'
-        |      WHEN 1 THEN '/a/./b' || (doc_id % 100)
-        |      WHEN 2 THEN '/a/x/../b' || (doc_id % 100) || '/'
-        |      WHEN 3 THEN '/./a/b' || (doc_id % 100)
-        |      WHEN 4 THEN '/a//b' || (doc_id % 100)
-        |      WHEN 5 THEN '/a/b' || (doc_id % 100) || '/c/..'
-        |      ELSE '/a/b' || (doc_id % 100) END AS p
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN CASE WHEN https THEN 'https' ELSE 'http' END
-        |      WHEN 1 THEN CASE WHEN https THEN 'HTTPS' ELSE 'HTTP' END
-        |      ELSE CASE WHEN https THEN 'Https' ELSE 'Http' END END
-        |    || '://'
-        |    || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
-        |    || CASE doc_id % 5
-        |         WHEN 0 THEN 'SITE' || (k % 7) || '.EXAMPLE.COM'
-        |         WHEN 1 THEN 'Site' || (k % 7) || '.Example.Com'
-        |         ELSE 'site' || (k % 7) || '.example.com' END
-        |    || CASE WHEN doc_id % 4 = 0 THEN
-        |         CASE WHEN https THEN ':443' ELSE ':80' END ELSE '' END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN replace(p, '/a/', '/%61/') ELSE p END
-        |    || '?'
-        |    || CASE WHEN doc_id % 2 = 0 THEN 'q=' || (k % 11) || '&lang=en'
-        |            ELSE 'lang=en&q=' || (k % 11) END
-        |    || CASE doc_id % 3 WHEN 0 THEN
-        |            '&utm' || CASE WHEN doc_id % 2 = 0 THEN '%5F' ELSE '_' END
-        |            || 'source=s' || (doc_id % 9)
-        |            WHEN 1 THEN '&ref=tw' ELSE '' END
-        |    || CASE WHEN doc_id % 2 = 1 THEN '#sec' || (doc_id % 4)
-        |            ELSE '' END AS url,
-        |    CASE WHEN https THEN 'https' ELSE 'http' END
-        |    || '://site' || (k % 7) || '.example.com/a/b' || k
-        |    || '?lang=en&q=' || (k % 11) AS canon_url
-        |  FROM u)
-        |SELECT doc_id, url, canon_url,
+      ("WITH " + x43RawUrlCtes + "\n" +
+        """SELECT doc_id, url, canon_url,
         |  min(doc_id) OVER (PARTITION BY canon_url) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS is_canonical,
         |  count(*) OVER (PARTITION BY canon_url) AS n_copies
-        |FROM r ORDER BY doc_id""".stripMargin,
+        |FROM r ORDER BY doc_id""".stripMargin),
 
     // x44: the REP verdict derived analytically from the synthesized
     // rules (Urls.robotsRules — allow prefix strictly longer than the

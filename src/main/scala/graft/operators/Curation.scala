@@ -384,6 +384,115 @@ object Curation {
       .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
       .orderedBy("doc_id")
 
+  /** x42b: the SAME blocklist gate with the lists as BROADCAST FRAMES —
+    * the production shape x42's scaladoc promises (C4's word list is
+    * ~400 entries, a URL blocklist millions; a literal-set CASE chain
+    * stops scaling long before that). Each rule class becomes the join
+    * a real deployment runs: the domain list a broadcast equi-join on
+    * source, the word list a broadcast equi-join against the exploded
+    * token stream (c1's shingle-hash shape), the phrase list a
+    * broadcast nested-loop contains-join (the only join shape a
+    * substring rule admits). The three hit streams union with their
+    * production priorities, ONE bounded aggregate takes the
+    * first-failing rule per hit doc, and ONE doc-keyed left join puts
+    * the verdict back on the corpus — c1/c2's exact cost class. The
+    * markup rule stays a codegen expression (it keys on no list).
+    * Output is row-identical to x42 (spec-pinned on crafted fixtures
+    * AND the driver table), so the DuckDB oracle is x42's verbatim.
+    *
+    * Scale shape: the corpus-side scans stay narrow; the only
+    * data-proportional exchange is the (doc_id, priority) hit stream —
+    * ∝ matches, not corpus — plus the doc-keyed verdict join every
+    * broadcast-list pipeline pays. Swapping a list for a 10M-row frame
+    * changes broadcast size, not plan shape; past broadcast limits the
+    * word join falls back to shuffle and the phrase join to a
+    * Bloom-pre-filtered shuffle, same frame contract.
+    */
+  def blocklistFilterBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val domDf = blockedDomains.toDF("bdom")
+    val wordDf = blockedWords.toDF("bword")
+    val phraseDf = blockedPhrases.toDF("bphrase")
+    val domHits = docs
+      .join(broadcast(domDf), col("source") === col("bdom"))
+      .select(col("doc_id"), lit(1).as("pri"))
+    val wordHits = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .join(broadcast(wordDf), col("tok") === col("bword"))
+      .select(col("doc_id"), lit(2).as("pri"))
+    val phraseHits = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .join(broadcast(phraseDf), contains(col("lt"), col("bphrase")))
+      .select(col("doc_id"), lit(3).as("pri"))
+    val firstHit = domHits.union(wordHits).union(phraseHits)
+      .groupBy(col("doc_id")).agg(min(col("pri")).as("pri"))
+    docs
+      .join(firstHit, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("pri") === 1, "blocked_domain")
+          .when(col("pri") === 2, "blocked_word")
+          .when(col("pri") === 3, "blocked_phrase")
+          .when(contains(col("text"), lit("{")) ||
+            contains(lower(col("text")), lit("javascript")), "markup")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderedBy("doc_id")
+  }
+
+  /** p3: the reputation feedback loop — x48's domain-reputation frame
+    * wired back in as a DYNAMIC domain blocklist, closing the
+    * RefinedWeb-style loop x48's scaladoc promises: a host whose keep
+    * rate collapses is demoted from the frontier, so its documents
+    * never reach the per-document gates on the next crawl. The
+    * reputation rule is exact integer arithmetic (the c2 convention):
+    * a domain is low-reputation iff `n_kept * 100 < domain_total`
+    * (keep rate strictly below 1%), never a rounded-double compare.
+    * One row per document: the p2 verdict with `low_reputation`
+    * overriding whenever the doc's domain failed the rule — the
+    * frontier-level gate fires before any per-document stage, exactly
+    * as a crawl scheduler would apply it.
+    *
+    * Scale shape: p2's memo-shared verdict frame + ONE bounded
+    * per-domain aggregate (|domains| rows) broadcast-joined back onto
+    * the doc-keyed verdicts — the dynamic-blocklist join is the
+    * broadcast-frame shape (x42b's rule 1) with the list COMPUTED from
+    * the pipeline's own output instead of configured. At fleet scale
+    * the reputation frame comes from the previous crawl's rollup; the
+    * join is unchanged.
+    */
+  def reputationGate(spark: SparkSession, dir: String,
+                     minWords: Int = 5, maxWords: Int = 1000,
+                     minQuality: Double = 0.55,
+                     minBlockLen: Int = 25,
+                     positiveSources: Seq[String] =
+                       Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    import spark.implicits._
+    val verd = webPipelineVerdicts(spark, dir, minWords, maxWords,
+      minQuality, minBlockLen, positiveSources)
+      .select(col("doc_id"), col("canon_url"), col("reason"))
+      .as[(Long, String, String)]
+      // the SHARED host split (x48's discipline) — a regexp re-derivation
+      // would disagree with the robots identity on edge-case hosts
+      .map { case (id, canon, reason) =>
+        (id, Urls.canonDomainPath(canon)._1, reason)
+      }
+      .toDF("doc_id", "domain", "reason")
+    val rep = verd
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("domain_total"),
+        coalesce(sum(when(col("reason") === "ok", 1L)), lit(0L)).as("n_kept"))
+    verd
+      .join(broadcast(rep), Seq("domain"))
+      .withColumn("reason",
+        when(col("n_kept") * 100 < col("domain_total"), "low_reputation")
+          .otherwise(col("reason")))
+      .select(col("doc_id"), col("domain"),
+        (col("reason") === "ok").as("keep"), col("reason"))
+      .orderedBy("doc_id")
+  }
+
   /** k1: centroid assignment — the clustering stage of SemDedup-style
     * semantic curation (cluster the corpus, then near-dup within clusters;
     * d5 is the within-cluster stage). Centroids are the `k` seed vectors

@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Locale
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Output._
+import graft.Tables
+import graft.operators.{Html, Urls}
+
+/** w1: WARC record-framed archive source — the container format every
+  * real crawl corpus arrives in (ISO 28500 / Common Crawl's WARC/1.0;
+  * no reference analog — the reference consumes pre-extracted CSV). The
+  * engine side is a zero-dependency record reader behind the seam
+  * discipline (`Html.HtmlBlocker` / `Multimodal.PixelDecoder`
+  * convention): record boundaries come from the `Content-Length` header
+  * — NEVER a delimiter scan, because an HTTP payload may legally
+  * contain the `\r\n\r\n` separator and the `WARC/1.0` magic — headers
+  * parse case-insensitively, and the HTTP response payload splits into
+  * status line + headers + body the same way.
+  *
+  * Corpus plumbing mirrors m1/x41: documents are grouped into
+  * fixed-size shards, each shard synthesized into a BYTE-VALID WARC
+  * container (one `response` record per document wrapping the x41 page
+  * as an HTTP/1.1 response, the x43 raw URL as `WARC-Target-URI`), then
+  * parsed BACK through the seam; only fixed-width audit rows leave the
+  * executor (record offset/length inside the container, parsed-back
+  * URI/status, payload length + CRC32). The DuckDB oracle rebuilds
+  * every record byte-for-byte from (doc_id, text) — offsets included,
+  * via a per-shard running sum — so the reader's framing arithmetic is
+  * hash-checked, not asserted.
+  *
+  * Scale shape: ONE shuffle on shard_id (the grouping a container
+  * writer needs anyway), executor memory bounded by shardSize × page
+  * size, audit output ∝ records. At fleet scale the containers are the
+  * INPUT (binaryFile / archive stream splits at record boundaries) and
+  * `parseWarc` runs inside `mapPartitions` over raw byte ranges — the
+  * seam the synthesized corpus exercises end-to-end.
+  */
+object Warc {
+
+  private val CRLF = "\r\n"
+
+  /** One parsed WARC record: lowercased header names, the byte offset
+    * and total length of the record inside its container, and the raw
+    * payload block (for `response` records, a full HTTP message).
+    */
+  case class WarcRecord(headers: Map[String, String], offset: Long,
+                        recLen: Long, payload: Array[Byte])
+
+  /** The synthesized record for one document — deterministic in
+    * (doc_id, text): the x43 raw URL, a fixed date, the x41 page as an
+    * HTTP/1.1 200 response.
+    */
+  private[graft] def buildRecord(id: Long, text: String): Array[Byte] = {
+    val html = Html.buildHtml(id, text)
+    val http = "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html" + CRLF +
+      s"Content-Length: ${html.length}" + CRLF + CRLF + html
+    val rec = "WARC/1.0" + CRLF +
+      "WARC-Type: response" + CRLF +
+      s"WARC-Record-ID: <urn:graft:doc-$id>" + CRLF +
+      "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
+      s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
+      "Content-Type: application/http;msgtype=response" + CRLF +
+      s"Content-Length: ${http.length}" + CRLF + CRLF +
+      http + CRLF + CRLF
+    rec.getBytes(UTF_8)
+  }
+
+  /** A container = the concatenated records of its docs in doc_id
+    * order (the shard writer's contract).
+    */
+  private[graft] def buildContainer(docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      out.write(buildRecord(id, text))
+    }
+    out.toByteArray
+  }
+
+  /** THE RECORD-FRAMING SEAM — split a container into records using the
+    * version line + headers + Content-Length, the only correct framing
+    * (payloads may contain any byte sequence). Loud failure on anything
+    * malformed: an archive reader that silently resynchronizes hides
+    * corruption from the ingest gate.
+    */
+  private[graft] def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    while (pos < bytes.length) {
+      val start = pos
+      val version = readLine(bytes, pos)
+      require(version._1 == "WARC/1.0",
+        s"bad WARC version line at offset $start: '${version._1}'")
+      pos = version._2
+      val headers = scala.collection.mutable.Map.empty[String, String]
+      var line = readLine(bytes, pos)
+      while (line._1.nonEmpty) {
+        val idx = line._1.indexOf(':')
+        require(idx > 0, s"malformed WARC header at offset $pos: '${line._1}'")
+        headers.update(line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT),
+          line._1.substring(idx + 1).trim)
+        pos = line._2
+        line = readLine(bytes, pos)
+      }
+      pos = line._2
+      val clen = headers.getOrElse("content-length",
+        sys.error(s"WARC record at offset $start has no Content-Length")).toInt
+      require(pos + clen + 4 <= bytes.length,
+        s"truncated WARC record at offset $start: need ${clen + 4} payload+" +
+          s"trailer bytes, have ${bytes.length - pos}")
+      val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen)
+      pos += clen
+      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+        s"WARC record at offset $start not followed by CRLF CRLF")
+      pos += 4
+      out += WarcRecord(headers.toMap, start.toLong, (pos - start).toLong,
+        payload)
+    }
+    out.toSeq
+  }
+
+  /** One CRLF-terminated ASCII line starting at `pos`: (text, next pos). */
+  private def readLine(bytes: Array[Byte], pos: Int): (String, Int) = {
+    var i = pos
+    while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
+      i += 1
+    require(i + 1 < bytes.length, s"unterminated line at offset $pos")
+    (new String(bytes, pos, i - pos, UTF_8), i + 2)
+  }
+
+  /** Split an HTTP/1.1 message into (status code, body bytes) — the
+    * same Content-Length discipline as the record framing.
+    */
+  private[graft] def parseHttp(payload: Array[Byte]): (Int, Array[Byte]) = {
+    val status = readLine(payload, 0)
+    val parts = status._1.split(" ", 3)
+    require(parts.length >= 2 && parts(0).startsWith("HTTP/"),
+      s"bad HTTP status line: '${status._1}'")
+    var pos = status._2
+    var line = readLine(payload, pos)
+    var clen = -1
+    while (line._1.nonEmpty) {
+      val idx = line._1.indexOf(':')
+      if (idx > 0 &&
+        line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT) == "content-length")
+        clen = line._1.substring(idx + 1).trim.toInt
+      pos = line._2
+      line = readLine(payload, pos)
+    }
+    pos = line._2
+    require(clen >= 0 && pos + clen <= payload.length,
+      s"HTTP payload truncated: Content-Length $clen, have ${payload.length - pos}")
+    (parts(1).toInt, java.util.Arrays.copyOfRange(payload, pos, pos + clen))
+  }
+
+  private def crc32(bytes: Array[Byte]): Long = {
+    val c = new CRC32()
+    c.update(bytes)
+    c.getValue
+  }
+
+  /** w1: synthesize the sharded WARC corpus, parse it back through the
+    * seam, and audit every record — framing offsets, parsed-back URI and
+    * HTTP status, payload accounting, body CRC32 (which must equal
+    * x41's html_crc32 for the same doc: the two operators pin the same
+    * bytes from opposite directions).
+    */
+  def warcIngest(spark: SparkSession, dir: String,
+                 shardSize: Int = 50): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"doc_id div $shardSize").as("shard_id"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
+        val docs = it.map { case (id, text, _) => (id, text) }.toSeq
+        val container = buildContainer(docs)
+        parseWarc(container).map { r =>
+          val id = r.headers("warc-record-id")
+            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+          val (status, body) = parseHttp(r.payload)
+          (id, shard, r.offset, r.recLen,
+            r.headers("warc-target-uri"), status,
+            body.length.toLong, crc32(body))
+        }
+      }
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "http_status", "html_len", "html_crc32")
+      .orderedBy("doc_id")
+  }
+}

@@ -111,6 +111,10 @@ object ScalingCurve {
       "x47_crawl_schedule" -> ((s, d) => graft.operators.Urls.crawlSchedule(s, d)),
       "x48_domain_profile" -> ((s, d) => Curation.domainProfile(s, d)),
       "x49_fim_split" -> ((s, d) => Curation.fimSplit(s, d)),
+      "x50_chat_template" -> ((s, d) => Curation.chatTemplate(s, d)),
+      "x42b_blocklist_join" -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
+      "p3_reputation_gate" -> ((s, d) => Curation.reputationGate(s, d)),
+      "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),

@@ -219,6 +219,29 @@ class CurationSpec extends SparkSpec {
       (7L, false, "none", 10L, 0L, 0L, 2396997495L)), s"got ${got.toSeq}")
   }
 
+  test("x50 chat template: pair count, boundaries, serialization and loss mask, pinned") {
+    // expected values computed independently (python zlib.crc32 over the
+    // serialized bytes and over the '0'/'1' mask string; p = 1 + u1 % 3
+    // from the x49 LCG chain): doc 1 p=3; doc 3 p=3 EMPTY text (sentinel
+    // skeleton only); doc 5 p=2; doc 9 p=1; doc 12 p=1 short text
+    val dir = writeDocs(Seq(
+      (1L, "hello world of chat templating today", "s0"),
+      (3L, "", "s0"),
+      (5L, "x" * 10, "s0"),
+      (9L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (12L, "abcdef", "s0")))
+    val got = Curation.chatTemplate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 18L, 18L, 158L, 39L, 246835L, 2995423596L, 1156397665L),
+      (3L, 3L, 0L, 0L, 122L, 21L, 172131L, 2751498652L, 555609413L),
+      (5L, 2L, 4L, 6L, 104L, 20L, 192307L, 786009736L, 2775805919L),
+      (9L, 1L, 21L, 22L, 109L, 29L, 266055L, 1698927214L, 2829304199L),
+      (12L, 1L, 3L, 3L, 72L, 10L, 138888L, 4184252212L, 640026679L)),
+      s"got ${got.toSeq}")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
@@ -253,6 +276,77 @@ class CurationSpec extends SparkSpec {
       (5L, false, "blocked_phrase"),
       (6L, false, "markup"),
       (7L, false, "markup")), s"got ${got.toSeq}")
+  }
+
+  test("x42b broadcast-frame gate is row-identical to the literal-set gate") {
+    // every rule class + the multi-rule precedence cases, literal vs
+    // broadcast: the equivalence the production swap depends on
+    val dir = writeDocs(Seq(
+      (1L, "clean words only here", "s0"),
+      (2L, "dup text on a blocked domain", "src7"),
+      (3L, "this doc mentions dup once", "s0"),
+      (4L, "Lorem Ipsum dolor sit amet", "s0"),
+      (5L, "read our privacy policy for details", "s0"),
+      (6L, "function f() { return 1 } end", "s0"),
+      (7L, "enable JavaScript to continue", "s0"),
+      // word + phrase together: priority picks blocked_word both ways
+      (8L, "dup site uses cookies everywhere", "s0"),
+      (9L, "", "s0")))
+    val lit = Curation.blocklistFilter(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    val bc = Curation.blocklistFilterBroadcast(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(bc == lit, s"broadcast=$bc literal=$lit")
+    assert(lit.count(!_._2) == 7, s"fixture must exercise the gate: $lit")
+    // and on the driver's real table, where the corpus-live entries fire
+    val real = "/root/testdata/sf0.001"
+    val litR = Curation.blocklistFilter(spark, real)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    val bcR = Curation.blocklistFilterBroadcast(spark, real)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(bcR == litR)
+    assert(litR.exists(!_._2), "driver table must have live blocklist hits")
+  }
+
+  test("p3 low-reputation domains override the p2 verdict; healthy domains pass through") {
+    // the p2-agreement fixture (each doc a PER-PAGE stage): site1-site4
+    // collapse (0 kept of 1 → 0*100 < 1 fires), site5's one doc passes
+    // the whole funnel (1*100 >= 1 → healthy, verdict rides through)
+    val dir = writeDocs(Seq(
+      (1L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "s0"),   // robots
+      (30L, "tiny", "s0"),                                     // no_content
+      (24L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "src7"), // blocked_domain
+      (25L, "this doc mentions dup once it does", "s0"),       // blocked_word
+      (26L, "the a fast v1 v2 v3 v4 v5 the a fast v6", "s0"))) // ok throughout
+    val got = Curation.reputationGate(spark, dir, minQuality = 0.0,
+        positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, "site1.example.com", false, "low_reputation"),
+      (24L, "site3.example.com", false, "low_reputation"),
+      (25L, "site4.example.com", false, "low_reputation"),
+      (26L, "site5.example.com", true, "ok"),
+      (30L, "site2.example.com", false, "low_reputation")), s"got ${got.toSeq}")
+  }
+
+  test("p3 reputation rule is the strict integer cross-multiply, not a rounded rate") {
+    // site5 gets TWO docs (26 ok, 33 no_content): 1 kept of 2 →
+    // 1*100 >= 2, the domain stays healthy and doc 33 KEEPS its own
+    // p2 reason — the pass-through direction a rounded-double compare
+    // could get wrong at scale boundaries
+    val dir = writeDocs(Seq(
+      (26L, "the a fast v1 v2 v3 v4 v5 the a fast v6", "s0"),
+      (33L, "tiny2", "s0"),
+      (30L, "tiny", "s0")))
+    val got = Curation.reputationGate(spark, dir, minQuality = 0.0,
+        positiveSources = Seq("s0"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (26L, "site5.example.com", true, "ok"),
+      (30L, "site2.example.com", false, "low_reputation"),
+      (33L, "site5.example.com", false, "no_content")), s"got ${got.toSeq}")
   }
 
   private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
