@@ -189,6 +189,7 @@ object SparkEntry {
     "cls4_threshold_sweep" -> ((s: SparkSession, d: String) =>
       Curation.thresholdSweep(s, d)),
     "cls5_auc" -> ((s: SparkSession, d: String) => Curation.aucTable(s, d)),
+    "cls6_lang_classifier" -> ((s: SparkSession, d: String) => Curation.langClassifier(s, d)),
     "x37_leakage_split" -> ((s: SparkSession, d: String) =>
       Curation.leakageSplit(s, d)),
     "drift2_ks" -> ((s: SparkSession, d: String) => DataOps.ksDrift(s, d)),
@@ -282,29 +283,14 @@ object SparkEntry {
   private val clsP6 = (z: String) =>
     s"CAST((least(greatest($z + 2000000000000, 0), 4000000000000) + 2000000) // 4000000 AS BIGINT)"
 
-  /** Shared WITH-body of the cls1/cls2 oracles (x7 features, the unrolled
-    * training rounds, the corpus margin CTE `zf`); each oracle appends its
-    * own tail after the `zf` CTE.
+  /** x7's feature CTEs (token hash → signed counts → normalized
+    * components, bit-exact), quantized to the 1e-6 long grid plus the
+    * bias feature — ending in `xfeat (doc_id, j, xq)`. Shared by the
+    * cls1-family oracles (source label) and cls6 (lang label), so the
+    * feature pipeline can never drift between the two classifiers.
     */
-  private def clsOracleWith(tail: String): String = {
-    val posSet = "('src0','src1','src2','src3','src4')"
-    val p6 = clsP6
-    val rounds = (0 until 3).map { t =>
-      s"""z$t AS (
-         |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
-         |  FROM xtr x JOIN w$t w USING (j) GROUP BY x.doc_id),
-         |e$t AS MATERIALIZED (
-         |  SELECT z.doc_id, ${p6("z.z")} - l.y6 AS err6
-         |  FROM z$t z JOIN lab l USING (doc_id)),
-         |g$t AS (
-         |  SELECT j, sum(err6 * xq) AS g
-         |  FROM xtr JOIN e$t USING (doc_id) GROUP BY j),
-         |w${t + 1} AS MATERIALIZED (
-         |  SELECT w.j,
-         |    w.wq - COALESCE(CAST(g.g // (2 * (SELECT n FROM nn) * 1000000) AS BIGINT), 0) AS wq
-         |  FROM w$t w LEFT JOIN g$t g USING (j))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH toks AS (
+  private val clsFeatureCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |h0 AS (
        |  SELECT doc_id,
@@ -328,8 +314,32 @@ object SparkEntry {
        |  SELECT doc_id, idx AS j, CAST(floor(v*1000000 + 0.5) AS BIGINT) AS xq
        |  FROM comp WHERE v <> 0 AND floor(v*1000000 + 0.5) <> 0
        |  UNION ALL
-       |  SELECT doc_id, 64 AS j, CAST(1000000 AS BIGINT) AS xq FROM documents),
-       |lab AS MATERIALIZED (
+       |  SELECT doc_id, 64 AS j, CAST(1000000 AS BIGINT) AS xq FROM documents)""".stripMargin
+
+  /** Shared WITH-body of the cls1/cls2 oracles (x7 features, the unrolled
+    * training rounds, the corpus margin CTE `zf`); each oracle appends its
+    * own tail after the `zf` CTE.
+    */
+  private def clsOracleWith(tail: String): String = {
+    val posSet = "('src0','src1','src2','src3','src4')"
+    val p6 = clsP6
+    val rounds = (0 until 3).map { t =>
+      s"""z$t AS (
+         |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
+         |  FROM xtr x JOIN w$t w USING (j) GROUP BY x.doc_id),
+         |e$t AS MATERIALIZED (
+         |  SELECT z.doc_id, ${p6("z.z")} - l.y6 AS err6
+         |  FROM z$t z JOIN lab l USING (doc_id)),
+         |g$t AS (
+         |  SELECT j, sum(err6 * xq) AS g
+         |  FROM xtr JOIN e$t USING (doc_id) GROUP BY j),
+         |w${t + 1} AS MATERIALIZED (
+         |  SELECT w.j,
+         |    w.wq - COALESCE(CAST(g.g // (2 * (SELECT n FROM nn) * 1000000) AS BIGINT), 0) AS wq
+         |  FROM w$t w LEFT JOIN g$t g USING (j))""".stripMargin
+    }.mkString(",\n")
+    "WITH " + clsFeatureCtes + ",\n" +
+      s"""lab AS MATERIALIZED (
        |  SELECT doc_id, source,
        |         CASE WHEN source IN $posSet THEN 1000000 ELSE 0 END AS y6,
        |         source IN $posSet AS label_high
@@ -355,6 +365,65 @@ object SparkEntry {
        |  SELECT l.doc_id, l.label_high, ${clsP6("z")} AS p6
        |  FROM zf JOIN lab l USING (doc_id))
        |$tail""".stripMargin)
+
+  /** cls6's DuckDB twin — the shared x7 feature CTEs, then the K
+    * one-vs-rest trainings unrolled side by side (per class: 65-row
+    * weight CTEs, exact integer gradients, the truncating-division
+    * update), the K corpus margin joins, and x1's priority argmax CASE
+    * chain replicated exactly (ties en > es > de > fr > zh).
+    */
+  private val cls6OracleSql: String = {
+    val langs = operators.TextAnalysis.markers.map(_._1)
+    val p6 = clsP6
+    def q(l: String) = l.replace("'", "''")
+    val perClass = langs.map { c =>
+      val w0 =
+        s"""w_${c}_0 AS MATERIALIZED (
+           |  SELECT CAST(unnest(range(0, 65)) AS BIGINT) AS j, CAST(0 AS BIGINT) AS wq)""".stripMargin
+      val rounds = (0 until 3).map { t =>
+        s"""z_${c}_$t AS (
+           |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
+           |  FROM xtr x JOIN w_${c}_$t w USING (j) GROUP BY x.doc_id),
+           |e_${c}_$t AS MATERIALIZED (
+           |  SELECT z.doc_id,
+           |    ${p6("z.z")} - (CASE WHEN l.lang = '${q(c)}' THEN 1000000 ELSE 0 END) AS err6
+           |  FROM z_${c}_$t z JOIN lab6 l USING (doc_id)),
+           |g_${c}_$t AS (
+           |  SELECT j, sum(err6 * xq) AS g
+           |  FROM xtr JOIN e_${c}_$t USING (doc_id) GROUP BY j),
+           |w_${c}_${t + 1} AS MATERIALIZED (
+           |  SELECT w.j,
+           |    w.wq - COALESCE(CAST(g.g // (2 * (SELECT n FROM nn) * 1000000) AS BIGINT), 0) AS wq
+           |  FROM w_${c}_$t w LEFT JOIN g_${c}_$t g USING (j))""".stripMargin
+      }
+      val zf =
+        s"""zf_$c AS MATERIALIZED (
+           |  SELECT x.doc_id, sum(w.wq * x.xq) AS z
+           |  FROM xfeat x JOIN w_${c}_3 w USING (j) GROUP BY x.doc_id)""".stripMargin
+      (w0 +: rounds :+ zf).mkString(",\n")
+    }.mkString(",\n")
+    val p6Cols = langs.map(c => s"${p6(s"z$c.z")} AS p6_$c").mkString(",\n    ")
+    val zfJoins = langs
+      .map(c => s"JOIN zf_$c z$c ON l.doc_id = z$c.doc_id").mkString(" ")
+    val predCase = langs.init.foldRight(s"'${q(langs.last)}'") { (l, els) =>
+      val beats = langs.filter(_ != l)
+        .map(o => s"p6_$l >= p6_$o").mkString(" AND ")
+      s"CASE WHEN $beats THEN '${q(l)}' ELSE $els END"
+    }
+    "WITH " + clsFeatureCtes + ",\n" +
+      s"""lab6 AS MATERIALIZED (SELECT doc_id, lang FROM documents),
+         |xtr AS MATERIALIZED (SELECT * FROM xfeat WHERE doc_id < 4096),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id < 4096),""".stripMargin +
+      "\n" + perClass + ",\n" +
+      s"""sc AS MATERIALIZED (
+         |  SELECT l.doc_id, l.lang,
+         |    $p6Cols
+         |  FROM lab6 l $zfJoins)
+         |SELECT doc_id, lang, ${langs.map(c => s"p6_$c").mkString(", ")},
+         |  $predCase AS pred_lang,
+         |  ($predCase) = lang AS correct
+         |FROM sc ORDER BY doc_id""".stripMargin
+  }
 
   private val cls1OracleSql: String = clsOracleWith(
     s"""SELECT l.doc_id, l.source, l.label_high,
@@ -3818,6 +3887,7 @@ object SparkEntry {
     "cls3_calibration" -> cls3OracleSql,
     "cls4_threshold_sweep" -> cls4OracleSql,
     "cls5_auc" -> cls5OracleSql,
+    "cls6_lang_classifier" -> cls6OracleSql,
 
     // x37: d6's recursive-CTE connected components (the proven d6/d7
     // spelling), then the NAIVE per-source rank window over group

@@ -1324,8 +1324,9 @@ object Curation {
 
   // hard-sigmoid on the 1e-6 grid; operands non-negative after the
   // clamp, so integral div == floor on both engines
-  private val p6Expr =
-    "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
+  private def p6ExprOf(z: String): String =
+    s"(least(greatest($z + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
+  private val p6Expr = p6ExprOf("z12")
 
   /** The training half of cls1: the (dim+1) quantized weights (1e-6 long
     * grid, slot `dim` = bias) from `iters` full-batch hard-sigmoid
@@ -1487,6 +1488,121 @@ object Curation {
                           Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
     scoredCorpus(spark, dir, dim, trainSample, iters, lrDiv, positiveSources)
       .orderedBy("doc_id")
+
+  /** The training half of cls6: ONE-VS-REST multinomial over the `lang`
+    * label — cls1's integer-grid hard-sigmoid machinery generalized to
+    * K simultaneous binary problems sharing the persisted sparse
+    * feature frame. Each round is still ONE aggregate (K margin sums
+    * wide) + ONE K·(dim+1)-cell gradient collect; the K weight vectors
+    * live driver-side between rounds (the s5 codebook pattern). Every
+    * quantity sits on cls1's exact integer grids — features 1e-6 longs,
+    * margins 1e-12 longs, probabilities by non-negative integral
+    * division, updates by truncating long division — so the whole
+    * K-class run is bit-replayed by the DuckDB oracle's unrolled CTEs.
+    */
+  private[graft] def trainLangWeights(spark: SparkSession, dir: String,
+                                      langs: Seq[String],
+                                      dim: Int = 64, trainSample: Int = 4096,
+                                      iters: Int = 3, lrDiv: Int = 2): Map[String, Array[Long]] = {
+    require(iters >= 0, s"iters must be >= 0; got $iters")
+    require(lrDiv >= 1, s"lrDiv must be >= 1; got $lrDiv")
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    val xqArr = concat(
+      transform(emb, v => floor(v * 1e6 + 0.5).cast("long")),
+      array(lit(1000000L)))
+    val trainDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < trainSample)
+    val n = trainDocs.count()
+    require(n > 0,
+      s"langClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
+    val train = graft.CacheRegistry.persistTracked(
+      trainDocs
+        .select(col("doc_id"), col("lang"), posexplode(xqArr))
+        .select(col("doc_id"), col("lang"), col("pos").as("j"),
+          col("col").as("xq"))
+        .filter(col("xq") =!= 0L))
+    val ws = scala.collection.mutable.LinkedHashMap(
+      langs.map(_ -> Array.fill(dim + 1)(0L)): _*)
+    def q(l: String) = l.replace("'", "''")
+    for (_ <- 0 until iters) {
+      val zCols = langs.map { c =>
+        sum(col("xq") * element_at(typedLit(ws(c).toSeq), col("j") + 1))
+          .as(s"z_$c")
+      }
+      val errCols = langs.map { c =>
+        expr(s"${p6ExprOf(s"z_$c")} - " +
+          s"(CASE WHEN lang = '${q(c)}' THEN 1000000 ELSE 0 END)").as(s"err_$c")
+      }
+      val err = train
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(zCols.head, zCols.tail: _*)
+        .select(col("doc_id") +: errCols: _*)
+      val g = train.join(broadcast(err), "doc_id")
+        .groupBy(col("j"))
+        .agg(langs.map(c => sum(col(s"err_$c") * col("xq")).as(s"g_$c")).head,
+          langs.map(c => sum(col(s"err_$c") * col("xq")).as(s"g_$c")).tail: _*)
+        .collect()
+      g.foreach { r =>
+        val j = r.getInt(0)
+        langs.zipWithIndex.foreach { case (c, i) =>
+          // Java long division truncates toward zero, exactly like DuckDB //
+          ws(c)(j) -= r.getLong(i + 1) / (lrDiv.toLong * n * 1000000L)
+        }
+      }
+    }
+    ws.toMap
+  }
+
+  /** cls6: trained language identification — the fastText-shaped first
+    * stage of the CCNet recipe (Wenzek et al. 2020; Joulin et al. 2017):
+    * a LINEAR classifier over x7's feature-hashing bag-of-tokens,
+    * trained one-vs-rest on the corpus' own `lang` label, replacing
+    * x1's hand-written marker heuristic with a model that learns
+    * whatever token-distribution signal the corpus carries. Training is
+    * cls1's bounded integer-grid run (trainSample id-prefix, 3 rounds,
+    * driver-held weights) widened to K classes in the SAME job count;
+    * scoring is ONE codegen projection computing the K quantized dots
+    * (the shared hashEmbedding subtree is eliminated by codegen CSE),
+    * and the prediction is x1's exact priority argmax CASE chain
+    * (`TextAnalysis.predLangExpr` — ties resolve en > es > de > fr >
+    * zh, ONE shared definition) over the K probability columns. Output
+    * per doc: the K exact-long probabilities, the predicted language
+    * and the agreement flag — the eval a langid stage reports before
+    * replacing its heuristic.
+    *
+    * Scale posture: training constant in corpus size (trainSample
+    * bound); the apply pass is one narrow scan, no shuffle beyond the
+    * ordered output; the whole K-class train + score is bit-replayed by
+    * the DuckDB oracle's unrolled CTEs. The driver corpus' lang label is
+    * near signal-free (marker-frequency deltas under 1% — measured, not
+    * assumed), so the trained model correctly collapses to the priority
+    * argmax of near-tied scores there, exactly like cls1 on its
+    * signal-free source labels; SEPARABILITY is what the spec pins, on
+    * a disjoint-vocabulary fixture where the model must classify every
+    * language perfectly (the cls1 convention).
+    */
+  def langClassifier(spark: SparkSession, dir: String,
+                     dim: Int = 64, trainSample: Int = 4096,
+                     iters: Int = 3, lrDiv: Int = 2): DataFrame = {
+    val langs = TextAnalysis.markers.map(_._1)
+    val ws = trainLangWeights(spark, dir, langs, dim, trainSample, iters,
+      lrDiv)
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    val scored = langs.foldLeft(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("text"))) { (df, c) =>
+      df.withColumn(s"z_$c", Sketches.quantizedDot(emb, ws(c).toSeq))
+        .withColumn(s"p6_$c", expr(p6ExprOf(s"z_$c")))
+    }
+    scored
+      .withColumn("pred_lang",
+        TextAnalysis.predLangExpr(c => col(s"p6_$c")))
+      .select(col("doc_id") +: col("lang") +:
+        langs.map(c => col(s"p6_$c")) :+
+        col("pred_lang") :+
+        (col("pred_lang") === col("lang")).as("correct"): _*)
+      .orderedBy("doc_id")
+  }
 
   /** The cls2 acceptance thresholds: T(s3) for every milli-probability
     * s3 in [0, 1000], where `keep ⟺ u15 < T(s3)` is EXACTLY the Pareto

@@ -20,7 +20,7 @@ object TextAnalysis {
     * count hits per language, argmax with a fixed priority order — is the
     * same at any lexicon size.
     */
-  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "fast"),
     "es" -> Seq("data", "table", "row"),
     "de" -> Seq("join", "merge", "group"),

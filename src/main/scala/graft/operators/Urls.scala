@@ -256,7 +256,11 @@ object Urls {
     s"$scheme://$www$host$port$pathEnc?$qreal$junk$frag"
   }
 
-  private case class UrlRow(doc_id: Long, url: String, canon_url: String)
+  // NOT private: the encoder's generated serializer calls the accessors
+  // from Janino-compiled code in another package — a private case class
+  // makes them private too, silently dropping the whole projection to
+  // interpreter mode ("Expr codegen error and falling back")
+  case class UrlRow(doc_id: Long, url: String, canon_url: String)
 
   /** x44's per-domain robots rules — ONE Scala definition interpolated
     * into the oracle (the x42 blocklist convention). Synthesized like the

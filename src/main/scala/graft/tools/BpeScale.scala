@@ -34,6 +34,17 @@ object BpeScale {
       println(f"TIMING bpe merges=$m learned=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       CacheRegistry.releaseShared(); CacheRegistry.releaseAll()
     }
+    // the ENCODE side (x46) at the same budgets: merges are trained once
+    // (memo released between budgets so each pass pays its own training),
+    // then the apply scan re-tokenizes the corpus through the learned
+    // table — the cost a production tokenizer pays per corpus pass
+    budgets.foreach { m =>
+      val t0 = System.nanoTime()
+      TextAnalysis.bpeEncode(spark, dir, m)
+        .write.format("noop").mode("overwrite").save()
+      println(f"TIMING bpe-encode merges=$m ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      CacheRegistry.releaseShared(); CacheRegistry.releaseAll()
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,7 @@ object ScalingCurve {
       "x42b_blocklist_join" -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
       "p3_reputation_gate" -> ((s, d) => Curation.reputationGate(s, d)),
       "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
+      "cls6_lang_classifier" -> ((s, d) => Curation.langClassifier(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),
@@ -129,6 +130,12 @@ object ScalingCurve {
       "t9_sliding_windows" -> ((s, d) => Telematics.slidingWindows(s, d)),
       "q_funnel" -> ((s, d) => graft.operators.Analytics.funnel(s, d)),
       "q_cohort_retention" -> ((s, d) => graft.operators.Analytics.cohortRetention(s, d)),
+      "q_running_total" -> ((s, d) => graft.operators.Analytics.runningTotals(s, d)),
+      "q_lag_delta" -> ((s, d) => graft.operators.Analytics.purchaseDeltas(s, d)),
+      "q_window_nav" -> ((s, d) => graft.operators.Analytics.windowNav(s, d)),
+      "q_salted_purchases" -> ((s, d) => graft.operators.Analytics.saltedPurchaseTotals(s, d)),
+      "h1_heavy_hitters" -> ((s, d) => Curation.heavyHitters(s, d)),
+      "q_topk_agg" -> ((s, d) => graft.operators.Analytics.topKPerType(s, d)),
       // fact-axis queries: flat on docs/events slices (lineitem/orders
       // base-linked); run against MakeScale's facts mode for real exponents
       "q1_pricing_summary" -> ((s, d) => graft.operators.Analytics.pricingSummary(s, d)),

@@ -349,6 +349,57 @@ class CurationSpec extends SparkSpec {
       (33L, "site5.example.com", false, "no_content")), s"got ${got.toSeq}")
   }
 
+  private def writeLangDocs(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    rows.map { case (id, text, lang) => (id, text, lang, "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("cls6 separates languages with disjoint vocabularies") {
+    // the cls1 separation convention: on a fixture where each language
+    // owns a disjoint token set, the trained one-vs-rest model must
+    // classify EVERY document correctly — this is the property that
+    // distinguishes a trained classifier from the priority-argmax
+    // fallback it degenerates to on signal-free labels
+    val dir = writeLangDocs(Seq(
+      (0L, "alpha beta alpha gamma beta alpha", "en"),
+      (1L, "delta epsilon delta zeta epsilon", "fr"),
+      (2L, "eta theta eta iota theta eta", "zh"),
+      (3L, "alpha gamma gamma beta alpha beta", "en"),
+      (4L, "epsilon zeta zeta delta epsilon", "fr"),
+      (5L, "iota eta theta iota eta theta", "zh"),
+      (6L, "beta alpha beta gamma alpha", "en"),
+      (7L, "zeta delta epsilon zeta delta", "fr")))
+    val got = Curation.langClassifier(spark, dir)
+      .select("doc_id", "lang", "pred_lang", "correct").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(got.forall(_._4),
+      s"every disjoint-vocabulary doc must classify correctly: ${got.toSeq}")
+    assert(got.map(_._2).toSet == Set("en", "fr", "zh"))
+  }
+
+  test("cls6 prior collapse on signal-free labels is the priority argmax, deterministically") {
+    // every doc shares ONE vocabulary while labels vary: the per-class
+    // scores stay close, and the x1 priority chain (en > es > de > fr >
+    // zh on ties) decides — the documented behavior on the driver's
+    // near-signal-free corpus, pinned so a drift in the tie chain or
+    // the integer grids shows up here
+    val dir = writeLangDocs(Seq(
+      (0L, "common words shared by all docs here", "en"),
+      (1L, "common words shared by all docs here", "fr"),
+      (2L, "common words shared by all docs here", "zh"),
+      (3L, "common words shared by all docs here", "de")))
+    val got = Curation.langClassifier(spark, dir)
+      .select("doc_id", "pred_lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // identical texts → identical score vectors → ONE predicted class
+    // for all docs, chosen by the priority chain
+    assert(got.map(_._2).distinct.length == 1, s"got ${got.toSeq}")
+  }
+
   private def writeEmbeddings(rows: Seq[(Long, Seq[Float], Int)]): String = {
     import spark.implicits._
     val dir = tempSfDir()
