@@ -146,6 +146,7 @@ object SparkEntry {
     "x49_fim_split"        -> ((s, d) => Curation.fimSplit(s, d)),
     "x50_chat_template"    -> ((s, d) => Curation.chatTemplate(s, d)),
     "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
+    "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -881,6 +882,49 @@ object SparkEntry {
        |  CAST(length(html) AS BIGINT) AS html_len,
        |  ${crc32Sql(htmlBytes)} AS html_crc32
        |FROM woff, ct ORDER BY doc_id""".stripMargin
+  }
+
+  /** w2's DuckDB twin — every WET `conversion` record rebuilt
+    * byte-for-byte: the x41 main_text (shared page CTEs) as the
+    * plain-text payload, the x43 raw URL as Target-URI, the exact
+    * header strings the converter emits, offsets as the per-shard
+    * running sum. text_crc32 is definitionally x41's main_crc32 — the
+    * extraction pinned through two container round-trips.
+    */
+  // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
+  // declared LATER in this file (the x42CaseSql init-order trap)
+  private lazy val w2OracleSql: String = {
+    val textBytes =
+      "list_transform(range(1, length(main_text)+1), i -> CAST(unicode(main_text[i]) AS BIGINT))"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |k AS (SELECT chr(13) || chr(10) AS crlf),
+       |d AS (SELECT doc_id, text, length(text) AS n FROM documents),""".stripMargin +
+      "\n" + htmlPageCtes + ",\n" + x43RawUrlCtes + ",\n" +
+      s"""wet AS (
+       |  SELECT page.doc_id AS doc_id, page.doc_id // 50 AS shard_id,
+       |    r.url AS url, page.main_text AS main_text,
+       |    'WARC/1.0' || crlf ||
+       |      'WARC-Type: conversion' || crlf ||
+       |      'WARC-Record-ID: <urn:graft:wet-' || page.doc_id || '>' || crlf ||
+       |      'WARC-Refers-To: <urn:graft:doc-' || page.doc_id || '>' || crlf ||
+       |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
+       |      'WARC-Target-URI: ' || r.url || crlf ||
+       |      'Content-Type: text/plain' || crlf ||
+       |      'Content-Length: ' || length(page.main_text) || crlf || crlf ||
+       |      page.main_text || crlf || crlf AS rec
+       |  FROM page JOIN r ON page.doc_id = r.doc_id, k),
+       |wetoff AS (
+       |  SELECT *, CAST(coalesce(sum(length(rec)) OVER (
+       |      PARTITION BY shard_id ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS rec_offset
+       |  FROM wet)
+       |SELECT doc_id, shard_id, rec_offset,
+       |  CAST(length(rec) AS BIGINT) AS rec_len,
+       |  url AS target_uri,
+       |  CAST(length(main_text) AS BIGINT) AS text_len,
+       |  ${crc32Sql(textBytes)} AS text_crc32
+       |FROM wetoff, ct ORDER BY doc_id""".stripMargin
   }
 
   /** x47's DuckDB twin — the politeness schedule derived analytically:
@@ -2615,6 +2659,7 @@ object SparkEntry {
     "x49_fim_split" -> x49OracleSql,
     "x50_chat_template" -> x50OracleSql,
     "w1_warc_ingest" -> w1OracleSql,
+    "w2_wet_extract" -> w2OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,
     "p3_reputation_gate" -> p3OracleSql,

@@ -165,6 +165,79 @@ object Warc {
     c.getValue
   }
 
+  /** The WET `conversion` record for one extracted document — the
+    * Common Crawl shape: plain-text payload, a Refers-To link back to
+    * the response record it was converted from.
+    */
+  private[graft] def buildWetRecord(id: Long, mainText: String): Array[Byte] = {
+    val rec = "WARC/1.0" + CRLF +
+      "WARC-Type: conversion" + CRLF +
+      s"WARC-Record-ID: <urn:graft:wet-$id>" + CRLF +
+      s"WARC-Refers-To: <urn:graft:doc-$id>" + CRLF +
+      "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
+      s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
+      "Content-Type: text/plain" + CRLF +
+      s"Content-Length: ${mainText.length}" + CRLF + CRLF +
+      mainText + CRLF + CRLF
+    rec.getBytes(UTF_8)
+  }
+
+  /** w2: the WARC → WET conversion — the Common Crawl text-extraction
+    * stage run end-to-end through BOTH container formats: each shard's
+    * synthesized WARC container is parsed back through the seam, every
+    * response record's HTTP body runs the x41 extraction (content
+    * blocks joined with '\n', the audit convention), the extracted
+    * texts re-frame as a byte-valid WET container of `conversion`
+    * records, and THAT container parses back through the SAME reader
+    * (the framing rules are format-agnostic — that is the point of the
+    * record structure) into fixed-width audit rows. text_crc32 must
+    * equal x41's main_crc32 for the same doc: the extraction is pinned
+    * through two container round-trips. Empty extractions (pages whose
+    * every block is boilerplate) stay in the archive as zero-length
+    * conversion records — the reader frames Content-Length: 0 exactly
+    * like any other record.
+    *
+    * Scale shape: w1's — ONE shuffle on shard_id, executor memory
+    * bounded by shardSize × page size, audit ∝ records; the whole
+    * WARC-parse → extract → WET-build → WET-parse chain runs inside
+    * one mapGroups pass, exactly how a conversion job sits next to the
+    * fetcher's output at fleet scale.
+    */
+  def wetExtract(spark: SparkSession, dir: String, shardSize: Int = 50,
+                 minBlockLen: Int = 25): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"doc_id div $shardSize").as("shard_id"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
+        val docs = it.map { case (id, text, _) => (id, text) }.toSeq
+        val warc = buildContainer(docs)
+        val out = new java.io.ByteArrayOutputStream()
+        parseWarc(warc).foreach { r =>
+          val id = r.headers("warc-record-id")
+            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+          val (_, body) = parseHttp(r.payload)
+          val mainText = Html.TagWalkBlocker
+            .blocks(new String(body, UTF_8))
+            .filter(Html.isContent(_, minBlockLen))
+            .iterator.map(_.text).mkString("\n")
+          out.write(buildWetRecord(id, mainText))
+        }
+        parseWarc(out.toByteArray).map { r =>
+          val id = r.headers("warc-record-id")
+            .stripPrefix("<urn:graft:wet-").stripSuffix(">").toLong
+          (id, shard, r.offset, r.recLen,
+            r.headers("warc-target-uri"),
+            r.payload.length.toLong, crc32(r.payload))
+        }
+      }
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "text_len", "text_crc32")
+      .orderedBy("doc_id")
+  }
+
   /** w1: synthesize the sharded WARC corpus, parse it back through the
     * seam, and audit every record — framing offsets, parsed-back URI and
     * HTTP status, payload accounting, body CRC32 (which must equal

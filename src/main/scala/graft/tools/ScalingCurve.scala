@@ -115,6 +115,7 @@ object ScalingCurve {
       "x42b_blocklist_join" -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
       "p3_reputation_gate" -> ((s, d) => Curation.reputationGate(s, d)),
       "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
+      "w2_wet_extract" -> ((s, d) => graft.sources.Warc.wetExtract(s, d)),
       "cls6_lang_classifier" -> ((s, d) => Curation.langClassifier(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents

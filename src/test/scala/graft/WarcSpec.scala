@@ -101,6 +101,33 @@ class WarcSpec extends SparkSpec {
           .getBytes(UTF_8)))), s"got ${got.toSeq}")
   }
 
+  test("w2 WET conversion round-trips and pins the same bytes as x41's extraction") {
+    // doc 30's page extracts to NOTHING (text under the content floor):
+    // the conversion record must still frame, with Content-Length 0
+    val dir = writeDocs(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today again and again", "s0"),
+      (30L, "tiny", "s0"),
+      (51L, "second shard doc with plenty of text to clear the content floor", "s0")))
+    val got = Warc.wetExtract(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toSeq
+    // independent expectation: x41's audit pins main_len/main_crc32 for
+    // the same docs — w2's text columns must agree exactly
+    val x41 = graft.operators.Html.htmlExtract(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("main_len"), r.getAs[Long]("main_crc32")))).toMap
+    got.foreach { case (id, _, _, _, uri, textLen, textCrc) =>
+      assert((textLen, textCrc) == x41(id),
+        s"doc $id WET text must pin the same bytes as x41's extraction")
+      assert(uri == Urls.buildUrl(id))
+    }
+    assert(got.find(_._1 == 30L).get._6 == 0L, "empty extraction frames")
+    // offsets tile each shard's container: doc 1 then 30 in shard 0
+    val r1len = got.find(_._1 == 1L).get._4
+    assert(got.find(_._1 == 30L).get._3 == r1len)
+    assert(got.find(_._1 == 51L).get._3 == 0L, "second shard starts at 0")
+  }
+
   test("p2 ingest funnel runs off parsed WARC records end-to-end") {
     // the p2-agreement fixture: WARC-synthesize, parse back through the
     // seam, feed the PARSED records (URI + HTTP body) into the streaming
