@@ -82,68 +82,117 @@ object Warc {
     out.toByteArray
   }
 
+  /** Parse ONE record starting at `start`. `Some((record, nextPos))` on
+    * a complete record, `None` when the bytes END mid-record (the
+    * incomplete-tail case a chunked stream produces) — but a LOUD throw
+    * on structurally malformed data (bad magic, malformed header,
+    * missing Content-Length, corrupt trailer): incompleteness is a
+    * framing state, corruption is an error, and a reader that confuses
+    * the two silently resynchronizes over corruption.
+    * `baseOffset` shifts the recorded offset for stream reassembly,
+    * where `bytes` is a suffix of the logical container.
+    */
+  private def parseRecordAt(bytes: Array[Byte], start: Int,
+                            baseOffset: Long): Option[(WarcRecord, Int)] = {
+    var pos = start
+    val version = readLine(bytes, pos) match {
+      case None => return None
+      case Some(v) => v
+    }
+    require(version._1 == "WARC/1.0",
+      s"bad WARC version line at offset ${baseOffset + start}: '${version._1}'")
+    pos = version._2
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var line = readLine(bytes, pos) match {
+      case None => return None
+      case Some(l) => l
+    }
+    while (line._1.nonEmpty) {
+      val idx = line._1.indexOf(':')
+      require(idx > 0,
+        s"malformed WARC header at offset ${baseOffset + pos}: '${line._1}'")
+      headers.update(line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT),
+        line._1.substring(idx + 1).trim)
+      pos = line._2
+      line = readLine(bytes, pos) match {
+        case None => return None
+        case Some(l) => l
+      }
+    }
+    pos = line._2
+    val clen = headers.getOrElse("content-length",
+      sys.error(s"WARC record at offset ${baseOffset + start} has no " +
+        "Content-Length")).toInt
+    if (pos + clen + 4 > bytes.length) return None
+    val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen)
+    pos += clen
+    require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
+      bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
+      s"WARC record at offset ${baseOffset + start} not followed by CRLF CRLF")
+    pos += 4
+    Some((WarcRecord(headers.toMap, baseOffset + start,
+      (pos - start).toLong, payload), pos))
+  }
+
   /** THE RECORD-FRAMING SEAM — split a container into records using the
     * version line + headers + Content-Length, the only correct framing
     * (payloads may contain any byte sequence). Loud failure on anything
-    * malformed: an archive reader that silently resynchronizes hides
-    * corruption from the ingest gate.
+    * malformed OR truncated: a complete container must parse entirely.
     */
   private[graft] def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    while (pos < bytes.length) {
-      val start = pos
-      val version = readLine(bytes, pos)
-      require(version._1 == "WARC/1.0",
-        s"bad WARC version line at offset $start: '${version._1}'")
-      pos = version._2
-      val headers = scala.collection.mutable.Map.empty[String, String]
-      var line = readLine(bytes, pos)
-      while (line._1.nonEmpty) {
-        val idx = line._1.indexOf(':')
-        require(idx > 0, s"malformed WARC header at offset $pos: '${line._1}'")
-        headers.update(line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT),
-          line._1.substring(idx + 1).trim)
-        pos = line._2
-        line = readLine(bytes, pos)
-      }
-      pos = line._2
-      val clen = headers.getOrElse("content-length",
-        sys.error(s"WARC record at offset $start has no Content-Length")).toInt
-      require(pos + clen + 4 <= bytes.length,
-        s"truncated WARC record at offset $start: need ${clen + 4} payload+" +
-          s"trailer bytes, have ${bytes.length - pos}")
-      val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen)
-      pos += clen
-      require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
-        bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
-        s"WARC record at offset $start not followed by CRLF CRLF")
-      pos += 4
-      out += WarcRecord(headers.toMap, start.toLong, (pos - start).toLong,
-        payload)
-    }
-    out.toSeq
+    val (recs, leftover) = parseWarcPrefix(bytes, 0L)
+    require(leftover.isEmpty,
+      s"truncated WARC record at offset ${bytes.length - leftover.length}: " +
+        s"${leftover.length} trailing bytes do not frame a complete record")
+    recs
   }
 
-  /** One CRLF-terminated ASCII line starting at `pos`: (text, next pos). */
-  private def readLine(bytes: Array[Byte], pos: Int): (String, Int) = {
+  /** The incremental form: every COMPLETE record in `bytes` plus the
+    * unconsumed tail (empty, or the prefix of a record whose remaining
+    * bytes haven't arrived yet) — the contract a chunked stream
+    * reassembler drains on every arriving chunk. Malformed data still
+    * throws (see parseRecordAt).
+    */
+  private[graft] def parseWarcPrefix(bytes: Array[Byte],
+                                     baseOffset: Long): (Seq[WarcRecord], Array[Byte]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    var pos = 0
+    var done = false
+    while (!done && pos < bytes.length) {
+      parseRecordAt(bytes, pos, baseOffset) match {
+        case Some((rec, next)) => out += rec; pos = next
+        case None => done = true
+      }
+    }
+    (out.toSeq, java.util.Arrays.copyOfRange(bytes, pos, bytes.length))
+  }
+
+  /** One CRLF-terminated ASCII line starting at `pos`: Some((text, next
+    * pos)), or None when no terminator exists before the end of `bytes`
+    * (an incomplete line — more bytes needed).
+    */
+  private def readLine(bytes: Array[Byte], pos: Int): Option[(String, Int)] = {
     var i = pos
     while (i + 1 < bytes.length && !(bytes(i) == '\r' && bytes(i + 1) == '\n'))
       i += 1
-    require(i + 1 < bytes.length, s"unterminated line at offset $pos")
-    (new String(bytes, pos, i - pos, UTF_8), i + 2)
+    if (i + 1 >= bytes.length) None
+    else Some((new String(bytes, pos, i - pos, UTF_8), i + 2))
   }
 
   /** Split an HTTP/1.1 message into (status code, body bytes) — the
     * same Content-Length discipline as the record framing.
     */
   private[graft] def parseHttp(payload: Array[Byte]): (Int, Array[Byte]) = {
-    val status = readLine(payload, 0)
+    // payloads are complete by the record framing, so an unterminated
+    // line here is corruption, not incompleteness — loud
+    def lineAt(pos: Int): (String, Int) = readLine(payload, pos)
+      .getOrElse(sys.error(s"unterminated HTTP header line at offset $pos"))
+    val status = lineAt(0)
     val parts = status._1.split(" ", 3)
     require(parts.length >= 2 && parts(0).startsWith("HTTP/"),
       s"bad HTTP status line: '${status._1}'")
     var pos = status._2
-    var line = readLine(payload, pos)
+    var line = lineAt(pos)
     var clen = -1
     while (line._1.nonEmpty) {
       val idx = line._1.indexOf(':')
@@ -151,7 +200,7 @@ object Warc {
         line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT) == "content-length")
         clen = line._1.substring(idx + 1).trim.toInt
       pos = line._2
-      line = readLine(payload, pos)
+      line = lineAt(pos)
     }
     pos = line._2
     require(clen >= 0 && pos + clen <= payload.length,

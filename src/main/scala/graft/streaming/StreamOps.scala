@@ -314,6 +314,91 @@ object StreamOps {
         (col("reason") === "ok").as("keep"), col("reason"))
   }
 
+  /** A chunk of a WARC container on the ingest stream — the shape an
+    * archive transfer actually arrives in: the container's identity, a
+    * per-container sequence number, and an arbitrary byte slice (chunk
+    * boundaries fall ANYWHERE — mid-header, mid-payload).
+    */
+  case class WarcChunk(container_id: Long, ts: Timestamp, seq: Long,
+                       bytes: Array[Byte])
+
+  /** One reassembled, parsed response record — w1's audit row with the
+    * container identity in place of the batch shard id.
+    */
+  case class WarcRecordRow(container_id: Long, doc_id: Long,
+                           rec_offset: Long, rec_len: Long,
+                           target_uri: String, http_status: Int,
+                           html_len: Long, html_crc32: Long)
+
+  /** Reassembly state for one container: the next expected chunk seq,
+    * the absolute container offset the pending bytes start at, and the
+    * pending prefix of the next (incomplete) record. Bounded by ONE
+    * record's size — completed records leave state immediately.
+    */
+  case class WarcBuf(nextSeq: Long, baseOffset: Long, pending: Array[Byte])
+
+  /** w1's streaming twin — stateful WARC record reassembly over an
+    * arbitrary-boundary chunk stream (`transformWithState`, the
+    * RunDetectProcessor discipline): per container, arriving chunks
+    * append to the pending buffer, `Warc.parseWarcPrefix` drains every
+    * COMPLETE record (the SAME Content-Length framing seam as batch —
+    * a chunk boundary inside `\r\n\r\n` or the magic cannot mis-split),
+    * and only the incomplete tail stays in state, so per-key state is
+    * bounded by one record regardless of container size. Chunk seqs
+    * must arrive in order per container (the Kafka-partition-per-
+    * transfer contract); a gap fails LOUDLY rather than parsing bytes
+    * out of order. Emits w1's audit row per record as each record
+    * completes — the archive-ingest face of the batch source.
+    */
+  class WarcReassembleProcessor
+      extends StatefulProcessor[Long, WarcChunk, WarcRecordRow] {
+    @transient private var buf: ValueState[WarcBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[WarcBuf](
+        "buf", Encoders.product[WarcBuf], TTLConfig.NONE)
+
+    override def handleInputRows(cid: Long, rows: Iterator[WarcChunk],
+                                 tv: TimerValues): Iterator[WarcRecordRow] = {
+      var st = if (buf.exists()) buf.get() else WarcBuf(0L, 0L, Array.empty)
+      val out = Seq.newBuilder[WarcRecordRow]
+      rows.toSeq.sortBy(_.seq).foreach { c =>
+        require(c.seq == st.nextSeq,
+          s"container $cid chunk gap: expected seq ${st.nextSeq}, got ${c.seq}")
+        val joined = st.pending ++ c.bytes
+        val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
+          joined, st.baseOffset)
+        recs.foreach { r =>
+          val id = r.headers("warc-record-id")
+            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+          val (status, body) = graft.sources.Warc.parseHttp(r.payload)
+          val crc = new java.util.zip.CRC32()
+          crc.update(body)
+          out += WarcRecordRow(cid, id, r.offset, r.recLen,
+            r.headers("warc-target-uri"), status, body.length.toLong,
+            crc.getValue)
+        }
+        st = WarcBuf(c.seq + 1,
+          st.baseOffset + (joined.length - leftover.length), leftover)
+      }
+      buf.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** WARC record reassembly on the chunk stream (see
+    * WarcReassembleProcessor). Requires the RocksDB state store provider
+    * on the running query, like the other transformWithState ops.
+    */
+  def warcRecordStream(spark: SparkSession,
+                       chunks: Dataset[WarcChunk]): Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    chunks
+      .groupByKey(_.container_id)
+      .transformWithState(new WarcReassembleProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** A discovered URL on the crawl stream — x43's unbounded input shape. */
   case class UrlEvent(doc_id: Long, ts: Timestamp, url: String)
 

@@ -299,11 +299,68 @@ object StreamBench {
             },
           maxBucketSize = 64,
           ttl = java.time.Duration.ZERO).toDF()))
+
+    // w1 twin: REAL WARC containers (documents sharded 50/container, the
+    // batch builder) split into 32 KiB chunks with arbitrary boundaries —
+    // the measured rate pays reassembly + record framing + HTTP parse +
+    // body CRC per record. Reported per RECORD (doc), not per chunk.
+    val warcRow = if (only.nonEmpty && !only("warc_reassemble_tws")) None else Some {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val baseDocs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      // replicate like the events rows (disjoint id ranges) so per-batch
+      // launch + state-commit overhead amortizes into a sustained rate
+      val docSpan = baseDocs.map(_._1).max + 1
+      val docs = (0 until replicas).flatMap(r =>
+        baseDocs.map { case (id, t) => (id + r * docSpan, t) })
+      val nRecs = docs.length.toLong
+      val perContainer: Seq[Seq[Row]] =
+        docs.grouped(50).zipWithIndex.map { case (g, ci) =>
+          val container = graft.sources.Warc.buildContainer(g)
+          container.grouped(32 * 1024).zipWithIndex.map { case (b, i) =>
+            Row(ci.toLong, new java.sql.Timestamp(0L), i.toLong, b)
+          }.toSeq
+        }.toSeq
+      // one part file per bucket of WHOLE containers, chunk order intact:
+      // the file source's cross-file processing order is unspecified, and
+      // the reassembler's per-container in-order contract (the Kafka-
+      // partition-per-transfer shape) must hold however files interleave
+      val buckets = perContainer.zipWithIndex
+        .groupBy(_._2 % chunks).toSeq.sortBy(_._1)
+        .map(_._2.flatMap(_._1))
+      val chunkSchema = StructType(Seq(
+        StructField("container_id", LongType), StructField("ts", TimestampType),
+        StructField("seq", LongType), StructField("bytes", BinaryType)))
+      val warcIn = "/tmp/graft_stream_warc_in"
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(buckets, buckets.length)
+            .flatMap(identity),
+          chunkSchema)
+        .write.mode("overwrite").parquet(warcIn)
+      def once(): (String, Double) = {
+        val ckpt = s"/tmp/graft_stream_ckpt/warc-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = StreamOps.warcRecordStream(spark,
+            spark.readStream.schema(chunkSchema)
+              .option("maxFilesPerTrigger", 1).parquet(warcIn)
+              .as[StreamOps.WarcChunk])
+          .toDF()
+          .writeStream.format("noop").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        q.awaitTermination()
+        "warc_reassemble_tws" -> nRecs / ((System.nanoTime() - t0) / 1e9)
+      }
+      val r = Seq(once(), once()).maxBy(_._2)
+      println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
+      r
+    }
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow, ingestRow).flatten ++
+        frontierRow, ingestRow, warcRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

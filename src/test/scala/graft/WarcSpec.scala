@@ -128,6 +128,66 @@ class WarcSpec extends SparkSpec {
     assert(got.find(_._1 == 51L).get._3 == 0L, "second shard starts at 0")
   }
 
+  test("warc record stream reassembles chunked containers exactly as batch w1") {
+    // a 3-record container split into brutal 7-byte chunks (boundaries
+    // mid-magic, mid-header, mid-payload, mid-trailer), delivered over
+    // TWO micro-batches with the cut mid-record: nothing may emit for
+    // the straddling record until its bytes complete, offsets/lengths
+    // must match the batch audit, and the trap doc's embedded
+    // \r\n\r\n + magic must not mis-split (the Content-Length seam)
+    val docs = Seq(
+      (1L, "plain text long enough to make a couple of chunks maybe"),
+      (2L, "trap \r\n\r\nWARC/1.0\r\n payload with embedded separators"),
+      (3L, ""))
+    val container = Warc.buildContainer(docs)
+    val chunks = container.grouped(7).toSeq
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val all = chunks.zipWithIndex.map { case (b, i) =>
+      StreamOps.WarcChunk(9L, ts, i.toLong, b)
+    }
+    // cut inside record 2 (record 1 ends well before half the container)
+    val (batch1, batch2) = all.splitAt(all.length / 2)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val q = StreamOps.warcRecordStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      val partial = spark.table("warc_stream_out").collect()
+      assert(partial.length < 3, "the straddling record must not emit early")
+      input.addData(batch2)
+      q.processAllAvailable()
+      val got = spark.table("warc_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rec_offset"),
+          r.getAs[Long]("rec_len"), r.getAs[String]("target_uri"),
+          r.getAs[Int]("http_status"), r.getAs[Long]("html_len"),
+          r.getAs[Long]("html_crc32"))).sortBy(_._1).toSeq
+      // independent expectation from the BATCH parser over the whole
+      // container — stream reassembly must agree record-for-record
+      val want = Warc.parseWarc(container).map { r =>
+        val id = r.headers("warc-record-id")
+          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val (status, body) = Warc.parseHttp(r.payload)
+        (id, r.offset, r.recLen, r.headers("warc-target-uri"), status,
+          body.length.toLong, crc(body))
+      }.sortBy(_._1)
+      assert(got == want, s"got=$got want=$want")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("p2 ingest funnel runs off parsed WARC records end-to-end") {
     // the p2-agreement fixture: WARC-synthesize, parse back through the
     // seam, feed the PARSED records (URI + HTTP body) into the streaming
