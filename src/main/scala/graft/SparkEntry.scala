@@ -147,6 +147,7 @@ object SparkEntry {
     "x50_chat_template"    -> ((s, d) => Curation.chatTemplate(s, d)),
     "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
     "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
+    "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -925,6 +926,45 @@ object SparkEntry {
        |  CAST(length(main_text) AS BIGINT) AS text_len,
        |  ${crc32Sql(textBytes)} AS text_crc32
        |FROM wetoff, ct ORDER BY doc_id""".stripMargin
+  }
+
+  /** x51's DuckDB twin — the LCG cut, the same-source lead/wrap
+    * partnering windows, the x50 sentinel serialization of both
+    * responses, and the two proven CRC32 table-folds.
+    */
+  // lazy: interpolates crcTableLiteral (the x49 init-order convention)
+  private lazy val x51OracleSql: String = {
+    val outcBytes =
+      "list_transform(range(1, length(outc)+1), i -> CAST(unicode(outc[i]) AS BIGINT))"
+    val outrBytes =
+      "list_transform(range(1, length(outr)+1), i -> CAST(unicode(outr[i]) AS BIGINT))"
+    val wrapW = "OVER (PARTITION BY source ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
+       |d AS (SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n,
+       |  ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 AS s1
+       |  FROM documents),
+       |d2 AS (SELECT *, (s1 * 1103515245 + 12345) % 2147483648 AS s2 FROM d),
+       |u AS (SELECT doc_id, source, text, n, s2 // 65536 % 32768 AS u2 FROM d2),
+       |sp AS (SELECT doc_id, source, n, CAST(u2 % (n + 1) AS INT) AS a,
+       |  substr(text, 1, CAST(u2 % (n + 1) AS INT)) AS prompt,
+       |  substr(text, CAST(u2 % (n + 1) AS INT) + 1) AS chosen FROM u),
+       |pr AS (SELECT *,
+       |  coalesce(lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id),
+       |    first_value(doc_id) $wrapW) AS partner_id,
+       |  coalesce(lead(chosen) OVER (PARTITION BY source ORDER BY doc_id),
+       |    first_value(chosen) $wrapW) AS partner_chosen
+       | FROM sp),
+       |tr AS (SELECT doc_id, partner_id, a, n, partner_chosen,
+       |  '<|user|>' || prompt || '<|assistant|>' || chosen || '<|end|>' AS outc,
+       |  '<|user|>' || prompt || '<|assistant|>' || partner_chosen || '<|end|>' AS outr
+       | FROM pr)
+       |SELECT doc_id, partner_id, CAST(a AS BIGINT) AS prompt_len,
+       |  n - a AS chosen_len,
+       |  CAST(length(partner_chosen) AS BIGINT) AS rejected_len,
+       |  ${crc32Sql(outcBytes)} AS chosen_crc32,
+       |  ${crc32Sql(outrBytes)} AS rejected_crc32
+       |FROM tr, ct ORDER BY doc_id""".stripMargin
   }
 
   /** x47's DuckDB twin — the politeness schedule derived analytically:
@@ -2660,6 +2700,7 @@ object SparkEntry {
     "x50_chat_template" -> x50OracleSql,
     "w1_warc_ingest" -> w1OracleSql,
     "w2_wet_extract" -> w2OracleSql,
+    "x51_preference_pairs" -> x51OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,
     "p3_reputation_gate" -> p3OracleSql,

@@ -1264,6 +1264,58 @@ object Curation {
       .orderedBy("doc_id")
   }
 
+  /** x51: preference-pair synthesis — the DPO/RLHF post-training
+    * transform next to x50's SFT template: each document splits at an
+    * LCG-derived cut into (prompt, chosen continuation), and the
+    * REJECTED continuation is the next same-source document's
+    * continuation (the mismatched-continuation negative — topically
+    * plausible, definitionally wrong; the standard synthetic-negative
+    * recipe when no reward model exists). Both responses serialize
+    * through x50's sentinel template, and the audit row pins the pair
+    * without materializing it: partner id, segment lengths, and a
+    * CRC32 per serialized response. The last doc of a source wraps to
+    * the source's first (every doc gets a partner, deterministically);
+    * a single-doc source degenerates to partner == self, visible in
+    * the audit.
+    *
+    * Scale shape: ONE window over (source, doc_id) — lead + an
+    * unbounded-frame first for the wrap — then one codegen projection;
+    * the window is the only exchange (at fleet scale, partnering would
+    * key on the shard hash instead of the raw source to bound
+    * partition width; the pairing rule is a parameter, the plan shape
+    * is not).
+    */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("s1",
+        expr("((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648"))
+      .withColumn("s2", expr("(s1 * 1103515245 + 12345) % 2147483648"))
+      .withColumn("u2", expr("s2 div 65536 % 32768"))
+      .withColumn("a", expr("CAST(u2 % (n + 1) AS INT)"))
+      .withColumn("prompt", expr("substring(text, 1, a)"))
+      .withColumn("chosen", expr("substring(text, a + 1)"))
+      .withColumn("partner_id",
+        coalesce(lead(col("doc_id"), 1).over(w), first(col("doc_id")).over(wAll)))
+      .withColumn("partner_chosen",
+        coalesce(lead(col("chosen"), 1).over(w), first(col("chosen")).over(wAll)))
+      .withColumn("out_chosen", expr(
+        "'<|user|>' || prompt || '<|assistant|>' || chosen || '<|end|>'"))
+      .withColumn("out_rejected", expr(
+        "'<|user|>' || prompt || '<|assistant|>' || partner_chosen || '<|end|>'"))
+      .select(col("doc_id"), col("partner_id"),
+        col("a").cast("long").as("prompt_len"),
+        (col("n") - col("a")).as("chosen_len"),
+        length(col("partner_chosen")).cast("long").as("rejected_len"),
+        crc32(col("out_chosen").cast("binary")).as("chosen_crc32"),
+        crc32(col("out_rejected").cast("binary")).as("rejected_crc32"))
+      .orderedBy("doc_id")
+  }
+
   /** The WEB end-to-end composition: p2's composed crawl-to-corpus
     * verdict as the gate (robots → URL dedup → extraction yield → the
     * full content stack) ∧ x31's token-budget cut, with x30's

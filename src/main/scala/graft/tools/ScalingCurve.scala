@@ -116,6 +116,7 @@ object ScalingCurve {
       "p3_reputation_gate" -> ((s, d) => Curation.reputationGate(s, d)),
       "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
       "w2_wet_extract" -> ((s, d) => graft.sources.Warc.wetExtract(s, d)),
+      "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
       "cls6_lang_classifier" -> ((s, d) => Curation.langClassifier(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents

@@ -242,6 +242,29 @@ class CurationSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("x51 preference pairs: LCG cut, same-source partner wrap, both CRCs pinned") {
+    // expected values computed independently (python zlib.crc32 over both
+    // serialized responses): s0 chains 1→2→5→9→wrap→1 (doc 9 EMPTY text:
+    // zero-length prompt AND chosen, still a partner for doc 5 and a
+    // wrapping partner back to doc 1); s1 is a single-doc source, so
+    // doc 7 partners with ITSELF and chosen_crc == rejected_crc
+    val dir = writeDocs(Seq(
+      (1L, "alpha continuation of document one", "s0"),
+      (2L, "bravo continuation of document two", "s0"),
+      (5L, "charlie continuation of document five", "s0"),
+      (7L, "delta single doc in its own source", "s1"),
+      (9L, "", "s0")))
+    val got = Curation.preferencePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 18L, 16L, 2L, 991690473L, 672838019L),
+      (2L, 5L, 32L, 2L, 16L, 4028850325L, 3478764638L),
+      (5L, 9L, 21L, 16L, 0L, 1997352136L, 810076725L),
+      (7L, 7L, 6L, 28L, 28L, 3917150860L, 3917150860L),
+      (9L, 1L, 0L, 0L, 16L, 704279248L, 4248843372L)), s"got ${got.toSeq}")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
