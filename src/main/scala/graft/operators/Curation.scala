@@ -469,16 +469,21 @@ object Curation {
                      positiveSources: Seq[String] =
                        Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
     import spark.implicits._
-    val verd = webPipelineVerdicts(spark, dir, minWords, maxWords,
-      minQuality, minBlockLen, positiveSources)
-      .select(col("doc_id"), col("canon_url"), col("reason"))
-      .as[(Long, String, String)]
-      // the SHARED host split (x48's discipline) — a regexp re-derivation
-      // would disagree with the robots identity on edge-case hosts
-      .map { case (id, canon, reason) =>
-        (id, Urls.canonDomainPath(canon)._1, reason)
-      }
-      .toDF("doc_id", "domain", "reason")
+    // persistTracked: the reputation aggregate AND the verdict join both
+    // scan this typed projection — without the cache the row-by-row
+    // deserialize → canonDomainPath → re-serialize pass would run twice
+    // per action (the computeNgramJaccard multi-consumer pattern)
+    val verd = graft.CacheRegistry.persistTracked(
+      webPipelineVerdicts(spark, dir, minWords, maxWords,
+        minQuality, minBlockLen, positiveSources)
+        .select(col("doc_id"), col("canon_url"), col("reason"))
+        .as[(Long, String, String)]
+        // the SHARED host split (x48's discipline) — a regexp re-derivation
+        // would disagree with the robots identity on edge-case hosts
+        .map { case (id, canon, reason) =>
+          (id, Urls.canonDomainPath(canon)._1, reason)
+        }
+        .toDF("doc_id", "domain", "reason"))
     val rep = verd
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("domain_total"),

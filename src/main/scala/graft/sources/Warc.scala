@@ -44,6 +44,13 @@ object Warc {
 
   private val CRLF = "\r\n"
 
+  /** Corruption bound for Content-Length: a header above this (256 MiB —
+    * far beyond any page or extraction this pipeline frames) is treated
+    * as corruption and fails loudly rather than reading as an
+    * incomplete record a reassembler would wait on forever.
+    */
+  private[graft] val MaxRecordBytes: Long = 256L * 1024 * 1024
+
   /** One parsed WARC record: lowercased header names, the byte offset
     * and total length of the record inside its container, and the raw
     * payload block (for `response` records, a full HTTP message).
@@ -55,20 +62,30 @@ object Warc {
     * (doc_id, text): the x43 raw URL, a fixed date, the x41 page as an
     * HTTP/1.1 200 response.
     */
+  /** Content-Length values are BYTE counts (the wire contract), never
+    * String.length char counts — the two differ the moment a document
+    * carries a non-ASCII character, and a char-counted header makes the
+    * byte-counting reader truncate the payload and fail the trailer
+    * check for the whole container.
+    */
   private[graft] def buildRecord(id: Long, text: String): Array[Byte] = {
-    val html = Html.buildHtml(id, text)
-    val http = "HTTP/1.1 200 OK" + CRLF +
+    val htmlBytes = Html.buildHtml(id, text).getBytes(UTF_8)
+    val httpHead = ("HTTP/1.1 200 OK" + CRLF +
       "Content-Type: text/html" + CRLF +
-      s"Content-Length: ${html.length}" + CRLF + CRLF + html
-    val rec = "WARC/1.0" + CRLF +
+      s"Content-Length: ${htmlBytes.length}" + CRLF + CRLF).getBytes(UTF_8)
+    val httpLen = httpHead.length + htmlBytes.length
+    val warcHead = ("WARC/1.0" + CRLF +
       "WARC-Type: response" + CRLF +
       s"WARC-Record-ID: <urn:graft:doc-$id>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
       "Content-Type: application/http;msgtype=response" + CRLF +
-      s"Content-Length: ${http.length}" + CRLF + CRLF +
-      http + CRLF + CRLF
-    rec.getBytes(UTF_8)
+      s"Content-Length: $httpLen" + CRLF + CRLF).getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream(
+      warcHead.length + httpLen + 4)
+    out.write(warcHead); out.write(httpHead); out.write(htmlBytes)
+    out.write(CRLF.getBytes(UTF_8)); out.write(CRLF.getBytes(UTF_8))
+    out.toByteArray
   }
 
   /** A container = the concatenated records of its docs in doc_id
@@ -120,10 +137,19 @@ object Warc {
       }
     }
     pos = line._2
-    val clen = headers.getOrElse("content-length",
+    val clenRaw = headers.getOrElse("content-length",
       sys.error(s"WARC record at offset ${baseOffset + start} has no " +
-        "Content-Length")).toInt
-    if (pos + clen + 4 > bytes.length) return None
+        "Content-Length")).toLong
+    // a negative or absurd Content-Length is CORRUPTION, not
+    // incompleteness — without this bound a flipped digit would read as
+    // "more bytes needed" and a stream reassembler would buffer every
+    // subsequent chunk forever instead of failing loudly
+    require(clenRaw >= 0 && clenRaw <= MaxRecordBytes,
+      s"WARC record at offset ${baseOffset + start} has implausible " +
+        s"Content-Length $clenRaw (bounds [0, $MaxRecordBytes])")
+    val clen = clenRaw.toInt
+    // Long arithmetic: pos + clen + 4 must not overflow Int
+    if (pos.toLong + clen + 4 > bytes.length) return None
     val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen)
     pos += clen
     require(bytes(pos) == '\r' && bytes(pos + 1) == '\n' &&
@@ -219,16 +245,21 @@ object Warc {
     * the response record it was converted from.
     */
   private[graft] def buildWetRecord(id: Long, mainText: String): Array[Byte] = {
-    val rec = "WARC/1.0" + CRLF +
+    // byte-counted Content-Length (see buildRecord)
+    val textBytes = mainText.getBytes(UTF_8)
+    val head = ("WARC/1.0" + CRLF +
       "WARC-Type: conversion" + CRLF +
       s"WARC-Record-ID: <urn:graft:wet-$id>" + CRLF +
       s"WARC-Refers-To: <urn:graft:doc-$id>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
       "Content-Type: text/plain" + CRLF +
-      s"Content-Length: ${mainText.length}" + CRLF + CRLF +
-      mainText + CRLF + CRLF
-    rec.getBytes(UTF_8)
+      s"Content-Length: ${textBytes.length}" + CRLF + CRLF).getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream(
+      head.length + textBytes.length + 4)
+    out.write(head); out.write(textBytes)
+    out.write(CRLF.getBytes(UTF_8)); out.write(CRLF.getBytes(UTF_8))
+    out.toByteArray
   }
 
   /** w2: the WARC → WET conversion — the Common Crawl text-extraction

@@ -350,13 +350,20 @@ object StreamOps {
     * out of order. Emits w1's audit row per record as each record
     * completes — the archive-ingest face of the batch source.
     */
-  class WarcReassembleProcessor
+  class WarcReassembleProcessor(ttl: java.time.Duration)
       extends StatefulProcessor[Long, WarcChunk, WarcRecordRow] {
     @transient private var buf: ValueState[WarcBuf] = _
 
+    // A completed container's state cannot self-clear (an empty pending
+    // buffer does not mean the transfer is over, and clearing nextSeq
+    // would let a late chunk restart at 0 instead of failing the order
+    // contract), so long-running ingest retires finished containers via
+    // the state TTL — the d2/d8 processors' dial. Duration.ZERO selects
+    // TTLConfig.NONE (the AvailableNow/spec mode).
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       buf = getHandle.getValueState[WarcBuf](
-        "buf", Encoders.product[WarcBuf], TTLConfig.NONE)
+        "buf", Encoders.product[WarcBuf],
+        if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl))
 
     override def handleInputRows(cid: Long, rows: Iterator[WarcChunk],
                                  tv: TimerValues): Iterator[WarcRecordRow] = {
@@ -390,12 +397,13 @@ object StreamOps {
     * WarcReassembleProcessor). Requires the RocksDB state store provider
     * on the running query, like the other transformWithState ops.
     */
-  def warcRecordStream(spark: SparkSession,
-                       chunks: Dataset[WarcChunk]): Dataset[WarcRecordRow] = {
+  def warcRecordStream(spark: SparkSession, chunks: Dataset[WarcChunk],
+                       ttl: java.time.Duration =
+                         java.time.Duration.ZERO): Dataset[WarcRecordRow] = {
     import spark.implicits._
     chunks
       .groupByKey(_.container_id)
-      .transformWithState(new WarcReassembleProcessor(),
+      .transformWithState(new WarcReassembleProcessor(ttl),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -76,6 +76,45 @@ class WarcSpec extends SparkSpec {
     assert(e3.getMessage.contains("CRLF"))
   }
 
+  test("warc Content-Length counts BYTES: non-ASCII payloads round-trip") {
+    // "café" is 4 chars but 5 UTF-8 bytes — a char-counted header would
+    // truncate the payload and fail the trailer check for the container
+    val docs = Seq(
+      (1L, "café au lait €2 — servi très vite"),
+      (2L, "plain ascii companion record"))
+    val container = Warc.buildContainer(docs)
+    val recs = Warc.parseWarc(container)
+    assert(recs.length == 2)
+    recs.zip(docs).foreach { case (r, (id, text)) =>
+      val (status, body) = Warc.parseHttp(r.payload)
+      assert(status == 200)
+      assert(new String(body, java.nio.charset.StandardCharsets.UTF_8) ==
+        graft.operators.Html.buildHtml(id, text),
+        s"doc $id non-ASCII body must round-trip byte-exact")
+    }
+    assert(recs.map(_.recLen).sum == container.length.toLong)
+  }
+
+  test("warc reader rejects an implausible Content-Length as corruption, not incompleteness") {
+    // flip the record's Content-Length to an absurd value: without the
+    // bound this reads as "more bytes needed" and a stream reassembler
+    // would buffer forever; with it, the reader fails loudly
+    val good = Warc.buildContainer(Seq((7L, "some perfectly fine text")))
+    val s = new String(good, java.nio.charset.StandardCharsets.UTF_8)
+    val m = "Content-Length: (\\d+)\r\n\r\nHTTP".r.findFirstMatchIn(s).get
+    val corrupt = s.replace(s"Content-Length: ${m.group(1)}\r\n\r\nHTTP",
+      "Content-Length: 4700000000\r\n\r\nHTTP")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val e = intercept[IllegalArgumentException](Warc.parseWarc(corrupt))
+    assert(e.getMessage.contains("implausible Content-Length"))
+    // negative is corruption too
+    val neg = s.replace(s"Content-Length: ${m.group(1)}\r\n\r\nHTTP",
+      "Content-Length: -1\r\n\r\nHTTP")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val e2 = intercept[IllegalArgumentException](Warc.parseWarc(neg))
+    assert(e2.getMessage.contains("implausible Content-Length"))
+  }
+
   test("w1 audit rows pin the framing against independent arithmetic") {
     val dir = writeDocs(Seq(
       (1L, "hello world of warc framing today", "s0"),
