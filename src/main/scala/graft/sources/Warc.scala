@@ -58,15 +58,27 @@ object Warc {
   case class WarcRecord(headers: Map[String, String], offset: Long,
                         recLen: Long, payload: Array[Byte])
 
+  private val CrlfBytes = CRLF.getBytes(UTF_8)
+
+  /** head + body + the CRLF CRLF record epilogue, as one byte array —
+    * the frame shape both record builders share.
+    */
+  private def frame(heads: Seq[Array[Byte]], body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      heads.map(_.length).sum + body.length + 4)
+    heads.foreach(out.write)
+    out.write(body)
+    out.write(CrlfBytes); out.write(CrlfBytes)
+    out.toByteArray
+  }
+
   /** The synthesized record for one document — deterministic in
     * (doc_id, text): the x43 raw URL, a fixed date, the x41 page as an
-    * HTTP/1.1 200 response.
-    */
-  /** Content-Length values are BYTE counts (the wire contract), never
-    * String.length char counts — the two differ the moment a document
-    * carries a non-ASCII character, and a char-counted header makes the
-    * byte-counting reader truncate the payload and fail the trailer
-    * check for the whole container.
+    * HTTP/1.1 200 response. Content-Length values are BYTE counts (the
+    * wire contract), never String.length char counts — the two differ
+    * the moment a document carries a non-ASCII character, and a
+    * char-counted header makes the byte-counting reader truncate the
+    * payload and fail the trailer check for the whole container.
     */
   private[graft] def buildRecord(id: Long, text: String): Array[Byte] = {
     val htmlBytes = Html.buildHtml(id, text).getBytes(UTF_8)
@@ -81,11 +93,7 @@ object Warc {
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
       "Content-Type: application/http;msgtype=response" + CRLF +
       s"Content-Length: $httpLen" + CRLF + CRLF).getBytes(UTF_8)
-    val out = new java.io.ByteArrayOutputStream(
-      warcHead.length + httpLen + 4)
-    out.write(warcHead); out.write(httpHead); out.write(htmlBytes)
-    out.write(CRLF.getBytes(UTF_8)); out.write(CRLF.getBytes(UTF_8))
-    out.toByteArray
+    frame(Seq(warcHead, httpHead), htmlBytes)
   }
 
   /** A container = the concatenated records of its docs in doc_id
@@ -255,11 +263,7 @@ object Warc {
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
       "Content-Type: text/plain" + CRLF +
       s"Content-Length: ${textBytes.length}" + CRLF + CRLF).getBytes(UTF_8)
-    val out = new java.io.ByteArrayOutputStream(
-      head.length + textBytes.length + 4)
-    out.write(head); out.write(textBytes)
-    out.write(CRLF.getBytes(UTF_8)); out.write(CRLF.getBytes(UTF_8))
-    out.toByteArray
+    frame(Seq(head), textBytes)
   }
 
   /** w2: the WARC → WET conversion — the Common Crawl text-extraction

@@ -403,8 +403,12 @@ object StreamOps {
     import spark.implicits._
     chunks
       .groupByKey(_.container_id)
+      // TTL state requires TimeMode.ProcessingTime (the d2/d8 dial
+      // wiring) — a non-NONE TTLConfig under TimeMode.None fails at
+      // query start with StatefulProcessorCannotAssignTTLInTimeMode
       .transformWithState(new WarcReassembleProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        if (ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** A discovered URL on the crawl stream — x43's unbounded input shape. */

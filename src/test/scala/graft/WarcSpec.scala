@@ -227,6 +227,43 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("warc record stream starts and emits under the non-zero-TTL dial") {
+    // the TTL path needs TimeMode.ProcessingTime (a non-NONE TTLConfig
+    // under TimeMode.None dies at query start) — this pins the mode
+    // wiring the zero-default call sites never exercise
+    val docs = Seq((1L, "ttl path doc with enough text to parse"))
+    val container = Warc.buildContainer(docs)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    input.addData(Seq(StreamOps.WarcChunk(3L, ts, 0L, container)))
+    // ONE micro-batch then stop: under ProcessingTime the engine keeps
+    // scheduling batches for TTL expiry, so processAllAvailable (and
+    // AvailableNow) never converge — Trigger.Once is the terminating
+    // form for this mode (the StreamBench firstSeenTws exclusion)
+    val q = StreamOps.warcRecordStream(spark, input.toDS(),
+        ttl = java.time.Duration.ofHours(1))
+      .writeStream.format("memory").queryName("warc_ttl_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    try {
+      q.awaitTermination(120000L)
+      val got = spark.table("warc_ttl_out").collect()
+      assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("p2 ingest funnel runs off parsed WARC records end-to-end") {
     // the p2-agreement fixture: WARC-synthesize, parse back through the
     // seam, feed the PARSED records (URI + HTTP body) into the streaming
