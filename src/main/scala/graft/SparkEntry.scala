@@ -148,6 +148,7 @@ object SparkEntry {
     "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
     "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
+    "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -3226,6 +3227,25 @@ object SparkEntry {
         |SELECT q_id, q_label, n_id, n_label, cosim, rnk FROM r WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
 
+    "i4_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id AS n_id, (e.label = q.q_label) AS rel,
+        |    round($qCosExpr, 6) + 0.0 AS cosim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
+        |      FROM scored),
+        |ev AS (
+        |  SELECT q_id, q_label,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_total,
+        |    CAST(sum(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    min(CASE WHEN rel AND rnk <= 10 THEN rnk END) AS first_rel_rank
+        |  FROM r GROUP BY q_id, q_label)
+        |SELECT q_id, q_label, n_rel_total, hits, first_rel_rank,
+        |  coalesce(1000000 // first_rel_rank, CAST(0 AS BIGINT)) AS rr_micros,
+        |  hits * 1000000 // 10 AS precision_micros,
+        |  CASE WHEN n_rel_total > 0 THEN hits * 1000000 // n_rel_total END AS recall_micros
+        |FROM ev ORDER BY q_id""".stripMargin,
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |scored AS (

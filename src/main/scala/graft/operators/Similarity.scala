@@ -608,6 +608,60 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** i4: retrieval evaluation — the eval table the similarity family
+    * reports before trusting an index (the cls3–cls5 discipline applied
+    * to retrieval): per query, exact MRR / hit-count / precision@k /
+    * recall over s1's brute-force cosine ranking, with label agreement
+    * as the relevance judgment (s4's complement — s4 mines the
+    * different-label neighbors, i4 scores how well ranking surfaces the
+    * same-label ones). Every metric is an exact integer: reciprocal
+    * rank, precision and recall in micros by truncating division (the
+    * c2/cls4 convention — Spark `div` == DuckDB `//`), zero-relevant
+    * queries publish NULL recall exactly like cls4's undefined
+    * precision, and a miss (no relevant in the top k) publishes
+    * rr = 0 with a NULL first_rel_rank.
+    *
+    * Scale shape: ONE broadcast of the query set over the candidate
+    * scan, ONE rank window per query partition (s1's exact shape), ONE
+    * bounded aggregate onto |queries| rows. Against an ANN index the
+    * same frame swaps the scored CTE for the index's candidates and
+    * the brute-force ranking becomes the ground-truth side — the
+    * recall-vs-s1 checks the s2/s3/s5 specs run are this table's
+    * index-vs-exact form.
+    */
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .withColumn("q_nrm", normD(col("q_emb")))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("rel", col("n_label") === col("q_label"))
+      .withColumn("cosim",
+        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
+          col("q_nrm"), col("n_nrm")), 6))
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
+          .cast("long"))
+    scored
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_total"),
+        sum(when(col("rel") && col("rnk") <= k, 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel") && col("rnk") <= k, col("rnk")))
+          .as("first_rel_rank"))
+      .withColumn("rr_micros",
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+      .withColumn("precision_micros", expr(s"hits * 1000000 div $k"))
+      .withColumn("recall_micros",
+        expr("CASE WHEN n_rel_total > 0 THEN hits * 1000000 div n_rel_total END"))
+      .orderBy("q_id")
+  }
+
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val q = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQueries)

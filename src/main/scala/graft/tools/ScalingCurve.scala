@@ -117,6 +117,7 @@ object ScalingCurve {
       "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
       "w2_wet_extract" -> ((s, d) => graft.sources.Warc.wetExtract(s, d)),
       "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
+      "i4_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
       "cls6_lang_classifier" -> ((s, d) => Curation.langClassifier(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents

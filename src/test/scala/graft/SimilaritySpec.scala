@@ -29,6 +29,39 @@ class SimilaritySpec extends SparkSpec {
     dir
   }
 
+  test("i4 retrieval eval: exact MRR/precision/recall against hand-ranked vectors") {
+    // 2-D fixture hand-ranked in python (round-6 cosines, n_id ties):
+    // q0/q3 find their label at rank 1 with all 3 relevant in top-k;
+    // q2 has NO same-label vector (rr 0, NULL first_rel_rank AND
+    // recall); q4's first relevant sits at rank 3 (1e6 div 3 = 333333,
+    // the truncating-division grid)
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.0f, 1.0f), 2),
+      (2L, Seq(-1.0f, 0.0f), 3),
+      (3L, Seq(0.8f, 0.6f), 1),
+      (4L, Seq(0.6f, 0.8f), 2),
+      (5L, Seq(0.9f, 0.1f), 1),
+      (6L, Seq(0.1f, 0.9f), 2),
+      (7L, Seq(0.7f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.retrievalEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
+    assert(got.toSeq == Seq(
+      (0L, 1, 3L, 3L, Some(1L), 1000000L, 300000L, Some(1000000L)),
+      (1L, 2, 2L, 2L, Some(1L), 1000000L, 200000L, Some(1000000L)),
+      (2L, 3, 0L, 0L, None, 0L, 0L, None),
+      (3L, 1, 3L, 3L, Some(1L), 1000000L, 300000L, Some(1000000L)),
+      (4L, 2, 2L, 2L, Some(3L), 333333L, 200000L, Some(1000000L))),
+      s"got ${got.toSeq}")
+  }
+
   test("s1 brute-force top-k ranks within-cluster neighbors first") {
     val dir = writeClustered()
     val got = Similarity.annTopK(spark, dir).collect()
