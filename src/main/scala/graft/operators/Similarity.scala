@@ -34,25 +34,37 @@ object Similarity {
     * Ordering happens on the *rounded* cosine (plus id tie-break) so ranks
     * are reproducible against the oracle bit-for-bit.
     */
-  def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val cand = Tables.embeddings(spark, dir)
+  /** The brute-force ranking substrate shared by s1, s4 and i4: every
+    * candidate scored against the broadcast labeled query set under
+    * `cond`, round-6 cosines, rank by (cosim desc, n_id). ONE
+    * definition so the rounding/tie-break discipline the three oracles
+    * replay can never diverge between the operators.
+    */
+  private def rankedAgainstQueries(spark: SparkSession, dir: String,
+                                   cond: org.apache.spark.sql.Column): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+      .withColumn("q_nrm", normD(col("q_emb")))
+    Tables.embeddings(spark, dir)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        normD(col("embedding")).as("n_nrm"))
-    val scored = cand
-      .join(broadcast(queryVectors(spark, dir)
-        .withColumn("q_nrm", normD(col("q_emb")))), col("n_id") =!= col("q_id"))
+        col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
+      .join(broadcast(q), cond)
       .withColumn("cosim",
         Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
           col("q_nrm"), col("n_nrm")), 6))
-    scored
       .withColumn("rnk",
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
           .cast("long"))
+  }
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame =
+    rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
       .filter(col("rnk") <= K)
       .select("q_id", "n_id", "cosim", "rnk")
       .orderBy("q_id", "rnk")
-  }
 
   /** Fixed SRP hyperplanes: `nBits` x `dim` pseudo-random components from a
     * seeded LCG (deterministic across runs; no runtime randomness).
@@ -629,25 +641,9 @@ object Similarity {
     * recall-vs-s1 checks the s2/s3/s5 specs run are this table's
     * index-vs-exact form.
     */
-  def retrievalEval(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"))
-      .withColumn("q_nrm", normD(col("q_emb")))
-    val scored = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
-      .join(broadcast(q), col("n_id") =!= col("q_id"))
+  def retrievalEval(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
       .withColumn("rel", col("n_label") === col("q_label"))
-      .withColumn("cosim",
-        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
-          col("q_nrm"), col("n_nrm")), 6))
-      .withColumn("rnk",
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
-          .cast("long"))
-    scored
       .groupBy(col("q_id"), col("q_label"))
       .agg(
         sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel_total"),
@@ -660,27 +656,10 @@ object Similarity {
       .withColumn("recall_micros",
         expr("CASE WHEN n_rel_total > 0 THEN hits * 1000000 div n_rel_total END"))
       .orderBy("q_id")
-  }
 
-  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"))
-      .withColumn("q_nrm", normD(col("q_emb")))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("label").as("n_label"), normD(col("embedding")).as("n_nrm"))
-      .join(broadcast(q), col("n_label") =!= col("q_label"))
-      .withColumn("cosim",
-        Doubles.roundZ(cosineWithNorms(dotD(col("q_emb"), col("n_emb")),
-          col("q_nrm"), col("n_nrm")), 6))
-      .withColumn("rnk",
-        row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
-          .cast("long"))
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    rankedAgainstQueries(spark, dir, col("n_label") =!= col("q_label"))
       .filter(col("rnk") <= k)
       .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk")
       .orderBy("q_id", "rnk")
-  }
 }

@@ -238,25 +238,29 @@ class WarcSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[StreamOps.WarcChunk]
-    input.addData(Seq(StreamOps.WarcChunk(3L, ts, 0L, container)))
-    // ONE micro-batch then stop: under ProcessingTime the engine keeps
-    // scheduling batches for TTL expiry, so processAllAvailable (and
-    // AvailableNow) never converge — Trigger.Once is the terminating
-    // form for this mode (the StreamBench firstSeenTws exclusion)
-    val q = StreamOps.warcRecordStream(spark, input.toDS(),
-        ttl = java.time.Duration.ofHours(1))
-      .writeStream.format("memory").queryName("warc_ttl_out")
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    // start() inside the try: the regression this test pins (TimeMode
+    // wiring reverted) THROWS at start, and the provider conf must still
+    // restore or every later streaming test inherits RocksDB
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = MemoryStream[StreamOps.WarcChunk]
+      input.addData(Seq(StreamOps.WarcChunk(3L, ts, 0L, container)))
+      // ONE micro-batch then stop: under ProcessingTime the engine keeps
+      // scheduling batches for TTL expiry, so processAllAvailable (and
+      // AvailableNow) never converge — Trigger.Once is the terminating
+      // form for this mode (the StreamBench firstSeenTws exclusion)
+      q = StreamOps.warcRecordStream(spark, input.toDS(),
+          ttl = java.time.Duration.ofHours(1))
+        .writeStream.format("memory").queryName("warc_ttl_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
       q.awaitTermination(120000L)
       val got = spark.table("warc_ttl_out").collect()
       assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prevProvider match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
