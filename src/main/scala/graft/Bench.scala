@@ -83,13 +83,30 @@ object Bench {
           // have rebuilt ABSENT upstream family frames whose owner simply
           // wasn't retried. Attributing those would let this query's NEXT
           // retry release them, over-timing any later retry that only
-          // READS them. Keep only keys no other query already owns.
+          // READS them. A rebuilt key whose FAMILY (the slug before the
+          // first ':' — d4scored, p2verdicts, …) some other query already
+          // owns goes to that owner, exactly as the normal pass would
+          // attribute it — attribution stays retry-order-independent even
+          // when two failed queries race to rebuild the same absent
+          // family frame. Only keys with no family owner anywhere stick
+          // to this query.
           val owned = publishedKeys.iterator
             .collect { case (n, ks) if n != name => ks }
             .foldLeft(Set.empty[String])(_ ++ _)
+          def family(k: String) = k.takeWhile(_ != ':')
+          val ownerByFamily = publishedKeys.iterator
+            .collect { case (n, ks) if n != name =>
+              ks.iterator.map(k => family(k) -> n) }
+            .flatten.toMap
+          val fresh = CacheRegistry.sharedKeys -- before -- owned
+          val (toOwner, toSelf) =
+            fresh.partition(k => ownerByFamily.contains(family(k)))
+          toOwner.foreach { k =>
+            val o = ownerByFamily(family(k))
+            publishedKeys.update(o, publishedKeys(o) + k)
+          }
           publishedKeys.update(name,
-            publishedKeys.getOrElse(name, Set.empty) ++
-              (CacheRegistry.sharedKeys -- before -- owned))
+            publishedKeys.getOrElse(name, Set.empty) ++ toSelf)
         }
         if (ok) completedOnce += name
         // release operator-internal caches so storage memory from one query

@@ -45,17 +45,21 @@ object CacheRegistry {
         synchronized {
           shared.get(key) match {
             case Some(winner) =>
-              // Spark's CacheManager keys cache entries by CANONICALIZED
-              // plan, and deterministic builds produce structurally equal
-              // plans — then the loser's persist() was a no-op on the
-              // winner's entry, and an unpersist here would evict the
-              // SHARED data and silently defeat the memo exactly when
-              // contended. But if the racing builds ever canonicalize
-              // DIFFERENTLY the loser holds its own cache entry that no
-              // release path tracks, so it must be dropped now or it
-              // leaks storage memory until the ContextCleaner runs.
-              if (built.queryExecution.analyzed.canonicalized !=
-                  winner.queryExecution.analyzed.canonicalized)
+              // Spark's CacheManager keys cache entries by the NORMALIZED
+              // plan (QueryExecution.normalized, compared via sameResult),
+              // and deterministic builds normalize equal — then the loser's
+              // persist() was a no-op on the winner's entry, and an
+              // unpersist here would evict the SHARED data and silently
+              // defeat the memo exactly when contended. Only when the
+              // racing builds normalize DIFFERENTLY does the loser hold its
+              // own cache entry that no release path tracks, so it must be
+              // dropped now or it leaks storage memory until the
+              // ContextCleaner runs. The guard uses the CacheManager's own
+              // identity — analyzed.canonicalized can differ (e.g. fresh
+              // exprIds) where normalized.sameResult still matches, and
+              // unpersisting on the weaker identity would evict shared data.
+              if (!built.queryExecution.normalized.sameResult(
+                  winner.queryExecution.normalized))
                 built.unpersist(blocking = false)
               winner
             case None =>

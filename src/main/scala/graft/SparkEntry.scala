@@ -844,6 +844,16 @@ object SparkEntry {
     * arithmetic is hash-checked end to end. html_crc32 must equal
     * x41's for the same doc: the two oracles pin the same bytes from
     * opposite directions.
+    *
+    * ASCII assumption (the x41/x49 convention): the oracle counts
+    * Content-Length / rec_len / offsets with DuckDB `length()`
+    * (characters) and CRCs `unicode()` code points, while the engine
+    * deliberately counts UTF-8 BYTES (the wire contract). The two agree
+    * because the driver corpus is ASCII; on a non-ASCII corpus a red
+    * here would mean the ORACLE's char-counting, not an engine framing
+    * bug (the engine's byte behavior is pinned by WarcSpec's non-ASCII
+    * fixture). Deriving oracle lengths via encode()/octet_length would
+    * lift the assumption.
     */
   // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
   // declared LATER in this file (the x42CaseSql init-order trap)
@@ -892,6 +902,9 @@ object SparkEntry {
     * header strings the converter emits, offsets as the per-shard
     * running sum. text_crc32 is definitionally x41's main_crc32 — the
     * extraction pinned through two container round-trips.
+    * Same ASCII assumption as w1OracleSql: length()/unicode() count
+    * chars, the engine counts UTF-8 bytes; they agree on the ASCII
+    * driver corpus only (see the w1 scaladoc).
     */
   // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
   // declared LATER in this file (the x42CaseSql init-order trap)

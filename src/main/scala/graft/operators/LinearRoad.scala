@@ -25,8 +25,11 @@ object LinearRoad {
     * Faithful to the reference (VehicleTelematics.java:93-152, 255-288):
     * per (vid, dir, seg∈{52,56}) keep the extreme-position record (max pos
     * eastbound dir=0, min pos westbound); pair each car's 52- and 56-records;
-    * average speed in mph = (Δpos intdiv Δt) * 3600 / 1000 * 0.621371,
-    * truncated to int (the reference divides two ints); fine when > 60.
+    * average speed in mph = ((Δpos intdiv Δt) * 3600 intdiv 1000) * 0.621371,
+    * truncated to int. BOTH divisions are int/int in the reference
+    * (VehicleTelematics.java:282): the /1000 TRUNCATES before the mile
+    * factor, so e.g. 31 m/s reads 68 mph (111 * 0.621371), not 69
+    * (111.6 * 0.621371). Fine when > 60.
     */
   def avgSpeedFines(carData: DataFrame): DataFrame = {
     val extremes = carData
@@ -53,7 +56,7 @@ object LinearRoad {
       // integer division first, exactly like the reference's int/int
       .withColumn("mps", expr("(pos2 - pos1) div (time2 - time1)"))
       .withColumn("avgspd",
-        (col("mps") * 60 * 60 / 1000 * lit(0.621371)).cast("int"))
+        (expr("(mps * 3600) div 1000") * lit(0.621371)).cast("int"))
       .filter(col("avgspd") > 60)
       .select("time1", "time2", "vid", "xway", "dir", "avgspd")
   }

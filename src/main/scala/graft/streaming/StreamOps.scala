@@ -350,6 +350,12 @@ object StreamOps {
     * out of order. Emits w1's audit row per record as each record
     * completes — the archive-ingest face of the batch source.
     */
+  /** Header allowance on top of MaxRecordBytes for the pending-buffer
+    * bound: a record's non-payload bytes (version line + headers +
+    * blank line + trailer) in any sane archive fit well under this.
+    */
+  private val MaxWarcHeaderBytes: Long = 64L * 1024
+
   class WarcReassembleProcessor(ttl: java.time.Duration)
       extends StatefulProcessor[Long, WarcChunk, WarcRecordRow] {
     @transient private var buf: ValueState[WarcBuf] = _
@@ -375,6 +381,20 @@ object StreamOps {
         val joined = st.pending ++ c.bytes
         val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
           joined, st.baseOffset)
+        // "State bounded by one record" holds only when the parser can
+        // eventually frame one: input whose pending bytes never complete
+        // a CRLF-terminated header line makes parseWarcPrefix return the
+        // whole buffer as leftover on every chunk, growing state without
+        // bound. A genuine incomplete record is capped by MaxRecordBytes
+        // of payload plus its headers, so a pending prefix beyond that
+        // bound is CORRUPTION, not incompleteness — fail loudly (the
+        // batch parser's corruption-vs-incompleteness contract, applied
+        // to the stream's framing state).
+        require(leftover.length <=
+            graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes,
+          s"container $cid pending buffer ${leftover.length} B exceeds one " +
+            s"record's bound (${graft.sources.Warc.MaxRecordBytes} payload " +
+            s"+ $MaxWarcHeaderBytes headers): unframeable/corrupt stream")
         recs.foreach { r =>
           val id = r.headers("warc-record-id")
             .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong

@@ -75,6 +75,30 @@ class LinearRoadSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 67)))
   }
 
+  test("average speed control truncates the /1000 like the reference's int math") {
+    // 31 m/s: (31*3600) div 1000 = 111; 111 * 0.621371 = 68.97 -> 68 mph.
+    // Double division would read 111.6 * 0.621371 = 69.34 -> 69 (wrong).
+    val path = writeCsv(Seq(
+      "0,1,50,1,0,0,52,0",
+      "100,1,50,1,0,0,56,3100"))
+    val got = LinearRoad.avgSpeedFines(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(2), r.getInt(5)))
+    assert(got.toSeq == Seq((1, 68)))
+  }
+
+  test("average speed control fine boundary: 27 m/s no fine, 28 m/s fined at 62") {
+    // 27 m/s -> 97 * 0.621371 = 60.27 -> 60, NOT > 60 (no fine)
+    // 28 m/s -> 100 * 0.621371 = 62.13 -> 62, fined
+    val path = writeCsv(Seq(
+      "0,1,50,1,0,0,52,0",
+      "100,1,50,1,0,0,56,2700",
+      "0,2,50,1,0,0,52,0",
+      "100,2,50,1,0,0,56,2800"))
+    val got = LinearRoad.avgSpeedFines(EventSources.carDataCsv(spark, path))
+      .collect().map(r => (r.getInt(2), r.getInt(5)))
+    assert(got.toSeq == Seq((2, 62)))
+  }
+
   test("average speed control uses the extreme-position record per segment") {
     // eastbound: max pos wins per (vid, dir, seg): the seg-52 record at
     // pos=500/t=50 supersedes pos=0/t=0 -> 2500m in 50s = 50 m/s -> 111 mph
