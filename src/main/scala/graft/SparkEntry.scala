@@ -147,6 +147,7 @@ object SparkEntry {
     "x50_chat_template"    -> ((s, d) => Curation.chatTemplate(s, d)),
     "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
     "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
+    "w3_warc_files"        -> ((s, d) => sources.Warc.warcFileRoundTrip(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
@@ -2714,6 +2715,10 @@ object SparkEntry {
     "x50_chat_template" -> x50OracleSql,
     "w1_warc_ingest" -> w1OracleSql,
     "w2_wet_extract" -> w2OracleSql,
+    // w3 writes the same containers to disk and reads them back through
+    // binaryFile + the framing seam: bytes identical by construction,
+    // so the oracle is w1's verbatim
+    "w3_warc_files" -> w1OracleSql,
     "x51_preference_pairs" -> x51OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,

@@ -263,6 +263,65 @@ object Curation {
       })
       .toDF("doc_id", "lang", "source", "text", "canon_url", "allowed",
         "n_content")
+    webVerdictsOverFunnel(spark, dir, funnel, minWords, maxWords,
+      minQuality, positiveSources)
+  }
+
+  /** p2's verdict frame computed off FILE-READ WARC records — the fleet
+    * ingest posture: the frontier stages (canonical URL, robots verdict,
+    * extraction yield) run on what the `.warc` files on disk actually
+    * SAY (the record's Target-URI, the record's HTTP body), with only
+    * the table-resident metadata the archive doesn't carry (lang,
+    * source, raw text for the quality scorer) joined back on doc_id.
+    * Must produce webPipelineDecision's verdicts exactly — the
+    * PipelineScale E2E gate pins that agreement at scale.
+    *
+    * Scale shape: one whole-file read per container (binaryFile), one
+    * doc-keyed join against the metadata table, then p2's own gate
+    * composition unchanged.
+    */
+  def webPipelineDecisionFromWarc(spark: SparkSession, dir: String,
+                                  warcPath: String,
+                                  minWords: Int = 5, maxWords: Int = 1000,
+                                  minQuality: Double = 0.55,
+                                  minBlockLen: Int = 25,
+                                  positiveSources: Seq[String] =
+                                    Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    import spark.implicits._
+    val fromFiles = graft.sources.Warc.readWarcFileRecords(spark, warcPath)
+      .select(col("doc_id"), col("target_uri"), col("body"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, uri, body) =>
+        val canon = Urls.canonicalizeUrl(uri)
+        val (domain, path) = Urls.canonDomainPath(canon)
+        val allowed = Urls.robotsVerdict(domain, path)._2
+        val nContent = Html.TagWalkBlocker
+          .blocks(new String(body, java.nio.charset.StandardCharsets.UTF_8))
+          .count(Html.isContent(_, minBlockLen)).toLong
+        (id, canon, allowed, nContent)
+      })
+      .toDF("doc_id", "canon_url", "allowed", "n_content")
+    val funnel = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .join(fromFiles, Seq("doc_id"))
+      .select("doc_id", "lang", "source", "text", "canon_url", "allowed",
+        "n_content")
+    webVerdictsOverFunnel(spark, dir, funnel, minWords, maxWords,
+      minQuality, positiveSources)
+      .orderBy("doc_id")
+  }
+
+  /** The gate composition downstream of the crawl funnel, shared by the
+    * in-flight and file-backed p2 variants: heuristic scoring, the
+    * staged URL/content keepers, the reason CASE, the two verdict
+    * joins. `funnel` must carry (doc_id, lang, source, text, canon_url,
+    * allowed, n_content).
+    */
+  private def webVerdictsOverFunnel(spark: SparkSession, dir: String,
+                                    funnel: DataFrame,
+                                    minWords: Int, maxWords: Int,
+                                    minQuality: Double,
+                                    positiveSources: Seq[String]): DataFrame = {
     val scored = heuristicScored(funnel,
       Seq("doc_id", "lang", "source", "canon_url", "allowed", "n_content"))
       // fetch keeper = smallest ROBOTS-ALLOWED copy of the canonical URL

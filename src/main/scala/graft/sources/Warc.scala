@@ -322,6 +322,125 @@ object Warc {
       .orderedBy("doc_id")
   }
 
+  /** Write the synthesized sharded corpus to disk as REAL `.warc`
+    * files — one byte-valid container per shard, named
+    * `shard-NNNNN.warc` — through the Hadoop FileSystem API, so the
+    * same code lands files on a local path in tests and on HDFS/object
+    * storage on a fleet. Returns the number of files written.
+    *
+    * ONE shuffle on shard_id (the grouping any container writer needs);
+    * each task holds one container (shardSize × page size) and streams
+    * it to its file. Overwrites are idempotent — re-staging the same
+    * corpus rewrites byte-identical files.
+    */
+  def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
+                     shardSize: Int = 50): Long = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        expr(s"doc_id div $shardSize").as("shard_id"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
+        val docs = it.map { case (id, text, _) => (id, text) }.toSeq
+        val container = buildContainer(docs)
+        val p = new org.apache.hadoop.fs.Path(outPath, f"shard-$shard%05d.warc")
+        val fs = p.getFileSystem(hconf.value)
+        val os = fs.create(p, true)
+        try os.write(container) finally os.close()
+        shard
+      }
+      .count()
+  }
+
+  /** Every record of every `.warc` file under `path`, parsed back
+    * through the framing seam — the fleet ingest posture the w1
+    * scaladoc promises: `binaryFile` hands each container to one task
+    * and `parseWarc` runs inside `mapPartitions` over the raw bytes.
+    * One row per response record with the parsed HTTP body attached
+    * (the column a downstream extraction/funnel consumes); shard_id
+    * recovered from the file name (the writer's naming contract).
+    *
+    * A WARC container is NOT byte-splittable (records frame by
+    * Content-Length, so a reader must start at a record boundary) —
+    * whole-file rows over shard-bounded containers are the correct
+    * granularity, and parallelism = #files, exactly how Common Crawl
+    * style corpora are laid out (many ~1 GB segments).
+    */
+  private[graft] def readWarcFileRecords(spark: SparkSession,
+                                         path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        val base = file.substring(file.lastIndexOf('/') + 1)
+        require(base.startsWith("shard-") && base.endsWith(".warc"),
+          s"not a shard container file: $file")
+        val shard = base.stripPrefix("shard-").stripSuffix(".warc").toLong
+        parseWarc(bytes).map { r =>
+          val id = r.headers("warc-record-id")
+            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+          val (status, body) = parseHttp(r.payload)
+          (id, shard, r.offset, r.recLen,
+            r.headers("warc-target-uri"), status, body)
+        }
+      })
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "http_status", "body")
+  }
+
+  /** w1's audit frame computed from `.warc` FILES on disk instead of
+    * in-flight containers — same eight columns, same semantics.
+    */
+  def warcFileIngest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readWarcFileRecords(spark, path)
+      .as[(Long, Long, Long, Long, String, Int, Array[Byte])]
+      .map { case (id, shard, off, len, uri, status, body) =>
+        (id, shard, off, len, uri, status, body.length.toLong, crc32(body))
+      }
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "http_status", "html_len", "html_crc32")
+  }
+
+  /** The staged on-disk corpus for (dir, shardSize): written once per
+    * session pass to a deterministic temp path and reused by every
+    * file-backed consumer (w3's audit, the file-backed p2 funnel).
+    * Keyed on applicationId so no path outlives its session; the write
+    * is overwrite-idempotent, so a re-stage after a cache drop rewrites
+    * byte-identical files.
+    */
+  private[graft] def stagedWarcDir(spark: SparkSession, dir: String,
+                                   shardSize: Int = 50): String =
+    graft.CacheRegistry.memoSharedValue(
+      s"w3stage:${spark.sparkContext.applicationId}:$dir:$shardSize") {
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-warc-${spark.sparkContext.applicationId}-" +
+          s"${Integer.toHexString(dir.hashCode)}-$shardSize").toString
+      writeWarcFiles(spark, dir, out, shardSize)
+      out
+    }
+
+  /** w3: the file-backed round trip — synthesize the sharded corpus TO
+    * DISK as real `.warc` files, read them back through `binaryFile` +
+    * the mapPartitions framing seam, and audit every record. The output
+    * is byte-for-byte w1's frame (the containers are identical by
+    * construction; only the transport differs: filesystem vs in-flight
+    * bytes), so the oracle is w1's verbatim — which makes this key the
+    * proof that the FLEET posture (containers as input files) produces
+    * exactly the audited framing arithmetic.
+    */
+  def warcFileRoundTrip(spark: SparkSession, dir: String,
+                        shardSize: Int = 50): DataFrame =
+    warcFileIngest(spark, stagedWarcDir(spark, dir, shardSize))
+      .orderedBy("doc_id")
+
   /** w1: synthesize the sharded WARC corpus, parse it back through the
     * seam, and audit every record — framing offsets, parsed-back URI and
     * HTTP status, payload accounting, body CRC32 (which must equal

@@ -225,6 +225,28 @@ object PipelineScale {
     val p2Json = p2a.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
 
+    // Phase 6 — the round-15 FILE-BACKED ingest at scale: the corpus
+    // staged to disk as real .warc containers, the p2 frontier stages
+    // (canonical URL, robots, extraction yield) running off what the
+    // files actually say, and the full-funnel histogram must equal the
+    // in-flight pipeline's EXACTLY — the reproducibility contract that
+    // says transport (filesystem vs in-flight bytes) changes nothing.
+    val warcDir = s"$base/warc"
+    val tW = System.nanoTime()
+    val nWarc = graft.sources.Warc.writeWarcFiles(spark, dir, warcDir)
+    val p2f = {
+      val m = Curation.webPipelineDecisionFromWarc(spark, dir, warcDir)
+        .groupBy(col("reason")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.CacheRegistry.releaseAll()
+      graft.CacheRegistry.releaseShared()
+      m
+    }
+    val secP2F = (System.nanoTime() - tW) / 1e9
+    check(p2f == p2a, s"file-backed p2 must reproduce the in-flight " +
+      s"histogram (files=$p2f inflight=$p2a)")
+    check(nWarc > 0, "warc stage must write containers")
+
     val line =
       s"""{"dir":"$dir","docs_total":$total,"kept":${all.size},""" +
         s""""partitions":$parts,"files":${c1.size},"max_file_rows":$maxRows,""" +
@@ -235,7 +257,8 @@ object PipelineScale {
         s""""v2_reproducible":true,"v2_zorder_total":true,""" +
         f""""sec_v2_run1":$secV2a%.1f,"sec_v2_run2":$secV2b%.1f,""" +
         f""""p1_reasons":$p1Json%s,"p1_reproducible":true,"sec_p1":$secP1%.1f,""" +
-        f""""p2_reasons":$p2Json%s,"p2_reproducible":true,"sec_p2":$secP2%.1f}"""
+        f""""p2_reasons":$p2Json%s,"p2_reproducible":true,"sec_p2":$secP2%.1f,""" +
+        f""""warc_files":$nWarc,"p2_warc_reproducible":true,"sec_p2_warc":$secP2F%.1f}"""
     Files.write(Paths.get(outJson), (line + "\n").getBytes)
     println(s"E2ESCALE $line")
     spark.stop()

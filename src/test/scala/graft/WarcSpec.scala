@@ -268,6 +268,66 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("w3 file round-trip: .warc files land byte-identical and read back as w1's audit") {
+    // 7 docs across 3 shards (shardSize=3); doc 4 carries the separator
+    // trap so the FILE path exercises the same framing discipline
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (1L, "plain text long enough to fill a record", "s0"),
+      (2L, "", "s0"),
+      (3L, "another document body", "s0"),
+      (4L, "trap \r\n\r\nWARC/1.0\r\n embedded separators", "s0"),
+      (5L, "short", "s0"),
+      (6L, "last shard single doc", "s0"))
+    val dir = writeDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("w3spec-").toString
+    val nFiles = Warc.writeWarcFiles(spark, dir, out, shardSize = 3)
+    assert(nFiles == 3)
+    // each file's bytes must equal buildContainer over its shard's docs —
+    // the write stage adds transport, never changes a byte
+    (0 to 2).foreach { shard =>
+      val f = java.nio.file.Paths.get(out, f"shard-$shard%05d.warc")
+      val onDisk = java.nio.file.Files.readAllBytes(f)
+      val expect = Warc.buildContainer(
+        docs.collect { case (id, t, _) if id / 3 == shard => (id, t) })
+      assert(java.util.Arrays.equals(onDisk, expect),
+        s"shard $shard file bytes diverge from the in-flight container")
+    }
+    // the binaryFile read-back audits exactly what in-flight w1 audits
+    val fromFiles = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val inFlight = Warc.warcIngest(spark, dir, shardSize = 3)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fromFiles == inFlight)
+    // re-staging is overwrite-idempotent: same bytes, same audit
+    assert(Warc.writeWarcFiles(spark, dir, out, shardSize = 3) == 3)
+    val again = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(again == inFlight)
+  }
+
+  test("file-backed p2 funnel verdicts equal the in-flight pipeline's") {
+    // same fixture shape as the streaming-gate agreement test: a keeper,
+    // a too-short doc, a wrong-source doc, a blocked-word doc, a second
+    // keeper — here the frontier stages read the .warc FILES on disk
+    val docs = Seq(
+      (1L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "s0"),
+      (30L, "tiny", "s0"),
+      (24L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "src7"),
+      (25L, "this doc mentions dup once it does", "s0"),
+      (26L, "the a fast v1 v2 v3 v4 v5 the a fast v6", "s0"))
+    val dir = writeDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("w3p2-").toString
+    Warc.writeWarcFiles(spark, dir, out, shardSize = 3)
+    val batch = Curation.webPipelineDecision(spark, dir,
+        minQuality = 0.0, positiveSources = Seq("s0"))
+      .collect().map(_.toSeq).toSeq
+    val fromFiles = Curation.webPipelineDecisionFromWarc(spark, dir, out,
+        minQuality = 0.0, positiveSources = Seq("s0"))
+      .collect().map(_.toSeq).toSeq
+    assert(fromFiles == batch)
+  }
+
   test("p2 ingest funnel runs off parsed WARC records end-to-end") {
     // the p2-agreement fixture: WARC-synthesize, parse back through the
     // seam, feed the PARSED records (URI + HTTP body) into the streaming
