@@ -141,6 +141,7 @@ object SparkEntry {
     "g3_link_pagerank"     -> ((s, d) => operators.Html.linkPageRank(s, d)),
     "x46_bpe_encode"       -> ((s, d) => operators.TextAnalysis.bpeEncode(s, d)),
     "p2_web_pipeline"      -> ((s, d) => Curation.webPipelineDecision(s, d)),
+    "p4_cls_lang_gate"     -> ((s, d) => Curation.webPipelineClsLang(s, d)),
     "x47_crawl_schedule"   -> ((s, d) => operators.Urls.crawlSchedule(s, d)),
     "x48_domain_profile"   -> ((s, d) => Curation.domainProfile(s, d)),
     "x49_fim_split"        -> ((s, d) => Curation.fimSplit(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "w3_warc_files"        -> ((s, d) => sources.Warc.warcFileRoundTrip(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
+    "i5_index_eval"        -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
     "v4_outlier_audit"     -> ((s, d) => DataOps.outlierAudit(s, d)),
     "m2_frame_sample"      -> ((s: SparkSession, d: String) =>
       Multimodal.frameSamples(s, d).toDF().orderBy("doc_id", "frame_idx")),
@@ -376,8 +378,17 @@ object SparkEntry {
     * update), the K corpus margin joins, and x1's priority argmax CASE
     * chain replicated exactly (ties en > es > de > fr > zh).
     */
-  private val cls6OracleSql: String = {
-    val langs = operators.TextAnalysis.markers.map(_._1)
+  private val cls6Langs: Seq[String] =
+    operators.TextAnalysis.markers.map(_._1)
+
+  /** cls6's K-class training + scored-frame CTEs, shared VERBATIM by
+    * the cls6 oracle and the p4 composed oracle (the p2PdCtes one-
+    * definition discipline). Expects `xfeat`, `xtr`, `nn` in scope; the
+    * text opens with `lab6` and closes with the `sc6` scored frame
+    * carrying (doc_id, lang, p6_<lang>…).
+    */
+  private val cls6TrainCtes: String = {
+    val langs = cls6Langs
     val p6 = clsP6
     def q(l: String) = l.replace("'", "''")
     val perClass = langs.map { c =>
@@ -409,25 +420,37 @@ object SparkEntry {
     val p6Cols = langs.map(c => s"${p6(s"z$c.z")} AS p6_$c").mkString(",\n    ")
     val zfJoins = langs
       .map(c => s"JOIN zf_$c z$c ON l.doc_id = z$c.doc_id").mkString(" ")
-    val predCase = langs.init.foldRight(s"'${q(langs.last)}'") { (l, els) =>
+    s"""lab6 AS MATERIALIZED (SELECT doc_id, lang FROM documents),""" +
+      "\n" + perClass + ",\n" +
+      s"""sc6 AS MATERIALIZED (
+         |  SELECT l.doc_id, l.lang,
+         |    $p6Cols
+         |  FROM lab6 l $zfJoins)""".stripMargin
+  }
+
+  /** x1's priority argmax CASE chain over sc6's probability columns
+    * (ties en > es > de > fr > zh) — cls6's prediction expression,
+    * shared by both oracles that read sc6.
+    */
+  private val cls6PredCase: String = {
+    val langs = cls6Langs
+    def q(l: String) = l.replace("'", "''")
+    langs.init.foldRight(s"'${q(langs.last)}'") { (l, els) =>
       val beats = langs.filter(_ != l)
         .map(o => s"p6_$l >= p6_$o").mkString(" AND ")
       s"CASE WHEN $beats THEN '${q(l)}' ELSE $els END"
     }
-    "WITH " + clsFeatureCtes + ",\n" +
-      s"""lab6 AS MATERIALIZED (SELECT doc_id, lang FROM documents),
-         |xtr AS MATERIALIZED (SELECT * FROM xfeat WHERE doc_id < 4096),
-         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id < 4096),""".stripMargin +
-      "\n" + perClass + ",\n" +
-      s"""sc AS MATERIALIZED (
-         |  SELECT l.doc_id, l.lang,
-         |    $p6Cols
-         |  FROM lab6 l $zfJoins)
-         |SELECT doc_id, lang, ${langs.map(c => s"p6_$c").mkString(", ")},
-         |  $predCase AS pred_lang,
-         |  ($predCase) = lang AS correct
-         |FROM sc ORDER BY doc_id""".stripMargin
   }
+
+  private val cls6OracleSql: String =
+    "WITH " + clsFeatureCtes + ",\n" +
+      s"""xtr AS MATERIALIZED (SELECT * FROM xfeat WHERE doc_id < 4096),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents WHERE doc_id < 4096),""".stripMargin +
+      "\n" + cls6TrainCtes + "\n" +
+      s"""SELECT doc_id, lang, ${cls6Langs.map(c => s"p6_$c").mkString(", ")},
+         |  $cls6PredCase AS pred_lang,
+         |  ($cls6PredCase) = lang AS correct
+         |FROM sc6 ORDER BY doc_id""".stripMargin
 
   private val cls1OracleSql: String = clsOracleWith(
     s"""SELECT l.doc_id, l.source, l.label_high,
@@ -653,11 +676,15 @@ object SparkEntry {
     * survived every earlier stage — then p1's content gates verbatim
     * (the shared CTE/expression strings make drift impossible).
     */
-  // The composed-funnel CTEs shared VERBATIM by the p2 and x48 oracles
-  // (ONE definition, the p1SharedCtes discipline): analytic canonical
-  // URL + domain, REP verdict with the allowed-keeper window, x41's
-  // analytic extraction yield, and the staged pk/pd gate cascade.
-  private lazy val p2PdCtes: String =
+  // The composed-funnel CTEs shared VERBATIM by the p2, x48, p3 and p4
+  // oracles (ONE definition, the p1SharedCtes discipline): analytic
+  // canonical URL + domain, REP verdict with the allowed-keeper window,
+  // x41's analytic extraction yield, and the staged pk/pd gate cascade.
+  // `predLangSql` is the expression aliased `pred_lang` in pk (p2/x48/p3:
+  // the x1 marker-vote CASE; p4: cls6's trained prediction via
+  // `extraJoin`) — the same substitution seam the Scala side has.
+  private def p2PdCtesWith(predLangSql: String,
+                           extraJoin: String): String =
     s"""fu AS (
        |  SELECT doc_id,
        |    CASE WHEN (doc_id % 100) % 2 = 0 THEN 'https' ELSE 'http' END ||
@@ -692,10 +719,10 @@ object SparkEntry {
        |  min(CASE WHEN fw.allowed AND ps2.doc_id = fw.url_keep_id
        |        AND coalesce(chk.n_content, 0) > 0 AND block_reason = 'ok'
        |      THEN ps2.doc_id END) OVER (PARTITION BY norm) AS keep_id,
-       |  $p1PredLangCase AS pred_lang,
+       |  $predLangSql AS pred_lang,
        |  $p1QExpr AS q
        | FROM ps2 JOIN fw ON ps2.doc_id = fw.doc_id
-       |   LEFT JOIN chk ON ps2.doc_id = chk.doc_id),
+       |   LEFT JOIN chk ON ps2.doc_id = chk.doc_id $extraJoin),
        |pd AS (SELECT pk.doc_id, pk.canon_url, pk.domain,
        |  CASE WHEN NOT allowed THEN 'robots_disallowed'
        |       WHEN pk.doc_id <> url_keep_id THEN 'url_duplicate'
@@ -706,8 +733,27 @@ object SparkEntry {
        | FROM pk LEFT JOIN pcon ON pk.doc_id = pcon.doc_id
        |   JOIN clsv ON pk.doc_id = clsv.doc_id)""".stripMargin
 
+  private lazy val p2PdCtes: String = p2PdCtesWith(p1PredLangCase, "")
+
   private lazy val p2OracleSql: String = clsOracleWith(
     p1SharedCtes + ",\n" + p2PdCtes + "\n" +
+    """SELECT doc_id, canon_url, (reason = 'ok') AS keep, reason
+      |FROM pd ORDER BY doc_id""".stripMargin)
+
+  /** p4's DuckDB twin — p2's composed funnel with the lang gate fed by
+    * cls6's trained prediction: the shared K-class training CTEs
+    * (cls6TrainCtes, verbatim the cls6 oracle's) produce sc6, the
+    * prediction frame `cl6` applies the shared priority-argmax CASE,
+    * and the pd cascade is p2PdCtesWith with `cl6.pred_lang6` in place
+    * of the marker-vote CASE — column substitution, nothing else.
+    */
+  private lazy val p4OracleSql: String = clsOracleWith(
+    ",\n" + cls6TrainCtes + ",\n" +
+    s"""cl6 AS MATERIALIZED (
+       |  SELECT doc_id, $cls6PredCase AS pred_lang6 FROM sc6)""".stripMargin +
+    p1SharedCtes + ",\n" +
+    p2PdCtesWith("cl6.pred_lang6",
+      "JOIN cl6 ON ps2.doc_id = cl6.doc_id") + "\n" +
     """SELECT doc_id, canon_url, (reason = 'ok') AS keep, reason
       |FROM pd ORDER BY doc_id""".stripMargin)
 
@@ -2723,6 +2769,7 @@ object SparkEntry {
 
     "x48_domain_profile" -> x48OracleSql,
     "p3_reputation_gate" -> p3OracleSql,
+    "p4_cls_lang_gate" -> p4OracleSql,
 
     "k1_centroid_assign" ->
       s"""$kAssignSql
@@ -3264,6 +3311,66 @@ object SparkEntry {
         |  hits * 1000000 // 10 AS precision_micros,
         |  CASE WHEN n_rel_total > 0 THEN hits * 1000000 // n_rel_total END AS recall_micros
         |FROM ev ORDER BY q_id""".stripMargin,
+    // i5 composes the two pipelines the engine composes: s1's exact
+    // ranking (labels attached, i4's scored shape) as ground truth and
+    // s3's cell-assignment/probe/re-rank CTEs VERBATIM as the index
+    // side, then the per-query overlap/hit/RR table.
+    "i5_index_eval" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve FROM embeddings),
+        |qx AS (SELECT vec_id AS q_id, label AS q_label, ve AS qe FROM v WHERE vec_id < 5),
+        |sx AS (SELECT qx.q_id, qx.q_label, e.vec_id AS n_id, (e.label = qx.q_label) AS rel,
+        |         round(list_cosine_similarity(qx.qe, e.ve), 6) + 0.0 AS cosim
+        |       FROM qx JOIN v e ON e.vec_id <> qx.q_id),
+        |rx AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
+        |       FROM sx),
+        |ex AS (SELECT q_id, n_id, rel, rnk FROM rx WHERE rnk <= 10),
+        |c AS (SELECT vec_id AS cell, ve AS ce FROM v WHERE vec_id < 16),
+        |a AS (SELECT v.vec_id, c.cell,
+        |        row_number() OVER (PARTITION BY v.vec_id
+        |          ORDER BY round(list_cosine_similarity(ve, ce), 6) DESC, c.cell) AS rn
+        |      FROM v CROSS JOIN c),
+        |asg AS (SELECT vec_id AS n_id, cell FROM a WHERE rn = 1),
+        |p AS (SELECT qx.q_id, c.cell,
+        |        row_number() OVER (PARTITION BY qx.q_id
+        |          ORDER BY round(list_cosine_similarity(qx.qe, c.ce), 6) DESC, c.cell) AS prn
+        |      FROM qx CROSS JOIN c),
+        |probes AS (SELECT q_id, cell FROM p WHERE prn <= 4),
+        |si AS (
+        |  SELECT probes.q_id, asg.n_id, (nv.label = qq.q_label) AS rel,
+        |         round(list_cosine_similarity(qv.ve, nv.ve), 6) + 0.0 AS cosim
+        |  FROM probes JOIN asg USING (cell)
+        |  JOIN v qv ON qv.vec_id = probes.q_id
+        |  JOIN qx qq ON qq.q_id = probes.q_id
+        |  JOIN v nv ON nv.vec_id = asg.n_id
+        |  WHERE asg.n_id <> probes.q_id),
+        |ri AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosim DESC, n_id) AS BIGINT) AS rnk
+        |       FROM si),
+        |ix AS (SELECT q_id, n_id, rel, rnk FROM ri WHERE rnk <= 10),
+        |exagg AS (SELECT q_id,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+        |    min(CASE WHEN rel THEN rnk END) AS exact_first
+        |  FROM ex GROUP BY q_id),
+        |ixagg AS (SELECT q_id,
+        |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS index_hits,
+        |    min(CASE WHEN rel THEN rnk END) AS index_first
+        |  FROM ix GROUP BY q_id),
+        |ov AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |       FROM ex JOIN ix ON ex.q_id = ix.q_id AND ex.n_id = ix.n_id
+        |       GROUP BY ex.q_id)
+        |SELECT qx.q_id, qx.q_label,
+        |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_vs_exact_micros,
+        |  exagg.exact_hits, ixagg.index_hits,
+        |  coalesce(1000000 // exagg.exact_first, CAST(0 AS BIGINT)) AS exact_rr_micros,
+        |  coalesce(1000000 // ixagg.index_first, CAST(0 AS BIGINT)) AS index_rr_micros,
+        |  coalesce(1000000 // exagg.exact_first, CAST(0 AS BIGINT))
+        |    - coalesce(1000000 // ixagg.index_first, CAST(0 AS BIGINT)) AS rr_delta_micros
+        |FROM qx JOIN exagg ON exagg.q_id = qx.q_id
+        |  JOIN ixagg ON ixagg.q_id = qx.q_id
+        |  LEFT JOIN ov ON ov.q_id = qx.q_id
+        |ORDER BY qx.q_id""".stripMargin,
+
     "s1_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
         |scored AS (

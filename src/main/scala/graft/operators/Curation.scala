@@ -246,9 +246,18 @@ object Curation {
                                          minWords: Int, maxWords: Int,
                                          minQuality: Double,
                                          minBlockLen: Int,
-                                         positiveSources: Seq[String]): DataFrame = {
+                                         positiveSources: Seq[String]): DataFrame =
+    webVerdictsOverFunnel(spark, dir, crawlFunnel(spark, dir, minBlockLen),
+      minWords, maxWords, minQuality, positiveSources)
+
+  /** The in-flight crawl funnel frame (doc_id, lang, source, text,
+    * canon_url, allowed, n_content) — p2's first stage, shared by the
+    * heuristic-gated and cls6-gated pipeline variants.
+    */
+  private def crawlFunnel(spark: SparkSession, dir: String,
+                          minBlockLen: Int): DataFrame = {
     import spark.implicits._
-    val funnel = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
       .mapPartitions(_.map { case (id, lang, source, text) =>
@@ -263,8 +272,36 @@ object Curation {
       })
       .toDF("doc_id", "lang", "source", "text", "canon_url", "allowed",
         "n_content")
-    webVerdictsOverFunnel(spark, dir, funnel, minWords, maxWords,
-      minQuality, positiveSources)
+  }
+
+  /** p4: the composed web pipeline with cls6's TRAINED language
+    * identification substituted for x1's marker heuristic in the lang
+    * gate — the CCNet recipe's actual first stage (Wenzek et al. 2020
+    * runs fastText langid, not a hand heuristic) composed into the
+    * funnel. Everything else is p2 verbatim: same frontier stages, same
+    * keepers, same content gates — only the `pred_lang` column feeding
+    * `lang_mismatch` changes, proving the gate composition takes a
+    * learned column substitution without re-plumbing.
+    *
+    * Scale shape: p2's cost plus cls6's bounded training (trainSample
+    * id-prefix, driver-held weights) and ONE doc-keyed join of the
+    * scored-lang frame — which is memo-shared with the cls6 key (the
+    * cls family convention), so a harness pass trains once.
+    */
+  def webPipelineClsLang(spark: SparkSession, dir: String,
+                         minWords: Int = 5, maxWords: Int = 1000,
+                         minQuality: Double = 0.55,
+                         minBlockLen: Int = 25,
+                         positiveSources: Seq[String] =
+                           Seq("src0", "src1", "src2", "src3", "src4"),
+                         dim: Int = 64, trainSample: Int = 4096,
+                         iters: Int = 3, lrDiv: Int = 2): DataFrame = {
+    val pred = scoredLangFrame(spark, dir, dim, trainSample, iters, lrDiv)
+      .select(col("doc_id"), col("pred_lang"))
+    webVerdictsOverFunnel(spark, dir, crawlFunnel(spark, dir, minBlockLen),
+      minWords, maxWords, minQuality, positiveSources,
+      predLangOverride = Some(pred))
+      .orderBy("doc_id")
   }
 
   /** p2's verdict frame computed off FILE-READ WARC records — the fleet
@@ -312,17 +349,21 @@ object Curation {
   }
 
   /** The gate composition downstream of the crawl funnel, shared by the
-    * in-flight and file-backed p2 variants: heuristic scoring, the
-    * staged URL/content keepers, the reason CASE, the two verdict
-    * joins. `funnel` must carry (doc_id, lang, source, text, canon_url,
-    * allowed, n_content).
+    * in-flight, file-backed and cls6-gated p2 variants: heuristic
+    * scoring, the staged URL/content keepers, the reason CASE, the two
+    * verdict joins. `funnel` must carry (doc_id, lang, source, text,
+    * canon_url, allowed, n_content). `predLangOverride`, when set, is a
+    * (doc_id, pred_lang) frame that REPLACES the heuristic language
+    * vote before the reason CASE — the p4 substitution seam.
     */
   private def webVerdictsOverFunnel(spark: SparkSession, dir: String,
                                     funnel: DataFrame,
                                     minWords: Int, maxWords: Int,
                                     minQuality: Double,
-                                    positiveSources: Seq[String]): DataFrame = {
-    val scored = heuristicScored(funnel,
+                                    positiveSources: Seq[String],
+                                    predLangOverride: Option[DataFrame] =
+                                      None): DataFrame = {
+    val scoredHeuristic = heuristicScored(funnel,
       Seq("doc_id", "lang", "source", "canon_url", "allowed", "n_content"))
       // fetch keeper = smallest ROBOTS-ALLOWED copy of the canonical URL
       .withColumn("url_keep_id",
@@ -336,6 +377,11 @@ object Curation {
           && col("n_content") > 0 && col("block_reason") === "ok",
           col("doc_id")))
           .over(Window.partitionBy(col("norm"))))
+    // the p4 seam: swap the heuristic language vote for a learned one;
+    // the keepers above never read pred_lang, so the substitution sits
+    // cleanly between staging and the reason CASE
+    val scored = predLangOverride.fold(scoredHeuristic)(o =>
+      scoredHeuristic.drop("pred_lang").join(o, Seq("doc_id")))
     val reason =
       when(!col("allowed"), "robots_disallowed")
         .when(col("doc_id") =!= col("url_keep_id"), "url_duplicate")
@@ -1699,26 +1745,41 @@ object Curation {
     */
   def langClassifier(spark: SparkSession, dir: String,
                      dim: Int = 64, trainSample: Int = 4096,
-                     iters: Int = 3, lrDiv: Int = 2): DataFrame = {
-    val langs = TextAnalysis.markers.map(_._1)
-    val ws = trainLangWeights(spark, dir, langs, dim, trainSample, iters,
-      lrDiv)
-    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
-    val scored = langs.foldLeft(
-      Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
-        col("text"))) { (df, c) =>
-      df.withColumn(s"z_$c", Sketches.quantizedDot(emb, ws(c).toSeq))
-        .withColumn(s"p6_$c", expr(p6ExprOf(s"z_$c")))
-    }
-    scored
-      .withColumn("pred_lang",
-        TextAnalysis.predLangExpr(c => col(s"p6_$c")))
-      .select(col("doc_id") +: col("lang") +:
-        langs.map(c => col(s"p6_$c")) :+
-        col("pred_lang") :+
-        (col("pred_lang") === col("lang")).as("correct"): _*)
+                     iters: Int = 3, lrDiv: Int = 2): DataFrame =
+    scoredLangFrame(spark, dir, dim, trainSample, iters, lrDiv)
       .orderedBy("doc_id")
-  }
+
+  /** cls6's scored frame WITHOUT the deterministic output sort — the
+    * form downstream consumers take. Memo-shared on (dir, every
+    * training parameter), the cls family convention: cls6 and the
+    * p4 composed pipeline both start from this frame, so one harness
+    * pass trains the K-class model exactly once and p4 times only its
+    * marginal (the funnel + one doc-keyed join).
+    */
+  private[graft] def scoredLangFrame(spark: SparkSession, dir: String,
+                                     dim: Int = 64, trainSample: Int = 4096,
+                                     iters: Int = 3, lrDiv: Int = 2): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"cls6scored:${spark.sparkContext.applicationId}:$dir:$dim:" +
+        s"$trainSample:$iters:$lrDiv:${graft.Tables.substrate(spark)}") {
+      val langs = TextAnalysis.markers.map(_._1)
+      val ws = trainLangWeights(spark, dir, langs, dim, trainSample, iters,
+        lrDiv)
+      val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+      val scored = langs.foldLeft(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+          col("text"))) { (df, c) =>
+        df.withColumn(s"z_$c", Sketches.quantizedDot(emb, ws(c).toSeq))
+          .withColumn(s"p6_$c", expr(p6ExprOf(s"z_$c")))
+      }
+      scored
+        .withColumn("pred_lang",
+          TextAnalysis.predLangExpr(c => col(s"p6_$c")))
+        .select(col("doc_id") +: col("lang") +:
+          langs.map(c => col(s"p6_$c")) :+
+          col("pred_lang") :+
+          (col("pred_lang") === col("lang")).as("correct"): _*)
+    }
 
   /** The cls2 acceptance thresholds: T(s3) for every milli-probability
     * s3 in [0, 1000], where `keep ⟺ u15 < T(s3)` is EXACTLY the Pareto

@@ -142,9 +142,23 @@ object Similarity {
     * an exact DuckDB oracle.
     */
   def annIvfKmeans(spark: SparkSession, dir: String,
-                   kCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                   kCells: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfKmeansRanked(spark, dir, kCells, nProbe)
+      .filter(col("rnk") <= K)
+      .select("q_id", "n_id", "cosim", "rnk")
+      .orderBy("q_id", "rnk")
+
+  /** s3's ranked candidate frame BEFORE the top-k cut and projection,
+    * labels carried through (one extra `first` in the assignment
+    * aggregate — free) — the form i5 evaluates against the exact
+    * ranking. Shared so the cell assignment / probe / re-rank
+    * discipline can never diverge between the index and its eval.
+    */
+  private def ivfKmeansRanked(spark: SparkSession, dir: String,
+                              kCells: Int, nProbe: Int): DataFrame = {
     val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        normD(col("embedding")).as("nrm"))
     val cents = base.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
@@ -156,10 +170,14 @@ object Similarity {
       .agg(
         max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
         first(col("embedding")).as("n_emb"),
-        first(col("nrm")).as("n_nrm"))
+        first(col("nrm")).as("n_nrm"),
+        first(col("label")).as("n_label"))
       .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"),
-        col("n_emb"), col("n_nrm"))
-    val probes = queryVectors(spark, dir)
+        col("n_emb"), col("n_nrm"), col("n_label"))
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
       .withColumn("q_nrm", normD(col("q_emb")))
       .crossJoin(broadcast(cents))
       .withColumn("pcos",
@@ -168,7 +186,7 @@ object Similarity {
       .withColumn("prnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cell"))))
       .filter(col("prnk") <= nProbe)
-      .select("q_id", "q_emb", "q_nrm", "cell")
+      .select("q_id", "q_emb", "q_nrm", "q_label", "cell")
     cand.join(broadcast(probes), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cosim",
@@ -178,9 +196,6 @@ object Similarity {
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
           .cast("long"))
-      .filter(col("rnk") <= K)
-      .select("q_id", "n_id", "cosim", "rnk")
-      .orderBy("q_id", "rnk")
   }
 
   /** s5: IVF-PQ (the FAISS IVFADC shape) — the ANN variant that actually
@@ -656,6 +671,65 @@ object Similarity {
       .withColumn("recall_micros",
         expr("CASE WHEN n_rel_total > 0 THEN hits * 1000000 div n_rel_total END"))
       .orderBy("q_id")
+
+  /** i5: ANN-INDEX retrieval eval — i4's table with the scored side
+    * swapped for s3's IVF candidates and s1's brute-force ranking as
+    * the ground truth: per query, the index-vs-exact overlap
+    * (recall@k against the EXACT top-k — the standard ANN recall), the
+    * label-relevance hit counts on both sides, and both reciprocal
+    * ranks with their delta. This is the table that says what the
+    * nProbe/kCells dial actually costs in retrieval quality — the
+    * index-vs-exact form the s2/s3/s5 recall specs check pointwise,
+    * published as a first-class eval frame.
+    *
+    * rr_delta_micros = exact − index; it can be NEGATIVE — when the
+    * probed cells exclude high-ranked irrelevant vectors, a relevant
+    * one can sit HIGHER in the index's own top-k than in the exact
+    * list.
+    *
+    * Scale shape: one s1 pass (broadcast queries, per-partition
+    * partial top-k) + one s3 pass (one fleet shuffle on cell), both
+    * cut to |queries|·k rows BEFORE the tiny eval joins — the two
+    * top-k frames are persisted so the overlap join and the per-side
+    * aggregates re-read 50 rows, not the corpus.
+    */
+  def indexRetrievalEval(spark: SparkSession, dir: String, k: Int = K,
+                         kCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val exact = graft.CacheRegistry.persistTracked(
+      rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("q_label"), col("n_id"),
+          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
+    val index = graft.CacheRegistry.persistTracked(
+      ivfKmeansRanked(spark, dir, kCells, nProbe)
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"),
+          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
+    val exAgg = exact.groupBy("q_id", "q_label").agg(
+      sum(when(col("rel"), 1L).otherwise(0L)).as("exact_hits"),
+      min(when(col("rel"), col("rnk"))).as("exact_first"))
+    val ixAgg = index.groupBy("q_id").agg(
+      sum(when(col("rel"), 1L).otherwise(0L)).as("index_hits"),
+      min(when(col("rel"), col("rnk"))).as("index_first"))
+    val overlap = exact.select("q_id", "n_id")
+      .join(index.select("q_id", "n_id"), Seq("q_id", "n_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    exAgg.join(ixAgg, Seq("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("recall_vs_exact_micros",
+        expr(s"n_overlap * 1000000 div $k"))
+      .withColumn("exact_rr_micros",
+        coalesce(expr("1000000 div exact_first"), lit(0L)))
+      .withColumn("index_rr_micros",
+        coalesce(expr("1000000 div index_first"), lit(0L)))
+      .withColumn("rr_delta_micros",
+        col("exact_rr_micros") - col("index_rr_micros"))
+      .select("q_id", "q_label", "n_overlap", "recall_vs_exact_micros",
+        "exact_hits", "index_hits", "exact_rr_micros", "index_rr_micros",
+        "rr_delta_micros")
+      .orderBy("q_id")
+  }
 
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     rankedAgainstQueries(spark, dir, col("n_label") =!= col("q_label"))

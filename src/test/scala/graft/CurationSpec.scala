@@ -404,6 +404,43 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._2).toSet == Set("en", "fr", "zh"))
   }
 
+  test("p4: the cls6 lang gate flips exactly the heuristic's lang_mismatch verdicts") {
+    // disjoint per-language vocabularies, NONE of them x1 marker words:
+    // the heuristic sees zero marker hits everywhere and votes 'en' by
+    // priority, so p2 calls every fr/zh doc lang_mismatch — while cls6
+    // learns the separation and p4 passes them. Reason-for-reason: the
+    // two pipelines may differ ONLY where the two pred_langs differ.
+    // ids start at 8 so the analytic robots rule allows every doc (the
+    // path/dis prefix collision lives in ids 0-7 and 15).
+    val docs = Seq(
+      (8L, "alpha beta alpha gamma beta alpha gamma beta", "en"),
+      (9L, "delta epsilon delta zeta epsilon delta zeta", "fr"),
+      (10L, "eta theta eta iota theta eta iota theta eta", "zh"),
+      (11L, "alpha gamma gamma beta alpha beta alpha", "en"),
+      (12L, "epsilon zeta zeta delta epsilon zeta delta", "fr"),
+      (13L, "iota eta theta iota eta theta theta iota", "zh"))
+    val dir = writeLangDocs(docs)
+    def reasons(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val p2r = reasons(Curation.webPipelineDecision(spark, dir,
+      minQuality = 0.0, positiveSources = Seq("s0")))
+    val p4r = reasons(Curation.webPipelineClsLang(spark, dir,
+      minQuality = 0.0, positiveSources = Seq("s0")))
+    val langOf = docs.map { case (id, _, l) => id -> l }.toMap
+    docs.foreach { case (id, _, _) =>
+      if (langOf(id) == "en") {
+        assert(p2r(id) == p4r(id),
+          s"doc $id (en): both gates agree with the label -> same reason")
+        assert(p2r(id) == "ok", s"doc $id should survive both pipelines")
+      } else {
+        assert(p2r(id) == "lang_mismatch",
+          s"doc $id (${langOf(id)}): the marker heuristic votes en")
+        assert(p4r(id) == "ok",
+          s"doc $id (${langOf(id)}): cls6 learns the vocabulary split")
+      }
+    }
+  }
+
   test("cls6 prior collapse on signal-free labels is the priority argmax, deterministically") {
     // every doc shares ONE vocabulary while labels vary: the per-class
     // scores stay close, and the x1 priority chain (en > es > de > fr >

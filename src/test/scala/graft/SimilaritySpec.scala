@@ -85,6 +85,46 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._5).sorted.toSeq == (1L to 5L)))
   }
 
+  test("i5 index-vs-exact eval agrees with a recomputation from s1 and s3") {
+    // every i5 cell re-derived independently from the two constituent
+    // top-k frames: overlap/recall from the id sets, hits and RRs from
+    // the label map — so the eval can never drift from what it evaluates
+    val dir = "/root/testdata/sf0.001"
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = Similarity.annTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val index = Similarity.annIvfKmeans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val got = Similarity.indexRetrievalEval(spark, dir).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val qLabel = r.getInt(1)
+      assert(qLabel == labels(q))
+      val eq = exact.filter(_._1 == q)
+      val iq = index.filter(_._1 == q)
+      val ov = (eq.map(_._2).toSet intersect iq.map(_._2).toSet).size.toLong
+      assert(r.getLong(2) == ov, s"q$q n_overlap")
+      assert(r.getLong(3) == ov * 1000000L / 10L, s"q$q recall_vs_exact")
+      def hits(rows: Array[(Long, Long, Long)]) =
+        rows.count(t => labels(t._2) == qLabel).toLong
+      def rr(rows: Array[(Long, Long, Long)]) =
+        rows.filter(t => labels(t._2) == qLabel).map(_._3)
+          .minOption.map(1000000L / _).getOrElse(0L)
+      assert(r.getLong(4) == hits(eq), s"q$q exact_hits")
+      assert(r.getLong(5) == hits(iq), s"q$q index_hits")
+      assert(r.getLong(6) == rr(eq), s"q$q exact_rr")
+      assert(r.getLong(7) == rr(iq), s"q$q index_rr")
+      assert(r.getLong(8) == rr(eq) - rr(iq), s"q$q rr_delta")
+    }
+    // the frame is an EVAL: on this corpus the index must not be perfect
+    // everywhere (otherwise the table pins nothing) — s3 recalls ~0.88
+    assert(got.map(_.getLong(3)).min < 1000000L,
+      "at least one query should show an index-vs-exact gap here")
+  }
+
   test("s2/s3 recall floors vs exact s1 on real sf0.001 embeddings") {
     // rows-only ANN paths hardened against the oracle-checked brute force.
     // The synthetic vectors are near-uniform — SRP's worst case (weak
