@@ -287,6 +287,22 @@ object Warc {
     * one mapGroups pass, exactly how a conversion job sits next to the
     * fetcher's output at fleet scale.
     */
+  /** ONE response record → its WET `conversion` record bytes: HTTP
+    * parse, the x41 extraction (content blocks joined with '\n'), the
+    * byte-valid re-frame. The SINGLE definition of the conversion step,
+    * shared by batch w2 and the streaming WET face — the same-bytes
+    * guarantee between the two is this function existing once.
+    */
+  private[graft] def wetRecordFor(id: Long, httpPayload: Array[Byte],
+                                  minBlockLen: Int): Array[Byte] = {
+    val (_, body) = parseHttp(httpPayload)
+    val mainText = Html.TagWalkBlocker
+      .blocks(new String(body, UTF_8))
+      .filter(Html.isContent(_, minBlockLen))
+      .iterator.map(_.text).mkString("\n")
+    buildWetRecord(id, mainText)
+  }
+
   def wetExtract(spark: SparkSession, dir: String, shardSize: Int = 50,
                  minBlockLen: Int = 25): DataFrame = {
     import spark.implicits._
@@ -302,12 +318,7 @@ object Warc {
         parseWarc(warc).foreach { r =>
           val id = r.headers("warc-record-id")
             .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
-          val (_, body) = parseHttp(r.payload)
-          val mainText = Html.TagWalkBlocker
-            .blocks(new String(body, UTF_8))
-            .filter(Html.isContent(_, minBlockLen))
-            .iterator.map(_.text).mkString("\n")
-          out.write(buildWetRecord(id, mainText))
+          out.write(wetRecordFor(id, r.payload, minBlockLen))
         }
         parseWarc(out.toByteArray).map { r =>
           val id = r.headers("warc-record-id")

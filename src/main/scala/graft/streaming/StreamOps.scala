@@ -375,42 +375,137 @@ object StreamOps {
                                  tv: TimerValues): Iterator[WarcRecordRow] = {
       var st = if (buf.exists()) buf.get() else WarcBuf(0L, 0L, Array.empty)
       val out = Seq.newBuilder[WarcRecordRow]
-      rows.toSeq.sortBy(_.seq).foreach { c =>
-        require(c.seq == st.nextSeq,
-          s"container $cid chunk gap: expected seq ${st.nextSeq}, got ${c.seq}")
-        val joined = st.pending ++ c.bytes
-        val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
-          joined, st.baseOffset)
-        // "State bounded by one record" holds only when the parser can
-        // eventually frame one: input whose pending bytes never complete
-        // a CRLF-terminated header line makes parseWarcPrefix return the
-        // whole buffer as leftover on every chunk, growing state without
-        // bound. A genuine incomplete record is capped by MaxRecordBytes
-        // of payload plus its headers, so a pending prefix beyond that
-        // bound is CORRUPTION, not incompleteness — fail loudly (the
-        // batch parser's corruption-vs-incompleteness contract, applied
-        // to the stream's framing state).
-        require(leftover.length <=
-            graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes,
-          s"container $cid pending buffer ${leftover.length} B exceeds one " +
-            s"record's bound (${graft.sources.Warc.MaxRecordBytes} payload " +
-            s"+ $MaxWarcHeaderBytes headers): unframeable/corrupt stream")
-        recs.foreach { r =>
-          val id = r.headers("warc-record-id")
-            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
-          val (status, body) = graft.sources.Warc.parseHttp(r.payload)
-          val crc = new java.util.zip.CRC32()
-          crc.update(body)
-          out += WarcRecordRow(cid, id, r.offset, r.recLen,
-            r.headers("warc-target-uri"), status, body.length.toLong,
-            crc.getValue)
-        }
-        st = WarcBuf(c.seq + 1,
-          st.baseOffset + (joined.length - leftover.length), leftover)
+      val (recs, st2) = drainWarcChunks(cid, st, rows)
+      st = st2
+      recs.foreach { r =>
+        val id = r.headers("warc-record-id")
+          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val (status, body) = graft.sources.Warc.parseHttp(r.payload)
+        val crc = new java.util.zip.CRC32()
+        crc.update(body)
+        out += WarcRecordRow(cid, id, r.offset, r.recLen,
+          r.headers("warc-target-uri"), status, body.length.toLong,
+          crc.getValue)
       }
       buf.update(st)
       out.result().iterator
     }
+  }
+
+  /** The reassembly drain shared by the audit and WET-conversion
+    * processors: enforce the per-container chunk-order contract, append
+    * to the pending buffer, let `parseWarcPrefix` frame every COMPLETE
+    * record, keep only the incomplete tail. Returns the completed
+    * records (container offsets already absolute) plus the new state.
+    */
+  private def drainWarcChunks(cid: Long, st0: WarcBuf,
+                              rows: Iterator[WarcChunk]):
+      (Seq[graft.sources.Warc.WarcRecord], WarcBuf) = {
+    var st = st0
+    val out = Seq.newBuilder[graft.sources.Warc.WarcRecord]
+    rows.toSeq.sortBy(_.seq).foreach { c =>
+      require(c.seq == st.nextSeq,
+        s"container $cid chunk gap: expected seq ${st.nextSeq}, got ${c.seq}")
+      val joined = st.pending ++ c.bytes
+      val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
+        joined, st.baseOffset)
+      // "State bounded by one record" holds only when the parser can
+      // eventually frame one: input whose pending bytes never complete
+      // a CRLF-terminated header line makes parseWarcPrefix return the
+      // whole buffer as leftover on every chunk, growing state without
+      // bound. A genuine incomplete record is capped by MaxRecordBytes
+      // of payload plus its headers, so a pending prefix beyond that
+      // bound is CORRUPTION, not incompleteness — fail loudly (the
+      // batch parser's corruption-vs-incompleteness contract, applied
+      // to the stream's framing state).
+      require(leftover.length <=
+          graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes,
+        s"container $cid pending buffer ${leftover.length} B exceeds one " +
+          s"record's bound (${graft.sources.Warc.MaxRecordBytes} payload " +
+          s"+ $MaxWarcHeaderBytes headers): unframeable/corrupt stream")
+      out ++= recs
+      st = WarcBuf(c.seq + 1,
+        st.baseOffset + (joined.length - leftover.length), leftover)
+    }
+    (out.result(), st)
+  }
+
+  /** One streaming WET `conversion` row — w2's audit shape with the
+    * container identity in place of the batch shard id.
+    */
+  case class WetRecordRow(container_id: Long, doc_id: Long,
+                          rec_offset: Long, rec_len: Long,
+                          target_uri: String, text_len: Long,
+                          text_crc32: Long)
+
+  /** w2's streaming twin — the WARC→WET conversion chained DIRECTLY
+    * onto the reassembly drain: each response record that completes
+    * runs the SHARED per-record conversion (`Warc.wetRecordFor` — the
+    * x41 extraction + byte-valid WET re-frame, ONE definition with
+    * batch w2), the converted record parses back through the SAME
+    * reader, and the row carries the record's offset in the container's
+    * WET OUTPUT stream — a per-container running sum held in state, so
+    * the emitted audit equals what a WET container written in record-
+    * completion order would frame. State = one WarcBuf (bounded by one
+    * record, the reassembler's contract) + one Long offset per
+    * container.
+    */
+  class WetConvertProcessor(ttl: java.time.Duration,
+                            minBlockLen: Int = 25)
+      extends StatefulProcessor[Long, WarcChunk, WetRecordRow] {
+    @transient private var buf: ValueState[WarcBuf] = _
+    @transient private var wetOff: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val cfg = if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl)
+      buf = getHandle.getValueState[WarcBuf](
+        "buf", Encoders.product[WarcBuf], cfg)
+      wetOff = getHandle.getValueState[Long](
+        "wetOff", Encoders.scalaLong, cfg)
+    }
+
+    override def handleInputRows(cid: Long, rows: Iterator[WarcChunk],
+                                 tv: TimerValues): Iterator[WetRecordRow] = {
+      val st = if (buf.exists()) buf.get() else WarcBuf(0L, 0L, Array.empty)
+      var off = if (wetOff.exists()) wetOff.get() else 0L
+      val out = Seq.newBuilder[WetRecordRow]
+      val (recs, st2) = drainWarcChunks(cid, st, rows)
+      recs.foreach { r =>
+        val id = r.headers("warc-record-id")
+          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val wet = graft.sources.Warc.wetRecordFor(id, r.payload, minBlockLen)
+        // parse the built record back through the reader (the batch w2
+        // round-trip discipline): the audit must describe FRAMED bytes
+        val parsed = graft.sources.Warc.parseWarc(wet)
+        require(parsed.length == 1, s"WET re-frame of doc $id mis-split")
+        val p = parsed.head
+        val crc = new java.util.zip.CRC32()
+        crc.update(p.payload)
+        out += WetRecordRow(cid, id, off, p.recLen,
+          p.headers("warc-target-uri"), p.payload.length.toLong,
+          crc.getValue)
+        off += p.recLen
+      }
+      buf.update(st2)
+      wetOff.update(off)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming WARC→WET conversion on the chunk stream (see
+    * WetConvertProcessor). Requires the RocksDB state store provider on
+    * the running query, like the other transformWithState ops.
+    */
+  def wetRecordStream(spark: SparkSession, chunks: Dataset[WarcChunk],
+                      minBlockLen: Int = 25,
+                      ttl: java.time.Duration =
+                        java.time.Duration.ZERO): Dataset[WetRecordRow] = {
+    import spark.implicits._
+    chunks
+      .groupByKey(_.container_id)
+      .transformWithState(new WetConvertProcessor(ttl, minBlockLen),
+        if (ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** WARC record reassembly on the chunk stream (see

@@ -300,13 +300,24 @@ object StreamBench {
           maxBucketSize = 64,
           ttl = java.time.Duration.ZERO).toDF()))
 
-    // w1 twin: REAL WARC containers (documents sharded 50/container, the
-    // batch builder) split into 32 KiB chunks with arbitrary boundaries —
-    // the measured rate pays reassembly + record framing + HTTP parse +
-    // body CRC per record. Reported per RECORD (doc), not per chunk.
-    val warcRow = if (only.nonEmpty && !only("warc_reassemble_tws")) None else Some {
+    // Shared staging for the two WARC-chunk rows: REAL containers
+    // (documents sharded 50/container, the batch builder) split into
+    // 32 KiB chunks with arbitrary boundaries, one part file per bucket
+    // of WHOLE containers with chunk order intact — the file source's
+    // cross-file processing order is unspecified, and the reassembler's
+    // per-container in-order contract (the Kafka-partition-per-transfer
+    // shape) must hold however files interleave.
+    val warcChunkSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("container_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bytes",
+        org.apache.spark.sql.types.BinaryType)))
+    lazy val stagedWarcChunks: (String, Long) = {
       import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
       val baseDocs = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)].collect().sortBy(_._1)
@@ -323,29 +334,30 @@ object StreamBench {
             Row(ci.toLong, new java.sql.Timestamp(0L), i.toLong, b)
           }.toSeq
         }.toSeq
-      // one part file per bucket of WHOLE containers, chunk order intact:
-      // the file source's cross-file processing order is unspecified, and
-      // the reassembler's per-container in-order contract (the Kafka-
-      // partition-per-transfer shape) must hold however files interleave
       val buckets = perContainer.zipWithIndex
         .groupBy(_._2 % chunks).toSeq.sortBy(_._1)
         .map(_._2.flatMap(_._1))
-      val chunkSchema = StructType(Seq(
-        StructField("container_id", LongType), StructField("ts", TimestampType),
-        StructField("seq", LongType), StructField("bytes", BinaryType)))
       val warcIn = "/tmp/graft_stream_warc_in"
       spark.createDataFrame(
           spark.sparkContext.parallelize(buckets, buckets.length)
             .flatMap(identity),
-          chunkSchema)
+          warcChunkSchema)
         .write.mode("overwrite").parquet(warcIn)
+      (warcIn, nRecs)
+    }
+    def warcChunkStream(path: String) =
+      spark.readStream.schema(warcChunkSchema)
+        .option("maxFilesPerTrigger", 1).parquet(path)
+        .as[StreamOps.WarcChunk]
+
+    // w1 twin: the measured rate pays reassembly + record framing +
+    // HTTP parse + body CRC per record. Reported per RECORD, not chunk.
+    val warcRow = if (only.nonEmpty && !only("warc_reassemble_tws")) None else Some {
+      val (warcIn, nRecs) = stagedWarcChunks
       def once(): (String, Double) = {
         val ckpt = s"/tmp/graft_stream_ckpt/warc-${System.nanoTime()}"
         val t0 = System.nanoTime()
-        val q = StreamOps.warcRecordStream(spark,
-            spark.readStream.schema(chunkSchema)
-              .option("maxFilesPerTrigger", 1).parquet(warcIn)
-              .as[StreamOps.WarcChunk])
+        val q = StreamOps.warcRecordStream(spark, warcChunkStream(warcIn))
           .toDF()
           .writeStream.format("noop").trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ckpt).start()
@@ -356,11 +368,32 @@ object StreamBench {
       println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
       r
     }
+
+    // w2 twin: the same chunk stream through the WET-conversion
+    // processor — reassembly + framing + HTTP parse + x41 extraction +
+    // WET re-frame + re-parse + payload CRC per record: the full
+    // archive-conversion job as one stateful stream.
+    val wetRow = if (only.nonEmpty && !only("wet_convert_tws")) None else Some {
+      val (warcIn, nRecs) = stagedWarcChunks
+      def once(): (String, Double) = {
+        val ckpt = s"/tmp/graft_stream_ckpt/wet-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = StreamOps.wetRecordStream(spark, warcChunkStream(warcIn))
+          .toDF()
+          .writeStream.format("noop").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        q.awaitTermination()
+        "wet_convert_tws" -> nRecs / ((System.nanoTime() - t0) / 1e9)
+      }
+      val r = Seq(once(), once()).maxBy(_._2)
+      println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
+      r
+    }
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow, ingestRow, warcRow).flatten ++
+        frontierRow, ingestRow, warcRow, wetRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

@@ -227,6 +227,59 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("streaming WET conversion equals batch w2 per closed record") {
+    // the same brutal 7-byte chunking as the reassembly pin, but the
+    // emitted rows are WET audits: per completed response record, the
+    // SHARED conversion (x41 extraction + WET re-frame) must produce
+    // exactly what batch w2 frames for the same docs — offsets included
+    // (stream = running WET offset per container in completion order,
+    // batch = per-shard running sum over doc_id order; containers are
+    // built in doc_id order, so the two agree)
+    val docs = Seq(
+      (1L, "plain text long enough to make a couple of chunks maybe"),
+      (2L, "trap \r\n\r\nWARC/1.0\r\n payload with embedded separators"),
+      (3L, ""))
+    val dir = writeDocs(docs.map { case (id, t) => (id, t, "s0") })
+    val container = Warc.buildContainer(docs)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val all = container.grouped(7).toSeq.zipWithIndex.map { case (b, i) =>
+      StreamOps.WarcChunk(0L, ts, i.toLong, b)
+    }
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val q = StreamOps.wetRecordStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("wet_stream_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(all)
+      q.processAllAvailable()
+      val got = spark.table("wet_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("container_id"),
+          r.getAs[Long]("rec_offset"), r.getAs[Long]("rec_len"),
+          r.getAs[String]("target_uri"), r.getAs[Long]("text_len"),
+          r.getAs[Long]("text_crc32"))).sortBy(_._1).toSeq
+      // batch w2 over the same docs in ONE shard (shardSize covers all)
+      val want = Warc.wetExtract(spark, dir, shardSize = 50)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard_id"),
+          r.getAs[Long]("rec_offset"), r.getAs[Long]("rec_len"),
+          r.getAs[String]("target_uri"), r.getAs[Long]("text_len"),
+          r.getAs[Long]("text_crc32"))).sortBy(_._1).toSeq
+      assert(got == want, s"got=$got want=$want")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("warc record stream starts and emits under the non-zero-TTL dial") {
     // the TTL path needs TimeMode.ProcessingTime (a non-NONE TTLConfig
     // under TimeMode.None dies at query start) — this pins the mode
