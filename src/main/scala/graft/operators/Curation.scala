@@ -1388,16 +1388,20 @@ object Curation {
     * a single-doc source degenerates to partner == self, visible in
     * the audit.
     *
-    * Scale shape: ONE window over (source, doc_id) — lead + an
+    * Scale shape: ONE window over (partnerKey, doc_id) — lead + an
     * unbounded-frame first for the wrap — then one codegen projection;
-    * the window is the only exchange (at fleet scale, partnering would
-    * key on the shard hash instead of the raw source to bound
-    * partition width; the pairing rule is a parameter, the plan shape
-    * is not).
+    * the window is the only exchange. `partnerKey` IS the pairing
+    * rule: the default partners source-wide (the audit contract); at
+    * fleet scale a source can hold billions of docs, so the caller
+    * bounds partition width by keying on a shard term too — e.g.
+    * `struct(col("source"), expr("doc_id div 100000"))` — and the wrap
+    * closes each shard ring instead of one source-wide ring. The plan
+    * shape is identical either way; only the exchange key narrows.
     */
-  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val wAll = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+  def preferencePairs(spark: SparkSession, dir: String,
+                      partnerKey: Column = col("source")): DataFrame = {
+    val w = Window.partitionBy(partnerKey).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(partnerKey).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))

@@ -265,6 +265,32 @@ class CurationSpec extends SparkSpec {
       (9L, 1L, 0L, 0L, 16L, 704279248L, 4248843372L)), s"got ${got.toSeq}")
   }
 
+  test("x51 shard-bounded partnering equals source-wide when shards cover the source") {
+    import org.apache.spark.sql.functions.{col, expr, struct}
+    val dir = writeDocs(Seq(
+      (1L, "alpha continuation of document one", "s0"),
+      (2L, "bravo continuation of document two", "s0"),
+      (5L, "charlie continuation of document five", "s0"),
+      (7L, "delta single doc in its own source", "s1"),
+      (9L, "", "s0")))
+    val wide = Curation.preferencePairs(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // a shard term coarser than any doc_id here: one shard per source,
+    // so the bounded ring IS the source ring — byte-identical audit
+    val cover = Curation.preferencePairs(spark, dir,
+        partnerKey = struct(col("source"), expr("doc_id div 1000")))
+      .collect().map(_.toSeq).toSeq
+    assert(cover == wide)
+    // width-4 shards actually narrow the rings: s0 splits into
+    // {1,2}(shard 0) and {5}(shard 1) and {9}(shard 2) — each ring wraps
+    // within its shard, so 2 partners back to 1 and the singletons self-pair
+    val sharded = Curation.preferencePairs(spark, dir,
+        partnerKey = struct(col("source"), expr("doc_id div 4")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sharded == Map(1L -> 2L, 2L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 9L),
+      s"got $sharded")
+  }
+
   test("p1 classifier stage rejects bulk-source docs that fail the Pareto draw") {
     // all-negative labels: every trained weight moves negative, so
     // prob_micros < 500000 deterministically; u15(7) = 19564 is far above
