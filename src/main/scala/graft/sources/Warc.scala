@@ -36,9 +36,10 @@ import graft.operators.{Html, Urls}
   * Scale shape: ONE shuffle on shard_id (the grouping a container
   * writer needs anyway), executor memory bounded by shardSize × page
   * size, audit output ∝ records. At fleet scale the containers are the
-  * INPUT (binaryFile / archive stream splits at record boundaries) and
-  * `parseWarc` runs inside `mapPartitions` over raw byte ranges — the
-  * seam the synthesized corpus exercises end-to-end.
+  * INPUT — and that posture is EXERCISED, not just promised: w3
+  * (`writeWarcFiles` → `binaryFile` → `parseWarc` in `mapPartitions`,
+  * below) lands the same containers as real `.warc` files and audits
+  * the read-back byte-for-byte against w1's oracle.
   */
 object Warc {
 

@@ -119,6 +119,9 @@ object ScalingCurve {
       "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
       "i4_retrieval_eval" -> ((s, d) => Similarity.retrievalEval(s, d)),
       "cls6_lang_classifier" -> ((s, d) => Curation.langClassifier(s, d)),
+      "w3_warc_files" -> ((s, d) => graft.sources.Warc.warcFileRoundTrip(s, d)),
+      "p4_cls_lang_gate" -> ((s, d) => Curation.webPipelineClsLang(s, d)),
+      "i5_index_eval" -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);
       // run against MakeScale's events mode for real exponents
       "t3_accident_runs" -> ((s, d) => Telematics.accidentRuns(s, d)),
