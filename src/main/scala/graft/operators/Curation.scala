@@ -254,6 +254,23 @@ object Curation {
     * canon_url, allowed, n_content) — p2's first stage, shared by the
     * heuristic-gated and cls6-gated pipeline variants.
     */
+  /** The per-record frontier kernel shared by the in-flight and
+    * file-backed funnels: canonical URL, robots verdict, extraction
+    * yield — ONE definition, so the "file-backed must equal in-flight"
+    * contract (PipelineScale phase 6) can never drift on a one-sided
+    * edit. The gate needs only the content-block COUNT — the audit
+    * CRCs (x41's contract) would be two wasted hash folds per page.
+    */
+  private def frontierKernel(uri: String, html: String,
+                             minBlockLen: Int): (String, Boolean, Long) = {
+    val canon = Urls.canonicalizeUrl(uri)
+    val (domain, path) = Urls.canonDomainPath(canon)
+    val allowed = Urls.robotsVerdict(domain, path)._2
+    val nContent = Html.TagWalkBlocker.blocks(html)
+      .count(Html.isContent(_, minBlockLen)).toLong
+    (canon, allowed, nContent)
+  }
+
   private def crawlFunnel(spark: SparkSession, dir: String,
                           minBlockLen: Int): DataFrame = {
     import spark.implicits._
@@ -261,13 +278,8 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
       .mapPartitions(_.map { case (id, lang, source, text) =>
-        val canon = Urls.canonicalizeUrl(Urls.buildUrl(id))
-        val (domain, path) = Urls.canonDomainPath(canon)
-        val allowed = Urls.robotsVerdict(domain, path)._2
-        // the gate needs only the content-block COUNT — the audit CRCs
-        // (x41's contract) would be two wasted hash folds per page here
-        val nContent = Html.TagWalkBlocker.blocks(Html.buildHtml(id, text))
-          .count(Html.isContent(_, minBlockLen)).toLong
+        val (canon, allowed, nContent) = frontierKernel(
+          Urls.buildUrl(id), Html.buildHtml(id, text), minBlockLen)
         (id, lang, source, text, canon, allowed, nContent)
       })
       .toDF("doc_id", "lang", "source", "text", "canon_url", "allowed",
@@ -329,12 +341,9 @@ object Curation {
       .select(col("doc_id"), col("target_uri"), col("body"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, uri, body) =>
-        val canon = Urls.canonicalizeUrl(uri)
-        val (domain, path) = Urls.canonDomainPath(canon)
-        val allowed = Urls.robotsVerdict(domain, path)._2
-        val nContent = Html.TagWalkBlocker
-          .blocks(new String(body, java.nio.charset.StandardCharsets.UTF_8))
-          .count(Html.isContent(_, minBlockLen)).toLong
+        val (canon, allowed, nContent) = frontierKernel(uri,
+          new String(body, java.nio.charset.StandardCharsets.UTF_8),
+          minBlockLen)
         (id, canon, allowed, nContent)
       })
       .toDF("doc_id", "canon_url", "allowed", "n_content")

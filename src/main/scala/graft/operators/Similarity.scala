@@ -60,8 +60,24 @@ object Similarity {
           .cast("long"))
   }
 
+  /** The neq-id brute-force ranked substrate, projected to the narrow
+    * audit columns and memo-shared on (dir, substrate) — s1, s4, i4 and
+    * i5 all start from this frame (the d4/cls6 family convention), so a
+    * harness pass pays the O(|corpus|·|queries|) scoring exactly once:
+    * the alphabetically-first consumer (i4) owns the build, the others
+    * time their marginals (a top-k cut, a filtered re-rank, the eval
+    * joins). Narrow projection keeps the cached frame ∝ pairs × 6
+    * columns — the embeddings themselves never persist.
+    */
+  private def rankedNeqId(spark: SparkSession, dir: String): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"s1ranked:${spark.sparkContext.applicationId}:$dir:" +
+        s"${graft.Tables.substrate(spark)}")(
+      rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
+        .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk"))
+
   def annTopK(spark: SparkSession, dir: String): DataFrame =
-    rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
+    rankedNeqId(spark, dir)
       .filter(col("rnk") <= K)
       .select("q_id", "n_id", "cosim", "rnk")
       .orderBy("q_id", "rnk")
@@ -143,10 +159,24 @@ object Similarity {
     */
   def annIvfKmeans(spark: SparkSession, dir: String,
                    kCells: Int = 16, nProbe: Int = 4): DataFrame =
-    ivfKmeansRanked(spark, dir, kCells, nProbe)
+    ivfRanked(spark, dir, kCells, nProbe)
       .filter(col("rnk") <= K)
       .select("q_id", "n_id", "cosim", "rnk")
       .orderBy("q_id", "rnk")
+
+  /** The IVF ranked-candidate substrate (narrow projection), memo-
+    * shared on (dir, kCells, nProbe, substrate) — s3 and i5 both start
+    * here, so one harness pass pays the cell-assignment/probe/re-rank
+    * chain once: i5 (alphabetically first) owns the build, s3 times
+    * its top-k cut.
+    */
+  private def ivfRanked(spark: SparkSession, dir: String,
+                        kCells: Int, nProbe: Int): DataFrame =
+    graft.CacheRegistry.memoShared(
+      s"s3ranked:${spark.sparkContext.applicationId}:$dir:$kCells:" +
+        s"$nProbe:${graft.Tables.substrate(spark)}")(
+      ivfKmeansRanked(spark, dir, kCells, nProbe)
+        .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk"))
 
   /** s3's ranked candidate frame BEFORE the top-k cut and projection,
     * labels carried through (one extra `first` in the assignment
@@ -657,7 +687,7 @@ object Similarity {
     * index-vs-exact form.
     */
   def retrievalEval(spark: SparkSession, dir: String, k: Int = K): DataFrame =
-    rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
+    rankedNeqId(spark, dir)
       .withColumn("rel", col("n_label") === col("q_label"))
       .groupBy(col("q_id"), col("q_label"))
       .agg(
@@ -687,24 +717,22 @@ object Similarity {
     * one can sit HIGHER in the index's own top-k than in the exact
     * list.
     *
-    * Scale shape: one s1 pass (broadcast queries, per-partition
-    * partial top-k) + one s3 pass (one fleet shuffle on cell), both
-    * cut to |queries|·k rows BEFORE the tiny eval joins — the two
-    * top-k frames are persisted so the overlap join and the per-side
-    * aggregates re-read 50 rows, not the corpus.
+    * Scale shape: one s1 pass (broadcast queries, rank window) + one
+    * s3 pass (one fleet shuffle on cell), BOTH memo-shared substrates
+    * (rankedNeqId / ivfRanked — i5 owns whichever build its pass
+    * reaches first; s1/s4/i4/s3 read the same frames), cut to
+    * |queries|·k rows before the tiny eval joins.
     */
   def indexRetrievalEval(spark: SparkSession, dir: String, k: Int = K,
                          kCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val exact = graft.CacheRegistry.persistTracked(
-      rankedAgainstQueries(spark, dir, col("n_id") =!= col("q_id"))
-        .filter(col("rnk") <= k)
-        .select(col("q_id"), col("q_label"), col("n_id"),
-          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
-    val index = graft.CacheRegistry.persistTracked(
-      ivfKmeansRanked(spark, dir, kCells, nProbe)
-        .filter(col("rnk") <= k)
-        .select(col("q_id"), col("n_id"),
-          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
+    val exact = rankedNeqId(spark, dir)
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"),
+        (col("n_label") === col("q_label")).as("rel"), col("rnk"))
+    val index = ivfRanked(spark, dir, kCells, nProbe)
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"),
+        (col("n_label") === col("q_label")).as("rel"), col("rnk"))
     val exAgg = exact.groupBy("q_id", "q_label").agg(
       sum(when(col("rel"), 1L).otherwise(0L)).as("exact_hits"),
       min(when(col("rel"), col("rnk"))).as("exact_first"))
@@ -731,8 +759,21 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** s4 derives from the shared neq-id substrate: filter to the
+    * label-mismatch pairs (a strict subset — a vector can never
+    * label-mismatch itself) and RE-RANK within the subset under the
+    * same (cosim desc, n_id) order, which is exactly the ranking the
+    * dedicated label-mismatch scoring pass produced — one cached read
+    * instead of a second corpus scan.
+    */
   def hardNegatives(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    rankedAgainstQueries(spark, dir, col("n_label") =!= col("q_label"))
+    rankedNeqId(spark, dir)
+      .filter(col("n_label") =!= col("q_label"))
+      .drop("rnk")
+      .withColumn("rnk",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cosim").desc, col("n_id")))
+          .cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk")
       .orderBy("q_id", "rnk")

@@ -360,8 +360,20 @@ object Warc {
         val container = buildContainer(docs)
         val p = new org.apache.hadoop.fs.Path(outPath, f"shard-$shard%05d.warc")
         val fs = p.getFileSystem(hconf.value)
-        val os = fs.create(p, true)
+        // Task-commit protocol: write to an attempt-unique temp file and
+        // RENAME into place. A speculative duplicate or an interrupted
+        // attempt must never leave a torn container at the final name —
+        // a truncation landing exactly on a record boundary would parse
+        // cleanly and silently drop the shard's tail docs, the one
+        // corruption class the loud-failure parser cannot see. Rename is
+        // atomic on local FS and HDFS; duplicate attempts write
+        // byte-identical containers, so whichever rename wins is correct.
+        val tmp = new org.apache.hadoop.fs.Path(outPath,
+          f".shard-$shard%05d.warc.${java.util.UUID.randomUUID()}.tmp")
+        val os = fs.create(tmp, true)
         try os.write(container) finally os.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
         shard
       }
       .count()
@@ -431,10 +443,14 @@ object Warc {
                                    shardSize: Int = 50): String =
     graft.CacheRegistry.memoSharedValue(
       s"w3stage:${spark.sparkContext.applicationId}:$dir:$shardSize") {
+      // the FULL sanitized dir in the path, not a hash of it: two corpus
+      // dirs staged in one session must never share a staging directory
+      // (a hashCode collision would let corpus B's files shadow A's)
+      val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val out = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft-warc-${spark.sparkContext.applicationId}-" +
-          s"${Integer.toHexString(dir.hashCode)}-$shardSize").toString
+          s"$safeDir-$shardSize").toString
       writeWarcFiles(spark, dir, out, shardSize)
       out
     }
