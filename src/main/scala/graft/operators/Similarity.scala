@@ -725,14 +725,19 @@ object Similarity {
     */
   def indexRetrievalEval(spark: SparkSession, dir: String, k: Int = K,
                          kCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val exact = rankedNeqId(spark, dir)
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("q_label"), col("n_id"),
-        (col("n_label") === col("q_label")).as("rel"), col("rnk"))
-    val index = ivfRanked(spark, dir, kCells, nProbe)
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"),
-        (col("n_label") === col("q_label")).as("rel"), col("rnk"))
+    // the memo-shared substrates pay the corpus scans once per pass;
+    // the |queries|·k cuts persist ON TOP so the agg + overlap-join
+    // consumers below re-read ~50 rows, not the cached pair frames
+    val exact = graft.CacheRegistry.persistTracked(
+      rankedNeqId(spark, dir)
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("q_label"), col("n_id"),
+          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
+    val index = graft.CacheRegistry.persistTracked(
+      ivfRanked(spark, dir, kCells, nProbe)
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"),
+          (col("n_label") === col("q_label")).as("rel"), col("rnk")))
     val exAgg = exact.groupBy("q_id", "q_label").agg(
       sum(when(col("rel"), 1L).otherwise(0L)).as("exact_hits"),
       min(when(col("rel"), col("rnk"))).as("exact_first"))

@@ -361,19 +361,29 @@ object Warc {
         val p = new org.apache.hadoop.fs.Path(outPath, f"shard-$shard%05d.warc")
         val fs = p.getFileSystem(hconf.value)
         // Task-commit protocol: write to an attempt-unique temp file and
-        // RENAME into place. A speculative duplicate or an interrupted
-        // attempt must never leave a torn container at the final name —
-        // a truncation landing exactly on a record boundary would parse
-        // cleanly and silently drop the shard's tail docs, the one
-        // corruption class the loud-failure parser cannot see. Rename is
-        // atomic on local FS and HDFS; duplicate attempts write
-        // byte-identical containers, so whichever rename wins is correct.
+        // ATOMICALLY OVERWRITE-RENAME into place (FileContext's
+        // Rename.OVERWRITE — one filesystem operation, no exists/delete
+        // window a zombie attempt could interleave with). A speculative
+        // duplicate or an interrupted attempt must never leave a torn
+        // container at the final name — a truncation landing exactly on
+        // a record boundary would parse cleanly and silently drop the
+        // shard's tail docs, the one corruption class the loud-failure
+        // parser cannot see. Duplicate attempts write byte-identical
+        // containers, so whichever rename wins is correct; a failed
+        // attempt deletes its own temp so retries never leak orphans.
         val tmp = new org.apache.hadoop.fs.Path(outPath,
           f".shard-$shard%05d.warc.${java.util.UUID.randomUUID()}.tmp")
-        val os = fs.create(tmp, true)
-        try os.write(container) finally os.close()
-        if (fs.exists(p)) fs.delete(p, false)
-        require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+        try {
+          val os = fs.create(tmp, true)
+          try os.write(container) finally os.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri, hconf.value)
+          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case e: Throwable =>
+            try fs.delete(tmp, false) catch { case _: Throwable => () }
+            throw e
+        }
         shard
       }
       .count()
@@ -443,14 +453,20 @@ object Warc {
                                    shardSize: Int = 50): String =
     graft.CacheRegistry.memoSharedValue(
       s"w3stage:${spark.sparkContext.applicationId}:$dir:$shardSize") {
-      // the FULL sanitized dir in the path, not a hash of it: two corpus
-      // dirs staged in one session must never share a staging directory
-      // (a hashCode collision would let corpus B's files shadow A's)
-      val safeDir = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // collision-proof staging path: a readable sanitized tail of the
+      // dir PLUS a SHA-256 digest of the full raw string. Sanitizing
+      // alone is non-injective ("corpus a" and "corpus+a" collide) and
+      // unbounded (a long dir overflows the 255-byte filename limit);
+      // the digest makes distinct dirs distinct, the bounded tail keeps
+      // the path diagnosable.
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val tail = dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
       val out = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft-warc-${spark.sparkContext.applicationId}-" +
-          s"$safeDir-$shardSize").toString
+          s"$tail-$digest-$shardSize").toString
       writeWarcFiles(spark, dir, out, shardSize)
       out
     }

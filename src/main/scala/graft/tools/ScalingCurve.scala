@@ -164,7 +164,15 @@ object ScalingCurve {
         catch { case _: Throwable => () }
       }
       (1 to iters).foreach { i =>
-        queries(m).filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
+        // sorted run order = graft.Bench's alphabetical pass order, so
+        // memo-family build OWNERSHIP here matches the pin convention
+        // (i4 owns the neq-id ranking, i5 the IVF chain, d4 the scored
+        // pairs, cls6 the lang training) — unsorted list order would
+        // silently hand the build to whichever family member the list
+        // mentions first and make the fitted exponents incomparable
+        // with BASELINE's per-query attribution
+        queries(m).filter(q => only.isEmpty || only(q._1))
+          .sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
