@@ -3361,13 +3361,14 @@ object SparkEntry {
         |SELECT qx.q_id, qx.q_label,
         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
         |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_vs_exact_micros,
-        |  exagg.exact_hits, ixagg.index_hits,
+        |  exagg.exact_hits,
+        |  CAST(coalesce(ixagg.index_hits, 0) AS BIGINT) AS index_hits,
         |  coalesce(1000000 // exagg.exact_first, CAST(0 AS BIGINT)) AS exact_rr_micros,
         |  coalesce(1000000 // ixagg.index_first, CAST(0 AS BIGINT)) AS index_rr_micros,
         |  coalesce(1000000 // exagg.exact_first, CAST(0 AS BIGINT))
         |    - coalesce(1000000 // ixagg.index_first, CAST(0 AS BIGINT)) AS rr_delta_micros
         |FROM qx JOIN exagg ON exagg.q_id = qx.q_id
-        |  JOIN ixagg ON ixagg.q_id = qx.q_id
+        |  LEFT JOIN ixagg ON ixagg.q_id = qx.q_id
         |  LEFT JOIN ov ON ov.q_id = qx.q_id
         |ORDER BY qx.q_id""".stripMargin,
 

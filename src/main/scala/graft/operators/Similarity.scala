@@ -747,8 +747,14 @@ object Similarity {
     val overlap = exact.select("q_id", "n_id")
       .join(index.select("q_id", "n_id"), Seq("q_id", "n_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
-    exAgg.join(ixAgg, Seq("q_id"))
+    // exAgg is the base (exact always has candidates when |corpus| > 1);
+    // the index side LEFT-joins so a query whose probed cells yield NO
+    // top-k candidates still publishes its row — index_hits 0, rr 0 —
+    // instead of vanishing from the eval (which would overstate recall
+    // by omitting exactly the worst-served queries)
+    exAgg.join(ixAgg, Seq("q_id"), "left")
       .join(overlap, Seq("q_id"), "left")
+      .withColumn("index_hits", coalesce(col("index_hits"), lit(0L)))
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
       .withColumn("recall_vs_exact_micros",
         expr(s"n_overlap * 1000000 div $k"))

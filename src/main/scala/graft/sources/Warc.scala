@@ -345,6 +345,17 @@ object Warc {
     * it to its file. Overwrites are idempotent — re-staging the same
     * corpus rewrites byte-identical files.
     */
+  /** Per-JVM FileContext cache for the shard-commit rename — a fresh
+    * AbstractFileSystem (a new DFSClient on HDFS) per shard would be
+    * pure connection churn. Keyed by scheme://authority; a None entry
+    * records that the scheme has no AbstractFileSystem binding (a
+    * FileSystem-only connector), so the fallback path is taken without
+    * re-probing every shard.
+    */
+  private lazy val fcCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Option[org.apache.hadoop.fs.FileContext]]()
+
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
                      shardSize: Int = 50): Long = {
     import spark.implicits._
@@ -358,27 +369,55 @@ object Warc {
       .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val container = buildContainer(docs)
-        val p = new org.apache.hadoop.fs.Path(outPath, f"shard-$shard%05d.warc")
-        val fs = p.getFileSystem(hconf.value)
-        // Task-commit protocol: write to an attempt-unique temp file and
-        // ATOMICALLY OVERWRITE-RENAME into place (FileContext's
-        // Rename.OVERWRITE — one filesystem operation, no exists/delete
-        // window a zombie attempt could interleave with). A speculative
-        // duplicate or an interrupted attempt must never leave a torn
-        // container at the final name — a truncation landing exactly on
-        // a record boundary would parse cleanly and silently drop the
-        // shard's tail docs, the one corruption class the loud-failure
-        // parser cannot see. Duplicate attempts write byte-identical
-        // containers, so whichever rename wins is correct; a failed
-        // attempt deletes its own temp so retries never leak orphans.
-        val tmp = new org.apache.hadoop.fs.Path(outPath,
+        val root0 = new org.apache.hadoop.fs.Path(outPath)
+        val fs = root0.getFileSystem(hconf.value)
+        // qualify ONCE so the FileSystem and FileContext APIs resolve
+        // the same location (they disagree on relative paths: cwd vs
+        // home directory)
+        val root = fs.makeQualified(root0)
+        val p = new org.apache.hadoop.fs.Path(root, f"shard-$shard%05d.warc")
+        // Task-commit protocol: write to an attempt-unique temp file,
+        // then commit with an overwrite-rename. Where the filesystem
+        // has an AbstractFileSystem binding, FileContext's
+        // Rename.OVERWRITE is used (truly atomic on HDFS's rename2;
+        // local/object stores still implement it as delete+rename
+        // internally). Either way the DEST is only ever a complete
+        // container — rename is atomic per file, and duplicate attempts
+        // write byte-identical bytes — so a speculative duplicate or an
+        // interrupted attempt can never leave a TORN file whose
+        // boundary-aligned truncation would parse cleanly (the one
+        // corruption class the loud-failure parser cannot see). A
+        // failed attempt deletes its own temp so retries never leak.
+        val tmp = new org.apache.hadoop.fs.Path(root,
           f".shard-$shard%05d.warc.${java.util.UUID.randomUUID()}.tmp")
         try {
           val os = fs.create(tmp, true)
           try os.write(container) finally os.close()
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            p.toUri, hconf.value)
-          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          val key = s"${p.toUri.getScheme}://${p.toUri.getAuthority}"
+          val fcOpt = fcCache.computeIfAbsent(key, _ =>
+            try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+              p.toUri, hconf.value))
+            catch {
+              // a FileSystem-only connector (no fs.AbstractFileSystem.
+              // <scheme>.impl binding): fall back below
+              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+                None
+            })
+          fcOpt match {
+            case Some(fc) =>
+              fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            case None =>
+              // FileSystem-API fallback: delete+rename. Not one
+              // operation, but still torn-free (see above); a rename
+              // lost to a concurrent identical attempt leaves the
+              // winner's complete file in place.
+              if (fs.exists(p)) fs.delete(p, false)
+              if (!fs.rename(tmp, p)) {
+                require(fs.exists(p),
+                  s"rename $tmp -> $p failed with no committed file")
+                fs.delete(tmp, false)
+              }
+          }
         } catch {
           case e: Throwable =>
             try fs.delete(tmp, false) catch { case _: Throwable => () }

@@ -125,6 +125,35 @@ class SimilaritySpec extends SparkSpec {
       "at least one query should show an index-vs-exact gap here")
   }
 
+  test("i5 publishes a zeros row for a query whose probed cells are empty") {
+    // nProbe=1 and singleton self-assigned cells: every query probes
+    // only its own cell, which holds no other vector — the index side
+    // is EMPTY for every query. The eval must still publish one row per
+    // query (index_hits 0, rr 0, overlap 0) instead of dropping the
+    // worst-served queries from the table.
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.0f, 1.0f), 2),
+      (2L, Seq(-1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, -1.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.indexRetrievalEval(spark, dir, kCells = 4, nProbe = 1)
+      .collect()
+    assert(got.length == 4, s"one row per query: ${got.toSeq}")
+    got.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L, s"overlap/recall: $r")
+      assert(r.getLong(5) == 0L, s"index_hits: $r")
+      assert(r.getLong(7) == 0L, s"index_rr: $r")
+    }
+    // the exact side still scored: q0 (label 1) finds vec 2 at some rank
+    val q0 = got.find(_.getLong(0) == 0L).get
+    assert(q0.getLong(4) > 0L, s"q0 exact_hits: $q0")
+  }
+
   test("s2/s3 recall floors vs exact s1 on real sf0.001 embeddings") {
     // rows-only ANN paths hardened against the oracle-checked brute force.
     // The synthetic vectors are near-uniform — SRP's worst case (weak
