@@ -423,6 +423,27 @@ object Warc {
     * granularity, and parallelism = #files, exactly how Common Crawl
     * style corpora are laid out (many ~1 GB segments).
     */
+  /** The per-file parse for the file-backed readers — shard id from the
+    * writer's naming contract, every record through the framing seam,
+    * HTTP split per response record. ONE definition shared by the batch
+    * and STREAMING file readers, so the two transports can never frame
+    * differently.
+    */
+  private def parseWarcFile(file: String, bytes: Array[Byte])
+      : Iterator[(Long, Long, Long, Long, String, Int, Array[Byte])] = {
+    val base = file.substring(file.lastIndexOf('/') + 1)
+    require(base.startsWith("shard-") && base.endsWith(".warc"),
+      s"not a shard container file: $file")
+    val shard = base.stripPrefix("shard-").stripSuffix(".warc").toLong
+    parseWarc(bytes).iterator.map { r =>
+      val id = r.headers("warc-record-id")
+        .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+      val (status, body) = parseHttp(r.payload)
+      (id, shard, r.offset, r.recLen,
+        r.headers("warc-target-uri"), status, body)
+    }
+  }
+
   private[graft] def readWarcFileRecords(spark: SparkSession,
                                          path: String): DataFrame = {
     import spark.implicits._
@@ -432,20 +453,42 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (file, bytes) =>
-        val base = file.substring(file.lastIndexOf('/') + 1)
-        require(base.startsWith("shard-") && base.endsWith(".warc"),
-          s"not a shard container file: $file")
-        val shard = base.stripPrefix("shard-").stripSuffix(".warc").toLong
-        parseWarc(bytes).map { r =>
-          val id = r.headers("warc-record-id")
-            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
-          val (status, body) = parseHttp(r.payload)
-          (id, shard, r.offset, r.recLen,
-            r.headers("warc-target-uri"), status, body)
-        }
+        parseWarcFile(file, bytes)
       })
       .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
         "http_status", "body")
+  }
+
+  /** The STREAMING face of the file-backed ingest: `.warc` container
+    * files appearing in a directory consumed as a file stream — the
+    * archive-drop posture (a fetcher fleet keeps landing finished
+    * containers; the ingest job follows). Each new file parses through
+    * the SAME per-file seam as batch w3 (one shared definition) into
+    * w1's audit columns. Whole files are the streaming unit — exactly
+    * right, because the writer's rename-commit makes file appearance
+    * atomic: a reader can never observe a half-written container.
+    * Cross-file processing order is unspecified (the FileStreamSource
+    * contract); per-record audits are file-local, so order never
+    * matters.
+    */
+  def warcFileStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
+        "content BINARY")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        parseWarcFile(file, bytes).map { case (id, shard, off, len, uri,
+                                               status, body) =>
+          (id, shard, off, len, uri, status, body.length.toLong,
+            crc32(body))
+        }
+      })
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "http_status", "html_len", "html_crc32")
   }
 
   /** w1's audit frame computed from `.warc` FILES on disk instead of

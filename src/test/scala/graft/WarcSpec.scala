@@ -359,6 +359,44 @@ class WarcSpec extends SparkSpec {
     assert(again == inFlight)
   }
 
+  test("warc file STREAM audits new containers exactly as batch, as they land") {
+    // the archive-drop posture: two containers present at start, a third
+    // landing mid-stream — every record must audit identically to the
+    // batch file reader, and the late file's records appear only after
+    // it lands (whole files are the atomic streaming unit)
+    val docs = Seq(
+      (0L, "first shard doc zero body text", "s0"),
+      (1L, "first shard doc one body text", "s0"),
+      (2L, "second shard doc two body text", "s0"),
+      (3L, "second shard doc three body text", "s0"),
+      (4L, "third shard doc four body text", "s0"))
+    val dir = writeDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("w3stream-").toString
+    // stage shards 0 and 1 (docs 0-3) by writing a 4-doc corpus first
+    val dirA = writeDocs(docs.take(4))
+    Warc.writeWarcFiles(spark, dirA, out, shardSize = 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("w3ck-").toString
+    val q = Warc.warcFileStream(spark, out)
+      .writeStream.format("memory").queryName("w3_stream_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val early = spark.table("w3_stream_out").collect()
+      assert(early.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+        "only the landed containers' records may emit")
+      // the third shard lands: write the FULL corpus (shards 0/1 rewrite
+      // byte-identically and are already-seen files; shard 2 is new)
+      Warc.writeWarcFiles(spark, dir, out, shardSize = 2)
+      q.processAllAvailable()
+      val got = spark.table("w3_stream_out").collect()
+        .map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+      val want = Warc.warcFileIngest(spark, out)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == want, s"got=$got want=$want")
+    } finally q.stop()
+  }
+
   test("file-backed p2 funnel verdicts equal the in-flight pipeline's") {
     // same fixture shape as the streaming-gate agreement test: a keeper,
     // a too-short doc, a wrong-source doc, a blocked-word doc, a second
