@@ -459,6 +459,19 @@ object Warc {
         "http_status", "body")
   }
 
+  /** The audit projection shared by ALL THREE w-audit producers
+    * (in-flight w1, batch file ingest, file stream): one definition of
+    * the row and one of the column list, so the audit schema can never
+    * drift between transports.
+    */
+  private def auditRow(id: Long, shard: Long, off: Long, len: Long,
+                       uri: String, status: Int, body: Array[Byte])
+      : (Long, Long, Long, Long, String, Int, Long, Long) =
+    (id, shard, off, len, uri, status, body.length.toLong, crc32(body))
+
+  private val AuditCols = Seq("doc_id", "shard_id", "rec_offset",
+    "rec_len", "target_uri", "http_status", "html_len", "html_crc32")
+
   /** The STREAMING face of the file-backed ingest: `.warc` container
     * files appearing in a directory consumed as a file stream — the
     * archive-drop posture (a fetcher fleet keeps landing finished
@@ -470,6 +483,14 @@ object Warc {
     * Cross-file processing order is unspecified (the FileStreamSource
     * contract); per-record audits are file-local, so order never
     * matters.
+    *
+    * APPEND-ONLY contract: Spark's file stream dedups by PATH, so a
+    * container REPLACED with different bytes under a running stream is
+    * never re-read (batch would see the new bytes; the stream keeps
+    * the old rows). That is every Spark file stream's semantics, not a
+    * quirk of this reader — a watched archive directory must only ever
+    * gain NEW container files (re-staging a byte-identical corpus is
+    * fine; re-staging a DIFFERENT corpus to a watched path is not).
     */
   def warcFileStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -483,12 +504,10 @@ object Warc {
       .mapPartitions(_.flatMap { case (file, bytes) =>
         parseWarcFile(file, bytes).map { case (id, shard, off, len, uri,
                                                status, body) =>
-          (id, shard, off, len, uri, status, body.length.toLong,
-            crc32(body))
+          auditRow(id, shard, off, len, uri, status, body)
         }
       })
-      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
-        "http_status", "html_len", "html_crc32")
+      .toDF(AuditCols: _*)
   }
 
   /** w1's audit frame computed from `.warc` FILES on disk instead of
@@ -499,10 +518,9 @@ object Warc {
     readWarcFileRecords(spark, path)
       .as[(Long, Long, Long, Long, String, Int, Array[Byte])]
       .map { case (id, shard, off, len, uri, status, body) =>
-        (id, shard, off, len, uri, status, body.length.toLong, crc32(body))
+        auditRow(id, shard, off, len, uri, status, body)
       }
-      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
-        "http_status", "html_len", "html_crc32")
+      .toDF(AuditCols: _*)
   }
 
   /** The staged on-disk corpus for (dir, shardSize): written once per
@@ -569,13 +587,11 @@ object Warc {
           val id = r.headers("warc-record-id")
             .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
           val (status, body) = parseHttp(r.payload)
-          (id, shard, r.offset, r.recLen,
-            r.headers("warc-target-uri"), status,
-            body.length.toLong, crc32(body))
+          auditRow(id, shard, r.offset, r.recLen,
+            r.headers("warc-target-uri"), status, body)
         }
       }
-      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
-        "http_status", "html_len", "html_crc32")
+      .toDF(AuditCols: _*)
       .orderedBy("doc_id")
   }
 }
