@@ -149,6 +149,7 @@ object SparkEntry {
     "w1_warc_ingest"       -> ((s, d) => sources.Warc.warcIngest(s, d)),
     "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
     "w3_warc_files"        -> ((s, d) => sources.Warc.warcFileRoundTrip(s, d)),
+    "w4_warc_gz"           -> ((s, d) => sources.Warc.warcGzRoundTrip(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
     "i5_index_eval"        -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
@@ -2765,6 +2766,10 @@ object SparkEntry {
     // binaryFile + the framing seam: bytes identical by construction,
     // so the oracle is w1's verbatim
     "w3_warc_files" -> w1OracleSql,
+    // w4 stages the same containers as per-record gzip members and
+    // inflates them back before the seam: offsets describe the
+    // uncompressed stream, so the oracle is again w1's verbatim
+    "w4_warc_gz" -> w1OracleSql,
     "x51_preference_pairs" -> x51OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,

@@ -108,6 +108,134 @@ object Warc {
     out.toByteArray
   }
 
+  /** ONE record compressed as ONE gzip member — the real-crawl
+    * `.warc.gz` convention (each record its own member, members
+    * concatenated), which is what makes a compressed archive
+    * offset-addressable: a reader holding a compressed member offset
+    * can inflate exactly one record without touching the rest of the
+    * file. Java's GZIPOutputStream writes a fixed 10-byte header
+    * (MTIME 0, no optional fields), so the member bytes are
+    * deterministic in the record bytes — the overwrite-idempotent
+    * staging contract survives compression.
+    */
+  private[graft] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+
+  /** A gz container = one gzip member PER RECORD, concatenated (the
+    * Common Crawl layout — never one stream over the whole container,
+    * which would destroy offset addressability).
+    */
+  private[graft] def buildGzContainer(docs: Seq[(Long, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    docs.sortBy(_._1).foreach { case (id, text) =>
+      out.write(gzipMember(buildRecord(id, text)))
+    }
+    out.toByteArray
+  }
+
+  private[graft] val GzMagic0: Byte = 0x1f.toByte
+  private[graft] val GzMagic1: Byte = 0x8b.toByte
+
+  private[graft] def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == GzMagic0 && bytes(1) == GzMagic1
+
+  /** Inflate a container of CONCATENATED gzip members (RFC 1952) into
+    * the uncompressed byte stream, walking member by member with the
+    * batch parser's corruption discipline: a complete container must
+    * inflate entirely, loudly — bad magic, a reserved flag bit, a
+    * truncated member, a CRC32/ISIZE trailer mismatch, or trailing
+    * garbage after the last member all throw with the compressed
+    * offset, never resynchronize. Optional header fields (FEXTRA /
+    * FNAME / FCOMMENT / FHCRC) are skipped per the RFC — real gzip
+    * writers emit FNAME routinely. Zero new dependencies: header walk
+    * by hand, body via `java.util.zip.Inflater(nowrap)`.
+    */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+    var pos = 0
+    while (pos < bytes.length) {
+      val memberStart = pos
+      require(bytes.length - pos >= 10,
+        s"truncated gzip member header at compressed offset $pos: " +
+          s"${bytes.length - pos} bytes remain (header needs 10)")
+      require(bytes(pos) == GzMagic0 && bytes(pos + 1) == GzMagic1,
+        f"bad gzip magic at compressed offset $pos: 0x${bytes(pos)}%02x" +
+          f"${bytes(pos + 1)}%02x (trailing garbage after a member?)")
+      require(bytes(pos + 2) == 8,
+        s"gzip member at compressed offset $pos uses compression method " +
+          s"${bytes(pos + 2)} (only 8 = deflate exists)")
+      val flg = bytes(pos + 3) & 0xff
+      require((flg & 0xe0) == 0,
+        s"gzip member at compressed offset $pos sets reserved FLG bits " +
+          f"(0x$flg%02x) — corrupt header")
+      pos += 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        require(bytes.length - pos >= 2,
+          s"truncated FEXTRA length at compressed offset $pos")
+        val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+      }
+      def skipZeroTerminated(field: String): Unit = {
+        while (pos < bytes.length && bytes(pos) != 0) pos += 1
+        require(pos < bytes.length,
+          s"unterminated gzip $field field in member at offset $memberStart")
+        pos += 1
+      }
+      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+      if ((flg & 2) != 0) pos += 2 // FHCRC
+      require(pos <= bytes.length,
+        s"gzip member header at compressed offset $memberStart overruns " +
+          "the container")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, pos, bytes.length - pos)
+      val crc = new CRC32()
+      var memberLen = 0L
+      val buf = new Array[Byte](64 * 1024)
+      try {
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                sys.error(s"corrupt deflate stream in gzip member at " +
+                  s"compressed offset $memberStart: ${e.getMessage}")
+            }
+          require(n > 0 || inf.finished(),
+            s"truncated gzip member at compressed offset $memberStart: " +
+              "deflate stream ends before its final block")
+          out.write(buf, 0, n)
+          crc.update(buf, 0, n)
+          memberLen += n
+        }
+        val consumed = inf.getBytesRead
+        val trailerAt = pos + consumed.toInt
+        require(bytes.length - trailerAt >= 8,
+          s"truncated gzip trailer for member at compressed offset " +
+            s"$memberStart: need 8 bytes at $trailerAt, have " +
+            s"${bytes.length - trailerAt}")
+        def le32(at: Int): Long =
+          (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+            ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+        val wantCrc = le32(trailerAt)
+        val wantIsize = le32(trailerAt + 4)
+        require(wantCrc == crc.getValue,
+          s"gzip CRC32 mismatch in member at compressed offset " +
+            s"$memberStart: trailer $wantCrc, inflated ${crc.getValue}")
+        require(wantIsize == (memberLen & 0xffffffffL),
+          s"gzip ISIZE mismatch in member at compressed offset " +
+            s"$memberStart: trailer $wantIsize, inflated $memberLen")
+        pos = trailerAt + 8
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
   /** Parse ONE record starting at `start`. `Some((record, nextPos))` on
     * a complete record, `None` when the bytes END mid-record (the
     * incomplete-tail case a chunked stream produces) — but a LOUD throw
@@ -346,10 +474,11 @@ object Warc {
     * corpus rewrites byte-identical files.
     */
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
-                     shardSize: Int = 50): Long = {
+                     shardSize: Int = 50, gz: Boolean = false): Long = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    val ext = if (gz) "warc.gz" else "warc"
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         expr(s"doc_id div $shardSize").as("shard_id"))
@@ -357,14 +486,15 @@ object Warc {
       .groupByKey(_._3)
       .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
-        val container = buildContainer(docs)
+        val container =
+          if (gz) buildGzContainer(docs) else buildContainer(docs)
         val root0 = new org.apache.hadoop.fs.Path(outPath)
         val fs = root0.getFileSystem(hconf.value)
         // qualify ONCE so the FileSystem and FileContext APIs resolve
         // the same location (they disagree on relative paths: cwd vs
         // home directory)
         val root = fs.makeQualified(root0)
-        val p = new org.apache.hadoop.fs.Path(root, f"shard-$shard%05d.warc")
+        val p = new org.apache.hadoop.fs.Path(root, f"shard-$shard%05d.$ext")
         // Task-commit protocol: write to an attempt-unique temp file,
         // then commit by rename (the FileSystem API — universal across
         // connectors, and ~25 ms/file cheaper than FileContext's
@@ -381,7 +511,7 @@ object Warc {
         // the winner's complete file; a failed attempt deletes its own
         // temp so retries never leak orphans.
         val tmp = new org.apache.hadoop.fs.Path(root,
-          f".shard-$shard%05d.warc.${java.util.UUID.randomUUID()}.tmp")
+          f".shard-$shard%05d.$ext.${java.util.UUID.randomUUID()}.tmp")
         try {
           val os = fs.create(tmp, true)
           try os.write(container) finally os.close()
@@ -432,10 +562,24 @@ object Warc {
   private def parseWarcFile(file: String, bytes: Array[Byte])
       : Iterator[(Long, Long, Long, Long, String, Int, Array[Byte])] = {
     val base = file.substring(file.lastIndexOf('/') + 1)
-    require(base.startsWith("shard-") && base.endsWith(".warc"),
+    require(base.startsWith("shard-") &&
+        (base.endsWith(".warc") || base.endsWith(".warc.gz")),
       s"not a shard container file: $file")
-    val shard = base.stripPrefix("shard-").stripSuffix(".warc").toLong
-    parseWarc(bytes).iterator.map { r =>
+    // extension and content must AGREE: a mislabeled container (plain
+    // bytes under .gz, or gzip bytes under .warc) is a staging error a
+    // reader must surface, never silently guess around — record offsets
+    // mean different things in the two framings.
+    val gz = base.endsWith(".warc.gz")
+    require(gz == isGzip(bytes),
+      s"$file: extension says ${if (gz) "gzip" else "plain"} but content " +
+        s"is ${if (isGzip(bytes)) "gzip" else "plain"}")
+    val shard = base.stripPrefix("shard-")
+      .stripSuffix(".gz").stripSuffix(".warc").toLong
+    // inflate BEFORE the framing seam: record offsets/lengths describe
+    // the UNCOMPRESSED stream (the WARC spec's frame), so plain and gz
+    // transports of the same corpus audit byte-identically
+    val plain = if (gz) gunzipMembers(bytes) else bytes
+    parseWarc(plain).iterator.map { r =>
       val id = r.headers("warc-record-id")
         .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
       val (status, body) = parseHttp(r.payload)
@@ -448,7 +592,7 @@ object Warc {
                                          path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -495,7 +639,7 @@ object Warc {
   def warcFileStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
         "content BINARY")
       .load(path)
@@ -531,9 +675,10 @@ object Warc {
     * byte-identical files.
     */
   private[graft] def stagedWarcDir(spark: SparkSession, dir: String,
-                                   shardSize: Int = 50): String =
+                                   shardSize: Int = 50,
+                                   gz: Boolean = false): String =
     graft.CacheRegistry.memoSharedValue(
-      s"w3stage:${spark.sparkContext.applicationId}:$dir:$shardSize") {
+      s"w3stage:${spark.sparkContext.applicationId}:$dir:$shardSize:$gz") {
       // collision-proof staging path: a readable sanitized tail of the
       // dir PLUS a SHA-256 digest of the full raw string. Sanitizing
       // alone is non-injective ("corpus a" and "corpus+a" collide) and
@@ -547,8 +692,8 @@ object Warc {
       val out = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft-warc-${spark.sparkContext.applicationId}-" +
-          s"$tail-$digest-$shardSize").toString
-      writeWarcFiles(spark, dir, out, shardSize)
+          s"$tail-$digest-$shardSize${if (gz) "-gz" else ""}").toString
+      writeWarcFiles(spark, dir, out, shardSize, gz)
       out
     }
 
@@ -562,9 +707,22 @@ object Warc {
     * exactly the audited framing arithmetic.
     */
   def warcFileRoundTrip(spark: SparkSession, dir: String,
-                        shardSize: Int = 50): DataFrame =
-    warcFileIngest(spark, stagedWarcDir(spark, dir, shardSize))
+                        shardSize: Int = 50, gz: Boolean = false): DataFrame =
+    warcFileIngest(spark, stagedWarcDir(spark, dir, shardSize, gz))
       .orderedBy("doc_id")
+
+  /** w4: the GZIPPED file-backed round trip — w3 with the containers
+    * staged as real `.warc.gz` files (one gzip member per record, the
+    * Common Crawl convention) and inflated back through the member
+    * walker before the framing seam. The audit frame is byte-for-byte
+    * w1's (offsets describe the uncompressed stream — the WARC frame —
+    * so compression is pure transport), which makes the oracle w1's
+    * VERBATIM and this key the proof that the engine reads the format
+    * real crawl corpora actually ship in.
+    */
+  def warcGzRoundTrip(spark: SparkSession, dir: String,
+                      shardSize: Int = 50): DataFrame =
+    warcFileRoundTrip(spark, dir, shardSize, gz = true)
 
   /** w1: synthesize the sharded WARC corpus, parse it back through the
     * seam, and audit every record — framing offsets, parsed-back URI and

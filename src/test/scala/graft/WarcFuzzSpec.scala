@@ -197,6 +197,107 @@ class WarcFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // --- gz member walk ------------------------------------------------------
+
+  /** Re-wrap a plain container as per-record gzip members (the writer's
+    * gz layout), using the parsed record boundaries.
+    */
+  private def gzWrap(plain: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.parseWarc(plain).foreach { r =>
+      out.write(Warc.gzipMember(java.util.Arrays.copyOfRange(
+        plain, r.offset.toInt, (r.offset + r.recLen).toInt)))
+    }
+    out.toByteArray
+  }
+
+  test("6k mutated gz containers: exact member walk + parse, or loud failure") {
+    val gzSeeds = seeds.map(gzWrap)
+    var ok = 0
+    var loud = 0
+    (0 until 6000).foreach { i =>
+      val seed = gzSeeds(i % gzSeeds.length)
+      val buf =
+        if (i % 7 == 0) seed // unmutated: the walk must succeed
+        else if (i % 5 == 4)
+          Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte)
+        else mutate(seed)
+      try {
+        val plain = Warc.gunzipMembers(buf)
+        // a walk that SUCCEEDS hands bytes to the framing seam, which
+        // itself must parse exactly or fail loudly — same contract
+        try { val a = checkExact(plain, Warc.parseWarc(plain)); assert(a != -1L) }
+        catch { case e: Throwable if isLoudIntentional(e) => () }
+        ok += 1
+        if (i % 7 == 0)
+          assert(java.util.Arrays.equals(plain, seeds(i % gzSeeds.length)),
+            s"unmutated gz seed $i must inflate to its plain container")
+      } catch {
+        case e: Throwable if isLoudIntentional(e) => loud += 1
+        case e: Throwable =>
+          fail(s"gz walk low-level error on fuzz case $i (${buf.length} " +
+            s"bytes, head ${buf.take(24).map(b => f"$b%02x").mkString(" ")})" +
+            s": $e\n" + e.getStackTrace.take(8).mkString("\n"))
+      }
+    }
+    assert(ok > 500, s"only $ok/6000 gz cases walked — seeds broken?")
+    assert(loud > 1000, s"only $loud/6000 gz cases failed loudly — mutators weak?")
+  }
+
+  test("gz corruption classes each fail loudly: truncation, garbage, CRC, ISIZE, flags, method") {
+    val rec = Warc.buildRecord(5L, "hello gz world with some body text")
+    val member = Warc.gzipMember(rec)
+    def loud(b: Array[Byte], what: String): Unit = {
+      val e = intercept[Exception](Warc.gunzipMembers(b))
+      assert(isLoudIntentional(e), s"$what: $e")
+    }
+    // truncation at EVERY interior byte: always loud (a member is
+    // atomic — header, deflate stream, and 8-byte trailer all required)
+    (1 until member.length).foreach { cut =>
+      loud(java.util.Arrays.copyOf(member, cut), s"truncate@$cut")
+    }
+    loud(member ++ "trailing garbage".getBytes(UTF_8), "garbage tail")
+    val c = member.clone()
+    c(c.length - 8) = (c(c.length - 8) ^ 1).toByte
+    loud(c, "CRC32 trailer flip")
+    val z = member.clone()
+    z(z.length - 4) = (z(z.length - 4) ^ 1).toByte
+    loud(z, "ISIZE trailer flip")
+    val f = member.clone()
+    f(3) = (f(3) | 0x80).toByte
+    loud(f, "reserved FLG bit")
+    val m = member.clone()
+    m(2) = 7
+    loud(m, "non-deflate method")
+    // and the empty container is the empty archive, not an error
+    assert(Warc.gunzipMembers(Array.empty).isEmpty)
+  }
+
+  test("gz optional header fields (FEXTRA/FNAME/FCOMMENT/FHCRC) parse per RFC 1952") {
+    // real gzip writers emit FNAME routinely; rebuild the member with
+    // every optional field present — the walk must skip them and still
+    // inflate the identical record bytes
+    val rec = Warc.buildRecord(9L, "flagged header doc body")
+    val member = Warc.gzipMember(rec)
+    val deflateAndTrailer = member.drop(10)
+    val extra = Array[Byte](3, 0, 1, 2, 3) // XLEN=3 LE + payload
+    val name = "shard.warc".getBytes(UTF_8) :+ 0.toByte
+    val comment = "written by fuzz".getBytes(UTF_8) :+ 0.toByte
+    val hcrc = Array[Byte](0x42, 0x17) // skipped, not verified
+    val flg = (2 | 4 | 8 | 16).toByte
+    val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, flg,
+      0, 0, 0, 0, 0, 0)
+    val flagged = hdr ++ extra ++ name ++ comment ++ hcrc ++ deflateAndTrailer
+    assert(java.util.Arrays.equals(Warc.gunzipMembers(flagged), rec))
+    // two members, one flagged one plain, still concatenate
+    assert(java.util.Arrays.equals(Warc.gunzipMembers(flagged ++ member),
+      rec ++ rec))
+    // an unterminated FNAME is loud, not a scan off the end
+    val unterminated = hdr ++ extra ++ name.dropRight(1)
+    val e = intercept[Exception](Warc.gunzipMembers(unterminated))
+    assert(isLoudIntentional(e))
+  }
+
   test("truncation at EVERY byte of a small container is incomplete or a clean prefix") {
     // exhaustive boundary sweep: a prefix either frames k leading records
     // exactly (cut on a record boundary), parses a strict prefix with

@@ -456,4 +456,83 @@ class WarcSpec extends SparkSpec {
       assert(stream == batch, s"stream=$stream batch=$batch")
     } finally q.stop()
   }
+
+  test("w4 gz round-trip: per-record gzip members inflate back to w1's audit") {
+    // doc 1 carries the separator trap, doc 2 non-ASCII (multi-byte
+    // UTF-8 through the compressed transport), doc 3 an empty body
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (1L, "trap \r\n\r\nWARC/1.0\r\n embedded separators", "s0"),
+      (2L, "café naïve 日本語 non-ascii bytes", "s0"),
+      (3L, "", "s0"),
+      (4L, "last shard single doc", "s0"))
+    val dir = writeDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("w4spec-").toString
+    val nFiles = Warc.writeWarcFiles(spark, dir, out, shardSize = 2, gz = true)
+    assert(nFiles == 3)
+    (0 to 2).foreach { shard =>
+      val f = java.nio.file.Paths.get(out, f"shard-$shard%05d.warc.gz")
+      val onDisk = java.nio.file.Files.readAllBytes(f)
+      val shardDocs =
+        docs.collect { case (id, t, _) if id / 2 == shard => (id, t) }
+      assert(java.util.Arrays.equals(onDisk, Warc.buildGzContainer(shardDocs)),
+        s"shard $shard gz file bytes diverge from the in-flight gz container")
+      // the member walk inverts the member build: inflating the gz
+      // container yields the PLAIN container byte-for-byte, so offsets
+      // recorded downstream describe the uncompressed WARC frame
+      assert(java.util.Arrays.equals(Warc.gunzipMembers(onDisk),
+        Warc.buildContainer(shardDocs)),
+        s"shard $shard members must inflate to the plain container")
+      // one gzip member PER RECORD (offset addressability): member count
+      // == record count, counted by walking the compressed headers
+      var members = 0
+      var pos = 0
+      while (pos < onDisk.length) {
+        assert(onDisk(pos) == 0x1f.toByte && onDisk(pos + 1) == 0x8b.toByte)
+        val one = Warc.gzipMember(Warc.buildRecord(shardDocs(members)._1,
+          shardDocs(members)._2))
+        pos += one.length
+        members += 1
+      }
+      assert(members == shardDocs.length, s"shard $shard member count")
+    }
+    // the gz read-back audits exactly what in-flight w1 audits
+    val fromFiles = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val inFlight = Warc.warcIngest(spark, dir, shardSize = 2)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(fromFiles == inFlight)
+    // and the public w4 key (own staging) matches too
+    val w4 = Warc.warcGzRoundTrip(spark, dir, shardSize = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(w4 == inFlight)
+  }
+
+  test("plain and gz containers coexist in one archive dir; mislabeled files fail loudly") {
+    val docs = Seq(
+      (0L, "doc zero body text here", "s0"),
+      (1L, "doc one body text here", "s0"))
+    val dir = writeDocs(docs)
+    val out = java.nio.file.Files.createTempDirectory("w4mixed-").toString
+    def writeFile(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, name), bytes)
+    // shard 0 plain, shard 1 gz — a real archive dir mid-migration
+    writeFile("shard-00000.warc", Warc.buildContainer(Seq(docs(0)._1 -> docs(0)._2)))
+    writeFile("shard-00001.warc.gz", Warc.buildGzContainer(Seq(docs(1)._1 -> docs(1)._2)))
+    val mixed = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val inFlight = Warc.warcIngest(spark, dir, shardSize = 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(mixed == inFlight, "mixed-transport archive must audit as w1")
+    // a PLAIN container mislabeled .warc.gz is a staging error, not a
+    // guessing game — offsets mean different things in the two framings
+    writeFile("shard-00002.warc.gz",
+      Warc.buildContainer(Seq(5L -> "mislabeled plain bytes")))
+    val e = intercept[Exception] {
+      Warc.warcFileIngest(spark, out).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("extension says gzip but content is plain"), msgs)
+  }
 }
