@@ -342,6 +342,38 @@ object Warc {
     else Some((new String(bytes, pos, i - pos, UTF_8), i + 2))
   }
 
+  /** The record-type discipline for real containers (ISO 28500 §6.2):
+    * every crawl archive interleaves its `response` records with
+    * warcinfo / request / metadata / revisit (and WET archives with
+    * `conversion`) records. The ingest readers consume ONLY the types
+    * they audit; every other structurally-VALID record is skipped —
+    * counted by [[warcTypeAudit]], never an error, because a reader
+    * that fails on the warcinfo record every real container opens
+    * with cannot read any real container. Structural corruption stays
+    * loud (the framing seam's contract is unchanged); a missing
+    * WARC-Type header reads as the countable pseudo-type
+    * `(missing)` — skipped by every typed consumer.
+    */
+  private[graft] def recordType(r: WarcRecord): String =
+    r.headers.getOrElse("warc-type", "(missing)").toLowerCase(Locale.ROOT)
+
+  private[graft] def isResponse(r: WarcRecord): Boolean =
+    recordType(r) == "response"
+
+  /** A non-response record for mixed-container fixtures and future
+    * writers: the same frame shape, an opaque payload, the graft aux
+    * record-id convention.
+    */
+  private[graft] def buildAuxRecord(warcType: String, id: Long,
+                                    payload: Array[Byte]): Array[Byte] = {
+    val head = ("WARC/1.0" + CRLF +
+      s"WARC-Type: $warcType" + CRLF +
+      s"WARC-Record-ID: <urn:graft:aux-$id>" + CRLF +
+      "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
+      s"Content-Length: ${payload.length}" + CRLF + CRLF).getBytes(UTF_8)
+    frame(Seq(head), payload)
+  }
+
   /** Split an HTTP/1.1 message into (status code, body bytes) — the
     * same Content-Length discipline as the record framing.
     */
@@ -559,8 +591,12 @@ object Warc {
     * and STREAMING file readers, so the two transports can never frame
     * differently.
     */
-  private def parseWarcFile(file: String, bytes: Array[Byte])
-      : Iterator[(Long, Long, Long, Long, String, Int, Array[Byte])] = {
+  /** Shard id + record list for one container file: name contract
+    * checked, extension/content agreement checked, gz inflated before
+    * the seam — the shared front half of the typed readers.
+    */
+  private def containerRecords(file: String,
+                               bytes: Array[Byte]): (Long, Seq[WarcRecord]) = {
     val base = file.substring(file.lastIndexOf('/') + 1)
     require(base.startsWith("shard-") &&
         (base.endsWith(".warc") || base.endsWith(".warc.gz")),
@@ -579,13 +615,49 @@ object Warc {
     // the UNCOMPRESSED stream (the WARC spec's frame), so plain and gz
     // transports of the same corpus audit byte-identically
     val plain = if (gz) gunzipMembers(bytes) else bytes
-    parseWarc(plain).iterator.map { r =>
+    (shard, parseWarc(plain))
+  }
+
+  private def parseWarcFile(file: String, bytes: Array[Byte])
+      : Iterator[(Long, Long, Long, Long, String, Int, Array[Byte])] = {
+    val (shard, recs) = containerRecords(file, bytes)
+    // ONLY response records audit here; warcinfo/request/metadata/
+    // revisit records (every real container has them) are skipped —
+    // counted by warcTypeAudit, never an error. Offsets stay ABSOLUTE
+    // container positions, so skipped records leave visible gaps the
+    // oracle can never be confused by (the driver corpus is
+    // response-only; a mixed container is spec-pinned).
+    recs.iterator.filter(isResponse).map { r =>
       val id = r.headers("warc-record-id")
         .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
       val (status, body) = parseHttp(r.payload)
       (id, shard, r.offset, r.recLen,
         r.headers("warc-target-uri"), status, body)
     }
+  }
+
+  /** The skipped-records ledger for an archive directory: one row per
+    * (shard, record type) with the record count and their total frame
+    * bytes — the typed audit that makes "reader skipped it" a counted
+    * fact instead of silence. A response-only corpus audits as one
+    * `response` row per shard whose byte total equals the container
+    * length (gz: the uncompressed length).
+    */
+  def warcTypeAudit(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        val (shard, recs) = containerRecords(file, bytes)
+        recs.iterator.map(r => (shard, recordType(r), r.recLen))
+      })
+      .toDF("shard_id", "warc_type", "rec_len")
+      .groupBy("shard_id", "warc_type")
+      .agg(count(lit(1)).as("n_records"), sum("rec_len").as("total_bytes"))
+      .orderedBy("shard_id", "warc_type")
   }
 
   private[graft] def readWarcFileRecords(spark: SparkSession,

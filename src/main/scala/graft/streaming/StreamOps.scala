@@ -377,7 +377,12 @@ object StreamOps {
       val out = Seq.newBuilder[WarcRecordRow]
       val (recs, st2) = drainWarcChunks(cid, st, rows)
       st = st2
-      recs.foreach { r =>
+      // real containers interleave warcinfo/request/metadata/revisit
+      // records with the responses — reassembly frames them all (the
+      // pending-buffer bound needs every record to complete), the
+      // AUDIT consumes only responses (Warc.isResponse, the batch file
+      // readers' discipline)
+      recs.filter(graft.sources.Warc.isResponse).foreach { r =>
         val id = r.headers("warc-record-id")
           .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
         val (status, body) = graft.sources.Warc.parseHttp(r.payload)
@@ -470,7 +475,9 @@ object StreamOps {
       var off = if (wetOff.exists()) wetOff.get() else 0L
       val out = Seq.newBuilder[WetRecordRow]
       val (recs, st2) = drainWarcChunks(cid, st, rows)
-      recs.foreach { r =>
+      // conversion consumes only response records (the batch w2 shape);
+      // other record types complete reassembly and are skipped
+      recs.filter(graft.sources.Warc.isResponse).foreach { r =>
         val id = r.headers("warc-record-id")
           .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
         val wet = graft.sources.Warc.wetRecordFor(id, r.payload, minBlockLen)

@@ -298,6 +298,47 @@ class WarcFuzzSpec extends AnyFunSuite {
     assert(isLoudIntentional(e))
   }
 
+  test("2k random mixed-type containers: responses filter exactly, other types count, never an error") {
+    // random interleavings of response records with warcinfo/request/
+    // metadata/revisit/(missing-type) records: the frame must tile
+    // exactly, the response filter must pick exactly the responses,
+    // and no record TYPE may ever cause a failure (type handling is
+    // skip-and-count; only structural corruption is loud)
+    val auxTypes = Seq("warcinfo", "request", "metadata", "revisit",
+      "conversion", "resource", "continuation", "UNKNOWN-FUTURE-TYPE")
+    (0 until 2000).foreach { trial =>
+      val parts = (0 until 1 + rnd.nextInt(8)).map { j =>
+        if (rnd.nextBoolean())
+          (true, Warc.buildRecord(trial * 100L + j, s"doc $trial-$j body"))
+        else if (rnd.nextInt(8) == 0) {
+          // a record MISSING its WARC-Type header: structurally valid,
+          // reads as the countable pseudo-type, never a response
+          val payload = s"untyped $j".getBytes(UTF_8)
+          (false, ("WARC/1.0\r\nWARC-Record-ID: <urn:graft:aux-$j>\r\n" +
+            s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+            payload ++ "\r\n\r\n".getBytes(UTF_8))
+        } else {
+          val t = auxTypes(rnd.nextInt(auxTypes.length))
+          val payload = Array.fill(rnd.nextInt(64))(
+            (32 + rnd.nextInt(95)).toByte) // printable, never CRLF CRLF
+          (false, Warc.buildAuxRecord(t, trial * 100L + j, payload))
+        }
+      }
+      val container = parts.map(_._2).reduce(_ ++ _)
+      val recs = Warc.parseWarc(container)
+      assert(recs.length == parts.length, s"trial $trial record count")
+      assert(recs.map(_.recLen).sum == container.length.toLong)
+      val responses = recs.filter(Warc.isResponse)
+      assert(responses.length == parts.count(_._1), s"trial $trial")
+      // the gz transport agrees: per-record members, same filtering
+      if (trial % 10 == 0) {
+        val gz = parts.map(p => Warc.gzipMember(p._2)).reduce(_ ++ _)
+        val infl = Warc.gunzipMembers(gz)
+        assert(java.util.Arrays.equals(infl, container), s"trial $trial gz")
+      }
+    }
+  }
+
   test("truncation at EVERY byte of a small container is incomplete or a clean prefix") {
     // exhaustive boundary sweep: a prefix either frames k leading records
     // exactly (cut on a record boundary), parses a strict prefix with

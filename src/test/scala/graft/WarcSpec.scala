@@ -508,6 +508,98 @@ class WarcSpec extends SparkSpec {
     assert(w4 == inFlight)
   }
 
+  test("mixed-type containers: non-response records skip and count, responses audit unchanged") {
+    // the real-container shape (ISO 28500 §6.2): warcinfo opens the
+    // file, request/metadata/revisit interleave with the responses —
+    // the reader must consume the responses and COUNT the rest, never
+    // fail on them
+    val docs = Seq(
+      (10L, "response doc ten body text", "s0"),
+      (11L, "response doc eleven body", "s0"))
+    val dir = writeDocs(docs)
+    val parts: Seq[Array[Byte]] = Seq(
+      Warc.buildAuxRecord("warcinfo", 0L,
+        "software: graft-fixture".getBytes(UTF_8)),
+      Warc.buildAuxRecord("request", 10L,
+        "GET /10 HTTP/1.1\r\nHost: h\r\n\r\n".getBytes(UTF_8)),
+      Warc.buildRecord(10L, docs(0)._2),
+      Warc.buildAuxRecord("metadata", 10L,
+        "fetchTimeMs: 12".getBytes(UTF_8)),
+      Warc.buildRecord(11L, docs(1)._2),
+      Warc.buildAuxRecord("revisit", 11L, Array.empty[Byte]))
+    val container = parts.reduce(_ ++ _)
+    val out = java.nio.file.Files.createTempDirectory("wmixedtype-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "shard-00000.warc"), container)
+    val rows = Warc.warcFileIngest(spark, out).orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 11L),
+      "only the two response records may audit")
+    // offsets are ABSOLUTE container positions — skipped records leave
+    // visible gaps, they do not renumber the frame
+    val off10 = (parts(0).length + parts(1).length).toLong
+    val off11 = off10 + parts(2).length + parts(3).length
+    assert(rows(0).getAs[Long]("rec_offset") == off10)
+    assert(rows(1).getAs[Long]("rec_offset") == off11)
+    // body accounting equals the response-only audit for the same docs
+    val pure = Warc.warcIngest(spark, dir, shardSize = 50)
+      .orderBy("doc_id").collect()
+    rows.zip(pure).foreach { case (m, p) =>
+      Seq("rec_len", "target_uri", "http_status", "html_len", "html_crc32")
+        .foreach { c =>
+          assert(m.getAs[Any](c) == p.getAs[Any](c), s"column $c")
+        }
+    }
+    // the skipped-records ledger counts every type with its frame bytes
+    val audit = Warc.warcTypeAudit(spark, out).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(audit == Set(
+      ("warcinfo", 1L, parts(0).length.toLong),
+      ("request", 1L, parts(1).length.toLong),
+      ("response", 2L, (parts(2).length + parts(4).length).toLong),
+      ("metadata", 1L, parts(3).length.toLong),
+      ("revisit", 1L, parts(5).length.toLong)), audit.toString)
+    // the gz transport of the SAME mixed container behaves identically
+    val outGz = java.nio.file.Files.createTempDirectory("wmixedgz-").toString
+    val gzContainer = parts.map(Warc.gzipMember).reduce(_ ++ _)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outGz, "shard-00000.warc.gz"), gzContainer)
+    val gzRows = Warc.warcFileIngest(spark, outGz)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gzRows == rows.map(_.toSeq).toSeq)
+    // and the STREAMING reassembler skips the same records: chunk the
+    // mixed container arbitrarily, expect exactly the response audits
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val chunks = container.grouped(97).zipWithIndex.map { case (b, i) =>
+      StreamOps.WarcChunk(0L, Timestamp.valueOf("2024-01-01 00:01:00"),
+        i.toLong, b)
+    }.toSeq
+    val q = StreamOps.warcRecordStream(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("wmixed_stream_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(chunks)
+      q.processAllAvailable()
+      val got = spark.table("wmixed_stream_out")
+        .orderBy("doc_id").collect()
+      assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 11L))
+      assert(got.map(_.getAs[Long]("rec_offset")).toSeq == Seq(off10, off11))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("plain and gz containers coexist in one archive dir; mislabeled files fail loudly") {
     val docs = Seq(
       (0L, "doc zero body text here", "s0"),
