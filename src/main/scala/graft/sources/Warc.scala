@@ -246,8 +246,15 @@ object Warc {
     * `baseOffset` shifts the recorded offset for stream reassembly,
     * where `bytes` is a suffix of the logical container.
     */
-  private def parseRecordAt(bytes: Array[Byte], start: Int,
-                            baseOffset: Long): Option[(WarcRecord, Int)] = {
+  /** The version line + header block starting at `start`:
+    * Some((headers, posAfterBlankLine)) when the whole head is present,
+    * None when the bytes end inside it (more bytes needed) — loud on
+    * anything malformed. Shared by the full record parse and the
+    * resume-offset probe ([[recordNeed]]), so the two can never walk
+    * headers differently.
+    */
+  private def parseHead(bytes: Array[Byte], start: Int, baseOffset: Long)
+      : Option[(Map[String, String], Int)] = {
     var pos = start
     val version = readLine(bytes, pos) match {
       case None => return None
@@ -273,18 +280,51 @@ object Warc {
         case Some(l) => l
       }
     }
-    pos = line._2
+    Some((headers.toMap, line._2))
+  }
+
+  /** The byte-counted Content-Length of a parsed head, with the
+    * corruption bound: a negative or absurd value is CORRUPTION, not
+    * incompleteness — without this bound a flipped digit would read as
+    * "more bytes needed" and a stream reassembler would buffer every
+    * subsequent chunk forever instead of failing loudly.
+    */
+  private def contentLengthOf(headers: Map[String, String], start: Int,
+                              baseOffset: Long): Long = {
     val clenRaw = headers.getOrElse("content-length",
       sys.error(s"WARC record at offset ${baseOffset + start} has no " +
         "Content-Length")).toLong
-    // a negative or absurd Content-Length is CORRUPTION, not
-    // incompleteness — without this bound a flipped digit would read as
-    // "more bytes needed" and a stream reassembler would buffer every
-    // subsequent chunk forever instead of failing loudly
     require(clenRaw >= 0 && clenRaw <= MaxRecordBytes,
       s"WARC record at offset ${baseOffset + start} has implausible " +
         s"Content-Length $clenRaw (bounds [0, $MaxRecordBytes])")
-    val clen = clenRaw.toInt
+    clenRaw
+  }
+
+  /** The TOTAL frame length (head + payload + CRLF CRLF trailer) of the
+    * record starting at byte 0 of `bytes`, or -1 while the header block
+    * is still incomplete — the stream reassembler's parse-resume hint:
+    * once the head is in hand, arriving chunks of a large record append
+    * WITHOUT re-walking the pending prefix until enough bytes exist to
+    * frame the whole record, so a record of size N arriving in k chunks
+    * costs O(N), not O(N·k). Malformed data throws (parseHead's loud
+    * contract).
+    */
+  private[graft] def recordNeed(bytes: Array[Byte], baseOffset: Long): Long =
+    if (bytes.isEmpty) -1L
+    else parseHead(bytes, 0, baseOffset) match {
+      case None => -1L
+      case Some((headers, pos)) =>
+        pos + contentLengthOf(headers, 0, baseOffset) + 4
+    }
+
+  private def parseRecordAt(bytes: Array[Byte], start: Int,
+                            baseOffset: Long): Option[(WarcRecord, Int)] = {
+    val (headers, headEnd) = parseHead(bytes, start, baseOffset) match {
+      case None => return None
+      case Some(h) => h
+    }
+    var pos = headEnd
+    val clen = contentLengthOf(headers, start, baseOffset).toInt
     // Long arithmetic: pos + clen + 4 must not overflow Int
     if (pos.toLong + clen + 4 > bytes.length) return None
     val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + clen)
@@ -293,7 +333,7 @@ object Warc {
       bytes(pos + 2) == '\r' && bytes(pos + 3) == '\n',
       s"WARC record at offset ${baseOffset + start} not followed by CRLF CRLF")
     pos += 4
-    Some((WarcRecord(headers.toMap, baseOffset + start,
+    Some((WarcRecord(headers, baseOffset + start,
       (pos - start).toLong, payload), pos))
   }
 

@@ -331,11 +331,15 @@ object StreamOps {
                            html_len: Long, html_crc32: Long)
 
   /** Reassembly state for one container: the next expected chunk seq,
-    * the absolute container offset the pending bytes start at, and the
-    * pending prefix of the next (incomplete) record. Bounded by ONE
-    * record's size — completed records leave state immediately.
+    * the absolute container offset the pending bytes start at, the
+    * pending prefix of the next (incomplete) record, and that record's
+    * known total frame length (`need`, -1 while its header block is
+    * still incomplete — the parse-resume hint that makes a large record
+    * arriving in many chunks cost O(N), not O(N·chunks)). Bounded by
+    * ONE record's size — completed records leave state immediately.
     */
-  case class WarcBuf(nextSeq: Long, baseOffset: Long, pending: Array[Byte])
+  case class WarcBuf(nextSeq: Long, baseOffset: Long, pending: Array[Byte],
+                     need: Long = -1L)
 
   /** w1's streaming twin — stateful WARC record reassembly over an
     * arbitrary-boundary chunk stream (`transformWithState`, the
@@ -406,33 +410,52 @@ object StreamOps {
   private def drainWarcChunks(cid: Long, st0: WarcBuf,
                               rows: Iterator[WarcChunk]):
       (Seq[graft.sources.Warc.WarcRecord], WarcBuf) = {
-    var st = st0
+    var nextSeq = st0.nextSeq
+    var base = st0.baseOffset
+    var need = st0.need
     val out = Seq.newBuilder[graft.sources.Warc.WarcRecord]
+    // Growable pending buffer: appending a chunk is amortized O(chunk),
+    // never a full `pending ++ chunk` copy — together with the `need`
+    // resume hint below, a record of size N arriving in k chunks costs
+    // O(N) in copies and parse work instead of the old O(N·k) re-parse
+    // of the pending prefix on every chunk.
+    val buf = new java.io.ByteArrayOutputStream(
+      math.max(64, st0.pending.length + 64))
+    buf.write(st0.pending)
     rows.toSeq.sortBy(_.seq).foreach { c =>
-      require(c.seq == st.nextSeq,
-        s"container $cid chunk gap: expected seq ${st.nextSeq}, got ${c.seq}")
-      val joined = st.pending ++ c.bytes
-      val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
-        joined, st.baseOffset)
+      require(c.seq == nextSeq,
+        s"container $cid chunk gap: expected seq $nextSeq, got ${c.seq}")
+      nextSeq = c.seq + 1
+      buf.write(c.bytes)
+      // Parse only when the pending bytes CAN complete a record: while
+      // the head is still arriving (`need` unknown) any chunk may finish
+      // it, and that phase is bounded by MaxWarcHeaderBytes; once the
+      // total frame length is known, chunks append without a parse until
+      // enough bytes exist.
+      if (need < 0 || buf.size() >= need) {
+        val joined = buf.toByteArray
+        val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(
+          joined, base)
+        out ++= recs
+        base += joined.length - leftover.length
+        buf.reset()
+        buf.write(leftover)
+        need = graft.sources.Warc.recordNeed(leftover, base)
+      }
       // "State bounded by one record" holds only when the parser can
-      // eventually frame one: input whose pending bytes never complete
-      // a CRLF-terminated header line makes parseWarcPrefix return the
-      // whole buffer as leftover on every chunk, growing state without
-      // bound. A genuine incomplete record is capped by MaxRecordBytes
-      // of payload plus its headers, so a pending prefix beyond that
-      // bound is CORRUPTION, not incompleteness — fail loudly (the
+      // eventually frame one: a pending record's payload is capped by
+      // the Content-Length corruption bound (recordNeed throws past
+      // MaxRecordBytes), and a head that never completes within
+      // MaxWarcHeaderBytes is CORRUPTION, not incompleteness — no sane
+      // archive carries 64 KiB of record headers — so fail loudly (the
       // batch parser's corruption-vs-incompleteness contract, applied
       // to the stream's framing state).
-      require(leftover.length <=
-          graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes,
-        s"container $cid pending buffer ${leftover.length} B exceeds one " +
-          s"record's bound (${graft.sources.Warc.MaxRecordBytes} payload " +
-          s"+ $MaxWarcHeaderBytes headers): unframeable/corrupt stream")
-      out ++= recs
-      st = WarcBuf(c.seq + 1,
-        st.baseOffset + (joined.length - leftover.length), leftover)
+      require(need >= 0 || buf.size() <= MaxWarcHeaderBytes,
+        s"container $cid pending buffer ${buf.size()} B holds no complete " +
+          s"header block within $MaxWarcHeaderBytes B: unframeable/corrupt " +
+          "stream")
     }
-    (out.result(), st)
+    (out.result(), WarcBuf(nextSeq, base, buf.toByteArray, need))
   }
 
   /** One streaming WET `conversion` row — w2's audit shape with the

@@ -316,65 +316,76 @@ object StreamBench {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bytes",
         org.apache.spark.sql.types.BinaryType)))
-    lazy val stagedWarcChunks: (String, Long) = {
-      import org.apache.spark.sql.Row
-      val baseDocs = graft.Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      // replicate like the events rows (disjoint id ranges) so per-batch
-      // launch + state-commit overhead amortizes into a sustained rate
-      val docSpan = baseDocs.map(_._1).max + 1
-      val docs = (0 until replicas).flatMap(r =>
-        baseDocs.map { case (id, t) => (id + r * docSpan, t) })
-      val nRecs = docs.length.toLong
-      val perContainer: Seq[Seq[Row]] =
-        docs.grouped(50).zipWithIndex.map { case (g, ci) =>
-          val container = graft.sources.Warc.buildContainer(g)
-          container.grouped(32 * 1024).zipWithIndex.map { case (b, i) =>
-            Row(ci.toLong, new java.sql.Timestamp(0L), i.toLong, b)
+    val stagedWarcCache =
+      scala.collection.mutable.Map.empty[Int, (String, Long)]
+    def stagedWarcChunks(chunkBytes: Int): (String, Long) =
+      stagedWarcCache.getOrElseUpdate(chunkBytes, {
+        import org.apache.spark.sql.Row
+        val baseDocs = graft.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1)
+        // replicate like the events rows (disjoint id ranges) so per-batch
+        // launch + state-commit overhead amortizes into a sustained rate
+        val docSpan = baseDocs.map(_._1).max + 1
+        val docs = (0 until replicas).flatMap(r =>
+          baseDocs.map { case (id, t) => (id + r * docSpan, t) })
+        val nRecs = docs.length.toLong
+        val perContainer: Seq[Seq[Row]] =
+          docs.grouped(50).zipWithIndex.map { case (g, ci) =>
+            val container = graft.sources.Warc.buildContainer(g)
+            container.grouped(chunkBytes).zipWithIndex.map { case (b, i) =>
+              Row(ci.toLong, new java.sql.Timestamp(0L), i.toLong, b)
+            }.toSeq
           }.toSeq
-        }.toSeq
-      val buckets = perContainer.zipWithIndex
-        .groupBy(_._2 % chunks).toSeq.sortBy(_._1)
-        .map(_._2.flatMap(_._1))
-      val warcIn = "/tmp/graft_stream_warc_in"
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(buckets, buckets.length)
-            .flatMap(identity),
-          warcChunkSchema)
-        .write.mode("overwrite").parquet(warcIn)
-      (warcIn, nRecs)
-    }
+        val buckets = perContainer.zipWithIndex
+          .groupBy(_._2 % chunks).toSeq.sortBy(_._1)
+          .map(_._2.flatMap(_._1))
+        val warcIn = s"/tmp/graft_stream_warc_in_$chunkBytes"
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(buckets, buckets.length)
+              .flatMap(identity),
+            warcChunkSchema)
+          .write.mode("overwrite").parquet(warcIn)
+        (warcIn, nRecs)
+      })
     def warcChunkStream(path: String) =
       spark.readStream.schema(warcChunkSchema)
         .option("maxFilesPerTrigger", 1).parquet(path)
         .as[StreamOps.WarcChunk]
 
+    def warcReassembleRow(name: String, chunkBytes: Int): Option[(String, Double)] =
+      if (only.nonEmpty && !only(name)) None else Some {
+        val (warcIn, nRecs) = stagedWarcChunks(chunkBytes)
+        def once(): (String, Double) = {
+          val ckpt = s"/tmp/graft_stream_ckpt/$name-${System.nanoTime()}"
+          val t0 = System.nanoTime()
+          val q = StreamOps.warcRecordStream(spark, warcChunkStream(warcIn))
+            .toDF()
+            .writeStream.format("noop").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt).start()
+          q.awaitTermination()
+          name -> nRecs / ((System.nanoTime() - t0) / 1e9)
+        }
+        val r = Seq(once(), once()).maxBy(_._2)
+        println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
+        r
+      }
     // w1 twin: the measured rate pays reassembly + record framing +
     // HTTP parse + body CRC per record. Reported per RECORD, not chunk.
-    val warcRow = if (only.nonEmpty && !only("warc_reassemble_tws")) None else Some {
-      val (warcIn, nRecs) = stagedWarcChunks
-      def once(): (String, Double) = {
-        val ckpt = s"/tmp/graft_stream_ckpt/warc-${System.nanoTime()}"
-        val t0 = System.nanoTime()
-        val q = StreamOps.warcRecordStream(spark, warcChunkStream(warcIn))
-          .toDF()
-          .writeStream.format("noop").trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt).start()
-        q.awaitTermination()
-        "warc_reassemble_tws" -> nRecs / ((System.nanoTime() - t0) / 1e9)
-      }
-      val r = Seq(once(), once()).maxBy(_._2)
-      println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
-      r
-    }
+    val warcRow = warcReassembleRow("warc_reassemble_tws", 32 * 1024)
+    // the SMALL-CHUNK stress: 1 KiB chunks mean ~75 chunks straddle a
+    // typical container record instead of ~2 — the row that would
+    // collapse quadratically if reassembly re-parsed the pending prefix
+    // per chunk (it holds the per-record rate within a small constant
+    // of the 32 KiB row because of the recordNeed resume hint)
+    val warcSmallRow = warcReassembleRow("warc_reassemble_1k_tws", 1024)
 
     // w2 twin: the same chunk stream through the WET-conversion
     // processor — reassembly + framing + HTTP parse + x41 extraction +
     // WET re-frame + re-parse + payload CRC per record: the full
     // archive-conversion job as one stateful stream.
     val wetRow = if (only.nonEmpty && !only("wet_convert_tws")) None else Some {
-      val (warcIn, nRecs) = stagedWarcChunks
+      val (warcIn, nRecs) = stagedWarcChunks(32 * 1024)
       def once(): (String, Double) = {
         val ckpt = s"/tmp/graft_stream_ckpt/wet-${System.nanoTime()}"
         val t0 = System.nanoTime()
@@ -393,7 +404,7 @@ object StreamBench {
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow, ingestRow, warcRow, wetRow).flatten ++
+        frontierRow, ingestRow, warcRow, warcSmallRow, wetRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

@@ -457,6 +457,97 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a large record in tiny chunks reassembles once its bytes complete (resume-offset path)") {
+    // a ~300 KiB record delivered in 1 KiB chunks: the resume hint means
+    // chunks append without re-parsing the pending prefix; the record
+    // must emit exactly once, only after its last byte, and match batch
+    val big = "lorem ipsum " * 25000 // ~300 KB payload
+    val docs = Seq((42L, big), (43L, "small trailer doc"))
+    val container = Warc.buildContainer(docs)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    val all = container.grouped(1024).zipWithIndex.map { case (b, i) =>
+      StreamOps.WarcChunk(3L, ts, i.toLong, b)
+    }.toSeq
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val q = StreamOps.warcRecordStream(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("warc_big_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // all but the straddling record's final chunk first: nothing for
+      // doc 42 may emit while its payload is incomplete
+      val cut = all.length * 2 / 3
+      input.addData(all.take(cut))
+      q.processAllAvailable()
+      assert(spark.table("warc_big_out").count() == 0)
+      input.addData(all.drop(cut))
+      q.processAllAvailable()
+      val got = spark.table("warc_big_out").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rec_offset"),
+          r.getAs[Long]("rec_len"), r.getAs[Long]("html_crc32"))).toSeq
+      val want = Warc.parseWarc(container).map { r =>
+        val id = r.headers("warc-record-id")
+          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val (_, body) = Warc.parseHttp(r.payload)
+        (id, r.offset, r.recLen, crc(body))
+      }.sortBy(_._1)
+      assert(got == want)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("a head that never completes within 64 KiB fails loudly as corruption") {
+    // headerless byte stream (no CRLF-terminated blank line): once the
+    // pending buffer passes MaxWarcHeaderBytes without a complete head
+    // the reassembler must call it corruption, not keep buffering
+    val junk = ("WARC/1.0\r\n" + "X-Pad: y\r\n" * 20).getBytes(UTF_8)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:01:00")
+    // ~80 KiB of endless header lines, never a blank line
+    val chunks = (0 until 400).map { i =>
+      StreamOps.WarcChunk(4L, ts, i.toLong,
+        if (i == 0) junk else (s"X-Pad-$i: zzzzzzzz\r\n" * 20).getBytes(UTF_8))
+    }
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val q = StreamOps.warcRecordStream(spark, input.toDS()).toDF()
+      .writeStream.format("memory").queryName("warc_junk_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(chunks)
+      val e = intercept[Exception](q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("no complete header block") ||
+        msgs.contains("unframeable"), msgs)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("w4 gz round-trip: per-record gzip members inflate back to w1's audit") {
     // doc 1 carries the separator trap, doc 2 non-ASCII (multi-byte
     // UTF-8 through the compressed transport), doc 3 an empty body
