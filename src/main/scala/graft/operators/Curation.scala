@@ -336,8 +336,26 @@ object Curation {
                                   minBlockLen: Int = 25,
                                   positiveSources: Seq[String] =
                                     Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
+    webVerdictsOverFrontier(spark, dir,
+      frontierFromRecords(spark,
+        graft.sources.Warc.readWarcFileRecords(spark, warcPath),
+        minBlockLen),
+      minWords, maxWords, minQuality, positiveSources)
+      .orderBy("doc_id")
+  }
+
+  /** The stateless frontier half of the file-backed funnel: parsed WARC
+    * records (doc_id, target_uri, body) through the per-record frontier
+    * kernel — ONE definition shared by batch file-backed p2 and the
+    * STREAMING funnel face, so the two transports can never gate
+    * differently. Page bodies never leave the stage; only the four
+    * frontier columns do.
+    */
+  private[graft] def frontierFromRecords(spark: SparkSession,
+                                         records: DataFrame,
+                                         minBlockLen: Int = 25): DataFrame = {
     import spark.implicits._
-    val fromFiles = graft.sources.Warc.readWarcFileRecords(spark, warcPath)
+    records
       .select(col("doc_id"), col("target_uri"), col("body"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, uri, body) =>
@@ -347,14 +365,28 @@ object Curation {
         (id, canon, allowed, nContent)
       })
       .toDF("doc_id", "canon_url", "allowed", "n_content")
+  }
+
+  /** p2's verdict frame over a SUPPLIED frontier frame (doc_id,
+    * canon_url, allowed, n_content): join the corpus metadata, run the
+    * shared gate composition. The seam the streaming funnel re-enters
+    * on every closed container — batch-by-construction equality with
+    * the file-backed p2 is this function being the only path.
+    */
+  private[graft] def webVerdictsOverFrontier(spark: SparkSession, dir: String,
+                                             frontier: DataFrame,
+                                             minWords: Int = 5,
+                                             maxWords: Int = 1000,
+                                             minQuality: Double = 0.55,
+                                             positiveSources: Seq[String] =
+                                               Seq("src0", "src1", "src2", "src3", "src4")): DataFrame = {
     val funnel = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .join(fromFiles, Seq("doc_id"))
+      .join(frontier, Seq("doc_id"))
       .select("doc_id", "lang", "source", "text", "canon_url", "allowed",
         "n_content")
     webVerdictsOverFunnel(spark, dir, funnel, minWords, maxWords,
       minQuality, positiveSources)
-      .orderBy("doc_id")
   }
 
   /** The gate composition downstream of the crawl funnel, shared by the

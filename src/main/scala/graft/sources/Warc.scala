@@ -766,6 +766,32 @@ object Warc {
       .toDF(AuditCols: _*)
   }
 
+  /** The RECORD stream for the file-drop posture: the same per-file
+    * seam as [[warcFileStream]] but emitting the parsed records WITH
+    * their HTTP bodies — the shape a downstream funnel consumes (the
+    * streaming p2 face reads this, exactly as batch file-backed p2
+    * reads [[readWarcFileRecords]]). `maxFilesPerTrigger` bounds each
+    * micro-batch to that many containers — a landing container is the
+    * natural ingest unit. Same append-only contract as warcFileStream.
+    */
+  def warcRecordFileStream(spark: SparkSession, path: String,
+                           maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
+        "content BINARY")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        parseWarcFile(file, bytes)
+      })
+      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
+        "http_status", "body")
+  }
+
   /** w1's audit frame computed from `.warc` FILES on disk instead of
     * in-flight containers — same eight columns, same semantics.
     */

@@ -314,6 +314,66 @@ object StreamOps {
         (col("reason") === "ok").as("keep"), col("reason"))
   }
 
+  /** Accumulated state for the STREAMING composed funnel — p2's verdict
+    * frame maintained as containers land (the Scd2State foreachBatch
+    * discipline): each closed container's records run the SHARED
+    * per-record frontier kernel (`Curation.frontierFromRecords` — one
+    * definition with batch file-backed p2), the four frontier columns
+    * accumulate (page bodies never persist), and the verdict frame
+    * recomputes over every doc seen so far through the SHARED gate
+    * composition (`Curation.webVerdictsOverFrontier`). Because the
+    * keepers are recomputed over the accumulated corpus each batch, the
+    * frame after ANY batch equals batch file-backed p2 over exactly the
+    * containers closed so far — row-identical regardless of file
+    * arrival order (a late-landing smaller-id duplicate DEMOTES the
+    * earlier keeper, exactly as batch would), which an emit-once stream
+    * cannot promise. That is the honest cost of corpus-level keeper
+    * semantics on a stream: verdicts are a maintained TABLE (Update
+    * mode), not an append log.
+    *
+    * Scale shape: per closed container, one narrow kernel pass over its
+    * records + the gate composition over the accumulated frontier
+    * (windows on canonical/norm keys, two doc-keyed verdict joins; the
+    * cls gate's training is memo-shared on the session, paid once).
+    * State = 4 columns × docs seen, localCheckpointed — at fleet scale
+    * a Delta/Iceberg table keyed on doc_id with the same recompute (or
+    * an incremental keeper-maintenance MERGE) per landing batch.
+    */
+  final class WebFunnelState(spark: SparkSession, dir: String,
+                             minWords: Int = 5, maxWords: Int = 1000,
+                             minQuality: Double = 0.55,
+                             minBlockLen: Int = 25,
+                             positiveSources: Seq[String] =
+                               Seq("src0", "src1", "src2", "src3", "src4")) {
+    import spark.implicits._
+    @volatile private var frontier: DataFrame =
+      Seq.empty[(Long, String, Boolean, Long)]
+        .toDF("doc_id", "canon_url", "allowed", "n_content")
+    @volatile private var latest: Option[DataFrame] = None
+    private[graft] def applyBatch(records: DataFrame): Unit = synchronized {
+      val add = graft.operators.Curation.frontierFromRecords(
+        spark, records, minBlockLen)
+      frontier = frontier.unionByName(add).localCheckpoint()
+      latest = Some(graft.operators.Curation.webVerdictsOverFrontier(
+        spark, dir, frontier, minWords, maxWords, minQuality,
+        positiveSources).localCheckpoint())
+    }
+    /** p2's verdict frame over every container closed so far. */
+    def verdicts: DataFrame = latest.getOrElse(
+      Seq.empty[(Long, String, Boolean, String)]
+        .toDF("doc_id", "canon_url", "keep", "reason"))
+  }
+
+  /** Wire a parsed-record file stream (`Warc.warcRecordFileStream`)
+    * into the composed-funnel apply loop; caller `.start()`s the
+    * returned writer and reads `state.verdicts` after any processed
+    * batch — the streaming face of the full p2 verdict funnel.
+    */
+  def webPipelineVerdictStream(records: DataFrame, state: WebFunnelState)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) => state.applyBatch(batch) }
+
   /** A chunk of a WARC container on the ingest stream — the shape an
     * archive transfer actually arrives in: the container's identity, a
     * per-container sequence number, and an arbitrary byte slice (chunk

@@ -232,6 +232,43 @@ object StreamBench {
               s"src${id % 20}", graft.operators.Html.buildHtml(id, text))
           }))
 
+    // p2's FULL-funnel streaming face: containers land as files, each
+    // closed container re-gates the accumulated corpus and the verdict
+    // table is maintained (Update semantics). Staged at one container
+    // per 1000 docs — a fetcher fleet's landing granularity; the rate
+    // is docs/sec admitted through the COMPLETE verdict funnel
+    // (frontier kernel + keepers + content gates + contamination + the
+    // memo-shared trained cls gate), including the per-batch recompute
+    // over everything seen so far — the honest cost of corpus-level
+    // keeper semantics on a stream.
+    val funnelRow = if (only.nonEmpty && !only("web_funnel_fb")) None else Some {
+      val warcDir = "/tmp/graft_stream_warc_funnel"
+      // fresh staging per run: the file stream dedups by PATH, so a
+      // stale staging from a different corpus must never leak in
+      val hPath = new org.apache.hadoop.fs.Path(warcDir)
+      val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hFs.exists(hPath)) hFs.delete(hPath, true)
+      val nDocs = graft.Tables.documents(spark, sfDir).count()
+      graft.sources.Warc.writeWarcFiles(spark, sfDir, warcDir,
+        shardSize = 1000)
+      def once(): (String, Double) = {
+        val state = new StreamOps.WebFunnelState(spark, sfDir)
+        val ckpt = s"/tmp/graft_stream_ckpt/funnel-${System.nanoTime()}"
+        val t0 = System.nanoTime()
+        val q = StreamOps.webPipelineVerdictStream(
+            graft.sources.Warc.warcRecordFileStream(spark, warcDir), state)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        q.awaitTermination()
+        val got = state.verdicts.count()
+        require(got == nDocs, s"funnel stream gated $got of $nDocs docs")
+        "web_funnel_fb" -> nDocs / ((System.nanoTime() - t0) / 1e9)
+      }
+      val r = Seq(once(), once()).maxBy(_._2)
+      println(f"[stream-bench] ${r._1}: ${r._2}%.0f docs/sec ($nDocs docs)")
+      r
+    }
+
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
     // true forever, so an AvailableNow run never terminates.
@@ -404,7 +441,7 @@ object StreamBench {
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow, ingestRow, warcRow, warcSmallRow, wetRow).flatten ++
+        frontierRow, ingestRow, funnelRow, warcRow, warcSmallRow, wetRow).flatten ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

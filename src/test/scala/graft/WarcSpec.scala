@@ -548,6 +548,50 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("streaming composed funnel maintains batch p2's verdicts per closed container") {
+    // the p2-agreement fixture: docs 1/24 share a norm group ACROSS the
+    // two waves' boundary question is avoided by recompute-over-seen —
+    // after each closed container the maintained verdict table must
+    // equal the batch FILE-BACKED p2 over exactly the landed files, and
+    // after the last file the in-flight batch p2 over the whole corpus
+    val docs = Seq(
+      (1L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "s0"),
+      (30L, "tiny", "s0"),
+      (24L, "the a fast w1 w2 w3 w4 w5 the a fast w6", "src7"),
+      (25L, "this doc mentions dup once it does", "s0"),
+      (26L, "the a fast v1 v2 v3 v4 v5 the a fast v6", "s0"))
+    val dir = writeDocs(docs)
+    // wave A: only shard 0's docs (doc_id div 25 == 0 → ids 1, 24)
+    val dirA = writeDocs(docs.filter(d => Seq(1L, 24L).contains(d._1)))
+    val out = java.nio.file.Files.createTempDirectory("wfunnel-").toString
+    assert(Warc.writeWarcFiles(spark, dirA, out, shardSize = 25) == 1)
+    val state = new StreamOps.WebFunnelState(spark, dir,
+      minQuality = 0.0, positiveSources = Seq("s0"))
+    val ckpt = java.nio.file.Files.createTempDirectory("wfunnelck-").toString
+    val q = StreamOps.webPipelineVerdictStream(
+        Warc.warcRecordFileStream(spark, out), state)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      // per closed file: the batch file-backed p2 over the SAME landed
+      // containers (captured before wave B mutates the directory)
+      val wantA = rows(Curation.webPipelineDecisionFromWarc(spark, dir, out,
+        minQuality = 0.0, positiveSources = Seq("s0")))
+      assert(rows(state.verdicts) == wantA)
+      assert(wantA.map(_.head) == Seq(1L, 24L))
+      // wave B: the full corpus lands — shard 0 rewrites byte-identical
+      // (already-seen path, never re-read), shard 1 (ids 25/26/30) is new
+      assert(Warc.writeWarcFiles(spark, dir, out, shardSize = 25) == 2)
+      q.processAllAvailable()
+      val wantAll = rows(Curation.webPipelineDecision(spark, dir,
+        minQuality = 0.0, positiveSources = Seq("s0")))
+      assert(rows(state.verdicts) == wantAll,
+        "after the last container the maintained table must equal in-flight batch p2")
+    } finally q.stop()
+  }
+
   test("w4 gz round-trip: per-record gzip members inflate back to w1's audit") {
     // doc 1 carries the separator trap, doc 2 non-ASCII (multi-byte
     // UTF-8 through the compressed transport), doc 3 an empty body
