@@ -893,21 +893,23 @@ object SparkEntry {
     * x41's for the same doc: the two oracles pin the same bytes from
     * opposite directions.
     *
-    * ASCII assumption (the x41/x49 convention): the oracle counts
-    * Content-Length / rec_len / offsets with DuckDB `length()`
-    * (characters) and CRCs `unicode()` code points, while the engine
-    * deliberately counts UTF-8 BYTES (the wire contract). The two agree
-    * because the driver corpus is ASCII; on a non-ASCII corpus a red
-    * here would mean the ORACLE's char-counting, not an engine framing
-    * bug (the engine's byte behavior is pinned by WarcSpec's non-ASCII
-    * fixture). Deriving oracle lengths via encode()/octet_length would
-    * lift the assumption.
+    * BYTE-correct (no ASCII assumption): Content-Length / rec_len /
+    * offsets count UTF-8 bytes via `octet_length(encode(...))` and the
+    * CRC folds run over the UTF-8 byte expansion (utf8BytesSql) — the
+    * wire contract the engine frames by, so the oracle gates non-ASCII
+    * corpora too (tools/check_w_nonascii.py replays it on a crafted
+    * one; the PAGE-synthesis CTEs stay code-point-based on both sides,
+    * mirroring the engine's char-level synthesis). The one residual
+    * convention: Java String ops count UTF-16 units, DuckDB length()
+    * code points — identical for every BMP character; an ASTRAL char in
+    * a doc body would shift the synthesized page's truncation points
+    * (a synthesis divergence, not a framing one — the framing columns
+    * here are byte-true regardless).
     */
   // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
   // declared LATER in this file (the x42CaseSql init-order trap)
   private lazy val w1OracleSql: String = {
-    val htmlBytes =
-      "list_transform(range(1, length(html)+1), i -> CAST(unicode(html[i]) AS BIGINT))"
+    val htmlBytes = utf8BytesSql("html")
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |k AS (SELECT chr(13) || chr(10) AS crlf),
        |d AS (SELECT doc_id, text, length(text) AS n FROM documents),""".stripMargin +
@@ -916,7 +918,7 @@ object SparkEntry {
        |  SELECT page.doc_id AS doc_id, page.doc_id // 50 AS shard_id,
        |    r.url AS url, page.html AS html,
        |    'HTTP/1.1 200 OK' || crlf || 'Content-Type: text/html' || crlf ||
-       |      'Content-Length: ' || length(page.html) || crlf || crlf ||
+       |      'Content-Length: ' || ${octLenSql("page.html")} || crlf || crlf ||
        |      page.html AS http
        |  FROM page JOIN r ON page.doc_id = r.doc_id, k),
        |wrec2 AS (
@@ -927,19 +929,19 @@ object SparkEntry {
        |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
        |      'WARC-Target-URI: ' || url || crlf ||
        |      'Content-Type: application/http;msgtype=response' || crlf ||
-       |      'Content-Length: ' || length(http) || crlf || crlf ||
+       |      'Content-Length: ' || ${octLenSql("http")} || crlf || crlf ||
        |      http || crlf || crlf AS rec
        |  FROM wrec, k),
        |woff AS (
-       |  SELECT *, CAST(coalesce(sum(length(rec)) OVER (
+       |  SELECT *, CAST(coalesce(sum(${octLenSql("rec")}) OVER (
        |      PARTITION BY shard_id ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |    AS rec_offset
        |  FROM wrec2)
        |SELECT doc_id, shard_id, rec_offset,
-       |  CAST(length(rec) AS BIGINT) AS rec_len,
+       |  CAST(${octLenSql("rec")} AS BIGINT) AS rec_len,
        |  url AS target_uri, CAST(200 AS INTEGER) AS http_status,
-       |  CAST(length(html) AS BIGINT) AS html_len,
+       |  CAST(${octLenSql("html")} AS BIGINT) AS html_len,
        |  ${crc32Sql(htmlBytes)} AS html_crc32
        |FROM woff, ct ORDER BY doc_id""".stripMargin
   }
@@ -950,15 +952,14 @@ object SparkEntry {
     * header strings the converter emits, offsets as the per-shard
     * running sum. text_crc32 is definitionally x41's main_crc32 — the
     * extraction pinned through two container round-trips.
-    * Same ASCII assumption as w1OracleSql: length()/unicode() count
-    * chars, the engine counts UTF-8 bytes; they agree on the ASCII
-    * driver corpus only (see the w1 scaladoc).
+    * Byte-correct like w1OracleSql: framing lengths via
+    * octet_length(encode(...)), CRC over the UTF-8 byte expansion —
+    * see the w1 scaladoc for the residual BMP synthesis convention.
     */
   // lazy: interpolates crcTableLiteral, htmlPageCtes and x43RawUrlCtes,
   // declared LATER in this file (the x42CaseSql init-order trap)
   private lazy val w2OracleSql: String = {
-    val textBytes =
-      "list_transform(range(1, length(main_text)+1), i -> CAST(unicode(main_text[i]) AS BIGINT))"
+    val textBytes = utf8BytesSql("main_text")
     s"""WITH ct AS (SELECT $crcTableLiteral AS tbl),
        |k AS (SELECT chr(13) || chr(10) AS crlf),
        |d AS (SELECT doc_id, text, length(text) AS n FROM documents),""".stripMargin +
@@ -973,19 +974,19 @@ object SparkEntry {
        |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
        |      'WARC-Target-URI: ' || r.url || crlf ||
        |      'Content-Type: text/plain' || crlf ||
-       |      'Content-Length: ' || length(page.main_text) || crlf || crlf ||
+       |      'Content-Length: ' || ${octLenSql("page.main_text")} || crlf || crlf ||
        |      page.main_text || crlf || crlf AS rec
        |  FROM page JOIN r ON page.doc_id = r.doc_id, k),
        |wetoff AS (
-       |  SELECT *, CAST(coalesce(sum(length(rec)) OVER (
+       |  SELECT *, CAST(coalesce(sum(${octLenSql("rec")}) OVER (
        |      PARTITION BY shard_id ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |    AS rec_offset
        |  FROM wet)
        |SELECT doc_id, shard_id, rec_offset,
-       |  CAST(length(rec) AS BIGINT) AS rec_len,
+       |  CAST(${octLenSql("rec")} AS BIGINT) AS rec_len,
        |  url AS target_uri,
-       |  CAST(length(main_text) AS BIGINT) AS text_len,
+       |  CAST(${octLenSql("main_text")} AS BIGINT) AS text_len,
        |  ${crc32Sql(textBytes)} AS text_crc32
        |FROM wetoff, ct ORDER BY doc_id""".stripMargin
   }
@@ -1343,6 +1344,33 @@ object SparkEntry {
     s"xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), " +
       s"list_transform($listExpr, x -> CAST(x AS BIGINT))), " +
       s"(c, b) -> xor(tbl[CAST(xor(c, b) % 256 AS INT) + 1], c // 256)), 4294967295)"
+
+  /** UTF-8 BYTE list of a DuckDB string expression — the byte-correct
+    * form of the per-char `unicode()` fold, for oracles that must CRC
+    * and count the WIRE bytes (the w-family): each code point expands
+    * to its UTF-8 encoding, so the oracle hashes exactly what the
+    * engine frames, ASCII or not (astral code points included — DuckDB
+    * indexes strings by code point, so the 4-byte branch sees the full
+    * scalar value, never surrogate halves).
+    */
+  private def utf8BytesSql(s: String): String =
+    s"flatten(list_transform(" +
+      s"list_transform(range(1, length($s)+1), i -> unicode(($s)[i])), " +
+      "c -> CASE " +
+      "WHEN c < 128 THEN [CAST(c AS BIGINT)] " +
+      "WHEN c < 2048 THEN [CAST(192 + c // 64 AS BIGINT), " +
+      "CAST(128 + c % 64 AS BIGINT)] " +
+      "WHEN c < 65536 THEN [CAST(224 + c // 4096 AS BIGINT), " +
+      "CAST(128 + (c // 64) % 64 AS BIGINT), CAST(128 + c % 64 AS BIGINT)] " +
+      "ELSE [CAST(240 + c // 262144 AS BIGINT), " +
+      "CAST(128 + (c // 4096) % 64 AS BIGINT), " +
+      "CAST(128 + (c // 64) % 64 AS BIGINT), " +
+      "CAST(128 + c % 64 AS BIGINT)] END))"
+
+  /** UTF-8 byte LENGTH of a DuckDB string expression — the byte-correct
+    * `length()` for wire-framing oracles.
+    */
+  private def octLenSql(s: String): String = s"octet_length(encode($s))"
 
   private def le4(v: String): String =
     s"[($v) % 256, (($v) // 256) % 256, (($v) // 65536) % 256, (($v) // 16777216) % 256]"
