@@ -3381,6 +3381,7 @@ object SparkEntry {
         |       FROM si),
         |ix AS (SELECT q_id, n_id, rel, rnk FROM ri WHERE rnk <= 10),
         |exagg AS (SELECT q_id,
+        |    CAST(count(*) AS BIGINT) AS exact_n,
         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
         |    min(CASE WHEN rel THEN rnk END) AS exact_first
         |  FROM ex GROUP BY q_id),
@@ -3393,7 +3394,7 @@ object SparkEntry {
         |       GROUP BY ex.q_id)
         |SELECT qx.q_id, qx.q_label,
         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // 10 AS BIGINT) AS recall_vs_exact_micros,
+        |  CAST(coalesce(ov.n_overlap, 0) * 1000000 // least(10, exagg.exact_n) AS BIGINT) AS recall_vs_exact_micros,
         |  exagg.exact_hits,
         |  CAST(coalesce(ixagg.index_hits, 0) AS BIGINT) AS index_hits,
         |  coalesce(1000000 // exagg.exact_first, CAST(0 AS BIGINT)) AS exact_rr_micros,

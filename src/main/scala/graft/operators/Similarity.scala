@@ -715,7 +715,13 @@ object Similarity {
     * rr_delta_micros = exact − index; it can be NEGATIVE — when the
     * probed cells exclude high-ranked irrelevant vectors, a relevant
     * one can sit HIGHER in the index's own top-k than in the exact
-    * list.
+    * list. recall_vs_exact divides by least(k, |exact list|), so a
+    * corpus smaller than k+1 still reports true overlap fraction.
+    *
+    * ORACLE-PINNED PARAMETERIZATION: the DuckDB twin hardcodes the
+    * DEFAULTS (k=10, kCells=16, nProbe=4, the 5-query cut); calling
+    * this API with other values is supported engine behavior but gated
+    * only by the s2/s3/s5 recall specs, not the hash oracle.
     *
     * Scale shape: one s1 pass (broadcast queries, rank window) + one
     * s3 pass (one fleet shuffle on cell), BOTH memo-shared substrates
@@ -739,6 +745,7 @@ object Similarity {
         .select(col("q_id"), col("n_id"),
           (col("n_label") === col("q_label")).as("rel"), col("rnk")))
     val exAgg = exact.groupBy("q_id", "q_label").agg(
+      count(lit(1)).as("exact_n"),
       sum(when(col("rel"), 1L).otherwise(0L)).as("exact_hits"),
       min(when(col("rel"), col("rnk"))).as("exact_first"))
     val ixAgg = index.groupBy("q_id").agg(
@@ -756,8 +763,11 @@ object Similarity {
       .join(overlap, Seq("q_id"), "left")
       .withColumn("index_hits", coalesce(col("index_hits"), lit(0L)))
       .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      // denominator = what the exact list actually HOLDS, not a blind k:
+      // on a corpus smaller than k+1 the exact top-k has fewer than k
+      // rows, and dividing by k would under-report true overlap
       .withColumn("recall_vs_exact_micros",
-        expr(s"n_overlap * 1000000 div $k"))
+        expr(s"n_overlap * 1000000 div least($k, exact_n)"))
       .withColumn("exact_rr_micros",
         coalesce(expr("1000000 div exact_first"), lit(0L)))
       .withColumn("index_rr_micros",

@@ -544,6 +544,17 @@ object Warc {
     * each task holds one container (shardSize × page size) and streams
     * it to its file. Overwrites are idempotent — re-staging the same
     * corpus rewrites byte-identical files.
+    *
+    * Re-stage visibility contract: each shard file commits atomically
+    * (rename), so a reader never sees a TORN container — but when a
+    * DIFFERENT corpus re-stages onto an existing path, the pre-existing-
+    * dest branch on stores without overwrite-rename is delete+rename,
+    * and a concurrent directory listing can observe the shard briefly
+    * ABSENT between the two. Batch reads concurrent with a re-stage to
+    * the same path are therefore outside the contract (re-staging the
+    * SAME corpus is always safe — byte-identical files, and the rename
+    * either wins or yields to an identical twin); the streaming face
+    * additionally requires append-only dirs (see warcFileStream).
     */
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
                      shardSize: Int = 50, gz: Boolean = false): Long = {
@@ -805,12 +816,31 @@ object Warc {
       .toDF(AuditCols: _*)
   }
 
+  /** Staged corpus dirs created by THIS JVM, deleted at shutdown: the
+    * memo key dies with the session, so without the hook every session
+    * would leave a full on-disk corpus copy under java.io.tmpdir. Only
+    * OUR dirs are swept — a concurrent session's staging (different
+    * appId, same tmpdir) is live state this process must never touch,
+    * which is why there is no stale-dir scavenger here.
+    */
+  private val stagedForCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val stagingCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      stagedForCleanup.forEach(d => rm(new java.io.File(d)))
+    }, "graft-warc-staging-cleanup"))
+
   /** The staged on-disk corpus for (dir, shardSize): written once per
     * session pass to a deterministic temp path and reused by every
     * file-backed consumer (w3's audit, the file-backed p2 funnel).
     * Keyed on applicationId so no path outlives its session; the write
     * is overwrite-idempotent, so a re-stage after a cache drop rewrites
-    * byte-identical files.
+    * byte-identical files. Registered for deletion at JVM shutdown
+    * (see [[stagedForCleanup]]).
     */
   private[graft] def stagedWarcDir(spark: SparkSession, dir: String,
                                    shardSize: Int = 50,
@@ -832,6 +862,8 @@ object Warc {
         s"graft-warc-${spark.sparkContext.applicationId}-" +
           s"$tail-$digest-$shardSize${if (gz) "-gz" else ""}").toString
       writeWarcFiles(spark, dir, out, shardSize, gz)
+      stagingCleanupHook
+      stagedForCleanup.add(out)
       out
     }
 

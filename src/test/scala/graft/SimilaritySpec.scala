@@ -154,6 +154,31 @@ class SimilaritySpec extends SparkSpec {
     assert(q0.getLong(4) > 0L, s"q0 exact_hits: $q0")
   }
 
+  test("i5 recall divides by what the exact list holds, not a blind k") {
+    // 4 vectors, default k=10: each exact list holds only 3 rows. With
+    // every cell probed the index reproduces the exact list, so true
+    // overlap is 3/3 = 1.0 — dividing by k would under-report 0.3 on
+    // exactly the corpora where the index is perfect.
+    import spark.implicits._
+    val dir = tempSfDir()
+    Seq(
+      (0L, Seq(1.0f, 0.1f), 1),
+      (1L, Seq(0.9f, 0.2f), 2),
+      (2L, Seq(0.8f, 0.3f), 1),
+      (3L, Seq(0.7f, 0.4f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.indexRetrievalEval(spark, dir, kCells = 4, nProbe = 4)
+      .collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_overlap") == 3L, s"overlap: $r")
+      assert(r.getAs[Long]("recall_vs_exact_micros") == 1000000L,
+        s"recall must be total on a perfect index: $r")
+    }
+  }
+
   test("s2/s3 recall floors vs exact s1 on real sf0.001 embeddings") {
     // rows-only ANN paths hardened against the oracle-checked brute force.
     // The synthetic vectors are near-uniform — SRP's worst case (weak
