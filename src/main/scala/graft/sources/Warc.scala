@@ -156,7 +156,12 @@ object Warc {
     * by hand, body via `java.util.zip.Inflater(nowrap)`.
     */
   private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 2)
+    // size HINT only (the stream grows as needed) — clamped through Long
+    // arithmetic: `bytes.length * 2` overflows Int negative at 1 GiB,
+    // which would crash the constructor on a perfectly valid container
+    // of exactly the ~1 GB segment size real crawls ship in
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 2, 1L << 26).toInt)
     var pos = 0
     while (pos < bytes.length) {
       val memberStart = pos
@@ -400,6 +405,31 @@ object Warc {
   private[graft] def isResponse(r: WarcRecord): Boolean =
     recordType(r) == "response"
 
+  /** Doc identity of a record: graft-synthesized archives carry
+    * `<urn:graft:doc-N>` and audit as N (the oracle's join key); any
+    * OTHER record-id (real crawls use `<urn:uuid:...>`) maps to a
+    * stable 64-bit identity — two CRC32s over the id bytes (plain and
+    * reversed) packed into one long — so a genuine container AUDITS
+    * instead of crashing on its first response record. Foreign ids are
+    * then opaque stable handles, not oracle keys; the remaining
+    * real-crawl caveat is the HTTP split, which requires
+    * Content-Length-framed messages (parseHttp's loud contract) — an
+    * archive whose response payloads use chunked transfer encoding is
+    * outside the parse contract, by design, not by accident.
+    */
+  private[graft] def docIdOf(r: WarcRecord): Long = {
+    val id = r.headers.getOrElse("warc-record-id",
+      sys.error(s"record at offset ${r.offset} has no WARC-Record-ID"))
+    if (id.startsWith("<urn:graft:doc-") && id.endsWith(">"))
+      id.stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+    else {
+      val b = id.getBytes(UTF_8)
+      val c1 = new CRC32(); c1.update(b)
+      val c2 = new CRC32(); c2.update(b.reverse)
+      (c1.getValue << 32) | c2.getValue
+    }
+  }
+
   /** A non-response record for mixed-container fixtures and future
     * writers: the same frame shape, an opaque payload, the graft aux
     * record-id convention.
@@ -517,9 +547,7 @@ object Warc {
         val warc = buildContainer(docs)
         val out = new java.io.ByteArrayOutputStream()
         parseWarc(warc).foreach { r =>
-          val id = r.headers("warc-record-id")
-            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
-          out.write(wetRecordFor(id, r.payload, minBlockLen))
+          out.write(wetRecordFor(docIdOf(r), r.payload, minBlockLen))
         }
         parseWarc(out.toByteArray).map { r =>
           val id = r.headers("warc-record-id")
@@ -679,12 +707,30 @@ object Warc {
     // oracle can never be confused by (the driver corpus is
     // response-only; a mixed container is spec-pinned).
     recs.iterator.filter(isResponse).map { r =>
-      val id = r.headers("warc-record-id")
-        .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
       val (status, body) = parseHttp(r.payload)
-      (id, shard, r.offset, r.recLen,
+      (docIdOf(r), shard, r.offset, r.recLen,
         r.headers("warc-target-uri"), status, body)
     }
+  }
+
+  /** The 7 record columns every file-backed RECORD reader emits — one
+    * definition (the AuditCols discipline), and one definition of the
+    * load→parse transform, so the batch and streaming record readers
+    * can never drift on columns, glob, or framing.
+    */
+  private val RecordCols = Seq("doc_id", "shard_id", "rec_offset",
+    "rec_len", "target_uri", "http_status", "body")
+
+  private[graft] val ContainerGlob = "*.{warc,warc.gz}"
+
+  private def recordFrame(spark: SparkSession, files: DataFrame): DataFrame = {
+    import spark.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        parseWarcFile(file, bytes)
+      })
+      .toDF(RecordCols: _*)
   }
 
   /** The skipped-records ledger for an archive directory: one row per
@@ -697,7 +743,7 @@ object Warc {
   def warcTypeAudit(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{warc,warc.gz}")
+      .option("pathGlobFilter", ContainerGlob)
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -712,19 +758,11 @@ object Warc {
   }
 
   private[graft] def readWarcFileRecords(spark: SparkSession,
-                                         path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{warc,warc.gz}")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (file, bytes) =>
-        parseWarcFile(file, bytes)
-      })
-      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
-        "http_status", "body")
-  }
+                                         path: String): DataFrame =
+    recordFrame(spark,
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", ContainerGlob)
+        .load(path))
 
   /** The audit projection shared by ALL THREE w-audit producers
     * (in-flight w1, batch file ingest, file stream): one definition of
@@ -762,7 +800,7 @@ object Warc {
   def warcFileStream(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.{warc,warc.gz}")
+      .option("pathGlobFilter", ContainerGlob)
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
         "content BINARY")
       .load(path)
@@ -786,22 +824,14 @@ object Warc {
     * natural ingest unit. Same append-only contract as warcFileStream.
     */
   def warcRecordFileStream(spark: SparkSession, path: String,
-                           maxFilesPerTrigger: Int = 1): DataFrame = {
-    import spark.implicits._
-    spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.{warc,warc.gz}")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
-        "content BINARY")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (file, bytes) =>
-        parseWarcFile(file, bytes)
-      })
-      .toDF("doc_id", "shard_id", "rec_offset", "rec_len", "target_uri",
-        "http_status", "body")
-  }
+                           maxFilesPerTrigger: Int = 1): DataFrame =
+    recordFrame(spark,
+      spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", ContainerGlob)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
+          "content BINARY")
+        .load(path))
 
   /** w1's audit frame computed from `.warc` FILES on disk instead of
     * in-flight containers — same eight columns, same semantics.
@@ -912,10 +942,8 @@ object Warc {
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val container = buildContainer(docs)
         parseWarc(container).map { r =>
-          val id = r.headers("warc-record-id")
-            .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
           val (status, body) = parseHttp(r.payload)
-          auditRow(id, shard, r.offset, r.recLen,
+          auditRow(docIdOf(r), shard, r.offset, r.recLen,
             r.headers("warc-target-uri"), status, body)
         }
       }

@@ -338,6 +338,18 @@ object StreamOps {
     * State = 4 columns × docs seen, localCheckpointed — at fleet scale
     * a Delta/Iceberg table keyed on doc_id with the same recompute (or
     * an incremental keeper-maintenance MERGE) per landing batch.
+    *
+    * SESSION-LOCAL state, like [[Scd2State]]: the accumulated frontier
+    * lives in this object, NOT in the streaming checkpoint. Start each
+    * state instance with a FRESH checkpoint — restarting an OLD
+    * checkpoint against a new (empty) state would let the file source
+    * skip every already-committed container while the state knows none
+    * of them, silently breaking the batch-equality contract. Within a
+    * run the contract survives foreachBatch's at-least-once edge:
+    * applyBatch anti-joins already-seen doc_ids, so a replayed batch
+    * is a no-op. The durable form of this state is the fleet posture
+    * above (a doc_id-keyed table MERGEd per batch), not a bigger
+    * in-memory frame.
     */
   final class WebFunnelState(spark: SparkSession, dir: String,
                              minWords: Int = 5, maxWords: Int = 1000,
@@ -353,7 +365,13 @@ object StreamOps {
     private[graft] def applyBatch(records: DataFrame): Unit = synchronized {
       val add = graft.operators.Curation.frontierFromRecords(
         spark, records, minBlockLen)
-      frontier = frontier.unionByName(add).localCheckpoint()
+      // replay-idempotent (foreachBatch is at-least-once): a batch
+      // re-delivered after a crash-between-apply-and-commit must not
+      // double-union its docs — already-seen ids are anti-joined out,
+      // so re-applying any prefix of batches is a no-op
+      frontier = frontier.unionByName(
+          add.join(frontier.select("doc_id"), Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
       latest = Some(graft.operators.Curation.webVerdictsOverFrontier(
         spark, dir, frontier, minWords, maxWords, minQuality,
         positiveSources).localCheckpoint())
@@ -397,6 +415,13 @@ object StreamOps {
     * still incomplete — the parse-resume hint that makes a large record
     * arriving in many chunks cost O(N), not O(N·chunks)). Bounded by
     * ONE record's size — completed records leave state immediately.
+    *
+    * STATE-SCHEMA NOTE: `need` was added after the first release of the
+    * reassembler, so a checkpoint written by the 3-field WarcBuf does
+    * not decode under the default UnsafeRow state encoding — restart
+    * long-lived reassembly queries from a fresh checkpoint across this
+    * upgrade (or run the query with Avro state encoding, which evolves
+    * added-with-default fields).
     */
   case class WarcBuf(nextSeq: Long, baseOffset: Long, pending: Array[Byte],
                      need: Long = -1L)
@@ -447,8 +472,7 @@ object StreamOps {
       // AUDIT consumes only responses (Warc.isResponse, the batch file
       // readers' discipline)
       recs.filter(graft.sources.Warc.isResponse).foreach { r =>
-        val id = r.headers("warc-record-id")
-          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val id = graft.sources.Warc.docIdOf(r)
         val (status, body) = graft.sources.Warc.parseHttp(r.payload)
         val crc = new java.util.zip.CRC32()
         crc.update(body)
@@ -561,8 +585,7 @@ object StreamOps {
       // conversion consumes only response records (the batch w2 shape);
       // other record types complete reassembly and are skipped
       recs.filter(graft.sources.Warc.isResponse).foreach { r =>
-        val id = r.headers("warc-record-id")
-          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val id = graft.sources.Warc.docIdOf(r)
         val wet = graft.sources.Warc.wetRecordFor(id, r.payload, minBlockLen)
         // parse the built record back through the reader (the batch w2
         // round-trip discipline): the audit must describe FRAMED bytes

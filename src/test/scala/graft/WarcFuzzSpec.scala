@@ -314,7 +314,7 @@ class WarcFuzzSpec extends AnyFunSuite {
           // a record MISSING its WARC-Type header: structurally valid,
           // reads as the countable pseudo-type, never a response
           val payload = s"untyped $j".getBytes(UTF_8)
-          (false, ("WARC/1.0\r\nWARC-Record-ID: <urn:graft:aux-$j>\r\n" +
+          (false, (s"WARC/1.0\r\nWARC-Record-ID: <urn:graft:aux-$j>\r\n" +
             s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
             payload ++ "\r\n\r\n".getBytes(UTF_8))
         } else {

@@ -735,6 +735,38 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("foreign record-ids (urn:uuid) audit with a stable hashed identity, not a crash") {
+    // a REAL crawl's response record carries <urn:uuid:...>, not the
+    // graft urn — the reader must map it to a stable opaque 64-bit id
+    // and audit, never NumberFormatException on file one
+    val body = "<html><body>real crawl page</body></html>".getBytes(UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(UTF_8) ++ body
+    val uuid = "<urn:uuid:0b8261bc-bd27-4d5c-8cdb-1a08d24b1e2f>"
+    val rec = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: $uuid\r\n" +
+      "WARC-Target-URI: https://example.com/page\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+      http ++ "\r\n\r\n".getBytes(UTF_8)
+    val out = java.nio.file.Files.createTempDirectory("wforeign-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "shard-00000.warc"), rec)
+    val rows = Warc.warcFileIngest(spark, out).collect()
+    assert(rows.length == 1)
+    val id = rows(0).getAs[Long]("doc_id")
+    // stable across reads, and equal to the documented CRC32-pair form
+    val b = uuid.getBytes(UTF_8)
+    val c1 = new CRC32(); c1.update(b)
+    val c2 = new CRC32(); c2.update(b.reverse)
+    assert(id == ((c1.getValue << 32) | c2.getValue))
+    assert(rows(0).getAs[String]("target_uri") == "https://example.com/page")
+    assert(rows(0).getAs[Long]("html_len") == body.length.toLong)
+    // graft-synthesized ids still audit as the numeric oracle key
+    val g = Warc.parseWarc(Warc.buildRecord(7L, "graft doc")).head
+    assert(Warc.docIdOf(g) == 7L)
+  }
+
   test("plain and gz containers coexist in one archive dir; mislabeled files fail loudly") {
     val docs = Seq(
       (0L, "doc zero body text here", "s0"),
