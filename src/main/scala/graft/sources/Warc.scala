@@ -157,9 +157,15 @@ object Warc {
     */
   private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
     // size HINT only (the stream grows as needed) — clamped through Long
-    // arithmetic: `bytes.length * 2` overflows Int negative at 1 GiB,
-    // which would crash the constructor on a perfectly valid container
-    // of exactly the ~1 GB segment size real crawls ship in
+    // arithmetic: `bytes.length * 2` overflows Int negative at 1 GiB
+    // and would crash the constructor outright. The real capacity
+    // contract is separate and documented: a container must INFLATE
+    // within the JVM's ~2 GiB array bound (the same per-file bound the
+    // binaryFile source imposes on the compressed side) — the shard
+    // writer's shardSize keeps graft containers far under it, and an
+    // archive sharded into ~1 GB segments at typical 3-5x HTML ratios
+    // needs the offset-addressable per-MEMBER read path, not a
+    // whole-container inflate
     val out = new java.io.ByteArrayOutputStream(
       math.min(bytes.length.toLong * 2, 1L << 26).toInt)
     var pos = 0
@@ -420,14 +426,17 @@ object Warc {
   private[graft] def docIdOf(r: WarcRecord): Long = {
     val id = r.headers.getOrElse("warc-record-id",
       sys.error(s"record at offset ${r.offset} has no WARC-Record-ID"))
-    if (id.startsWith("<urn:graft:doc-") && id.endsWith(">"))
-      id.stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
-    else {
+    def hashed: Long = {
       val b = id.getBytes(UTF_8)
-      val c1 = new CRC32(); c1.update(b)
-      val c2 = new CRC32(); c2.update(b.reverse)
-      (c1.getValue << 32) | c2.getValue
+      (crc32(b) << 32) | crc32(b.reverse)
     }
+    if (id.startsWith("<urn:graft:doc-") && id.endsWith(">"))
+      // a graft-LOOKING id with a non-numeric/overflowing tail is still
+      // a foreign id, not a crash — fall through to the hash
+      scala.util.Try(
+        id.stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong)
+        .getOrElse(hashed)
+    else hashed
   }
 
   /** A non-response record for mixed-container fixtures and future
@@ -797,21 +806,33 @@ object Warc {
     * gain NEW container files (re-staging a byte-identical corpus is
     * fine; re-staging a DIFFERENT corpus to a watched path is not).
     */
-  def warcFileStream(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.readStream.format("binaryFile")
+  def warcFileStream(spark: SparkSession, path: String): DataFrame =
+    auditFrame(spark, recordFrame(spark, streamContainers(spark, path, None)))
+
+  /** The binaryFile STREAM load every streaming file reader starts
+    * from — one definition of glob + schema, mirroring recordFrame's
+    * one definition of the parse, so no streaming face can drift.
+    */
+  private def streamContainers(spark: SparkSession, path: String,
+                               maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = spark.readStream.format("binaryFile")
       .option("pathGlobFilter", ContainerGlob)
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
         "content BINARY")
-      .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (file, bytes) =>
-        parseWarcFile(file, bytes).map { case (id, shard, off, len, uri,
-                                               status, body) =>
-          auditRow(id, shard, off, len, uri, status, body)
-        }
-      })
+    maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger",
+      n.toString)).load(path)
+  }
+
+  /** Record frame → w1's audit frame: the ONE projection both the
+    * batch and streaming audit faces share.
+    */
+  private def auditFrame(spark: SparkSession, records: DataFrame): DataFrame = {
+    import spark.implicits._
+    records
+      .as[(Long, Long, Long, Long, String, Int, Array[Byte])]
+      .map { case (id, shard, off, len, uri, status, body) =>
+        auditRow(id, shard, off, len, uri, status, body)
+      }
       .toDF(AuditCols: _*)
   }
 
@@ -826,25 +847,13 @@ object Warc {
   def warcRecordFileStream(spark: SparkSession, path: String,
                            maxFilesPerTrigger: Int = 1): DataFrame =
     recordFrame(spark,
-      spark.readStream.format("binaryFile")
-        .option("pathGlobFilter", ContainerGlob)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-        .schema("path STRING, modificationTime TIMESTAMP, length LONG, " +
-          "content BINARY")
-        .load(path))
+      streamContainers(spark, path, Some(maxFilesPerTrigger)))
 
   /** w1's audit frame computed from `.warc` FILES on disk instead of
     * in-flight containers — same eight columns, same semantics.
     */
-  def warcFileIngest(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    readWarcFileRecords(spark, path)
-      .as[(Long, Long, Long, Long, String, Int, Array[Byte])]
-      .map { case (id, shard, off, len, uri, status, body) =>
-        auditRow(id, shard, off, len, uri, status, body)
-      }
-      .toDF(AuditCols: _*)
-  }
+  def warcFileIngest(spark: SparkSession, path: String): DataFrame =
+    auditFrame(spark, readWarcFileRecords(spark, path))
 
   /** Staged corpus dirs created by THIS JVM, deleted at shutdown: the
     * memo key dies with the session, so without the hook every session

@@ -367,10 +367,16 @@ object StreamOps {
         spark, records, minBlockLen)
       // replay-idempotent (foreachBatch is at-least-once): a batch
       // re-delivered after a crash-between-apply-and-commit must not
-      // double-union its docs — already-seen ids are anti-joined out,
-      // so re-applying any prefix of batches is a no-op
+      // double-union its docs. The anti-join keys on ALL FOUR frontier
+      // columns, not just doc_id: a replayed file yields byte-identical
+      // rows (the kernel is deterministic in the record), so replays
+      // vanish, while a genuinely different record that happens to
+      // share a doc_id keeps its row — exactly what batch over the
+      // same files would hold.
       frontier = frontier.unionByName(
-          add.join(frontier.select("doc_id"), Seq("doc_id"), "left_anti"))
+          add.join(frontier,
+            Seq("doc_id", "canon_url", "allowed", "n_content"),
+            "left_anti"))
         .localCheckpoint()
       latest = Some(graft.operators.Curation.webVerdictsOverFrontier(
         spark, dir, frontier, minWords, maxWords, minQuality,
