@@ -426,17 +426,22 @@ object Warc {
   private[graft] def docIdOf(r: WarcRecord): Long = {
     val id = r.headers.getOrElse("warc-record-id",
       sys.error(s"record at offset ${r.offset} has no WARC-Record-ID"))
-    def hashed: Long = {
+    if (id.startsWith("<urn:graft:doc-") && id.endsWith(">"))
+      // OUR namespace: a graft-prefixed id whose tail is not a valid
+      // long is CORRUPTION of a graft-written container — loud with a
+      // diagnostic (hashing it would silently drop the doc from every
+      // metadata join downstream, corruption becoming row loss)
+      scala.util.Try(
+        id.stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong)
+        .getOrElse(sys.error(
+          s"corrupt graft record-id '$id' at offset ${r.offset}: " +
+            "non-numeric tail in the graft namespace"))
+    else {
+      // FOREIGN namespace (real crawls: <urn:uuid:...>): a stable
+      // opaque identity, not an error
       val b = id.getBytes(UTF_8)
       (crc32(b) << 32) | crc32(b.reverse)
     }
-    if (id.startsWith("<urn:graft:doc-") && id.endsWith(">"))
-      // a graft-LOOKING id with a non-numeric/overflowing tail is still
-      // a foreign id, not a crash — fall through to the hash
-      scala.util.Try(
-        id.stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong)
-        .getOrElse(hashed)
-    else hashed
   }
 
   /** A non-response record for mixed-container fixtures and future
@@ -697,8 +702,10 @@ object Warc {
     require(gz == isGzip(bytes),
       s"$file: extension says ${if (gz) "gzip" else "plain"} but content " +
         s"is ${if (isGzip(bytes)) "gzip" else "plain"}")
-    val shard = base.stripPrefix("shard-")
-      .stripSuffix(".gz").stripSuffix(".warc").toLong
+    val shard = scala.util.Try(base.stripPrefix("shard-")
+      .stripSuffix(".gz").stripSuffix(".warc").toLong).getOrElse(
+      sys.error(s"not a shard container file: $file " +
+        "(non-numeric shard number)"))
     // inflate BEFORE the framing seam: record offsets/lengths describe
     // the UNCOMPRESSED stream (the WARC spec's frame), so plain and gz
     // transports of the same corpus audit byte-identically

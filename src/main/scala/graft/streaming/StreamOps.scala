@@ -346,8 +346,10 @@ object StreamOps {
     * skip every already-committed container while the state knows none
     * of them, silently breaking the batch-equality contract. Within a
     * run the contract survives foreachBatch's at-least-once edge:
-    * applyBatch anti-joins already-seen doc_ids, so a replayed batch
-    * is a no-op. The durable form of this state is the fleet posture
+    * applyBatch anti-joins rows already present under ALL FOUR frontier
+    * columns (a replayed file yields byte-identical rows), so a
+    * replayed batch is a no-op while a genuinely different record
+    * sharing a doc_id keeps its row — batch semantics either way. The durable form of this state is the fleet posture
     * above (a doc_id-keyed table MERGEd per batch), not a bigger
     * in-memory frame.
     */

@@ -765,6 +765,11 @@ class WarcSpec extends SparkSpec {
     // graft-synthesized ids still audit as the numeric oracle key
     val g = Warc.parseWarc(Warc.buildRecord(7L, "graft doc")).head
     assert(Warc.docIdOf(g) == 7L)
+    // and a corrupt id in OUR namespace stays LOUD — hashing it would
+    // turn container corruption into silent row loss at the metadata join
+    val e = intercept[RuntimeException](Warc.docIdOf(
+      g.copy(headers = g.headers + ("warc-record-id" -> "<urn:graft:doc-12f>"))))
+    assert(e.getMessage.contains("corrupt graft record-id"), e.getMessage)
   }
 
   test("plain and gz containers coexist in one archive dir; mislabeled files fail loudly") {
