@@ -417,11 +417,10 @@ object Warc {
     * stable 64-bit identity — two CRC32s over the id bytes (plain and
     * reversed) packed into one long — so a genuine container AUDITS
     * instead of crashing on its first response record. Foreign ids are
-    * then opaque stable handles, not oracle keys; the remaining
-    * real-crawl caveat is the HTTP split, which requires
-    * Content-Length-framed messages (parseHttp's loud contract) — an
-    * archive whose response payloads use chunked transfer encoding is
-    * outside the parse contract, by design, not by accident.
+    * then opaque stable handles, not oracle keys. The HTTP split
+    * handles both framings a capture stores: Content-Length bodies and
+    * RFC 7230 chunked transfer-encoding (see [[dechunk]]); a message
+    * with neither is unframeable and loud.
     */
   private[graft] def docIdOf(r: WarcRecord): Long = {
     val id = r.headers.getOrElse("warc-record-id",
@@ -473,18 +472,73 @@ object Warc {
     var pos = status._2
     var line = lineAt(pos)
     var clen = -1
+    var chunked = false
     while (line._1.nonEmpty) {
       val idx = line._1.indexOf(':')
-      if (idx > 0 &&
-        line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT) == "content-length")
-        clen = line._1.substring(idx + 1).trim.toInt
+      if (idx > 0) {
+        val name = line._1.substring(0, idx).trim.toLowerCase(Locale.ROOT)
+        val value = line._1.substring(idx + 1).trim
+        if (name == "content-length") clen = value.toInt
+        // RFC 7230 §3.3.3: chunked is the LAST applied coding, and when
+        // present it wins over any Content-Length
+        if (name == "transfer-encoding" &&
+            value.toLowerCase(Locale.ROOT).split(',')
+              .exists(_.trim == "chunked")) chunked = true
+      }
       pos = line._2
       line = lineAt(pos)
     }
     pos = line._2
-    require(clen >= 0 && pos + clen <= payload.length,
+    if (chunked) return (parts(1).toInt, dechunk(payload, pos))
+    require(clen >= 0,
+      "HTTP message has neither Content-Length nor chunked " +
+        "transfer-encoding — unframeable body")
+    require(pos + clen <= payload.length,
       s"HTTP payload truncated: Content-Length $clen, have ${payload.length - pos}")
     (parts(1).toInt, java.util.Arrays.copyOfRange(payload, pos, pos + clen))
+  }
+
+  /** Decode an RFC 7230 chunked body starting at `pos`: hex size line
+    * (chunk extensions after ';' ignored), that many data bytes, CRLF;
+    * the zero-size last-chunk, then optional trailer fields up to the
+    * final blank line. Real crawl archives store response payloads AS
+    * CAPTURED, chunk framing included — a reader without this path
+    * cannot split a chunked capture. Loud on malformation (the record
+    * framing guarantees the payload is complete, so any shortfall is
+    * corruption).
+    */
+  private def dechunk(payload: Array[Byte], start: Int): Array[Byte] = {
+    def lineAt(pos: Int): (String, Int) = readLine(payload, pos)
+      .getOrElse(sys.error(s"unterminated chunk-size line at offset $pos"))
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = start
+    var done = false
+    while (!done) {
+      val (sizeLine, afterSize) = lineAt(pos)
+      val hexPart = sizeLine.split(";", 2)(0).trim
+      val size =
+        try java.lang.Integer.parseInt(hexPart, 16)
+        catch {
+          case _: NumberFormatException =>
+            sys.error(s"bad chunk size '$hexPart' at offset $pos")
+        }
+      require(size >= 0 && afterSize.toLong + size + 2 <= payload.length,
+        s"chunk of $size bytes at offset $pos overruns the payload")
+      if (size == 0) {
+        // trailer fields (possibly none) up to the final blank line
+        var t = lineAt(afterSize)
+        while (t._1.nonEmpty) t = lineAt(t._2)
+        done = true
+        pos = t._2
+      } else {
+        out.write(payload, afterSize, size)
+        pos = afterSize + size
+        require(payload(pos) == '\r' && payload(pos + 1) == '\n',
+          s"chunk data at offset $pos not followed by CRLF")
+        pos += 2
+      }
+    }
+    out.toByteArray
   }
 
   private def crc32(bytes: Array[Byte]): Long = {

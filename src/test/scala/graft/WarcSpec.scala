@@ -735,6 +735,55 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("chunked transfer-encoding captures de-chunk byte-exact; malformed chunking is loud") {
+    // real crawls store responses AS CAPTURED, chunk framing included —
+    // the reader must split a chunked message without a Content-Length.
+    // Body crosses a hex-size boundary (>9 = 'a'+), carries a chunk
+    // extension and a trailer field, and embeds CRLF inside chunk data.
+    val part1 = "hello chunked "          // 14 = 0xe
+    val part2 = "world\r\nwith crlf inside" // 23 = 0x17
+    val body = (part1 + part2).getBytes(UTF_8)
+    val msg = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "e;ext=1\r\n" + part1 + "\r\n" +
+      "17\r\n" + part2 + "\r\n" +
+      "0\r\n" +
+      "X-Trailer: done\r\n\r\n").getBytes(UTF_8)
+    val (status, got) = Warc.parseHttp(msg)
+    assert(status == 200)
+    assert(java.util.Arrays.equals(got, body),
+      new String(got, UTF_8))
+    // chunked wins over a (wrong) Content-Length per RFC 7230 §3.3.3
+    val both = ("HTTP/1.1 200 OK\r\nContent-Length: 3\r\n" +
+      "Transfer-Encoding: gzip, chunked\r\n\r\n" +
+      "5\r\nabcde\r\n0\r\n\r\n").getBytes(UTF_8)
+    assert(new String(Warc.parseHttp(both)._2, UTF_8) == "abcde")
+    // and a chunked record audits end-to-end through the file reader
+    val http = msg
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:11111111-2222-3333-4444-555555555555>\r\n" +
+      "WARC-Target-URI: https://example.com/chunked\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+      http ++ "\r\n\r\n".getBytes(UTF_8)
+    val out = java.nio.file.Files.createTempDirectory("wchunked-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "shard-00000.warc"), rec)
+    val row = Warc.warcFileIngest(spark, out).collect().head
+    assert(row.getAs[Long]("html_len") == body.length.toLong)
+    assert(row.getAs[Long]("html_crc32") == crc(body))
+    // corruption classes stay loud
+    def loud(m: String): Unit = {
+      val e = intercept[Exception](Warc.parseHttp(m.getBytes(UTF_8)))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.getClass == classOf[RuntimeException], e.toString)
+    }
+    loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nab\r\n0\r\n\r\n") // bad hex
+    loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort\r\n0\r\n\r\n") // overrun
+    loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nabcde\r\n") // no last chunk
+    loud("HTTP/1.1 200 OK\r\n\r\nno framing at all") // neither CL nor chunked
+  }
+
   test("foreign record-ids (urn:uuid) audit with a stable hashed identity, not a crash") {
     // a REAL crawl's response record carries <urn:uuid:...>, not the
     // graft urn — the reader must map it to a stable opaque 64-bit id
