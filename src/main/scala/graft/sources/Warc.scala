@@ -164,87 +164,144 @@ object Warc {
     // binaryFile source imposes on the compressed side) — the shard
     // writer's shardSize keeps graft containers far under it, and an
     // archive sharded into ~1 GB segments at typical 3-5x HTML ratios
-    // needs the offset-addressable per-MEMBER read path, not a
-    // whole-container inflate
+    // uses the offset-addressable per-MEMBER path ([[readGzMemberAt]]),
+    // not a whole-container inflate
     val out = new java.io.ByteArrayOutputStream(
       math.min(bytes.length.toLong * 2, 1L << 26).toInt)
     var pos = 0
     while (pos < bytes.length) {
-      val memberStart = pos
-      require(bytes.length - pos >= 10,
-        s"truncated gzip member header at compressed offset $pos: " +
-          s"${bytes.length - pos} bytes remain (header needs 10)")
-      require(bytes(pos) == GzMagic0 && bytes(pos + 1) == GzMagic1,
-        f"bad gzip magic at compressed offset $pos: 0x${bytes(pos)}%02x" +
-          f"${bytes(pos + 1)}%02x (trailing garbage after a member?)")
-      require(bytes(pos + 2) == 8,
-        s"gzip member at compressed offset $pos uses compression method " +
-          s"${bytes(pos + 2)} (only 8 = deflate exists)")
-      val flg = bytes(pos + 3) & 0xff
-      require((flg & 0xe0) == 0,
-        s"gzip member at compressed offset $pos sets reserved FLG bits " +
-          f"(0x$flg%02x) — corrupt header")
-      pos += 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
-        require(bytes.length - pos >= 2,
-          s"truncated FEXTRA length at compressed offset $pos")
-        val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
-        pos += 2 + xlen
-      }
-      def skipZeroTerminated(field: String): Unit = {
-        while (pos < bytes.length && bytes(pos) != 0) pos += 1
-        require(pos < bytes.length,
-          s"unterminated gzip $field field in member at offset $memberStart")
-        pos += 1
-      }
-      if ((flg & 8) != 0) skipZeroTerminated("FNAME")
-      if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
-      if ((flg & 2) != 0) pos += 2 // FHCRC
-      require(pos <= bytes.length,
-        s"gzip member header at compressed offset $memberStart overruns " +
-          "the container")
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(bytes, pos, bytes.length - pos)
-      val crc = new CRC32()
-      var memberLen = 0L
-      val buf = new Array[Byte](64 * 1024)
-      try {
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch {
-              case e: java.util.zip.DataFormatException =>
-                sys.error(s"corrupt deflate stream in gzip member at " +
-                  s"compressed offset $memberStart: ${e.getMessage}")
-            }
-          require(n > 0 || inf.finished(),
-            s"truncated gzip member at compressed offset $memberStart: " +
-              "deflate stream ends before its final block")
-          out.write(buf, 0, n)
-          crc.update(buf, 0, n)
-          memberLen += n
-        }
-        val consumed = inf.getBytesRead
-        val trailerAt = pos + consumed.toInt
-        require(bytes.length - trailerAt >= 8,
-          s"truncated gzip trailer for member at compressed offset " +
-            s"$memberStart: need 8 bytes at $trailerAt, have " +
-            s"${bytes.length - trailerAt}")
-        def le32(at: Int): Long =
-          (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
-            ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
-        val wantCrc = le32(trailerAt)
-        val wantIsize = le32(trailerAt + 4)
-        require(wantCrc == crc.getValue,
-          s"gzip CRC32 mismatch in member at compressed offset " +
-            s"$memberStart: trailer $wantCrc, inflated ${crc.getValue}")
-        require(wantIsize == (memberLen & 0xffffffffL),
-          s"gzip ISIZE mismatch in member at compressed offset " +
-            s"$memberStart: trailer $wantIsize, inflated $memberLen")
-        pos = trailerAt + 8
-      } finally inf.end()
+      pos = inflateMemberAt(bytes, pos, out)
     }
     out.toByteArray
+  }
+
+  /** Inflate ONE gzip member starting at compressed offset `start`
+    * into `out`, returning the offset just past its trailer — the
+    * single-member walk gunzipMembers, the member index, and the
+    * random-access read all share, so the four can never disagree on
+    * member framing. All of gunzipMembers' corruption classes throw
+    * from here.
+    */
+  private def inflateMemberAt(bytes: Array[Byte], start: Int,
+                              out: java.io.ByteArrayOutputStream): Int = {
+    var pos = start
+    val memberStart = pos
+    require(bytes.length - pos >= 10,
+      s"truncated gzip member header at compressed offset $pos: " +
+        s"${bytes.length - pos} bytes remain (header needs 10)")
+    require(bytes(pos) == GzMagic0 && bytes(pos + 1) == GzMagic1,
+      f"bad gzip magic at compressed offset $pos: 0x${bytes(pos)}%02x" +
+        f"${bytes(pos + 1)}%02x (trailing garbage after a member?)")
+    require(bytes(pos + 2) == 8,
+      s"gzip member at compressed offset $pos uses compression method " +
+        s"${bytes(pos + 2)} (only 8 = deflate exists)")
+    val flg = bytes(pos + 3) & 0xff
+    require((flg & 0xe0) == 0,
+      s"gzip member at compressed offset $pos sets reserved FLG bits " +
+        f"(0x$flg%02x) — corrupt header")
+    pos += 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      require(bytes.length - pos >= 2,
+        s"truncated FEXTRA length at compressed offset $pos")
+      val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+      pos += 2 + xlen
+    }
+    def skipZeroTerminated(field: String): Unit = {
+      while (pos < bytes.length && bytes(pos) != 0) pos += 1
+      require(pos < bytes.length,
+        s"unterminated gzip $field field in member at offset $memberStart")
+      pos += 1
+    }
+    if ((flg & 8) != 0) skipZeroTerminated("FNAME")
+    if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+    if ((flg & 2) != 0) pos += 2 // FHCRC
+    require(pos <= bytes.length,
+      s"gzip member header at compressed offset $memberStart overruns " +
+        "the container")
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(bytes, pos, bytes.length - pos)
+    val crc = new CRC32()
+    var memberLen = 0L
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              sys.error(s"corrupt deflate stream in gzip member at " +
+                s"compressed offset $memberStart: ${e.getMessage}")
+          }
+        require(n > 0 || inf.finished(),
+          s"truncated gzip member at compressed offset $memberStart: " +
+            "deflate stream ends before its final block")
+        out.write(buf, 0, n)
+        crc.update(buf, 0, n)
+        memberLen += n
+      }
+      val consumed = inf.getBytesRead
+      val trailerAt = pos + consumed.toInt
+      require(bytes.length - trailerAt >= 8,
+        s"truncated gzip trailer for member at compressed offset " +
+          s"$memberStart: need 8 bytes at $trailerAt, have " +
+          s"${bytes.length - trailerAt}")
+      def le32(at: Int): Long =
+        (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+          ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+      val wantCrc = le32(trailerAt)
+      val wantIsize = le32(trailerAt + 4)
+      require(wantCrc == crc.getValue,
+        s"gzip CRC32 mismatch in member at compressed offset " +
+          s"$memberStart: trailer $wantCrc, inflated ${crc.getValue}")
+      require(wantIsize == (memberLen & 0xffffffffL),
+        s"gzip ISIZE mismatch in member at compressed offset " +
+          s"$memberStart: trailer $wantIsize, inflated $memberLen")
+      trailerAt + 8
+    } finally inf.end()
+  }
+
+  /** One row of the compressed-member index: where the member sits in
+    * the compressed container, how many compressed bytes it spans, and
+    * how many bytes it inflates to — the (offset, length) pair a
+    * CDX-style lookup service publishes so a consumer can fetch ONE
+    * record with a ranged read.
+    */
+  case class GzMember(compOffset: Long, compLen: Long, plainLen: Long)
+
+  /** The member index of a gz container: one [[GzMember]] per record
+    * (the per-record-member layout), built by the SAME member walk as
+    * full inflation — CRC/ISIZE verified per member, loud on any
+    * corruption. This is what makes the `.warc.gz` layout
+    * offset-ADDRESSABLE in code, not just in prose: index once, then
+    * [[readGzMemberAt]] any member by its compressed offset.
+    */
+  private[graft] def gzMemberIndex(bytes: Array[Byte]): Seq[GzMember] = {
+    val out = Seq.newBuilder[GzMember]
+    val sink = new java.io.ByteArrayOutputStream(64 * 1024)
+    var pos = 0
+    while (pos < bytes.length) {
+      sink.reset()
+      val next = inflateMemberAt(bytes, pos, sink)
+      out += GzMember(pos.toLong, (next - pos).toLong, sink.size().toLong)
+      pos = next
+    }
+    out.result()
+  }
+
+  /** Random-access read of ONE gzip member: inflate exactly the member
+    * starting at `compOffset` (loud if the offset does not sit on a
+    * member boundary — the magic check catches mid-member offsets) and
+    * return its bytes. With the per-record-member layout this is the
+    * fetch-one-record path a CDX offset points at: no other byte of
+    * the container is inflated.
+    */
+  private[graft] def readGzMemberAt(bytes: Array[Byte],
+                                    compOffset: Long): Array[Byte] = {
+    require(compOffset >= 0 && compOffset < bytes.length,
+      s"member offset $compOffset outside container (${bytes.length} B)")
+    val sink = new java.io.ByteArrayOutputStream(64 * 1024)
+    inflateMemberAt(bytes, compOffset.toInt, sink)
+    sink.toByteArray
   }
 
   /** Parse ONE record starting at `start`. `Some((record, nextPos))` on

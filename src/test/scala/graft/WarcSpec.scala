@@ -735,6 +735,46 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("gz member index makes containers offset-addressable: one ranged read = one record") {
+    // the CDX posture: index the compressed container once, then fetch
+    // any single record by its compressed offset without inflating any
+    // other byte — the read path a 1 GB crawl segment is served by
+    val docs = Seq(
+      (0L, "first doc body with some text"),
+      (1L, "second doc \r\n\r\nWARC/1.0\r\n trap"),
+      (2L, "café 日本語 multi-byte doc"),
+      (3L, ""))
+    val gz = Warc.buildGzContainer(docs)
+    val idx = Warc.gzMemberIndex(gz)
+    assert(idx.length == docs.length, "one member per record")
+    // members tile the compressed container exactly
+    idx.zipWithIndex.foreach { case (m, i) =>
+      val expectOff = idx.take(i).map(_.compLen).sum
+      assert(m.compOffset == expectOff, s"member $i offset")
+    }
+    assert(idx.map(_.compLen).sum == gz.length.toLong)
+    // plain lengths equal the uncompressed record lengths
+    val plainRecs = Warc.parseWarc(Warc.buildContainer(docs))
+    assert(idx.map(_.plainLen) == plainRecs.map(_.recLen))
+    // random-access: each member inflates to exactly its record's bytes
+    val plain = Warc.buildContainer(docs)
+    idx.zip(plainRecs).foreach { case (m, r) =>
+      val got = Warc.readGzMemberAt(gz, m.compOffset)
+      val want = java.util.Arrays.copyOfRange(plain,
+        r.offset.toInt, (r.offset + r.recLen).toInt)
+      assert(java.util.Arrays.equals(got, want))
+      // and the member parses as exactly ONE record with the right id
+      val recs = Warc.parseWarc(got)
+      assert(recs.length == 1)
+      assert(Warc.docIdOf(recs.head) == Warc.docIdOf(r))
+    }
+    // a mid-member offset is loud (the magic check), never a resync
+    val e = intercept[Exception](Warc.readGzMemberAt(gz, idx(1).compOffset + 3))
+    assert(e.getMessage.contains("bad gzip magic"), e.getMessage)
+    val e2 = intercept[Exception](Warc.readGzMemberAt(gz, gz.length.toLong))
+    assert(e2.getMessage.contains("outside container"), e2.getMessage)
+  }
+
   test("chunked transfer-encoding captures de-chunk byte-exact; malformed chunking is loud") {
     // real crawls store responses AS CAPTURED, chunk framing included —
     // the reader must split a chunked message without a Content-Length.
