@@ -204,6 +204,8 @@ object Warc {
       require(bytes.length - pos >= 2,
         s"truncated FEXTRA length at compressed offset $pos")
       val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
+      require(bytes.length - pos - 2 >= xlen,
+        s"truncated FEXTRA payload ($xlen B) at compressed offset $pos")
       pos += 2 + xlen
     }
     def skipZeroTerminated(field: String): Unit = {

@@ -754,10 +754,10 @@ class WarcSpec extends SparkSpec {
     }
     assert(idx.map(_.compLen).sum == gz.length.toLong)
     // plain lengths equal the uncompressed record lengths
-    val plainRecs = Warc.parseWarc(Warc.buildContainer(docs))
+    val plain = Warc.buildContainer(docs)
+    val plainRecs = Warc.parseWarc(plain)
     assert(idx.map(_.plainLen) == plainRecs.map(_.recLen))
     // random-access: each member inflates to exactly its record's bytes
-    val plain = Warc.buildContainer(docs)
     idx.zip(plainRecs).foreach { case (m, r) =>
       val got = Warc.readGzMemberAt(gz, m.compOffset)
       val want = java.util.Arrays.copyOfRange(plain,
