@@ -150,6 +150,7 @@ object SparkEntry {
     "w2_wet_extract"       -> ((s, d) => sources.Warc.wetExtract(s, d)),
     "w3_warc_files"        -> ((s, d) => sources.Warc.warcFileRoundTrip(s, d)),
     "w4_warc_gz"           -> ((s, d) => sources.Warc.warcGzRoundTrip(s, d)),
+    "w5_warc_cdx"          -> ((s, d) => sources.Warc.warcGzPointReads(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
     "i5_index_eval"        -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
@@ -2798,6 +2799,11 @@ object SparkEntry {
     // inflates them back before the seam: offsets describe the
     // uncompressed stream, so the oracle is again w1's verbatim
     "w4_warc_gz" -> w1OracleSql,
+    // w5 serves every record through the CDX point-read path (member
+    // index + single-member inflate per record) and audits the FETCHED
+    // bytes with plain-frame offsets — w1's oracle gates the
+    // random-access path itself
+    "w5_warc_cdx" -> w1OracleSql,
     "x51_preference_pairs" -> x51OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,

@@ -1053,6 +1053,62 @@ object Warc {
                       shardSize: Int = 50): DataFrame =
     warcFileRoundTrip(spark, dir, shardSize, gz = true)
 
+  /** w5: CDX-style POINT READS over the gz archive — the serving path
+    * a record-offset index exists for: per container, build the member
+    * index (ONE verified walk, [[gzMemberIndex]]), then fetch EVERY
+    * record through [[readGzMemberAt]] at its compressed offset — each
+    * fetch inflates ONLY its own member, exactly what a ranged GET
+    * against an object store does — and audit the FETCHED bytes. The
+    * audit's rec_offset is the record's offset in the PLAIN container
+    * (the WARC frame), recovered from the index's running plainLen sum,
+    * so the output is w1's frame verbatim and the random-access path is
+    * HASH-GATED against the byte-for-byte oracle, not just spec-pinned.
+    * Non-response members keep their place in the offset accounting and
+    * are skipped (the type discipline).
+    *
+    * Scale shape: w4's staging (memo-shared), read = one index walk +
+    * one point-inflate per record per container — the deliberate 2×
+    * inflate prices the INDEX BUILD plus the SERVE; at fleet scale the
+    * index is built once at write time and shipped as metadata, and
+    * each serve inflates ~KBs for a record regardless of segment size.
+    */
+  def warcGzPointReads(spark: SparkSession, dir: String,
+                       shardSize: Int = 50): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(stagedWarcDir(spark, dir, shardSize, gz = true))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (file, bytes) =>
+        val base = file.substring(file.lastIndexOf('/') + 1)
+        require(base.startsWith("shard-") && base.endsWith(".warc.gz"),
+          s"not a gz shard container file: $file")
+        val shard = scala.util.Try(base.stripPrefix("shard-")
+          .stripSuffix(".warc.gz").toLong).getOrElse(
+          sys.error(s"not a shard container file: $file " +
+            "(non-numeric shard number)"))
+        val idx = gzMemberIndex(bytes)
+        val plainOffsets = idx.scanLeft(0L)(_ + _.plainLen)
+        idx.zip(plainOffsets).iterator.flatMap { case (m, plainOff) =>
+          val member = readGzMemberAt(bytes, m.compOffset)
+          val recs = parseWarc(member)
+          require(recs.length == 1,
+            s"member at compressed offset ${m.compOffset} of $file " +
+              s"frames ${recs.length} records (per-record layout expects 1)")
+          val r = recs.head
+          if (!isResponse(r)) None
+          else {
+            val (status, body) = parseHttp(r.payload)
+            Some(auditRow(docIdOf(r), shard, plainOff, r.recLen,
+              r.headers("warc-target-uri"), status, body))
+          }
+        }
+      })
+      .toDF(AuditCols: _*)
+      .orderedBy("doc_id")
+  }
+
   /** w1: synthesize the sharded WARC corpus, parse it back through the
     * seam, and audit every record — framing offsets, parsed-back URI and
     * HTTP status, payload accounting, body CRC32 (which must equal

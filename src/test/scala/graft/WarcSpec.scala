@@ -775,6 +775,45 @@ class WarcSpec extends SparkSpec {
     assert(e2.getMessage.contains("outside container"), e2.getMessage)
   }
 
+  test("w5 point reads serve w1's audit through the member index, offsets plain-frame") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (1L, "trap \r\n\r\nWARC/1.0\r\n embedded separators", "s0"),
+      (2L, "café naïve 日本語 non-ascii bytes", "s0"),
+      (3L, "", "s0"),
+      (4L, "last shard single doc", "s0"))
+    val dir = writeDocs(docs)
+    val got = Warc.warcGzPointReads(spark, dir, shardSize = 2)
+      .collect().map(_.toSeq).toSeq
+    val want = Warc.warcIngest(spark, dir, shardSize = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "the point-read path must audit exactly the whole-scan frame")
+    // offset accounting survives interleaved non-response members: a
+    // warcinfo member before the responses shifts their plain offsets
+    // exactly like the whole-scan parse sees them
+    val aux = Warc.buildAuxRecord("warcinfo", 0L,
+      "software: graft-fixture".getBytes(UTF_8))
+    val r10 = Warc.buildRecord(10L, "mixed container response ten")
+    val r11 = Warc.buildRecord(11L, "mixed container response eleven")
+    val gzMixed = Warc.gzipMember(aux) ++ Warc.gzipMember(r10) ++
+      Warc.gzipMember(r11)
+    val out = java.nio.file.Files.createTempDirectory("w5mixed-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "shard-00000.warc.gz"), gzMixed)
+    // run the point-read body against the staged mixed file via the
+    // file-backed audit (same offsets contract) for the expectation
+    val idx = Warc.gzMemberIndex(gzMixed)
+    assert(idx.length == 3)
+    val fetched10 = Warc.readGzMemberAt(gzMixed, idx(1).compOffset)
+    assert(java.util.Arrays.equals(fetched10, r10))
+    val whole = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(whole.map(_(2)) == Seq(aux.length.toLong,
+      (aux.length + r10.length).toLong),
+      "responses' plain offsets include the skipped member's bytes")
+  }
+
   test("chunked transfer-encoding captures de-chunk byte-exact; malformed chunking is loud") {
     // real crawls store responses AS CAPTURED, chunk framing included —
     // the reader must split a chunked message without a Content-Length.
