@@ -801,16 +801,18 @@ object Warc {
     * checked, extension/content agreement checked, gz inflated before
     * the seam — the shared front half of the typed readers.
     */
-  private def containerRecords(file: String,
-                               bytes: Array[Byte]): (Long, Seq[WarcRecord]) = {
+  /** The writer's naming contract, parsed ONCE for every file-backed
+    * reader: shard id from the `shard-NNNNN.warc[.gz]` name, with the
+    * extension/content agreement check — a mislabeled container (plain
+    * bytes under .gz, or gzip bytes under .warc) is a staging error a
+    * reader must surface, never silently guess around, because record
+    * offsets mean different things in the two framings.
+    */
+  private def shardOf(file: String, bytes: Array[Byte]): (Long, Boolean) = {
     val base = file.substring(file.lastIndexOf('/') + 1)
     require(base.startsWith("shard-") &&
         (base.endsWith(".warc") || base.endsWith(".warc.gz")),
       s"not a shard container file: $file")
-    // extension and content must AGREE: a mislabeled container (plain
-    // bytes under .gz, or gzip bytes under .warc) is a staging error a
-    // reader must surface, never silently guess around — record offsets
-    // mean different things in the two framings.
     val gz = base.endsWith(".warc.gz")
     require(gz == isGzip(bytes),
       s"$file: extension says ${if (gz) "gzip" else "plain"} but content " +
@@ -819,6 +821,12 @@ object Warc {
       .stripSuffix(".gz").stripSuffix(".warc").toLong).getOrElse(
       sys.error(s"not a shard container file: $file " +
         "(non-numeric shard number)"))
+    (shard, gz)
+  }
+
+  private def containerRecords(file: String,
+                               bytes: Array[Byte]): (Long, Seq[WarcRecord]) = {
+    val (shard, gz) = shardOf(file, bytes)
     // inflate BEFORE the framing seam: record offsets/lengths describe
     // the UNCOMPRESSED stream (the WARC spec's frame), so plain and gz
     // transports of the same corpus audit byte-identically
@@ -1072,38 +1080,44 @@ object Warc {
     * index is built once at write time and shipped as metadata, and
     * each serve inflates ~KBs for a record regardless of segment size.
     */
+  /** The per-file point-read serve — one verified member index, then
+    * every record fetched through readGzMemberAt and audited from the
+    * FETCHED bytes; non-response members keep their place in the
+    * plain-offset accounting and skip. A named seam (not a closure) so
+    * the mixed-container accounting is directly testable.
+    */
+  private[graft] def pointReadFile(file: String, bytes: Array[Byte])
+      : Iterator[(Long, Long, Long, Long, String, Int, Long, Long)] = {
+    val (shard, gz) = shardOf(file, bytes)
+    require(gz, s"point reads need a gz container: $file")
+    val idx = gzMemberIndex(bytes)
+    val plainOffsets = idx.scanLeft(0L)(_ + _.plainLen)
+    idx.zip(plainOffsets).iterator.flatMap { case (m, plainOff) =>
+      val member = readGzMemberAt(bytes, m.compOffset)
+      val recs = parseWarc(member)
+      require(recs.length == 1,
+        s"member at compressed offset ${m.compOffset} of $file " +
+          s"frames ${recs.length} records (per-record layout expects 1)")
+      val r = recs.head
+      if (!isResponse(r)) None
+      else {
+        val (status, body) = parseHttp(r.payload)
+        Some(auditRow(docIdOf(r), shard, plainOff, r.recLen,
+          r.headers("warc-target-uri"), status, body))
+      }
+    }
+  }
+
   def warcGzPointReads(spark: SparkSession, dir: String,
                        shardSize: Int = 50): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc.gz")
+      .option("pathGlobFilter", ContainerGlob)
       .load(stagedWarcDir(spark, dir, shardSize, gz = true))
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (file, bytes) =>
-        val base = file.substring(file.lastIndexOf('/') + 1)
-        require(base.startsWith("shard-") && base.endsWith(".warc.gz"),
-          s"not a gz shard container file: $file")
-        val shard = scala.util.Try(base.stripPrefix("shard-")
-          .stripSuffix(".warc.gz").toLong).getOrElse(
-          sys.error(s"not a shard container file: $file " +
-            "(non-numeric shard number)"))
-        val idx = gzMemberIndex(bytes)
-        val plainOffsets = idx.scanLeft(0L)(_ + _.plainLen)
-        idx.zip(plainOffsets).iterator.flatMap { case (m, plainOff) =>
-          val member = readGzMemberAt(bytes, m.compOffset)
-          val recs = parseWarc(member)
-          require(recs.length == 1,
-            s"member at compressed offset ${m.compOffset} of $file " +
-              s"frames ${recs.length} records (per-record layout expects 1)")
-          val r = recs.head
-          if (!isResponse(r)) None
-          else {
-            val (status, body) = parseHttp(r.payload)
-            Some(auditRow(docIdOf(r), shard, plainOff, r.recLen,
-              r.headers("warc-target-uri"), status, body))
-          }
-        }
+        pointReadFile(file, bytes)
       })
       .toDF(AuditCols: _*)
       .orderedBy("doc_id")

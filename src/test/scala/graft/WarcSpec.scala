@@ -801,17 +801,28 @@ class WarcSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("w5mixed-").toString
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "shard-00000.warc.gz"), gzMixed)
-    // run the point-read body against the staged mixed file via the
-    // file-backed audit (same offsets contract) for the expectation
     val idx = Warc.gzMemberIndex(gzMixed)
     assert(idx.length == 3)
     val fetched10 = Warc.readGzMemberAt(gzMixed, idx(1).compOffset)
     assert(java.util.Arrays.equals(fetched10, r10))
+    // drive the SERVE BODY ITSELF over the mixed container: the two
+    // response rows must come back with plain offsets that include the
+    // skipped warcinfo member's bytes, identical to the whole-scan audit
+    val served = Warc.pointReadFile(s"$out/shard-00000.warc.gz", gzMixed)
+      .toSeq.sortBy(_._1)
+    assert(served.map(t => (t._1, t._3)) == Seq(
+      (10L, aux.length.toLong),
+      (11L, (aux.length + r10.length).toLong)),
+      s"point-read offsets must include skipped members: $served")
     val whole = Warc.warcFileIngest(spark, out)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    assert(whole.map(_(2)) == Seq(aux.length.toLong,
-      (aux.length + r10.length).toLong),
-      "responses' plain offsets include the skipped member's bytes")
+    assert(served.map(_.productIterator.toSeq) == whole,
+      "the serve body must audit exactly the whole-scan frame on a mixed container")
+    // the shared name contract applies to the point-read path too:
+    // plain bytes under a .gz name stay loud
+    val e3 = intercept[Exception](
+      Warc.pointReadFile("x/shard-00001.warc.gz", r10).toSeq)
+    assert(e3.getMessage.contains("extension says gzip"), e3.getMessage)
   }
 
   test("chunked transfer-encoding captures de-chunk byte-exact; malformed chunking is loud") {
