@@ -724,7 +724,7 @@ object TextAnalysis {
 
   // pair separator inside the argmax key: NUL can never occur in a symbol
   // (symbols are substrings of whitespace-split words)
-  private val PairSep = ' '
+  private val PairSep = '\u0000'
 
   /** Vocabulary cap for the driver-side incremental trainer. BPE training
     * state after the corpus aggregation is VOCABULARY-sized, so the merge

@@ -473,13 +473,18 @@ object Warc {
   /** Doc identity of a record: graft-synthesized archives carry
     * `<urn:graft:doc-N>` and audit as N (the oracle's join key); any
     * OTHER record-id (real crawls use `<urn:uuid:...>`) maps to a
-    * stable 64-bit identity — two CRC32s over the id bytes (plain and
-    * reversed) packed into one long — so a genuine container AUDITS
-    * instead of crashing on its first response record. Foreign ids are
-    * then opaque stable handles, not oracle keys. The HTTP split
-    * handles both framings a capture stores: Content-Length bodies and
-    * RFC 7230 chunked transfer-encoding (see [[dechunk]]); a message
-    * with neither is unframeable and loud.
+    * stable 64-bit identity — xxHash64 over the id's UTF-8 bytes with
+    * Spark SQL's default seed 42, i.e. exactly `xxhash64(id)` — so a
+    * genuine container AUDITS instead of crashing on its first response
+    * record, and the identity is reproducible from SQL. A non-linear
+    * hash matters here: the earlier CRC32-pair packing was GF(2)-linear
+    * in the id bits, so structured id families (sequential uuids) could
+    * collide and silently merge two records into one doc_id in every
+    * downstream join/dedup. Foreign ids are opaque stable handles, not
+    * oracle keys. The HTTP split handles both framings a capture
+    * stores: Content-Length bodies and RFC 7230 chunked
+    * transfer-encoding (see [[dechunk]]); a message with neither is
+    * unframeable and loud.
     */
   private[graft] def docIdOf(r: WarcRecord): Long = {
     val id = r.headers.getOrElse("warc-record-id",
@@ -496,9 +501,10 @@ object Warc {
             "non-numeric tail in the graft namespace"))
     else {
       // FOREIGN namespace (real crawls: <urn:uuid:...>): a stable
-      // opaque identity, not an error
+      // opaque identity, not an error — Spark SQL's xxhash64(id)
       val b = id.getBytes(UTF_8)
-      (crc32(b) << 32) | crc32(b.reverse)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
     }
   }
 
@@ -564,7 +570,11 @@ object Warc {
     * CAPTURED, chunk framing included — a reader without this path
     * cannot split a chunked capture. Loud on malformation (the record
     * framing guarantees the payload is complete, so any shortfall is
-    * corruption).
+    * corruption) — INCLUDING bytes left over after the terminal
+    * chunk/trailer: the record's Content-Length frames exactly the
+    * captured message, so a residue past the last-chunk is payload
+    * corruption, the same class gunzipMembers' trailing-garbage check
+    * catches on the compressed side.
     */
   private def dechunk(payload: Array[Byte], start: Int): Array[Byte] = {
     def lineAt(pos: Int): (String, Int) = readLine(payload, pos)
@@ -597,6 +607,10 @@ object Warc {
         pos += 2
       }
     }
+    require(pos == payload.length,
+      s"chunked body ends at offset $pos but the record payload carries " +
+        s"${payload.length - pos} trailing bytes past the trailer — " +
+        "corrupt capture")
     out.toByteArray
   }
 

@@ -358,7 +358,8 @@ object StreamOps {
                              minQuality: Double = 0.55,
                              minBlockLen: Int = 25,
                              positiveSources: Seq[String] =
-                               Seq("src0", "src1", "src2", "src3", "src4")) {
+                               Seq("src0", "src1", "src2", "src3", "src4"),
+                             maxFrontierRows: Long = 10L * 1000 * 1000) {
     import spark.implicits._
     @volatile private var frontier: DataFrame =
       Seq.empty[(Long, String, Boolean, Long)]
@@ -380,6 +381,19 @@ object StreamOps {
             Seq("doc_id", "canon_url", "allowed", "n_content"),
             "left_anti"))
         .localCheckpoint()
+      // bounded-state discipline (the reassembler's contract, applied
+      // to the session-local frontier): this state is driver-resident
+      // by design, so a long-lived stream must degrade LOUDLY at the
+      // configured bound instead of creeping toward a driver OOM — the
+      // fleet posture past the cap is the doc_id-keyed MERGE table the
+      // class scaladoc names, not a bigger in-memory frame. The count
+      // is a cheap scan of the just-materialized localCheckpoint.
+      val n = frontier.count()
+      require(n <= maxFrontierRows,
+        s"WebFunnelState frontier holds $n rows, past the configured " +
+          s"bound $maxFrontierRows — the session-local state form does " +
+          "not scale to this stream; move to the doc_id-keyed MERGE " +
+          "table posture (see class scaladoc) or raise maxFrontierRows")
       latest = Some(graft.operators.Curation.webVerdictsOverFrontier(
         spark, dir, frontier, minWords, maxWords, minQuality,
         positiveSources).localCheckpoint())
@@ -429,10 +443,34 @@ object StreamOps {
     * not decode under the default UnsafeRow state encoding — restart
     * long-lived reassembly queries from a fresh checkpoint across this
     * upgrade (or run the query with Avro state encoding, which evolves
-    * added-with-default fields).
+    * added-with-default fields). [[warnIfUnsaferowState]] surfaces this
+    * at QUERY SETUP, not just in prose.
     */
   case class WarcBuf(nextSeq: Long, baseOffset: Long, pending: Array[Byte],
                      need: Long = -1L)
+
+  /** The setup-path face of the WarcBuf state-schema note above: the
+    * default UnsafeRow state encoding cannot decode a checkpoint written
+    * before a state case class gained a field, and the failure surfaces
+    * at RESTART as an opaque state-decode error. A scaladoc can't stop
+    * that; the query setup path can at least name it — when the session
+    * is configured with the non-evolving encoding, log the upgrade
+    * contract (fresh checkpoint across state-schema changes, or switch
+    * `spark.sql.streaming.stateStore.encodingFormat` to `avro`, which
+    * evolves added-with-default fields) once per setup call.
+    */
+  private def warnIfUnsaferowState(spark: SparkSession, op: String): Unit = {
+    val fmt = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.encodingFormat").getOrElse("unsaferow")
+    if (fmt.toLowerCase(java.util.Locale.ROOT) != "avro")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op runs with UnsafeRow state encoding ($fmt): checkpoints do " +
+          "NOT survive state-schema evolution (e.g. the 3-field->4-field " +
+          "WarcBuf upgrade). Restart from a fresh checkpoint across graft " +
+          "upgrades, or set " +
+          "spark.sql.streaming.stateStore.encodingFormat=avro before " +
+          "starting long-lived queries.")
+  }
 
   /** w1's streaming twin — stateful WARC record reassembly over an
     * arbitrary-boundary chunk stream (`transformWithState`, the
@@ -622,6 +660,7 @@ object StreamOps {
                       ttl: java.time.Duration =
                         java.time.Duration.ZERO): Dataset[WetRecordRow] = {
     import spark.implicits._
+    warnIfUnsaferowState(spark, "wetRecordStream")
     chunks
       .groupByKey(_.container_id)
       .transformWithState(new WetConvertProcessor(ttl, minBlockLen),
@@ -637,6 +676,7 @@ object StreamOps {
                        ttl: java.time.Duration =
                          java.time.Duration.ZERO): Dataset[WarcRecordRow] = {
     import spark.implicits._
+    warnIfUnsaferowState(spark, "warcRecordStream")
     chunks
       .groupByKey(_.container_id)
       // TTL state requires TimeMode.ProcessingTime (the d2/d8 dial

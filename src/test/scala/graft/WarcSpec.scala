@@ -871,6 +871,10 @@ class WarcSpec extends SparkSpec {
     loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nab\r\n0\r\n\r\n") // bad hex
     loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort\r\n0\r\n\r\n") // overrun
     loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nabcde\r\n") // no last chunk
+    // residue past the trailer: the decode must consume the ENTIRE
+    // record payload — trailing garbage is corruption, not padding
+    loud("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nabcde\r\n0\r\n\r\ngarbage")
     loud("HTTP/1.1 200 OK\r\n\r\nno framing at all") // neither CL nor chunked
   }
 
@@ -894,11 +898,13 @@ class WarcSpec extends SparkSpec {
     val rows = Warc.warcFileIngest(spark, out).collect()
     assert(rows.length == 1)
     val id = rows(0).getAs[Long]("doc_id")
-    // stable across reads, and equal to the documented CRC32-pair form
-    val b = uuid.getBytes(UTF_8)
-    val c1 = new CRC32(); c1.update(b)
-    val c2 = new CRC32(); c2.update(b.reverse)
-    assert(id == ((c1.getValue << 32) | c2.getValue))
+    // stable across reads, and equal to the documented SQL-reproducible
+    // form: Spark SQL's xxhash64 (seed 42) over the raw id string — a
+    // NON-linear 64-bit hash, so structured id families (sequential
+    // uuids) can't collide the way the old GF(2)-linear CRC pair could
+    val sqlHash = spark.sql(
+      s"select xxhash64('${uuid.replace("'", "''")}')").head().getLong(0)
+    assert(id == sqlHash)
     assert(rows(0).getAs[String]("target_uri") == "https://example.com/page")
     assert(rows(0).getAs[Long]("html_len") == body.length.toLong)
     // graft-synthesized ids still audit as the numeric oracle key
