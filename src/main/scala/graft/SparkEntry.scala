@@ -151,6 +151,7 @@ object SparkEntry {
     "w3_warc_files"        -> ((s, d) => sources.Warc.warcFileRoundTrip(s, d)),
     "w4_warc_gz"           -> ((s, d) => sources.Warc.warcGzRoundTrip(s, d)),
     "w5_warc_cdx"          -> ((s, d) => sources.Warc.warcGzPointReads(s, d)),
+    "w6_cdx_lookup"        -> ((s, d) => sources.Warc.warcCdxLookup(s, d)),
     "x51_preference_pairs" -> ((s, d) => Curation.preferencePairs(s, d)),
     "i4_retrieval_eval"    -> ((s, d) => Similarity.retrievalEval(s, d)),
     "i5_index_eval"        -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
@@ -929,6 +930,8 @@ object SparkEntry {
        |      'WARC-Record-ID: <urn:graft:doc-' || doc_id || '>' || crlf ||
        |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
        |      'WARC-Target-URI: ' || url || crlf ||
+       |      'WARC-Payload-Digest: sha256:' || sha256(html) || crlf ||
+       |      'WARC-Block-Digest: sha256:' || sha256(http) || crlf ||
        |      'Content-Type: application/http;msgtype=response' || crlf ||
        |      'Content-Length: ' || ${octLenSql("http")} || crlf || crlf ||
        |      http || crlf || crlf AS rec
@@ -974,6 +977,7 @@ object SparkEntry {
        |      'WARC-Refers-To: <urn:graft:doc-' || page.doc_id || '>' || crlf ||
        |      'WARC-Date: 2024-01-01T00:00:00Z' || crlf ||
        |      'WARC-Target-URI: ' || r.url || crlf ||
+       |      'WARC-Block-Digest: sha256:' || sha256(page.main_text) || crlf ||
        |      'Content-Type: text/plain' || crlf ||
        |      'Content-Length: ' || ${octLenSql("page.main_text")} || crlf || crlf ||
        |      page.main_text || crlf || crlf AS rec
@@ -2804,6 +2808,11 @@ object SparkEntry {
     // bytes with plain-frame offsets — w1's oracle gates the
     // random-access path itself
     "w5_warc_cdx" -> w1OracleSql,
+    // w6 serves every record through the PERSISTED CDX sidecar: only
+    // the index files load; each record arrives by one positioned read
+    // of exactly compLen bytes + one member inflate — and the audit of
+    // the fetched bytes must still be w1's frame verbatim
+    "w6_cdx_lookup" -> w1OracleSql,
     "x51_preference_pairs" -> x51OracleSql,
 
     "x48_domain_profile" -> x48OracleSql,

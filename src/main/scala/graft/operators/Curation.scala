@@ -17,6 +17,23 @@ import graft.Output._
   */
 object Curation {
 
+  /** THE normalization key — lowercase, any non-alphanumeric RUN → one
+    * space (one regex pass, provably equivalent to strip-then-collapse
+    * at half the regex cost), trimmed. ONE definition shared by n1, the
+    * p1/p2 heuristic scoring and the incremental funnel closure, so no
+    * consumer can normalize differently.
+    */
+  private[graft] def normExpr: Column =
+    trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+
+  /** The static (doc_id, norm) frame of the corpus — the group-key
+    * lookup the incremental funnel closure joins (norm is a function of
+    * the corpus text, so this frame never changes under the stream).
+    */
+  private[graft] def normFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normExpr.as("norm"))
+
   /** n1: normalization-aware exact dedup — lowercase, strip non-alphanumerics,
     * collapse whitespace, THEN group. Catches the near-dups that differ only
     * in case/punctuation which byte-exact d1 misses, at the same cost: one
@@ -25,10 +42,7 @@ object Curation {
     */
   def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        // one regex pass: any non-alphanumeric RUN -> single space (provably
-        // equivalent to strip-then-collapse, at half the regex cost)
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .select(col("doc_id"), col("text"), normExpr.as("norm"))
       .groupBy(col("norm"))
       .agg(
         min(col("doc_id")).as("keep_id"),
@@ -102,8 +116,7 @@ object Curation {
       .select(
         (passthrough.map(col) ++ Seq(
           blocklistReason.as("block_reason"),
-          trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-            .as("norm"),
+          normExpr.as("norm"),
           size(toks).cast("long").as("n_words"),
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr_raw"),
           (Sketches.countInSet(toks, stops).cast("double") / size(toks))
@@ -387,6 +400,72 @@ object Curation {
         "n_content")
     webVerdictsOverFunnel(spark, dir, funnel, minWords, maxWords,
       minQuality, positiveSources)
+  }
+
+  /** INCREMENTAL keeper maintenance for the streaming funnel — the
+    * cdc3 kernel shape applied to p2's verdicts: given the accumulated
+    * frontier and the batch's NEW rows, recompute verdicts ONLY for the
+    * (canon_url / norm) groups the batch touches and return (affected
+    * doc_ids, their recomputed verdict rows) for the caller to MERGE
+    * into its maintained verdict frame. Provably row-identical to the
+    * full recompute (spec-pinned across adversarial batch prefixes):
+    *
+    * The gate composition's only cross-doc state is the two keeper
+    * windows. A new row can change `url_keep_id` only inside its own
+    * canonical group (S1 = every frontier row sharing a new row's
+    * canon_url), and a row's funnel-survival flag — the input to
+    * `keep_id` — changes only when its url_keep_id did, so keep_id can
+    * move only inside the norm groups of S1 (A = every frontier row
+    * sharing a norm with S1; norm is a function of the corpus text, so
+    * the static [[normFrame]] supplies the key). Recomputing A needs
+    * its windows' full inputs: A's norm groups are closed inside A by
+    * construction, and A's canonical groups are pulled in as
+    * window-input-only rows (R) whose own recomputed verdicts are
+    * DISCARDED — any R-row whose norm touched an affected group would
+    * already be in A, so partial norm groups in R never leak into kept
+    * output. Every other doc's verdict inputs are untouched, so the
+    * maintained rows stand.
+    *
+    * Scale shape: two semi-join closures over the frontier (key-only
+    * columns) plus the full gate composition over R — the batch-touched
+    * groups — instead of over the whole corpus; the doc-keyed verdict
+    * joins (contamination, memo-shared cls scores) probe with R-sized
+    * frames. This is the maintained-TABLE posture the WebFunnelState
+    * scaladoc names, in code.
+    */
+  private[graft] def webVerdictsIncrement(spark: SparkSession, dir: String,
+                                          frontier: DataFrame,
+                                          newRows: DataFrame,
+                                          minWords: Int = 5,
+                                          maxWords: Int = 1000,
+                                          minQuality: Double = 0.55,
+                                          positiveSources: Seq[String] =
+                                            Seq("src0", "src1", "src2", "src3", "src4"))
+      : (DataFrame, DataFrame) = {
+    val norms = normFrame(spark, dir)
+    val frontierCols = Seq("doc_id", "canon_url", "allowed", "n_content")
+    // S1: full canonical groups of the batch's rows
+    val s1 = frontier.join(
+      newRows.select("canon_url").distinct(), Seq("canon_url"), "left_semi")
+    // A: S1 plus every frontier row sharing a norm with S1 (frontier
+    // rows are exact-duplicate-free — the caller's anti-join — so the
+    // distinct() after the union collapses only the overlap)
+    val n1 = s1.join(norms, Seq("doc_id")).select("norm").distinct()
+    val aNorm = frontier.join(norms, Seq("doc_id"))
+      .join(n1, Seq("norm"), "left_semi")
+      .select(frontierCols.map(col): _*)
+    val a = s1.select(frontierCols.map(col): _*).unionByName(aNorm).distinct()
+    // R: A plus the full canonical groups of A's rows (url_keep window
+    // inputs for A; recomputed rows outside A are discarded below)
+    val r = frontier.join(
+        a.select("canon_url").distinct(), Seq("canon_url"), "left_semi")
+      .select(frontierCols.map(col): _*)
+      .unionByName(a).distinct()
+    val aIds = a.select("doc_id").distinct()
+    val verdA = webVerdictsOverFrontier(spark, dir, r, minWords, maxWords,
+      minQuality, positiveSources)
+      .join(aIds, Seq("doc_id"), "left_semi")
+    (aIds, verdA)
   }
 
   /** The gate composition downstream of the crawl funnel, shared by the

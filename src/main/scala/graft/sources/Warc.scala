@@ -87,11 +87,19 @@ object Warc {
       "Content-Type: text/html" + CRLF +
       s"Content-Length: ${htmlBytes.length}" + CRLF + CRLF).getBytes(UTF_8)
     val httpLen = httpHead.length + htmlBytes.length
+    // ISO 28500 §5.9 digest headers: payload digest over the HTTP
+    // entity body, block digest over the whole content block (the HTTP
+    // message) — labelled sha-256 hex (see sha256Label for why not
+    // sha1:BASE32 here), VERIFIED on every read path (verifyDigests)
+    val block = new java.io.ByteArrayOutputStream(httpLen)
+    block.write(httpHead); block.write(htmlBytes)
     val warcHead = ("WARC/1.0" + CRLF +
       "WARC-Type: response" + CRLF +
       s"WARC-Record-ID: <urn:graft:doc-$id>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
+      s"WARC-Payload-Digest: ${sha256Label(htmlBytes)}" + CRLF +
+      s"WARC-Block-Digest: ${sha256Label(block.toByteArray)}" + CRLF +
       "Content-Type: application/http;msgtype=response" + CRLF +
       s"Content-Length: $httpLen" + CRLF + CRLF).getBytes(UTF_8)
     frame(Seq(warcHead, httpHead), htmlBytes)
@@ -130,12 +138,40 @@ object Warc {
     * Common Crawl layout — never one stream over the whole container,
     * which would destroy offset addressability).
     */
-  private[graft] def buildGzContainer(docs: Seq[(Long, String)]): Array[Byte] = {
+  private[graft] def buildGzContainer(docs: Seq[(Long, String)]): Array[Byte] =
+    buildGzContainerWithCdx(docs)._1
+
+  /** The gz container PLUS its CDX index in one build: offsets are the
+    * running lengths of the byte arrays actually being concatenated
+    * (they cannot drift from the written container), and the indexed
+    * header fields are parsed back from the record bytes JUST BUILT —
+    * so the stage-time sidecar costs no second inflate+parse walk over
+    * the container (measured ~2x the whole gz staging pass), while a
+    * FOREIGN archive still gets its index through the fully verified
+    * walk ([[cdxEntries]]), and the spec pins the two derivations equal
+    * on written shards. The serve path re-verifies everything loudly
+    * anyway (compLen-consumed and plainLen cross-checks, CRC32/ISIZE,
+    * record frame), so a drifted index cannot serve quietly.
+    */
+  private[graft] def buildGzContainerWithCdx(docs: Seq[(Long, String)])
+      : (Array[Byte], Seq[CdxEntry]) = {
     val out = new java.io.ByteArrayOutputStream()
+    val entries = Seq.newBuilder[CdxEntry]
+    var plainOff = 0L
     docs.sortBy(_._1).foreach { case (id, text) =>
-      out.write(gzipMember(buildRecord(id, text)))
+      val rec = buildRecord(id, text)
+      val member = gzipMember(rec)
+      val headers = parseHead(rec, 0, 0L).getOrElse(
+        sys.error(s"built record for doc $id does not parse its own head"))._1
+      entries += CdxEntry(headers.getOrElse("warc-target-uri", "-"),
+        headers.getOrElse("warc-type", "(missing)")
+          .toLowerCase(Locale.ROOT),
+        headers.getOrElse("warc-record-id", "-"),
+        out.size().toLong, member.length.toLong, plainOff, rec.length.toLong)
+      out.write(member)
+      plainOff += rec.length
     }
-    out.toByteArray
+    (out.toByteArray, entries.result())
   }
 
   private[graft] val GzMagic0: Byte = 0x1f.toByte
@@ -180,13 +216,40 @@ object Warc {
     * single-member walk gunzipMembers, the member index, and the
     * random-access read all share, so the four can never disagree on
     * member framing. All of gunzipMembers' corruption classes throw
-    * from here.
+    * from here. A member that ENDS prematurely is corruption too: a
+    * complete container must inflate entirely.
     */
   private def inflateMemberAt(bytes: Array[Byte], start: Int,
-                              out: java.io.ByteArrayOutputStream): Int = {
+                              out: java.io.ByteArrayOutputStream): Int =
+    inflateMemberCore(bytes, start, out, complete = true)
+
+  /** The STREAMING face of the member walk: -1 when the member's bytes
+    * END before its trailer (incompleteness — buffer more bytes, retry
+    * from the same member start), a LOUD throw on genuine corruption
+    * (bad magic/method/reserved flags, a broken deflate stream, a
+    * CRC32/ISIZE trailer mismatch). The corruption-vs-incompleteness
+    * split is the gz twin of parseWarcPrefix's record-framing contract.
+    * On -1 the sink holds PARTIAL output — callers pass a throwaway
+    * sink per attempt.
+    */
+  private[graft] def tryInflateMemberAt(bytes: Array[Byte], start: Int,
+                                        out: java.io.ByteArrayOutputStream): Int =
+    inflateMemberCore(bytes, start, out, complete = false)
+
+  /** The one member walk behind both faces: `complete = true` throws
+    * the batch reader's truncation messages, `complete = false` signals
+    * truncation as -1 (more bytes needed) and reserves throwing for
+    * corruption classes that no further bytes could repair.
+    */
+  private def inflateMemberCore(bytes: Array[Byte], start: Int,
+                                out: java.io.ByteArrayOutputStream,
+                                complete: Boolean): Int = {
     var pos = start
     val memberStart = pos
-    require(bytes.length - pos >= 10,
+    def short(msg: => String): Int = {
+      require(!complete, msg); -1
+    }
+    if (bytes.length - pos < 10) return short(
       s"truncated gzip member header at compressed offset $pos: " +
         s"${bytes.length - pos} bytes remain (header needs 10)")
     require(bytes(pos) == GzMagic0 && bytes(pos + 1) == GzMagic1,
@@ -201,23 +264,24 @@ object Warc {
         f"(0x$flg%02x) — corrupt header")
     pos += 10
     if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
-      require(bytes.length - pos >= 2,
+      if (bytes.length - pos < 2) return short(
         s"truncated FEXTRA length at compressed offset $pos")
       val xlen = (bytes(pos) & 0xff) | ((bytes(pos + 1) & 0xff) << 8)
-      require(bytes.length - pos - 2 >= xlen,
+      if (bytes.length - pos - 2 < xlen) return short(
         s"truncated FEXTRA payload ($xlen B) at compressed offset $pos")
       pos += 2 + xlen
     }
-    def skipZeroTerminated(field: String): Unit = {
+    def skipZeroTerminated(field: String): Boolean = {
       while (pos < bytes.length && bytes(pos) != 0) pos += 1
-      require(pos < bytes.length,
-        s"unterminated gzip $field field in member at offset $memberStart")
-      pos += 1
+      if (pos >= bytes.length) false
+      else { pos += 1; true }
     }
-    if ((flg & 8) != 0) skipZeroTerminated("FNAME")
-    if ((flg & 16) != 0) skipZeroTerminated("FCOMMENT")
+    if ((flg & 8) != 0 && !skipZeroTerminated("FNAME")) return short(
+      s"unterminated gzip FNAME field in member at offset $memberStart")
+    if ((flg & 16) != 0 && !skipZeroTerminated("FCOMMENT")) return short(
+      s"unterminated gzip FCOMMENT field in member at offset $memberStart")
     if ((flg & 2) != 0) pos += 2 // FHCRC
-    require(pos <= bytes.length,
+    if (pos > bytes.length) return short(
       s"gzip member header at compressed offset $memberStart overruns " +
         "the container")
     val inf = new java.util.zip.Inflater(true)
@@ -234,7 +298,7 @@ object Warc {
               sys.error(s"corrupt deflate stream in gzip member at " +
                 s"compressed offset $memberStart: ${e.getMessage}")
           }
-        require(n > 0 || inf.finished(),
+        if (n == 0 && !inf.finished()) return short(
           s"truncated gzip member at compressed offset $memberStart: " +
             "deflate stream ends before its final block")
         out.write(buf, 0, n)
@@ -243,7 +307,7 @@ object Warc {
       }
       val consumed = inf.getBytesRead
       val trailerAt = pos + consumed.toInt
-      require(bytes.length - trailerAt >= 8,
+      if (bytes.length - trailerAt < 8) return short(
         s"truncated gzip trailer for member at compressed offset " +
           s"$memberStart: need 8 bytes at $trailerAt, have " +
           s"${bytes.length - trailerAt}")
@@ -295,7 +359,11 @@ object Warc {
     * member boundary — the magic check catches mid-member offsets) and
     * return its bytes. With the per-record-member layout this is the
     * fetch-one-record path a CDX offset points at: no other byte of
-    * the container is inflated.
+    * the container is inflated. Takes a whole in-memory container, so
+    * the Int narrowing is safe under the ~2 GiB JVM array bound the
+    * caller already lives within; the path that never holds the
+    * container — the persisted-CDX serve — does its positioned read
+    * with a true Long offset ([[fetchGzMember]]).
     */
   private[graft] def readGzMemberAt(bytes: Array[Byte],
                                     compOffset: Long): Array[Byte] = {
@@ -304,6 +372,101 @@ object Warc {
     val sink = new java.io.ByteArrayOutputStream(64 * 1024)
     inflateMemberAt(bytes, compOffset.toInt, sink)
     sink.toByteArray
+  }
+
+  /** One row of the PERSISTED record index — the CDX sidecar line: the
+    * record's target URI, WARC type and record-id, where its gzip
+    * member sits in the compressed container (compOffset/compLen — the
+    * ranged-GET coordinates), and where the record sits in the plain
+    * stream (plainOffset/plainLen — the WARC-frame offsets the audit
+    * reports). Built ONCE at stage time from the container bytes
+    * themselves ([[cdxEntries]] — parse-back, never parallel
+    * bookkeeping), shipped as the `shard-NNNNN.cdx` sidecar, and read
+    * by the point-serve path ([[warcCdxLookup]]) so a lookup fetches
+    * exactly compLen bytes without touching the rest of the file.
+    */
+  case class CdxEntry(targetUri: String, warcType: String, recordId: String,
+                      compOffset: Long, compLen: Long,
+                      plainOffset: Long, plainLen: Long)
+
+  /** Derive the CDX index of a gz container FROM ITS BYTES: the same
+    * CRC/ISIZE-verified member walk as full inflation, each member
+    * parsed back through the record seam (per-record-member layout
+    * required — a multi-record member would make member-granular point
+    * reads serve more than the looked-up record). This is the stage-
+    * time half of the CDX contract; deriving from the written bytes
+    * (not from the writer's own doc list) means a sidecar can also be
+    * built for a FOREIGN `.warc.gz` archive, and the index can never
+    * disagree with what a reader of the container would frame.
+    */
+  private[graft] def cdxEntries(bytes: Array[Byte]): Seq[CdxEntry] = {
+    val out = Seq.newBuilder[CdxEntry]
+    val sink = new java.io.ByteArrayOutputStream(64 * 1024)
+    var pos = 0
+    var plainOff = 0L
+    while (pos < bytes.length) {
+      sink.reset()
+      val next = inflateMemberAt(bytes, pos, sink)
+      val member = sink.toByteArray
+      val recs = parseWarc(member)
+      require(recs.length == 1,
+        s"gzip member at compressed offset $pos frames ${recs.length} " +
+          "records — the CDX point-read contract needs the per-record-" +
+          "member layout")
+      val r = recs.head
+      out += CdxEntry(r.headers.getOrElse("warc-target-uri", "-"),
+        recordType(r), r.headers.getOrElse("warc-record-id", "-"),
+        pos.toLong, (next - pos).toLong, plainOff, member.length.toLong)
+      plainOff += member.length
+      pos = next
+    }
+    out.result()
+  }
+
+  /** The sidecar's self-describing header line — field names in column
+    * order, so a reader can verify it parses the layout it was written
+    * with (the classic CDX ` CDX A b ...` convention, spelled plainly).
+    */
+  private[graft] val CdxHeader =
+    "CDX uri type record-id comp-offset comp-len plain-offset plain-len"
+
+  /** Serialize CDX entries as the sidecar's text bytes: the header line
+    * then one space-separated line per record. Space-FREE fields are a
+    * write-time requirement (URIs/record-ids in this layout never carry
+    * spaces; one that did would corrupt the column split for every
+    * consumer, so it fails loudly at stage time, not silently at serve
+    * time).
+    */
+  private[graft] def cdxBytes(entries: Seq[CdxEntry]): Array[Byte] = {
+    val sb = new StringBuilder(CdxHeader).append('\n')
+    entries.foreach { e =>
+      Seq(e.targetUri, e.warcType, e.recordId).foreach(f =>
+        require(f.nonEmpty && !f.exists(_.isWhitespace),
+          s"CDX field '$f' is empty or carries whitespace — unwritable " +
+            "in the space-separated sidecar layout"))
+      sb.append(e.targetUri).append(' ').append(e.warcType).append(' ')
+        .append(e.recordId).append(' ').append(e.compOffset).append(' ')
+        .append(e.compLen).append(' ').append(e.plainOffset).append(' ')
+        .append(e.plainLen).append('\n')
+    }
+    sb.result().getBytes(UTF_8)
+  }
+
+  /** Parse a sidecar back to its entries — loud on a missing/mismatched
+    * header or a malformed line (a truncated sidecar must never serve a
+    * partial index as if it were the whole container).
+    */
+  private[graft] def parseCdx(file: String, text: String): Seq[CdxEntry] = {
+    val lines = text.split("\n", -1)
+    require(lines.nonEmpty && lines.head == CdxHeader,
+      s"$file: not a graft CDX sidecar (bad header line " +
+        s"'${lines.headOption.getOrElse("")}')")
+    lines.iterator.drop(1).filter(_.nonEmpty).map { l =>
+      val f = l.split(" ")
+      require(f.length == 7, s"$file: malformed CDX line '$l'")
+      CdxEntry(f(0), f(1), f(2), f(3).toLong, f(4).toLong, f(5).toLong,
+        f(6).toLong)
+    }.toSeq
   }
 
   /** Parse ONE record starting at `start`. `Some((record, nextPos))` on
@@ -620,12 +783,105 @@ object Warc {
     c.getValue
   }
 
+  private def digest(algo: String, bytes: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance(algo).digest(bytes)
+
+  private def hexLower(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  /** RFC 4648 base32 (the WARC digest convention — Common Crawl writes
+    * `sha1:BASE32`), zero-dep: 5-byte groups → 8 chars of the
+    * A-Z/2-7 alphabet; a 20-byte sha1 encodes to exactly 32 chars with
+    * no padding. Trailing partial groups pad with '=' per the RFC (a
+    * 32-byte sha256 would carry 4), though the synthesized records
+    * never need it.
+    */
+  private[graft] def base32(bytes: Array[Byte]): String = {
+    val alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val group = math.min(5, bytes.length - i)
+      var acc = 0L
+      for (j <- 0 until group) acc |= (bytes(i + j) & 0xffL) << (32 - 8 * j)
+      val chars = group match {
+        case 5 => 8; case 4 => 7; case 3 => 5; case 2 => 4; case 1 => 2
+      }
+      for (j <- 0 until chars) sb.append(alpha(((acc >> (35 - 5 * j)) & 31).toInt))
+      for (_ <- chars until 8) sb.append('=')
+      i += group
+    }
+    sb.result()
+  }
+
+  /** The digest header values the SYNTHESIZED records carry: labelled
+    * sha-256 hex (ISO 28500 §5.8's labelled-digest syntax names the
+    * algorithm precisely so any may be used; sha-256 is the choice the
+    * DuckDB oracle can replay byte-for-byte — DuckDB 1.0 has `sha256`
+    * but no `sha1` — and hex is its native encoding). The VERIFIER
+    * ([[verifyDigests]]) additionally speaks `sha1:`BASE32, the Common
+    * Crawl convention, so real archives check too.
+    */
+  private def sha256Label(bytes: Array[Byte]): String =
+    "sha256:" + hexLower(digest("SHA-256", bytes))
+
+  /** Verify one labelled digest header (ISO 28500 §5.8) against the
+    * data it covers: `sha256:` hex and `sha1:` base32 (the Common
+    * Crawl convention) both check; a mismatch is CORRUPTION and loud —
+    * this is the content-integrity check the gzip CRC only provides on
+    * the gz transport, now on every read path. An unknown algorithm
+    * label is tolerated (foreign-namespace discipline: a real archive
+    * may label digests this reader cannot compute; skipping is honest,
+    * mis-verifying is not), as is an absent header.
+    */
+  private def verifyDigest(label: String, value: Option[String],
+                           data: Array[Byte], where: => String): Unit =
+    value.foreach { v =>
+      val idx = v.indexOf(':')
+      require(idx > 0, s"malformed $label '$v' at $where (no algorithm label)")
+      val want = v.substring(idx + 1).trim
+      val got = v.substring(0, idx).trim.toLowerCase(Locale.ROOT) match {
+        case "sha256" => Some(hexLower(digest("SHA-256", data)))
+        case "sha1" => Some(base32(digest("SHA-1", data)))
+        case _ => None // foreign algorithm label: tolerated, not checked
+      }
+      got.foreach(g => require(g.equalsIgnoreCase(want),
+        s"$label mismatch at $where: header says '$v', data digests to " +
+          s"'$g' — corrupt record content"))
+    }
+
+  /** Verify a record's WARC-Block-Digest (over the full content block,
+    * i.e. the record payload) and WARC-Payload-Digest (over the logical
+    * payload — for application/http records the entity BODY after
+    * framing decode, per ISO 28500 §5.9) when the headers are present.
+    * Called on every read path that splits the record's content, so a
+    * flipped payload byte is loud on the PLAIN transport too, not just
+    * under the gzip trailer check.
+    */
+  private[graft] def verifyDigests(r: WarcRecord, body: Array[Byte]): Unit = {
+    verifyDigest("WARC-Block-Digest", r.headers.get("warc-block-digest"),
+      r.payload, s"record offset ${r.offset}")
+    verifyDigest("WARC-Payload-Digest", r.headers.get("warc-payload-digest"),
+      body, s"record offset ${r.offset}")
+  }
+
+  /** The HTTP split + digest verification every response consumer runs:
+    * ONE definition, so no read path can split without checking.
+    */
+  private[graft] def parseHttpVerified(r: WarcRecord): (Int, Array[Byte]) = {
+    val (status, body) = parseHttp(r.payload)
+    verifyDigests(r, body)
+    (status, body)
+  }
+
   /** The WET `conversion` record for one extracted document — the
     * Common Crawl shape: plain-text payload, a Refers-To link back to
     * the response record it was converted from.
     */
   private[graft] def buildWetRecord(id: Long, mainText: String): Array[Byte] = {
-    // byte-counted Content-Length (see buildRecord)
+    // byte-counted Content-Length (see buildRecord); a conversion
+    // record's content block IS its logical payload, so it carries the
+    // block digest only (the Common Crawl WET shape)
     val textBytes = mainText.getBytes(UTF_8)
     val head = ("WARC/1.0" + CRLF +
       "WARC-Type: conversion" + CRLF +
@@ -633,6 +889,7 @@ object Warc {
       s"WARC-Refers-To: <urn:graft:doc-$id>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
+      s"WARC-Block-Digest: ${sha256Label(textBytes)}" + CRLF +
       "Content-Type: text/plain" + CRLF +
       s"Content-Length: ${textBytes.length}" + CRLF + CRLF).getBytes(UTF_8)
     frame(Seq(head), textBytes)
@@ -665,14 +922,14 @@ object Warc {
     * shared by batch w2 and the streaming WET face — the same-bytes
     * guarantee between the two is this function existing once.
     */
-  private[graft] def wetRecordFor(id: Long, httpPayload: Array[Byte],
+  private[graft] def wetRecordFor(r: WarcRecord,
                                   minBlockLen: Int): Array[Byte] = {
-    val (_, body) = parseHttp(httpPayload)
+    val (_, body) = parseHttpVerified(r)
     val mainText = Html.TagWalkBlocker
       .blocks(new String(body, UTF_8))
       .filter(Html.isContent(_, minBlockLen))
       .iterator.map(_.text).mkString("\n")
-    buildWetRecord(id, mainText)
+    buildWetRecord(docIdOf(r), mainText)
   }
 
   def wetExtract(spark: SparkSession, dir: String, shardSize: Int = 50,
@@ -688,9 +945,12 @@ object Warc {
         val warc = buildContainer(docs)
         val out = new java.io.ByteArrayOutputStream()
         parseWarc(warc).foreach { r =>
-          out.write(wetRecordFor(docIdOf(r), r.payload, minBlockLen))
+          out.write(wetRecordFor(r, minBlockLen))
         }
         parseWarc(out.toByteArray).map { r =>
+          // a conversion record's payload IS its content block: the
+          // block digest written at build re-verifies on the parse-back
+          verifyDigests(r, r.payload)
           val id = r.headers("warc-record-id")
             .stripPrefix("<urn:graft:wet-").stripSuffix(">").toLong
           (id, shard, r.offset, r.recLen,
@@ -725,6 +985,52 @@ object Warc {
     * either wins or yields to an identical twin); the streaming face
     * additionally requires append-only dirs (see warcFileStream).
     */
+  /** Task-commit protocol for one staged file: write to an
+    * attempt-unique temp file, then commit by rename (the FileSystem
+    * API — universal across connectors, and ~25 ms/file cheaper than
+    * FileContext's resolve-heavy path on local FS, measured). On POSIX
+    * local FS the rename atomically replaces an existing dest; on HDFS
+    * a fresh dest renames in one atomic op, and only a PRE-EXISTING
+    * dest takes the delete+retry branch. Every path keeps the real
+    * invariant: the DEST is only ever a COMPLETE file — rename is
+    * atomic per file and duplicate attempts write byte-identical bytes
+    * — so a speculative duplicate or an interrupted attempt can never
+    * leave a TORN file whose boundary-aligned truncation would parse
+    * cleanly (the one corruption class the loud-failure parser cannot
+    * see). A rename lost to an identical twin leaves the winner's
+    * complete file; a failed attempt deletes its own temp so retries
+    * never leak orphans.
+    */
+  private def commitStagedFile(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               name: String, bytes: Array[Byte]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".$name.${java.util.UUID.randomUUID()}.tmp")
+    try {
+      val os = fs.create(tmp, true)
+      try os.write(bytes) finally os.close()
+      if (!fs.rename(tmp, p)) {
+        // dest already exists on a no-overwrite-rename FS: replace it
+        // (a restage of the same deterministic corpus writes the same
+        // bytes; a different corpus staged to the same path must see
+        // ITS bytes, not stale ones)
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          require(fs.exists(p),
+            s"rename $tmp -> $p failed with no committed file")
+          // an identical twin attempt won the race — its complete
+          // file stands; drop this attempt's temp
+          fs.delete(tmp, false)
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
                      shardSize: Int = 50, gz: Boolean = false): Long = {
     import spark.implicits._
@@ -738,54 +1044,24 @@ object Warc {
       .groupByKey(_._3)
       .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
-        val container =
-          if (gz) buildGzContainer(docs) else buildContainer(docs)
+        val (container, cdx) =
+          if (gz) buildGzContainerWithCdx(docs)
+          else (buildContainer(docs), Seq.empty[CdxEntry])
         val root0 = new org.apache.hadoop.fs.Path(outPath)
         val fs = root0.getFileSystem(hconf.value)
         // qualify ONCE so the FileSystem and FileContext APIs resolve
         // the same location (they disagree on relative paths: cwd vs
         // home directory)
         val root = fs.makeQualified(root0)
-        val p = new org.apache.hadoop.fs.Path(root, f"shard-$shard%05d.$ext")
-        // Task-commit protocol: write to an attempt-unique temp file,
-        // then commit by rename (the FileSystem API — universal across
-        // connectors, and ~25 ms/file cheaper than FileContext's
-        // resolve-heavy path on local FS, measured). On POSIX local FS
-        // the rename atomically replaces an existing dest; on HDFS a
-        // fresh dest renames in one atomic op, and only a PRE-EXISTING
-        // dest takes the delete+retry branch. Every path keeps the real
-        // invariant: the DEST is only ever a COMPLETE container — rename
-        // is atomic per file and duplicate attempts write byte-identical
-        // bytes — so a speculative duplicate or an interrupted attempt
-        // can never leave a TORN file whose boundary-aligned truncation
-        // would parse cleanly (the one corruption class the loud-failure
-        // parser cannot see). A rename lost to an identical twin leaves
-        // the winner's complete file; a failed attempt deletes its own
-        // temp so retries never leak orphans.
-        val tmp = new org.apache.hadoop.fs.Path(root,
-          f".shard-$shard%05d.$ext.${java.util.UUID.randomUUID()}.tmp")
-        try {
-          val os = fs.create(tmp, true)
-          try os.write(container) finally os.close()
-          if (!fs.rename(tmp, p)) {
-            // dest already exists on a no-overwrite-rename FS: replace
-            // it (a restage of the same deterministic corpus writes the
-            // same bytes; a different corpus staged to the same path
-            // must see ITS bytes, not stale ones)
-            if (fs.exists(p)) fs.delete(p, false)
-            if (!fs.rename(tmp, p)) {
-              require(fs.exists(p),
-                s"rename $tmp -> $p failed with no committed file")
-              // an identical twin attempt won the race — its complete
-              // container stands; drop this attempt's temp
-              fs.delete(tmp, false)
-            }
-          }
-        } catch {
-          case e: Throwable =>
-            try fs.delete(tmp, false) catch { case _: Throwable => () }
-            throw e
-        }
+        commitStagedFile(fs, root, f"shard-$shard%05d.$ext", container)
+        // gz staging ALSO commits the CDX sidecar — the record index a
+        // point-read serve needs, built once AT WRITE TIME alongside
+        // the container (same build pass — see buildGzContainerWithCdx
+        // for why not a second verified walk): it buys every future
+        // lookup a ranged read of exactly compLen bytes. Same commit
+        // protocol, so a sidecar is only ever COMPLETE.
+        if (gz)
+          commitStagedFile(fs, root, f"shard-$shard%05d.cdx", cdxBytes(cdx))
         shard
       }
       .count()
@@ -858,7 +1134,7 @@ object Warc {
     // oracle can never be confused by (the driver corpus is
     // response-only; a mixed container is spec-pinned).
     recs.iterator.filter(isResponse).map { r =>
-      val (status, body) = parseHttp(r.payload)
+      val (status, body) = parseHttpVerified(r)
       (docIdOf(r), shard, r.offset, r.recLen,
         r.headers("warc-target-uri"), status, body)
     }
@@ -1115,7 +1391,7 @@ object Warc {
       val r = recs.head
       if (!isResponse(r)) None
       else {
-        val (status, body) = parseHttp(r.payload)
+        val (status, body) = parseHttpVerified(r)
         Some(auditRow(docIdOf(r), shard, plainOff, r.recLen,
           r.headers("warc-target-uri"), status, body))
       }
@@ -1132,6 +1408,131 @@ object Warc {
       .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (file, bytes) =>
         pointReadFile(file, bytes)
+      })
+      .toDF(AuditCols: _*)
+      .orderedBy("doc_id")
+  }
+
+  /** Fetch ONE gzip member's compressed bytes by a POSITIONED read of
+    * exactly `compLen` bytes at `compOffset` — the object-store
+    * ranged-GET shape (`FSDataInputStream.readFully(position, ...)`
+    * never moves the stream's cursor and never reads a byte outside
+    * [compOffset, compOffset+compLen)). The offset stays a true Long
+    * end to end: this path never holds the container in memory, so the
+    * ~2 GiB array bound that lets [[readGzMemberAt]] narrow to Int does
+    * not apply here.
+    */
+  private[graft] def fetchGzMember(in: org.apache.hadoop.fs.FSDataInputStream,
+                                   compOffset: Long,
+                                   compLen: Long): Array[Byte] = {
+    require(compOffset >= 0 && compLen > 0 && compLen <= MaxRecordBytes,
+      s"implausible CDX member coordinates (offset $compOffset, " +
+        s"len $compLen) — corrupt sidecar")
+    val buf = new Array[Byte](compLen.toInt)
+    in.readFully(compOffset, buf, 0, buf.length)
+    buf
+  }
+
+  /** The per-container CDX serve: for each looked-up entry, ONE ranged
+    * fetch of its member ([[fetchGzMember]]), inflate, verify the
+    * member spans EXACTLY the sidecar's compLen (an index drifted from
+    * its container must fail loudly, not serve a mis-framed record),
+    * parse the single record through the seam, and audit the FETCHED
+    * bytes. Non-response entries are never even fetched — the sidecar
+    * carries the type, so the type discipline costs zero bytes of
+    * traffic here (w5's in-memory walk still had to inflate them).
+    * Entries serve in compOffset order (forward-seeking locality on a
+    * spinning/remote medium); the audit's rec_offset comes from the
+    * sidecar's plain-offset accounting, cross-checked against the
+    * inflated record's own frame length.
+    */
+  private[graft] def serveCdxEntries(in: org.apache.hadoop.fs.FSDataInputStream,
+                                     file: String, shard: Long,
+                                     entries: Seq[CdxEntry])
+      : Iterator[(Long, Long, Long, Long, String, Int, Long, Long)] = {
+    entries.filter(_.warcType == "response").sortBy(_.compOffset)
+      .iterator.map { e =>
+        val member = fetchGzMember(in, e.compOffset, e.compLen)
+        val sink = new java.io.ByteArrayOutputStream(
+          math.min(e.plainLen, 1L << 20).toInt max 64)
+        val consumed = inflateMemberAt(member, 0, sink)
+        require(consumed == member.length,
+          s"$file: member at comp-offset ${e.compOffset} spans $consumed " +
+            s"compressed bytes but the CDX sidecar says ${e.compLen} — " +
+            "index drifted from its container")
+        val recs = parseWarc(sink.toByteArray)
+        require(recs.length == 1,
+          s"$file: member at comp-offset ${e.compOffset} frames " +
+            s"${recs.length} records (per-record layout expects 1)")
+        val r = recs.head
+        require(r.recLen == e.plainLen,
+          s"$file: record at comp-offset ${e.compOffset} frames " +
+            s"${r.recLen} plain bytes but the CDX sidecar says " +
+            s"${e.plainLen} — index drifted from its container")
+        val (status, body) = parseHttpVerified(r)
+        auditRow(docIdOf(r), shard, e.plainOffset, r.recLen,
+          r.headers("warc-target-uri"), status, body)
+      }
+  }
+
+  /** The sidecar naming contract: shard id from `shard-NNNNN.cdx`, and
+    * the container path it indexes (same directory, `.warc.gz`).
+    */
+  private[graft] def cdxShardOf(file: String): (Long, String) = {
+    val slash = file.lastIndexOf('/')
+    val base = file.substring(slash + 1)
+    require(base.startsWith("shard-") && base.endsWith(".cdx"),
+      s"not a shard CDX sidecar: $file")
+    val shard = scala.util.Try(base.stripPrefix("shard-")
+      .stripSuffix(".cdx").toLong).getOrElse(
+      sys.error(s"not a shard CDX sidecar: $file (non-numeric shard)"))
+    (shard, file.substring(0, slash + 1) +
+      base.stripSuffix(".cdx") + ".warc.gz")
+  }
+
+  /** w6: the PERSISTED-CDX point-read serve — the true ranged-read form
+    * of w5: the record index is built once at STAGE time (the gz writer
+    * commits a `shard-NNNNN.cdx` sidecar next to every container,
+    * [[writeWarcFiles]]), and the serve path loads ONLY the sidecars —
+    * each a few bytes per record — then fetches every looked-up record
+    * with one positioned read of exactly compLen bytes
+    * ([[fetchGzMember]]) and one single-member inflate. The container
+    * is NEVER loaded: no `binaryFile` row holds it, no byte outside the
+    * fetched members is read — the object-store ranged-GET posture a
+    * CDX service actually runs. This query serves EVERY record (the
+    * hash-gate needs the full corpus: the oracle is w1's verbatim); a
+    * real lookup service would first semi-join the CDX frame down to
+    * the requested ids — same plan with a smaller sidecar frame, which
+    * is exactly why the index is the unit that travels.
+    *
+    * Scale shape: staging memo-shared with w4/w5; serve parallelism =
+    * #sidecars, per-task traffic = Σ compLen of the records it looks up
+    * plus the sidecar itself, per-fetch memory = one member. Corruption
+    * discipline: a sidecar drifted from its container fails loudly on
+    * the compLen/plainLen cross-checks; a truncated sidecar fails its
+    * header/line parse; the fetched member still runs the full
+    * CRC32/ISIZE + record-frame verification chain.
+    */
+  def warcCdxLookup(spark: SparkSession, dir: String,
+                    shardSize: Int = 50): DataFrame = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.cdx")
+      .load(stagedWarcDir(spark, dir, shardSize, gz = true))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (cdxPath, cdxContent) =>
+        val (shard, containerPath) = cdxShardOf(cdxPath)
+        val entries = parseCdx(cdxPath, new String(cdxContent, UTF_8))
+        val p = new org.apache.hadoop.fs.Path(containerPath)
+        val fs = p.getFileSystem(hconf.value)
+        val in = fs.open(p)
+        // materialize before close: the serve iterator is lazy and the
+        // stream must outlive every fetch; bounded by one shard's audit
+        try serveCdxEntries(in, containerPath, shard, entries).toVector
+        finally in.close()
       })
       .toDF(AuditCols: _*)
       .orderedBy("doc_id")
@@ -1155,7 +1556,7 @@ object Warc {
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val container = buildContainer(docs)
         parseWarc(container).map { r =>
-          val (status, body) = parseHttp(r.payload)
+          val (status, body) = parseHttpVerified(r)
           auditRow(docIdOf(r), shard, r.offset, r.recLen,
             r.headers("warc-target-uri"), status, body)
         }

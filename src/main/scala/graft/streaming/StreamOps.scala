@@ -332,12 +332,18 @@ object StreamOps {
     * mode), not an append log.
     *
     * Scale shape: per closed container, one narrow kernel pass over its
-    * records + the gate composition over the accumulated frontier
-    * (windows on canonical/norm keys, two doc-keyed verdict joins; the
-    * cls gate's training is memo-shared on the session, paid once).
-    * State = 4 columns × docs seen, localCheckpointed — at fleet scale
-    * a Delta/Iceberg table keyed on doc_id with the same recompute (or
-    * an incremental keeper-maintenance MERGE) per landing batch.
+    * records + INCREMENTAL keeper maintenance (the default): the gate
+    * composition reruns only over the (canon_url / norm) groups the
+    * batch touches ([[graft.operators.Curation.webVerdictsIncrement]] —
+    * two key-only semi-join closures pick the affected rows, the
+    * recompute MERGEs into the maintained verdict frame), so per-batch
+    * cost tracks batch-touched groups, not the accumulated corpus;
+    * `incremental = false` keeps the full-frontier recompute as the
+    * spec-pinned equality reference. The cls gate's training is
+    * memo-shared on the session, paid once. State = 4 columns x docs
+    * seen plus the verdict frame, localCheckpointed — at fleet scale a
+    * Delta/Iceberg table keyed on doc_id with the same MERGE per
+    * landing batch.
     *
     * SESSION-LOCAL state, like [[Scd2State]]: the accumulated frontier
     * lives in this object, NOT in the streaming checkpoint. Start each
@@ -359,7 +365,8 @@ object StreamOps {
                              minBlockLen: Int = 25,
                              positiveSources: Seq[String] =
                                Seq("src0", "src1", "src2", "src3", "src4"),
-                             maxFrontierRows: Long = 10L * 1000 * 1000) {
+                             maxFrontierRows: Long = 10L * 1000 * 1000,
+                             incremental: Boolean = true) {
     import spark.implicits._
     @volatile private var frontier: DataFrame =
       Seq.empty[(Long, String, Boolean, Long)]
@@ -376,11 +383,11 @@ object StreamOps {
       // vanish, while a genuinely different record that happens to
       // share a doc_id keeps its row — exactly what batch over the
       // same files would hold.
-      frontier = frontier.unionByName(
-          add.join(frontier,
-            Seq("doc_id", "canon_url", "allowed", "n_content"),
-            "left_anti"))
+      val newRows = add.join(frontier,
+          Seq("doc_id", "canon_url", "allowed", "n_content"),
+          "left_anti")
         .localCheckpoint()
+      frontier = frontier.unionByName(newRows).localCheckpoint()
       // bounded-state discipline (the reassembler's contract, applied
       // to the session-local frontier): this state is driver-resident
       // by design, so a long-lived stream must degrade LOUDLY at the
@@ -394,9 +401,24 @@ object StreamOps {
           s"bound $maxFrontierRows — the session-local state form does " +
           "not scale to this stream; move to the doc_id-keyed MERGE " +
           "table posture (see class scaladoc) or raise maxFrontierRows")
-      latest = Some(graft.operators.Curation.webVerdictsOverFrontier(
-        spark, dir, frontier, minWords, maxWords, minQuality,
-        positiveSources).localCheckpoint())
+      // INCREMENTAL keeper maintenance (the default): recompute only
+      // the (canon_url / norm) groups this batch touches and MERGE into
+      // the maintained verdict frame — per-batch cost tracks the
+      // batch-touched groups, not the accumulated corpus (spec-pinned
+      // row-identical to the full recompute after every batch prefix).
+      // `incremental = false` keeps the full-recompute path as the
+      // equality reference.
+      latest = Some((latest match {
+        case Some(prev) if incremental =>
+          val (aIds, verdA) = graft.operators.Curation.webVerdictsIncrement(
+            spark, dir, frontier, newRows, minWords, maxWords, minQuality,
+            positiveSources)
+          prev.join(aIds, Seq("doc_id"), "left_anti").unionByName(verdA)
+        case _ =>
+          graft.operators.Curation.webVerdictsOverFrontier(
+            spark, dir, frontier, minWords, maxWords, minQuality,
+            positiveSources)
+      }).localCheckpoint())
     }
     /** p2's verdict frame over every container closed so far. */
     def verdicts: DataFrame = latest.getOrElse(
@@ -491,6 +513,27 @@ object StreamOps {
     */
   private val MaxWarcHeaderBytes: Long = 64L * 1024
 
+  /** Completed records → w1's audit rows, responses only: real
+    * containers interleave warcinfo/request/metadata/revisit records
+    * with the responses — reassembly frames them all (the pending-
+    * buffer bound needs every record to complete), the AUDIT consumes
+    * only responses (Warc.isResponse, the batch file readers'
+    * discipline). ONE definition shared by the plain and gz stream
+    * processors, so the two transports can never audit differently.
+    */
+  private def auditReassembled(cid: Long,
+                               recs: Seq[graft.sources.Warc.WarcRecord])
+      : Seq[WarcRecordRow] =
+    recs.filter(graft.sources.Warc.isResponse).map { r =>
+      val id = graft.sources.Warc.docIdOf(r)
+      val (status, body) = graft.sources.Warc.parseHttpVerified(r)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      WarcRecordRow(cid, id, r.offset, r.recLen,
+        r.headers("warc-target-uri"), status, body.length.toLong,
+        crc.getValue)
+    }
+
   class WarcReassembleProcessor(ttl: java.time.Duration)
       extends StatefulProcessor[Long, WarcChunk, WarcRecordRow] {
     @transient private var buf: ValueState[WarcBuf] = _
@@ -508,27 +551,127 @@ object StreamOps {
 
     override def handleInputRows(cid: Long, rows: Iterator[WarcChunk],
                                  tv: TimerValues): Iterator[WarcRecordRow] = {
-      var st = if (buf.exists()) buf.get() else WarcBuf(0L, 0L, Array.empty)
-      val out = Seq.newBuilder[WarcRecordRow]
+      val st = if (buf.exists()) buf.get() else WarcBuf(0L, 0L, Array.empty)
       val (recs, st2) = drainWarcChunks(cid, st, rows)
-      st = st2
-      // real containers interleave warcinfo/request/metadata/revisit
-      // records with the responses — reassembly frames them all (the
-      // pending-buffer bound needs every record to complete), the
-      // AUDIT consumes only responses (Warc.isResponse, the batch file
-      // readers' discipline)
-      recs.filter(graft.sources.Warc.isResponse).foreach { r =>
-        val id = graft.sources.Warc.docIdOf(r)
-        val (status, body) = graft.sources.Warc.parseHttp(r.payload)
-        val crc = new java.util.zip.CRC32()
-        crc.update(body)
-        out += WarcRecordRow(cid, id, r.offset, r.recLen,
-          r.headers("warc-target-uri"), status, body.length.toLong,
-          crc.getValue)
-      }
-      buf.update(st)
-      out.result().iterator
+      buf.update(st2)
+      auditReassembled(cid, recs).iterator
     }
+  }
+
+  /** Reassembly state for one `.warc.gz` chunk stream: the compressed
+    * pending bytes of the member currently in flight plus the PLAIN
+    * reassembly state its inflated bytes feed (the same WarcBuf the
+    * plain transport uses — gz is pure transport, so the record framing
+    * downstream of the member walk is literally the same code). Bounded
+    * by one compressed member + one plain record.
+    */
+  case class GzWarcBuf(nextSeq: Long, compPending: Array[Byte],
+                       plain: WarcBuf)
+
+  /** w4's streaming twin — gz member reassembly on an arbitrary-
+    * boundary chunk stream of a `.warc.gz` transfer (chunk boundaries
+    * fall ANYWHERE: mid gzip header, mid deflate block, inside the
+    * 8-byte trailer). Arriving chunks append to the compressed pending
+    * buffer; each member that COMPLETES (its CRC32/ISIZE trailer in
+    * hand and verified — `Warc.tryInflateMemberAt`, the streaming face
+    * of the batch member walk) inflates exactly once into the plain
+    * record framing the plain-transport reassembler uses, so plain and
+    * gz chunk streams of the same container emit IDENTICAL audit rows
+    * (offsets describe the uncompressed stream — the WARC frame).
+    * Corruption stays loud mid-stream (bad magic/method/flags, broken
+    * deflate, trailer mismatch); incompleteness buffers.
+    *
+    * Cost shape: member completion is detected by attempting the
+    * inflate, so a member spanning k MICRO-BATCHES re-attempts its
+    * prefix once per batch — O(member x batches), never O(member x
+    * chunks): within a batch all chunks append before the single walk.
+    * State is bounded by one compressed member (+ one plain record);
+    * a member that cannot complete within the compressed corruption
+    * bound fails loudly rather than buffering forever.
+    */
+  class GzWarcReassembleProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, WarcChunk, WarcRecordRow] {
+    @transient private var buf: ValueState[GzWarcBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getValueState[GzWarcBuf](
+        "gzbuf", Encoders.product[GzWarcBuf],
+        if (ttl.isZero) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(cid: Long, rows: Iterator[WarcChunk],
+                                 tv: TimerValues): Iterator[WarcRecordRow] = {
+      val st = if (buf.exists()) buf.get()
+        else GzWarcBuf(0L, Array.empty, WarcBuf(0L, 0L, Array.empty))
+      var nextSeq = st.nextSeq
+      // append ALL of the batch's chunks (in seq order) before the
+      // member walk — one inflate attempt per batch, not per chunk
+      val comp = new java.io.ByteArrayOutputStream(
+        math.max(64, st.compPending.length + 64))
+      comp.write(st.compPending)
+      rows.toSeq.sortBy(_.seq).foreach { c =>
+        require(c.seq == nextSeq,
+          s"container $cid chunk gap: expected seq $nextSeq, got ${c.seq}")
+        nextSeq = c.seq + 1
+        comp.write(c.bytes)
+      }
+      // walk complete members off the front; the incomplete tail stays
+      val compBytes = comp.toByteArray
+      val inflated = new java.io.ByteArrayOutputStream(64 * 1024)
+      var pos = 0
+      var done = false
+      while (!done && pos < compBytes.length) {
+        val sink = new java.io.ByteArrayOutputStream(64 * 1024)
+        val next = graft.sources.Warc.tryInflateMemberAt(compBytes, pos, sink)
+        if (next < 0) done = true
+        else { sink.writeTo(inflated); pos = next }
+      }
+      val compPending = java.util.Arrays.copyOfRange(
+        compBytes, pos, compBytes.length)
+      // the state bound, gz side: a pending member larger than the
+      // record corruption bound (plus header allowance) can never
+      // complete — fail loudly, the batch parser's contract
+      require(compPending.length <=
+        graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes,
+        s"container $cid compressed pending buffer ${compPending.length} B " +
+          "holds no complete gzip member within the record bound: " +
+          "unframeable/corrupt stream")
+      // inflated bytes feed the SAME plain record framing as the plain
+      // transport (drainWarcChunks' core, single-chunk form)
+      val (recs, plain2) = drainGzPlain(cid, st.plain, inflated.toByteArray)
+      buf.update(GzWarcBuf(nextSeq, compPending, plain2))
+      auditReassembled(cid, recs).iterator
+    }
+  }
+
+  /** Feed freshly inflated bytes into the plain record-framing state —
+    * the single-chunk form of drainWarcChunks' parse gate (same need
+    * hint, same header-bound corruption check), shared so the gz
+    * transport cannot frame differently from the plain one.
+    */
+  private def drainGzPlain(cid: Long, st0: WarcBuf, add: Array[Byte])
+      : (Seq[graft.sources.Warc.WarcRecord], WarcBuf) = {
+    if (add.isEmpty && st0.pending.isEmpty) return (Seq.empty, st0)
+    val buf = new java.io.ByteArrayOutputStream(
+      st0.pending.length + add.length)
+    buf.write(st0.pending)
+    buf.write(add)
+    var base = st0.baseOffset
+    var need = st0.need
+    val out = Seq.newBuilder[graft.sources.Warc.WarcRecord]
+    if (need < 0 || buf.size() >= need) {
+      val joined = buf.toByteArray
+      val (recs, leftover) = graft.sources.Warc.parseWarcPrefix(joined, base)
+      out ++= recs
+      base += joined.length - leftover.length
+      buf.reset()
+      buf.write(leftover)
+      need = graft.sources.Warc.recordNeed(leftover, base)
+    }
+    require(need >= 0 || buf.size() <= MaxWarcHeaderBytes,
+      s"container $cid pending buffer ${buf.size()} B holds no complete " +
+        s"header block within $MaxWarcHeaderBytes B: unframeable/corrupt " +
+        "stream")
+    (out.result(), WarcBuf(st0.nextSeq, base, buf.toByteArray, need))
   }
 
   /** The reassembly drain shared by the audit and WET-conversion
@@ -632,12 +775,13 @@ object StreamOps {
       // other record types complete reassembly and are skipped
       recs.filter(graft.sources.Warc.isResponse).foreach { r =>
         val id = graft.sources.Warc.docIdOf(r)
-        val wet = graft.sources.Warc.wetRecordFor(id, r.payload, minBlockLen)
+        val wet = graft.sources.Warc.wetRecordFor(r, minBlockLen)
         // parse the built record back through the reader (the batch w2
         // round-trip discipline): the audit must describe FRAMED bytes
         val parsed = graft.sources.Warc.parseWarc(wet)
         require(parsed.length == 1, s"WET re-frame of doc $id mis-split")
         val p = parsed.head
+        graft.sources.Warc.verifyDigests(p, p.payload)
         val crc = new java.util.zip.CRC32()
         crc.update(p.payload)
         out += WetRecordRow(cid, id, off, p.recLen,
@@ -683,6 +827,23 @@ object StreamOps {
       // wiring) — a non-NONE TTLConfig under TimeMode.None fails at
       // query start with StatefulProcessorCannotAssignTTLInTimeMode
       .transformWithState(new WarcReassembleProcessor(ttl),
+        if (ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** `.warc.gz` record reassembly on the chunk stream (see
+    * GzWarcReassembleProcessor) — the transport real archive transfers
+    * actually ship. Same contracts as warcRecordStream: per-container
+    * in-order chunk seqs, RocksDB state store, Append output.
+    */
+  def warcGzRecordStream(spark: SparkSession, chunks: Dataset[WarcChunk],
+                         ttl: java.time.Duration =
+                           java.time.Duration.ZERO): Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    warnIfUnsaferowState(spark, "warcGzRecordStream")
+    chunks
+      .groupByKey(_.container_id)
+      .transformWithState(new GzWarcReassembleProcessor(ttl),
         if (ttl.isZero) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
   }

@@ -122,6 +122,7 @@ object ScalingCurve {
       "w3_warc_files" -> ((s, d) => graft.sources.Warc.warcFileRoundTrip(s, d)),
       "w4_warc_gz" -> ((s, d) => graft.sources.Warc.warcGzRoundTrip(s, d)),
       "w5_warc_cdx" -> ((s, d) => graft.sources.Warc.warcGzPointReads(s, d)),
+      "w6_cdx_lookup" -> ((s, d) => graft.sources.Warc.warcCdxLookup(s, d)),
       "p4_cls_lang_gate" -> ((s, d) => Curation.webPipelineClsLang(s, d)),
       "i5_index_eval" -> ((s, d) => Similarity.indexRetrievalEval(s, d)),
       // events-axis queries: flat on docs-mode slices (events base-linked);

@@ -227,6 +227,123 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("tryInflateMemberAt: every truncation is -1 (more bytes), every corruption throws") {
+    val rec = Warc.buildRecord(4L, "try-inflate fixture body text")
+    val member = Warc.gzipMember(rec)
+    def sink() = new java.io.ByteArrayOutputStream()
+    // truncation at EVERY byte — header, deflate stream, trailer — is
+    // incompleteness for the stream, never a throw
+    (0 until member.length).foreach { cut =>
+      val s = sink()
+      assert(Warc.tryInflateMemberAt(
+        java.util.Arrays.copyOf(member, cut), 0, s) == -1L,
+        s"cut@$cut must signal more-bytes-needed")
+    }
+    // the complete member walks to its end and inflates exactly
+    val s = sink()
+    assert(Warc.tryInflateMemberAt(member, 0, s) == member.length)
+    assert(java.util.Arrays.equals(s.toByteArray, rec))
+    // corruption classes still throw: magic, method, reserved flags,
+    // CRC trailer, broken deflate
+    def loud(mut: Array[Byte] => Unit, what: String): Unit = {
+      val m = member.clone(); mut(m)
+      val e = intercept[Exception](Warc.tryInflateMemberAt(m, 0, sink()))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.getClass == classOf[RuntimeException], s"$what: $e")
+    }
+    loud(m => m(0) = 0x1e, "bad magic")
+    loud(m => m(2) = 7, "non-deflate method")
+    loud(m => m(3) = (m(3) | 0x80).toByte, "reserved FLG")
+    loud(m => m(m.length - 8) = (m(m.length - 8) ^ 1).toByte, "CRC flip")
+    loud(m => m(12) = (m(12) ^ 0xff).toByte, "deflate corruption")
+  }
+
+  test("gz warc record stream reassembles .warc.gz chunk transfers exactly as batch") {
+    // the gz transport twin of the plain chunk-stream pin: per-record
+    // gzip members split into brutal 7-byte chunks (boundaries mid gzip
+    // header, mid deflate block, inside the 8-byte trailer), delivered
+    // over THREE micro-batches with cuts mid-member — nothing may emit
+    // for a member whose trailer hasn't arrived, and the final audit
+    // must equal the batch parse of the PLAIN container (offsets
+    // describe the uncompressed stream: gz is pure transport)
+    val docs = Seq(
+      (1L, "plain text long enough to make a couple of chunks maybe"),
+      (2L, "trap \r\n\r\nWARC/1.0\r\n payload with embedded separators"),
+      (3L, ""))
+    val gz = Warc.buildGzContainer(docs)
+    val plain = Warc.buildContainer(docs)
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:02:00")
+    val all = gz.grouped(7).toSeq.zipWithIndex.map { case (b, i) =>
+      StreamOps.WarcChunk(11L, ts, i.toLong, b)
+    }
+    val third = all.length / 3
+    val batches = Seq(all.take(third), all.slice(third, 2 * third),
+      all.drop(2 * third))
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamOps.WarcChunk]
+    val q = StreamOps.warcGzRecordStream(spark, input.toDS())
+      .writeStream.format("memory").queryName("warc_gz_stream_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(batches(0))
+      q.processAllAvailable()
+      assert(spark.table("warc_gz_stream_out").count() < 3,
+        "a member whose trailer hasn't arrived must not emit")
+      input.addData(batches(1))
+      q.processAllAvailable()
+      input.addData(batches(2))
+      q.processAllAvailable()
+      val got = spark.table("warc_gz_stream_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rec_offset"),
+          r.getAs[Long]("rec_len"), r.getAs[String]("target_uri"),
+          r.getAs[Int]("http_status"), r.getAs[Long]("html_len"),
+          r.getAs[Long]("html_crc32"))).sortBy(_._1).toSeq
+      val want = Warc.parseWarc(plain).map { r =>
+        val id = r.headers("warc-record-id")
+          .stripPrefix("<urn:graft:doc-").stripSuffix(">").toLong
+        val (status, body) = Warc.parseHttp(r.payload)
+        (id, r.offset, r.recLen, r.headers("warc-target-uri"), status,
+          body.length.toLong, crc(body))
+      }.sortBy(_._1)
+      assert(got == want, s"got=$got want=$want")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // corruption mid-stream is loud, not a silent resync: a flipped
+    // deflate byte fails the query (the batch parser's contract lifted
+    // to the transport)
+    val bad = gz.clone()
+    bad(12) = (bad(12) ^ 0xff).toByte
+    val input2 = MemoryStream[StreamOps.WarcChunk]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q2 = StreamOps.warcGzRecordStream(spark, input2.toDS())
+      .writeStream.format("memory").queryName("warc_gz_bad_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input2.addData(bad.grouped(64).toSeq.zipWithIndex.map { case (b, i) =>
+        StreamOps.WarcChunk(12L, ts, i.toLong, b)
+      })
+      val e = intercept[Exception](q2.processAllAvailable())
+      assert(e.getMessage != null)
+    } finally {
+      q2.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming WET conversion equals batch w2 per closed record") {
     // the same brutal 7-byte chunking as the reassembly pin, but the
     // emitted rows are WET audits: per completed response record, the
@@ -592,6 +709,71 @@ class WarcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental keeper maintenance equals the full recompute after every batch prefix") {
+    // adversarial group dynamics: a later-arriving SMALLER doc_id steals
+    // the norm keeper (1 joins 2's group), a canon group gains a
+    // smaller fetch copy (3 joins 7's URL), a robots-disallowed copy
+    // lands next to an allow-override sibling (8 vs 4), a replayed
+    // batch must be a no-op, and an untouched group (5/6 forming late)
+    // must keep every earlier verdict row byte-identical. After EVERY
+    // batch prefix the incremental MERGE must equal the full recompute.
+    val textX1 = "Same Norm Text here with words enough to pass!"
+    val textX2 = "same norm TEXT here with words enough to pass"
+    val textY1 = "Another Shared Normal body of words to pass."
+    val textY2 = "another shared NORMAL body of words to pass"
+    val docs = Seq(
+      (1L, textX1, "s0"), (2L, textX2, "s0"),
+      (3L, "unique text aaa with enough words to pass", "s0"),
+      (4L, "unique text bbb with enough words to pass", "s0"),
+      (5L, textY1, "s0"), (6L, textY2, "s0"),
+      (7L, "unique text ccc with enough words to pass", "s0"),
+      (8L, "unique text ddd with enough words to pass", "s0"))
+    val dir = writeDocs(docs)
+    import spark.implicits._
+    def page(id: Long): Array[Byte] =
+      graft.operators.Html.buildHtml(id, docs.find(_._1 == id).get._2)
+        .getBytes(UTF_8)
+    val uris = Map(
+      1L -> "https://site3.example.com/d1",
+      2L -> "https://site3.example.com/d2",
+      3L -> "https://site1.example.com/pageq",          // canon group C1
+      7L -> "https://site1.example.com/pageq#frag",     // canon group C1
+      4L -> "https://site2.example.com/a/b23/z",        // allow override
+      8L -> "https://site2.example.com/a/b2/z",         // robots-disallowed
+      5L -> "https://site3.example.com/d5",
+      6L -> "https://site3.example.com/d6")
+    def records(ids: Long*) =
+      ids.map(id => (id, uris(id), page(id)))
+        .toDF("doc_id", "target_uri", "body")
+    val inc = new StreamOps.WebFunnelState(spark, dir,
+      minQuality = 0.0, positiveSources = Seq("s0"), incremental = true)
+    val full = new StreamOps.WebFunnelState(spark, dir,
+      minQuality = 0.0, positiveSources = Seq("s0"), incremental = false)
+    def check(tag: String): Unit = {
+      val a = inc.verdicts.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = full.verdicts.orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, s"$tag: incremental=$a full=$b")
+    }
+    val batches = Seq(
+      records(7L, 2L, 8L),   // first landing: groups form
+      records(3L, 1L),       // keeper steals: canon (3<7), norm (1<2)
+      records(3L, 1L),       // exact replay: must be a no-op
+      records(5L),           // fresh group, untouched elsewhere
+      records(6L, 4L))       // 6 joins 5's norm group; 4 = allow override
+    batches.zipWithIndex.foreach { case (b, i) =>
+      inc.applyBatch(b); full.applyBatch(b); check(s"after batch $i")
+    }
+    // the dynamics actually fired: 7 lost its URL keeper to 3, 2 lost
+    // its norm keeper to 1, 8 is robots-disallowed while 4 passed
+    val m = inc.verdicts.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(m(7L) == "url_duplicate", m.toString)
+    assert(m(2L) == "duplicate", m.toString)
+    assert(m(8L) == "robots_disallowed", m.toString)
+    assert(m(1L) == "ok" && m(3L) == "ok" && m(4L) == "ok", m.toString)
+    assert(m(6L) == "duplicate" && m(5L) == "ok", m.toString)
+  }
+
   test("w4 gz round-trip: per-record gzip members inflate back to w1's audit") {
     // doc 1 carries the separator trap, doc 2 non-ASCII (multi-byte
     // UTF-8 through the compressed transport), doc 3 an empty body
@@ -823,6 +1005,210 @@ class WarcSpec extends SparkSpec {
     val e3 = intercept[Exception](
       Warc.pointReadFile("x/shard-00001.warc.gz", r10).toSeq)
     assert(e3.getMessage.contains("extension says gzip"), e3.getMessage)
+  }
+
+  /** An in-memory positioned-readable stream that records every ranged
+    * read — the instrument that makes "bytes-read-per-fetch == compLen"
+    * an ASSERTION instead of prose.
+    */
+  private class CountingSeekableBytes(data: Array[Byte])
+      extends java.io.ByteArrayInputStream(data)
+      with org.apache.hadoop.fs.Seekable
+      with org.apache.hadoop.fs.PositionedReadable {
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    override def seek(p: Long): Unit = { pos = p.toInt }
+    override def getPos: Long = pos.toLong
+    override def seekToNewSource(targetPos: Long): Boolean = false
+    override def read(position: Long, buffer: Array[Byte], offset: Int,
+                      length: Int): Int = {
+      val n = math.min(length, data.length - position.toInt)
+      if (n <= 0) -1
+      else {
+        System.arraycopy(data, position.toInt, buffer, offset, n)
+        reads += ((position, n)); n
+      }
+    }
+    override def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                           length: Int): Unit = {
+      require(position >= 0 && position + length <= data.length,
+        s"read past EOF: $position+$length of ${data.length}")
+      System.arraycopy(data, position.toInt, buffer, offset, length)
+      reads += ((position, length))
+    }
+    override def readFully(position: Long, buffer: Array[Byte]): Unit =
+      readFully(position, buffer, 0, buffer.length)
+  }
+
+  test("w6 persisted-CDX serve equals w1's audit; sidecars committed at stage time") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+      (1L, "trap \r\n\r\nWARC/1.0\r\n embedded separators", "s0"),
+      (2L, "café naïve 日本語 non-ascii bytes", "s0"),
+      (3L, "", "s0"),
+      (4L, "last shard single doc", "s0"))
+    val dir = writeDocs(docs)
+    val got = Warc.warcCdxLookup(spark, dir, shardSize = 2)
+      .collect().map(_.toSeq).toSeq
+    val want = Warc.warcIngest(spark, dir, shardSize = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "the persisted-CDX serve must audit exactly the whole-scan frame")
+    // the gz stage wrote one COMPLETE sidecar per container, and the
+    // sidecar round-trips to exactly the index derived from the
+    // container bytes — the stage-time index can never drift from what
+    // a reader of the container would frame
+    val staged = Warc.stagedWarcDir(spark, dir, shardSize = 2, gz = true)
+    val files = new java.io.File(staged).listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".cdx")) == 3, files.mkString(","))
+    assert(files.count(_.endsWith(".warc.gz")) == 3, files.mkString(","))
+    files.filter(_.endsWith(".cdx")).foreach { name =>
+      val sidecar = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(staged, name))
+      val container = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(staged, name.stripSuffix(".cdx") + ".warc.gz"))
+      val parsed = Warc.parseCdx(name, new String(sidecar, UTF_8))
+      assert(parsed == Warc.cdxEntries(container),
+        s"$name must round-trip to the container-derived index")
+      // and the sidecar coordinates agree with the member walk
+      val idx = Warc.gzMemberIndex(container)
+      assert(parsed.map(e => (e.compOffset, e.compLen, e.plainLen)) ==
+        idx.map(m => (m.compOffset, m.compLen, m.plainLen)))
+    }
+    // naming contract: sidecar -> (shard, container path)
+    assert(Warc.cdxShardOf("/a/b/shard-00042.cdx") ==
+      (42L, "/a/b/shard-00042.warc.gz"))
+    intercept[Exception](Warc.cdxShardOf("/a/b/shard-00042.warc.gz"))
+    intercept[Exception](Warc.cdxShardOf("/a/b/shard-12f.cdx"))
+  }
+
+  test("w6 fetches exactly compLen bytes per looked-up record; non-response members cost zero reads") {
+    val aux = Warc.buildAuxRecord("warcinfo", 0L,
+      "software: graft-fixture".getBytes(UTF_8))
+    val r10 = Warc.buildRecord(10L, "mixed container response ten")
+    val r11 = Warc.buildRecord(11L, "mixed container response eleven")
+    val gzMixed = Warc.gzipMember(aux) ++ Warc.gzipMember(r10) ++
+      Warc.gzipMember(r11)
+    val entries = Warc.cdxEntries(gzMixed)
+    assert(entries.map(_.warcType) == Seq("warcinfo", "response", "response"))
+    val counting = new CountingSeekableBytes(gzMixed)
+    val in = new org.apache.hadoop.fs.FSDataInputStream(counting)
+    val served = Warc.serveCdxEntries(in, "shard-00000.warc.gz", 0L, entries)
+      .toVector
+    // every ranged read is EXACTLY one looked-up member: (compOffset,
+    // compLen) pairs of the response entries, in offset order, nothing
+    // else — the warcinfo member never costs a byte of traffic
+    val wantReads = entries.filter(_.warcType == "response")
+      .map(e => (e.compOffset, e.compLen.toInt))
+    assert(counting.reads.toSeq == wantReads,
+      s"ranged reads ${counting.reads} != member coordinates $wantReads")
+    // and the served rows are the whole-scan audit of the container
+    val out = java.nio.file.Files.createTempDirectory("w6mixed-").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "shard-00000.warc.gz"), gzMixed)
+    val whole = Warc.warcFileIngest(spark, out)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(served.sortBy(_._1).map(_.productIterator.toSeq) == whole,
+      "the CDX serve must audit exactly the whole-scan frame")
+    // plain offsets include the skipped warcinfo member's bytes
+    assert(served.map(t => (t._1, t._3)).sortBy(_._1) == Seq(
+      (10L, aux.length.toLong),
+      (11L, (aux.length + r10.length).toLong)))
+  }
+
+  test("a CDX sidecar drifted from its container is loud, never a mis-framed serve") {
+    val r = Warc.buildRecord(5L, "drift fixture body")
+    val gz = Warc.gzipMember(r)
+    val good = Warc.cdxEntries(gz).head
+    def serve(e: Warc.CdxEntry): Unit = {
+      val in = new org.apache.hadoop.fs.FSDataInputStream(
+        new CountingSeekableBytes(gz ++ Warc.gzipMember(
+          Warc.buildRecord(6L, "padding member so longer lens have bytes"))))
+      Warc.serveCdxEntries(in, "f", 0L, Seq(e)).toVector: Unit
+    }
+    serve(good) // sanity: the unmodified entry serves
+    // compLen one byte long: the inflate consumes only the true member
+    val e1 = intercept[Exception](serve(good.copy(compLen = good.compLen + 1)))
+    assert(e1.getMessage.contains("index drifted"), e1.getMessage)
+    // compLen one byte short: the deflate stream truncates loudly
+    val e2 = intercept[Exception](serve(good.copy(compLen = good.compLen - 1)))
+    assert(e2.getMessage != null)
+    // plainLen wrong: the frame cross-check fires
+    val e3 = intercept[Exception](serve(good.copy(plainLen = good.plainLen + 2)))
+    assert(e3.getMessage.contains("index drifted"), e3.getMessage)
+    // a mid-member compOffset hits the magic check
+    val e4 = intercept[Exception](serve(good.copy(compOffset = 3L,
+      compLen = good.compLen)))
+    assert(e4.getMessage.contains("bad gzip magic"), e4.getMessage)
+    // sidecar text: header and line shape are required
+    intercept[Exception](Warc.parseCdx("f", "not a header\na b c 1 2 3 4\n"))
+    intercept[Exception](
+      Warc.parseCdx("f", Warc.CdxHeader + "\nonly three fields\n"))
+    // write-time field discipline: whitespace in a field is unwritable
+    intercept[Exception](Warc.cdxBytes(Seq(good.copy(targetUri = "a b"))))
+    // a multi-record member breaks the point-read layout contract loudly
+    val two = Warc.gzipMember(r ++ Warc.buildRecord(7L, "second in member"))
+    val e5 = intercept[Exception](Warc.cdxEntries(two))
+    assert(e5.getMessage.contains("per-record-member"), e5.getMessage)
+  }
+
+  test("WARC digest headers: written on build, verified on read, loud on mismatch, sha1:BASE32 speaks too") {
+    // synthesized records carry sha256 digests (ISO 28500 §5.8 labelled
+    // form) over block (HTTP message) and payload (entity body)
+    val rec = Warc.parseWarc(Warc.buildRecord(3L, "digest pinned body")).head
+    assert(rec.headers.contains("warc-block-digest"))
+    assert(rec.headers("warc-payload-digest").startsWith("sha256:"))
+    Warc.parseHttpVerified(rec) // verifies both, must not throw
+    // a flipped PAYLOAD byte is loud on the plain transport — the
+    // integrity check the gzip CRC only gave the gz path
+    val bytes = Warc.buildRecord(3L, "digest pinned body")
+    val bodyAt = bytes.length - 5 // inside the html payload
+    bytes(bodyAt) = (bytes(bodyAt) ^ 0x01).toByte
+    val corrupt = Warc.parseWarc(bytes).head
+    val e = intercept[Exception](Warc.parseHttpVerified(corrupt))
+    assert(e.getMessage.contains("Digest mismatch") ||
+      e.getMessage.contains("mismatch"), e.getMessage)
+    // sha1:BASE32 — the Common Crawl convention — verifies against
+    // python-pinned values (hashlib + base64.b32encode), and a wrong
+    // base32 digest is loud
+    val body = "<html><body>digest fixture page</body></html>".getBytes(UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(UTF_8) ++ body
+    def ccRecord(payloadDigest: String, blockDigest: String): Warc.WarcRecord = {
+      val r = ("WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:0b8261bc-bd27-4d5c-8cdb-1a08d24b1e2f>\r\n" +
+        "WARC-Target-URI: https://example.com/cc\r\n" +
+        s"WARC-Payload-Digest: $payloadDigest\r\n" +
+        s"WARC-Block-Digest: $blockDigest\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+      Warc.parseWarc(r).head
+    }
+    Warc.parseHttpVerified(ccRecord(
+      "sha1:JVSEUTZ4EJXASJ2GMOFKHSDH6Z5MC3TW",
+      "sha1:K4IBKXWKDKK5N5SPWDCDEDXGIWHA44OW"))
+    val e2 = intercept[Exception](Warc.parseHttpVerified(ccRecord(
+      "sha1:AAAAUTZ4EJXASJ2GMOFKHSDH6Z5MC3TW",
+      "sha1:K4IBKXWKDKK5N5SPWDCDEDXGIWHA44OW")))
+    assert(e2.getMessage.contains("WARC-Payload-Digest mismatch"), e2.getMessage)
+    // base32 itself pins against RFC 4648 vectors
+    assert(Warc.base32("".getBytes(UTF_8)) == "")
+    assert(Warc.base32("f".getBytes(UTF_8)) == "MY======")
+    assert(Warc.base32("fo".getBytes(UTF_8)) == "MZXQ====")
+    assert(Warc.base32("foo".getBytes(UTF_8)) == "MZXW6===")
+    assert(Warc.base32("foob".getBytes(UTF_8)) == "MZXW6YQ=")
+    assert(Warc.base32("fooba".getBytes(UTF_8)) == "MZXW6YTB")
+    assert(Warc.base32("foobar".getBytes(UTF_8)) == "MZXW6YTBOI======")
+    // unknown algorithm labels are tolerated (foreign-namespace
+    // discipline); a missing label separator is not
+    Warc.parseHttpVerified(ccRecord("md5:ignored", "blake3:ignored"))
+    val e3 = intercept[Exception](Warc.parseHttpVerified(
+      ccRecord("nodigestlabel", "sha1:K4IBKXWKDKK5N5SPWDCDEDXGIWHA44OW")))
+    assert(e3.getMessage.contains("no algorithm label"), e3.getMessage)
+    // WET conversion records carry a verifying block digest
+    val wet = Warc.parseWarc(Warc.buildWetRecord(9L, "wet digest text")).head
+    assert(wet.headers("warc-block-digest").startsWith("sha256:"))
+    Warc.verifyDigests(wet, wet.payload)
   }
 
   test("chunked transfer-encoding captures de-chunk byte-exact; malformed chunking is loud") {
