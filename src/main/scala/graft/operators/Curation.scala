@@ -29,10 +29,17 @@ object Curation {
   /** The static (doc_id, norm) frame of the corpus — the group-key
     * lookup the incremental funnel closure joins (norm is a function of
     * the corpus text, so this frame never changes under the stream).
+    * Memo-shared on the session: the closure probes it on EVERY landing
+    * batch, and re-running the corpus-wide normalization regex per
+    * batch would hand the incremental path an O(corpus) term it exists
+    * to avoid.
     */
   private[graft] def normFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), normExpr.as("norm"))
+    graft.CacheRegistry.memoShared(
+      s"normframe:${spark.sparkContext.applicationId}:$dir:" +
+        s"${graft.Tables.substrate(spark)}")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), normExpr.as("norm")))
 
   /** n1: normalization-aware exact dedup — lowercase, strip non-alphanumerics,
     * collapse whitespace, THEN group. Catches the near-dups that differ only
@@ -406,9 +413,12 @@ object Curation {
     * cdc3 kernel shape applied to p2's verdicts: given the accumulated
     * frontier and the batch's NEW rows, recompute verdicts ONLY for the
     * (canon_url / norm) groups the batch touches and return (affected
-    * doc_ids, their recomputed verdict rows) for the caller to MERGE
-    * into its maintained verdict frame. Provably row-identical to the
-    * full recompute (spec-pinned across adversarial batch prefixes):
+    * doc_ids, their recomputed verdict rows, the recompute input R) for
+    * the caller to MERGE into its maintained verdict frame — R is the
+    * exact frame the gate composition re-ran over, the instrument
+    * behind the StreamBench corpus-independence rows. Provably
+    * row-identical to the full recompute (spec-pinned across
+    * adversarial batch prefixes):
     *
     * The gate composition's only cross-doc state is the two keeper
     * windows. A new row can change `url_keep_id` only inside its own
@@ -441,31 +451,36 @@ object Curation {
                                           minQuality: Double = 0.55,
                                           positiveSources: Seq[String] =
                                             Seq("src0", "src1", "src2", "src3", "src4"))
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val norms = normFrame(spark, dir)
     val frontierCols = Seq("doc_id", "canon_url", "allowed", "n_content")
+    // the closure's probe side is always a batch-touched KEY frame —
+    // broadcast them so every closure pass over the accumulated
+    // frontier is a narrow scan, never a frontier-sized exchange
     // S1: full canonical groups of the batch's rows
     val s1 = frontier.join(
-      newRows.select("canon_url").distinct(), Seq("canon_url"), "left_semi")
+      broadcast(newRows.select("canon_url").distinct()),
+      Seq("canon_url"), "left_semi")
     // A: S1 plus every frontier row sharing a norm with S1 (frontier
     // rows are exact-duplicate-free — the caller's anti-join — so the
     // distinct() after the union collapses only the overlap)
     val n1 = s1.join(norms, Seq("doc_id")).select("norm").distinct()
     val aNorm = frontier.join(norms, Seq("doc_id"))
-      .join(n1, Seq("norm"), "left_semi")
+      .join(broadcast(n1), Seq("norm"), "left_semi")
       .select(frontierCols.map(col): _*)
     val a = s1.select(frontierCols.map(col): _*).unionByName(aNorm).distinct()
     // R: A plus the full canonical groups of A's rows (url_keep window
     // inputs for A; recomputed rows outside A are discarded below)
     val r = frontier.join(
-        a.select("canon_url").distinct(), Seq("canon_url"), "left_semi")
+        broadcast(a.select("canon_url").distinct()),
+        Seq("canon_url"), "left_semi")
       .select(frontierCols.map(col): _*)
       .unionByName(a).distinct()
     val aIds = a.select("doc_id").distinct()
     val verdA = webVerdictsOverFrontier(spark, dir, r, minWords, maxWords,
       minQuality, positiveSources)
-      .join(aIds, Seq("doc_id"), "left_semi")
-    (aIds, verdA)
+      .join(broadcast(aIds), Seq("doc_id"), "left_semi")
+    (aIds, verdA, r)
   }
 
   /** The gate composition downstream of the crawl funnel, shared by the

@@ -68,16 +68,24 @@ object Decontamination {
     * it. Same scale posture (broadcast bench hash set, hit volume bounds
     * the shuffle).
     */
+  // memo-shared per session pass: the hit list is static per (dir, k,
+  // benchSource) and is probed by every pipeline-decision caller (p1-p4
+  // and EVERY landing batch of the streaming funnel) — recomputing the
+  // corpus-wide shingle explode per probe would put an O(corpus) term
+  // in each one.
   private[operators] def contaminatedIds(spark: SparkSession, dir: String,
                                          k: Int = 8,
                                          benchSource: String = "src0"): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(col("source") =!= benchSource)
-      .filter(size(split(col("text"), " ")) >= k)
-      .select(col("doc_id"),
-        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
-      .join(broadcast(benchShingles(spark, dir, k, benchSource)), "h")
-      .select("doc_id").distinct()
+    graft.CacheRegistry.memoShared(
+      s"contamids:${spark.sparkContext.applicationId}:$dir:$k:$benchSource:" +
+        s"${Tables.substrate(spark)}")(
+      Tables.documents(spark, dir)
+        .filter(col("source") =!= benchSource)
+        .filter(size(split(col("text"), " ")) >= k)
+        .select(col("doc_id"),
+          explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
+        .join(broadcast(benchShingles(spark, dir, k, benchSource)), "h")
+        .select("doc_id").distinct())
 
   /** c2: fraction-based decontamination — the graded form of c1 used by
     * production pretraining pipelines (PaLM / GPT-4 style): a document is

@@ -1031,15 +1031,25 @@ object Warc {
     }
   }
 
+  /** `shardIdExpr` overrides the doc→container assignment (default:
+    * contiguous doc_id ranges of `shardSize`). The crawl-fleet posture
+    * passes a URL-KEYSPACE bucket here: a fetcher fleet partitions its
+    * frontier into per-host/queue shards (politeness), so all fetches
+    * of one canonical URL — host and path are PART of the URL — land
+    * in one queue's containers, never striped across the fleet. The
+    * funnel StreamBench stages both ways to show what each landing
+    * geometry does to incremental keeper maintenance.
+    */
   def writeWarcFiles(spark: SparkSession, dir: String, outPath: String,
-                     shardSize: Int = 50, gz: Boolean = false): Long = {
+                     shardSize: Int = 50, gz: Boolean = false,
+                     shardIdExpr: Option[String] = None): Long = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val ext = if (gz) "warc.gz" else "warc"
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        expr(s"doc_id div $shardSize").as("shard_id"))
+        expr(shardIdExpr.getOrElse(s"doc_id div $shardSize")).as("shard_id"))
       .as[(Long, String, Long)]
       .groupByKey(_._3)
       .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>

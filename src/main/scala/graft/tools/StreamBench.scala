@@ -233,16 +233,43 @@ object StreamBench {
           }))
 
     // p2's FULL-funnel streaming face: containers land as files, each
-    // closed container re-gates the accumulated corpus and the verdict
-    // table is maintained (Update semantics). Staged at one container
-    // per 1000 docs — a fetcher fleet's landing granularity; the rate
-    // is docs/sec admitted through the COMPLETE verdict funnel
-    // (frontier kernel + keepers + content gates + contamination + the
-    // memo-shared trained cls gate), including the per-batch recompute
-    // over everything seen so far — the honest cost of corpus-level
-    // keeper semantics on a stream.
-    val funnelRow = if (only.nonEmpty && !only("web_funnel_fb")) None else Some {
-      val warcDir = "/tmp/graft_stream_warc_funnel"
+    // closed container gates through the verdict funnel and the verdict
+    // table is maintained (Update semantics). The rate is docs/sec
+    // admitted through the COMPLETE verdict funnel (frontier kernel +
+    // keepers + content gates + contamination + the memo-shared trained
+    // cls gate). Containers are staged in the CRAWL-QUEUE geometry: a
+    // fetcher fleet partitions its frontier per host/queue
+    // (politeness), so every fetch of one canonical URL — host and
+    // path are PART of the URL — lands in one queue's containers; the
+    // synthesized URL keyspace keys on doc_id%100, so the 20-bucket
+    // staging below is exactly that geometry. THREE row families:
+    // `web_funnel_fb` is the INCREMENTAL default (per batch, only the
+    // batch-touched canon/norm groups recompute and MERGE),
+    // `web_funnel_fb_full` the full per-batch recompute over
+    // everything seen so far (the equality reference; O(corpus) per
+    // landing batch), and `web_funnel_fb_striped` the incremental mode
+    // under ADVERSARIAL doc_id-striped staging, where every container
+    // holds a slice of every URL group. The CLAIM "per-batch cost
+    // tracks batch-touched groups, not corpus size" is about the
+    // corpus-proportional term, and at bench corpus sizes wall-clock
+    // cannot see it (fixed per-batch stage count dominates row work —
+    // both modes measure ~flat seconds, and the incremental closure's
+    // extra stages make its ABSOLUTE rate the lower one here; the
+    // crossover needs frontiers orders of magnitude past a bench
+    // slice). So each family also publishes the DETERMINISTIC
+    // `..._gaterows_lastfirst_pct` row: rows the gate composition ran
+    // over in the last 3 batches over the first 3, in percent — the
+    // work-size the wall-clock converges to as the frontier outgrows
+    // fixed stage cost. Full recompute grows with the frontier (~20
+    // equal landings -> ~950%); incremental under queue staging stays
+    // at batch-touched-group size (~100%) however much corpus has
+    // accumulated; incremental under striped staging honestly reads
+    // ~950% too — every batch TOUCHES every group, the closure is the
+    // cost, and the instrument says so rather than flattering the
+    // default.
+    val nShards = 20
+    def stageFunnel(tag: String, shardIdExpr: Option[String]): (String, Long) = {
+      val warcDir = s"/tmp/graft_stream_warc_funnel_$tag"
       // fresh staging per run: the file stream dedups by PATH, so a
       // stale staging from a different corpus must never leak in
       val hPath = new org.apache.hadoop.fs.Path(warcDir)
@@ -250,24 +277,59 @@ object StreamBench {
       if (hFs.exists(hPath)) hFs.delete(hPath, true)
       val nDocs = graft.Tables.documents(spark, sfDir).count()
       graft.sources.Warc.writeWarcFiles(spark, sfDir, warcDir,
-        shardSize = 1000)
-      def once(): (String, Double) = {
-        val state = new StreamOps.WebFunnelState(spark, sfDir)
-        val ckpt = s"/tmp/graft_stream_ckpt/funnel-${System.nanoTime()}"
-        val t0 = System.nanoTime()
-        val q = StreamOps.webPipelineVerdictStream(
-            graft.sources.Warc.warcRecordFileStream(spark, warcDir), state)
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", ckpt).start()
-        q.awaitTermination()
-        val got = state.verdicts.count()
-        require(got == nDocs, s"funnel stream gated $got of $nDocs docs")
-        "web_funnel_fb" -> nDocs / ((System.nanoTime() - t0) / 1e9)
-      }
-      val r = Seq(once(), once()).maxBy(_._2)
-      println(f"[stream-bench] ${r._1}: ${r._2}%.0f docs/sec ($nDocs docs)")
-      r
+        shardSize = math.max(1L, nDocs / nShards).toInt,
+        shardIdExpr = shardIdExpr)
+      (warcDir, nDocs)
     }
+    def funnelRowFor(name: String, incremental: Boolean,
+                     shardIdExpr: Option[String], runs: Int)
+        : Option[Seq[(String, Double)]] =
+      if (only.nonEmpty && !only(name)) None else Some {
+        val (warcDir, nDocs) = stageFunnel(name, shardIdExpr)
+        def once(): ((String, Double), (String, Double)) = {
+          val state = new StreamOps.WebFunnelState(spark, sfDir,
+            incremental = incremental)
+          val ckpt = s"/tmp/graft_stream_ckpt/funnel-${System.nanoTime()}"
+          val t0 = System.nanoTime()
+          val q = StreamOps.webPipelineVerdictStream(
+              graft.sources.Warc.warcRecordFileStream(spark, warcDir), state)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt).start()
+          q.awaitTermination()
+          val got = state.verdicts.count()
+          require(got == nDocs, s"funnel stream gated $got of $nDocs docs")
+          val gateRows = state.batchGateRows.toSeq
+          require(gateRows.length >= 6, s"need >=6 batches for the slope, " +
+            s"got ${gateRows.length}")
+          val lastFirst = 100.0 * gateRows.takeRight(3).sum.toDouble /
+            gateRows.take(3).sum
+          ((name -> nDocs / ((System.nanoTime() - t0) / 1e9)),
+            (s"${name}_gaterows_lastfirst_pct" -> lastFirst))
+        }
+        // rate: best of N (the stall-band discipline); the gate-rows
+        // slope is a function of the landed data, not the run — repeat
+        // runs must agree, and the require makes drift loud
+        val all = Seq.fill(runs)(once())
+        require(all.map(_._2).distinct.size == 1,
+          s"gate-rows slope must be deterministic: ${all.map(_._2)}")
+        val r = all.map(_._1).maxBy(_._2)
+        println(f"[stream-bench] ${r._1}: ${r._2}%.0f docs/sec " +
+          f"($nDocs docs); ${all.head._2._1}: ${all.head._2._2}%.0f%%")
+        Seq(r, all.head._2)
+      }
+    // the crawl-queue bucket: URL keyspace (doc_id%100) split across
+    // the landing containers
+    val queueExpr = Some(s"(doc_id % 100) div ${math.max(1, 100 / nShards)}")
+    val funnelRows = Seq(
+      funnelRowFor("web_funnel_fb", incremental = true, queueExpr, runs = 2),
+      funnelRowFor("web_funnel_fb_full", incremental = false, queueExpr,
+        runs = 2),
+      // adversarial geometry: one run — only its deterministic
+      // gate-rows row is the point; its rate pays closure + full-size
+      // recompute and is strictly dominated
+      funnelRowFor("web_funnel_fb_striped", incremental = true, None,
+        runs = 1))
+      .flatten.flatten
 
     // transformWithState ops require the RocksDB provider. firstSeenTws is
     // excluded: its ProcessingTime time mode keeps shouldRunAnotherBatch
@@ -354,9 +416,10 @@ object StreamBench {
       org.apache.spark.sql.types.StructField("bytes",
         org.apache.spark.sql.types.BinaryType)))
     val stagedWarcCache =
-      scala.collection.mutable.Map.empty[Int, (String, Long)]
-    def stagedWarcChunks(chunkBytes: Int): (String, Long) =
-      stagedWarcCache.getOrElseUpdate(chunkBytes, {
+      scala.collection.mutable.Map.empty[(Int, Boolean), (String, Long)]
+    def stagedWarcChunks(chunkBytes: Int,
+                         gz: Boolean = false): (String, Long) =
+      stagedWarcCache.getOrElseUpdate((chunkBytes, gz), {
         import org.apache.spark.sql.Row
         val baseDocs = graft.Tables.documents(spark, sfDir)
           .select(col("doc_id"), col("text"))
@@ -369,7 +432,9 @@ object StreamBench {
         val nRecs = docs.length.toLong
         val perContainer: Seq[Seq[Row]] =
           docs.grouped(50).zipWithIndex.map { case (g, ci) =>
-            val container = graft.sources.Warc.buildContainer(g)
+            val container =
+              if (gz) graft.sources.Warc.buildGzContainer(g)
+              else graft.sources.Warc.buildContainer(g)
             container.grouped(chunkBytes).zipWithIndex.map { case (b, i) =>
               Row(ci.toLong, new java.sql.Timestamp(0L), i.toLong, b)
             }.toSeq
@@ -377,7 +442,8 @@ object StreamBench {
         val buckets = perContainer.zipWithIndex
           .groupBy(_._2 % chunks).toSeq.sortBy(_._1)
           .map(_._2.flatMap(_._1))
-        val warcIn = s"/tmp/graft_stream_warc_in_$chunkBytes"
+        val warcIn =
+          s"/tmp/graft_stream_warc_in_$chunkBytes${if (gz) "_gz" else ""}"
         spark.createDataFrame(
             spark.sparkContext.parallelize(buckets, buckets.length)
               .flatMap(identity),
@@ -417,6 +483,29 @@ object StreamBench {
     // of the 32 KiB row because of the recordNeed resume hint)
     val warcSmallRow = warcReassembleRow("warc_reassemble_1k_tws", 1024)
 
+    // w4 twin: the same record stream over the .warc.gz TRANSPORT —
+    // per-record gzip members split into 32 KiB chunks; the rate pays
+    // member-completion detection (one inflate attempt per batch per
+    // container), the verified inflate, and then the identical plain
+    // framing + HTTP parse + digest verify + body CRC per record.
+    val warcGzRow = if (only.nonEmpty && !only("warc_gz_reassemble_tws")) None
+      else Some {
+        val (warcIn, nRecs) = stagedWarcChunks(32 * 1024, gz = true)
+        def once(): (String, Double) = {
+          val ckpt = s"/tmp/graft_stream_ckpt/warcgz-${System.nanoTime()}"
+          val t0 = System.nanoTime()
+          val q = StreamOps.warcGzRecordStream(spark, warcChunkStream(warcIn))
+            .toDF()
+            .writeStream.format("noop").trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", ckpt).start()
+          q.awaitTermination()
+          "warc_gz_reassemble_tws" -> nRecs / ((System.nanoTime() - t0) / 1e9)
+        }
+        val r = Seq(once(), once()).maxBy(_._2)
+        println(f"[stream-bench] ${r._1}: ${r._2}%.0f records/sec ($nRecs records)")
+        r
+      }
+
     // w2 twin: the same chunk stream through the WET-conversion
     // processor — reassembly + framing + HTTP parse + x41 extraction +
     // WET re-frame + re-parse + payload CRC per record: the full
@@ -441,7 +530,8 @@ object StreamBench {
 
     val qs = (results.flatten ++
       Seq(scd2, guard, qualityRow, paretoRow, htmlRow, blockRow,
-        frontierRow, ingestRow, funnelRow, warcRow, warcSmallRow, wetRow).flatten ++
+        frontierRow, ingestRow, warcRow,
+        warcSmallRow, warcGzRow, wetRow).flatten ++ funnelRows ++
       twsResults.flatten).map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"stream_events_per_sec","rows":$n,"ops":$qs,"sf":"$sfDir"}""")

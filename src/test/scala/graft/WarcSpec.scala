@@ -763,6 +763,18 @@ class WarcSpec extends SparkSpec {
     batches.zipWithIndex.foreach { case (b, i) =>
       inc.applyBatch(b); full.applyBatch(b); check(s"after batch $i")
     }
+    // the gate-rows instrument (the StreamBench corpus-independence
+    // evidence) pins exactly: full recompute runs the gates over the
+    // WHOLE frontier every batch (3,5,5,6,8 — the replay adds nothing
+    // but still recomputes all 5); incremental runs them over the
+    // batch-touched group closure only — batch 1's R is {1,2,3,7}
+    // (1 pulls 2's norm group, 3 pulls 7's canon group), the replay
+    // batch is FREE (R empty), and batch 4's R is {4,5,6} however
+    // many rows have accumulated
+    assert(full.batchGateRows.toSeq == Seq(3L, 5L, 5L, 6L, 8L),
+      full.batchGateRows.toString)
+    assert(inc.batchGateRows.toSeq == Seq(3L, 4L, 0L, 1L, 3L),
+      inc.batchGateRows.toString)
     // the dynamics actually fired: 7 lost its URL keeper to 3, 2 lost
     // its norm keeper to 1, 8 is robots-disallowed while 4 passed
     val m = inc.verdicts.collect()
