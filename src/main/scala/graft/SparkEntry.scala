@@ -134,6 +134,7 @@ object SparkEntry {
     "x41_html_extract"     -> ((s, d) => Html.htmlExtract(s, d)),
     "x42_blocklist_filter" -> ((s, d) => Curation.blocklistFilter(s, d)),
     "x42b_blocklist_join"  -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
+    "x42c_blocklist_bloom" -> ((s, d) => Curation.blocklistFilterBloom(s, d)),
     "p3_reputation_gate"   -> ((s, d) => Curation.reputationGate(s, d)),
     "x43_url_canonicalize" -> ((s, d) => operators.Urls.urlCanonicalize(s, d)),
     "x44_robots_gate"      -> ((s, d) => operators.Urls.robotsGate(s, d)),
@@ -3027,6 +3028,10 @@ object SparkEntry {
     // x42b is row-identical to x42 by construction (spec-pinned), so its
     // oracle is x42's verbatim — the strongest form of the equivalence
     "x42b_blocklist_join" -> x42OracleSql,
+    // x42c's Bloom prefilters can only ADD candidates the exact confirm
+    // joins then reject, so it is row-identical to x42 too (spec-pinned
+    // including a forced-false-positive regime) — verbatim oracle again
+    "x42c_blocklist_bloom" -> x42OracleSql,
 
     // x43: the raw URL rebuilt byte-for-byte with the same CASE axes as
     // Urls.buildUrl (pins the synthesis), the canonical form derived

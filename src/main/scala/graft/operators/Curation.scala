@@ -681,6 +681,139 @@ object Curation {
       .orderedBy("doc_id")
   }
 
+  /** Build the bit vector of a Bloom filter over `values` with the SAME
+    * hash family [[bloomMaybe]] probes: h1/h2 are Spark SQL's own
+    * `xxhash64(v)` / `xxhash64(v, 1L)` — computed BY a (bounded,
+    * list-sized) Spark job so driver build and executor probe can never
+    * disagree on hash internals — and probe i sets
+    * `(h1 + i*h2) mod m` with the hashes reduced mod m FIRST (keeps the
+    * arithmetic overflow-free under ANSI mode). Booleans, not packed
+    * bits: m is a few KiB here and `element_at` on a literal array
+    * keeps the probe a codegen one-liner; a fleet-size filter (m in the
+    * billions for a 10M-row list at 1% FPP) packs into longs and ships
+    * as a broadcast variable instead of a plan literal — same probe
+    * algebra.
+    */
+  private[graft] def bloomBuild(spark: SparkSession, values: Seq[String],
+                                m: Int, k: Int): Seq[Boolean] = {
+    import spark.implicits._
+    val bits = Array.fill(m)(false)
+    values.toDF("v")
+      .select(pmod(xxhash64(col("v")), lit(m.toLong)).as("h1"),
+        pmod(xxhash64(col("v"), lit(1L)), lit(m.toLong)).as("h2"))
+      .collect()
+      .foreach { r =>
+        val (h1, h2) = (r.getLong(0), r.getLong(1))
+        (0 until k).foreach(i =>
+          bits(((h1 + i * h2) % m).toInt) = true)
+      }
+    bits.toSeq
+  }
+
+  /** The Bloom membership test as a codegen'd Column over [[bloomBuild]]
+    * bits: k `element_at` probes of a literal array, AND-folded. May
+    * return true for a value never inserted (the false-positive
+    * contract — callers MUST confirm with an exact join); never false
+    * for an inserted one.
+    */
+  private[graft] def bloomMaybe(bits: Seq[Boolean], m: Int, k: Int)
+                               (v: Column): Column = {
+    val bitsLit = typedLit(bits)
+    val h1 = pmod(xxhash64(v), lit(m.toLong))
+    val h2 = pmod(xxhash64(v, lit(1L)), lit(m.toLong))
+    (0 until k)
+      .map(i => element_at(bitsLit,
+        (pmod(h1 + lit(i.toLong) * h2, lit(m.toLong)) + 1).cast("int")))
+      .reduce(_ && _)
+  }
+
+  /** x42c: the SAME blocklist gate in the PAST-BROADCAST-LIMIT shape
+    * x42b's scaladoc names — when the word/phrase lists outgrow the
+    * broadcast threshold (a URL blocklist is millions of rows), the
+    * probe side must shrink BEFORE the shuffle, and a Bloom prefilter
+    * is how: membership says "definitely not listed" for ~all of the
+    * corpus-proportional stream, and only the surviving candidates pay
+    * the exact confirm join. False positives are harmless (the confirm
+    * join is exact), false negatives impossible (the Bloom contract),
+    * so the output is row-identical to x42/x42b — spec-pinned, and the
+    * DuckDB oracle is x42's verbatim.
+    *
+    * Rule shapes: the domain list stays a broadcast equi-join (domain
+    * lists are thousands, never past the limit). The WORD rule explodes
+    * tokens, Bloom-drops non-candidates in the scan projection, and
+    * confirms the survivors with a SHUFFLE hash join (`shuffle_hash`
+    * hint — the plan a too-big-to-broadcast list forces; the hint pins
+    * the shape at bench list sizes). The PHRASE rule cannot equi-join
+    * on whole phrases, so it joins on the phrase's LEADING CHARACTER
+    * 4-GRAM: every contiguous 4-gram of the lowered text (distinct,
+    * doc-keyed — text itself never rides the exploded stream),
+    * Bloom-filtered against the phrase-prefix grams, shuffle-joined to
+    * pair (doc, phrase) candidates, then ONE exact `contains` confirm
+    * per pair after joining the text back by doc_id. A phrase occurring
+    * in a document forces its prefix gram into the document's gram set
+    * (substring containment — unlike word-boundary tokens, which
+    * punctuation can glue shut), so the pairing misses nothing.
+    *
+    * Scale shape: the only corpus-proportional exchanges are the
+    * Bloom-SURVIVOR streams (∝ true hits + m/k-tunable false
+    * positives), the pair confirm probes with candidate-sized frames,
+    * and the doc-keyed verdict join every blocklist pipeline pays.
+    * `m`/`k` parameterize the filters so the spec can force a
+    * false-positive-rich regime and pin that the confirm join eats it.
+    */
+  def blocklistFilterBloom(spark: SparkSession, dir: String,
+                           m: Int = 2048, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val gramLen = 4
+    require(blockedPhrases.forall(_.length >= gramLen),
+      s"phrase prefix-gram pairing needs phrases of at least $gramLen chars")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val domDf = blockedDomains.toDF("bdom")
+    val wordDf = blockedWords.toDF("bword")
+    val phraseDf = blockedPhrases.toDF("bphrase")
+      .withColumn("pgram", substring(col("bphrase"), 1, gramLen))
+    val wordBloom = bloomMaybe(bloomBuild(spark, blockedWords, m, k), m, k) _
+    val gramBloom = bloomMaybe(
+      bloomBuild(spark, blockedPhrases.map(_.substring(0, gramLen)), m, k),
+      m, k) _
+    val domHits = docs
+      .join(broadcast(domDf), col("source") === col("bdom"))
+      .select(col("doc_id"), lit(1).as("pri"))
+    val wordHits = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(wordBloom(col("tok")))
+      .join(wordDf.hint("shuffle_hash"), col("tok") === col("bword"))
+      .select(col("doc_id"), lit(2).as("pri"))
+    val docGrams = docs
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .filter(length(col("lt")) >= gramLen)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), length(col("lt")) - lit(gramLen - 1)),
+        i => col("lt").substr(i, lit(gramLen))))).as("gram"))
+      .filter(gramBloom(col("gram")))
+    val phraseHits = docGrams
+      .join(phraseDf.hint("shuffle_hash"), col("gram") === col("pgram"))
+      .select(col("doc_id"), col("bphrase")).distinct()
+      .join(docs.select(col("doc_id"), lower(col("text")).as("lt")),
+        Seq("doc_id"))
+      .filter(contains(col("lt"), col("bphrase")))
+      .select(col("doc_id"), lit(3).as("pri"))
+    val firstHit = domHits.union(wordHits).union(phraseHits)
+      .groupBy(col("doc_id")).agg(min(col("pri")).as("pri"))
+    docs
+      .join(firstHit, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("pri") === 1, "blocked_domain")
+          .when(col("pri") === 2, "blocked_word")
+          .when(col("pri") === 3, "blocked_phrase")
+          .when(contains(col("text"), lit("{")) ||
+            contains(lower(col("text")), lit("javascript")), "markup")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"), col("reason"))
+      .orderedBy("doc_id")
+  }
+
   /** p3: the reputation feedback loop — x48's domain-reputation frame
     * wired back in as a DYNAMIC domain blocklist, closing the
     * RefinedWeb-style loop x48's scaladoc promises: a host whose keep

@@ -357,6 +357,60 @@ class CurationSpec extends SparkSpec {
     assert(litR.exists(!_._2), "driver table must have live blocklist hits")
   }
 
+  test("x42c bloom-prefilter gate is row-identical; confirm joins eat forced false positives") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    // the x42b fixture: every rule class + the precedence cases
+    val dir = writeDocs(Seq(
+      (1L, "clean words only here", "s0"),
+      (2L, "dup text on a blocked domain", "src7"),
+      (3L, "this doc mentions dup once", "s0"),
+      (4L, "Lorem Ipsum dolor sit amet", "s0"),
+      (5L, "read our privacy policy for details", "s0"),
+      (6L, "function f() { return 1 } end", "s0"),
+      (7L, "enable JavaScript to continue", "s0"),
+      (8L, "dup site uses cookies everywhere", "s0"),
+      (9L, "", "s0")))
+    val lit = rows(Curation.blocklistFilter(spark, dir))
+    assert(rows(Curation.blocklistFilterBloom(spark, dir)) == lit)
+    // the shape the Bloom buys: the confirm joins run as SHUFFLE hash
+    // joins (the past-broadcast-limit plan), never broadcast
+    val plan = Curation.blocklistFilterBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2, plan)
+    // and on the driver's real table, where the corpus-live entries fire
+    val real = "/root/testdata/sf0.001"
+    assert(rows(Curation.blocklistFilterBloom(spark, real)) ==
+      rows(Curation.blocklistFilter(spark, real)))
+    // FORCED-false-positive regime: at m=64/k=1 a non-listed token that
+    // Bloom-maybes is easy to mine; plant it in a clean doc and the
+    // exact confirm join must still reject it — the FP-safety contract
+    val (m, k) = (64, 1)
+    val bits = Curation.bloomBuild(spark, Curation.blockedWords, m, k)
+    import spark.implicits._
+    val fp = (0 until 500).map(i => s"fp$i")
+      .toDF("tok")
+      .filter(Curation.bloomMaybe(bits, m, k)(col("tok")))
+      .collect().map(_.getString(0))
+      .find(t => !Curation.blockedWords.contains(t))
+    assert(fp.nonEmpty, "expected >=1 mined false positive at m=64/k=1")
+    val dir2 = writeDocs(Seq(
+      (1L, s"clean filler ${fp.get} stays clean", "s0"),
+      (2L, "this doc mentions dup once", "s0")))
+    val got2 = rows(Curation.blocklistFilterBloom(spark, dir2, m, k))
+    assert(got2 == rows(Curation.blocklistFilter(spark, dir2)))
+    assert(got2 == Seq((1L, true, "ok"), (2L, false, "blocked_word")), got2)
+    // the default-size filter actually FILTERS: none of the clean doc's
+    // tokens survive the word bloom (deterministic hash family)
+    val dBits = Curation.bloomBuild(spark, Curation.blockedWords, 2048, 5)
+    val survivors = "clean words only here".split(" ").toSeq
+      .toDF("tok")
+      .filter(Curation.bloomMaybe(dBits, 2048, 5)(col("tok")))
+      .count()
+    assert(survivors == 0L, s"$survivors clean tokens bloom-survived")
+  }
+
   test("p3 low-reputation domains override the p2 verdict; healthy domains pass through") {
     // the p2-agreement fixture (each doc a PER-PAGE stage): site1-site4
     // collapse (0 kept of 1 → 0*100 < 1 fires), site5's one doc passes
