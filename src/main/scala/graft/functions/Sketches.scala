@@ -38,6 +38,15 @@ object Sketches {
   def shingleHash64(text: Column, k: Int): Column =
     ColumnBridge.column(ShingleHash64(ColumnBridge.expression(text), k))
 
+  /** Bloom-surviving tokens (`gramLen` = 0) or char-grams (> 0) of a
+    * string column — one pass, xxhash64 family, allocation only on
+    * survivors (see graftbridge.BloomCandidates).
+    */
+  def bloomCandidates(text: Column, gramLen: Int, bits: Seq[Boolean],
+                      k: Int): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftbridge.BloomCandidates(
+      ColumnBridge.expression(text), gramLen, bits.toArray, k))
+
   /** Positions where two long-array signatures agree. */
   def equalCount(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -694,21 +694,28 @@ object Curation {
     * as a broadcast variable instead of a plan literal — same probe
     * algebra.
     */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(Seq[String], Int, Int), Seq[Boolean]]
+
   private[graft] def bloomBuild(spark: SparkSession, values: Seq[String],
-                                m: Int, k: Int): Seq[Boolean] = {
-    import spark.implicits._
-    val bits = Array.fill(m)(false)
-    values.toDF("v")
-      .select(pmod(xxhash64(col("v")), lit(m.toLong)).as("h1"),
-        pmod(xxhash64(col("v"), lit(1L)), lit(m.toLong)).as("h2"))
-      .collect()
-      .foreach { r =>
-        val (h1, h2) = (r.getLong(0), r.getLong(1))
-        (0 until k).foreach(i =>
-          bits(((h1 + i * h2) % m).toInt) = true)
-      }
-    bits.toSeq
-  }
+                                m: Int, k: Int): Seq[Boolean] =
+    // pure in (values, m, k) — Spark's xxhash64 is stable across
+    // sessions — so the list-sized build job runs once per JVM, not
+    // once per plan build
+    bloomCache.getOrElseUpdate((values, m, k), {
+      import spark.implicits._
+      val bits = Array.fill(m)(false)
+      values.toDF("v")
+        .select(pmod(xxhash64(col("v")), lit(m.toLong)).as("h1"),
+          pmod(xxhash64(col("v"), lit(1L)), lit(m.toLong)).as("h2"))
+        .collect()
+        .foreach { r =>
+          val (h1, h2) = (r.getLong(0), r.getLong(1))
+          (0 until k).foreach(i =>
+            bits(((h1 + i * h2) % m).toInt) = true)
+        }
+      bits.toSeq
+    })
 
   /** The Bloom membership test as a codegen'd Column over [[bloomBuild]]
     * bits: k `element_at` probes of a literal array, AND-folded. May
@@ -745,11 +752,12 @@ object Curation {
     * hint — the plan a too-big-to-broadcast list forces; the hint pins
     * the shape at bench list sizes). The PHRASE rule cannot equi-join
     * on whole phrases, so it joins on the phrase's LEADING CHARACTER
-    * 4-GRAM: every contiguous 4-gram of the lowered text (distinct,
-    * doc-keyed — text itself never rides the exploded stream),
-    * Bloom-filtered against the phrase-prefix grams, shuffle-joined to
-    * pair (doc, phrase) candidates, then ONE exact `contains` confirm
-    * per pair after joining the text back by doc_id. A phrase occurring
+    * 4-GRAM: every contiguous 4-gram of the lowered text, probed
+    * against the phrase-prefix Bloom INSIDE the gram array so only
+    * candidate grams ever become rows (text itself never rides the
+    * exploded stream), shuffle-joined to pair (doc, phrase)
+    * candidates, then ONE exact `contains` confirm per pair after
+    * joining the text back by doc_id. A phrase occurring
     * in a document forces its prefix gram into the document's gram set
     * (substring containment — unlike word-boundary tokens, which
     * punctuation can glue shut), so the pairing misses nothing.
@@ -773,25 +781,27 @@ object Curation {
     val wordDf = blockedWords.toDF("bword")
     val phraseDf = blockedPhrases.toDF("bphrase")
       .withColumn("pgram", substring(col("bphrase"), 1, gramLen))
-    val wordBloom = bloomMaybe(bloomBuild(spark, blockedWords, m, k), m, k) _
-    val gramBloom = bloomMaybe(
-      bloomBuild(spark, blockedPhrases.map(_.substring(0, gramLen)), m, k),
-      m, k) _
+    val wordBits = bloomBuild(spark, blockedWords, m, k)
+    val gramBits =
+      bloomBuild(spark, blockedPhrases.map(_.substring(0, gramLen)), m, k)
     val domHits = docs
       .join(broadcast(domDf), col("source") === col("bdom"))
       .select(col("doc_id"), lit(1).as("pri"))
+    // the Bloom probes run INSIDE the native one-pass kernel
+    // (Sketches.bloomCandidates, spec-pinned window-for-window equal to
+    // the bloomMaybe Column spelling), so the exploded survivor streams
+    // materialize only candidates — the corpus-proportional token/gram
+    // volumes are walked, never allocated
     val wordHits = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
-      .filter(wordBloom(col("tok")))
+      .select(col("doc_id"),
+        explode(Sketches.bloomCandidates(lower(col("text")), 0, wordBits, k))
+          .as("tok"))
       .join(wordDf.hint("shuffle_hash"), col("tok") === col("bword"))
       .select(col("doc_id"), lit(2).as("pri"))
     val docGrams = docs
-      .select(col("doc_id"), lower(col("text")).as("lt"))
-      .filter(length(col("lt")) >= gramLen)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), length(col("lt")) - lit(gramLen - 1)),
-        i => col("lt").substr(i, lit(gramLen))))).as("gram"))
-      .filter(gramBloom(col("gram")))
+      .select(col("doc_id"),
+        explode(Sketches.bloomCandidates(lower(col("text")), gramLen,
+          gramBits, k)).as("gram"))
     val phraseHits = docGrams
       .join(phraseDf.hint("shuffle_hash"), col("gram") === col("pgram"))
       .select(col("doc_id"), col("bphrase")).distinct()

@@ -113,6 +113,7 @@ object ScalingCurve {
       "x49_fim_split" -> ((s, d) => Curation.fimSplit(s, d)),
       "x50_chat_template" -> ((s, d) => Curation.chatTemplate(s, d)),
       "x42b_blocklist_join" -> ((s, d) => Curation.blocklistFilterBroadcast(s, d)),
+      "x42c_blocklist_bloom" -> ((s, d) => Curation.blocklistFilterBloom(s, d)),
       "p3_reputation_gate" -> ((s, d) => Curation.reputationGate(s, d)),
       "w1_warc_ingest" -> ((s, d) => graft.sources.Warc.warcIngest(s, d)),
       "w2_wet_extract" -> ((s, d) => graft.sources.Warc.wetExtract(s, d)),

@@ -593,3 +593,106 @@ case class QuantizedDotLong(child: Expression, weights: Seq[Long])
   override protected def withNewChildInternal(newChild: Expression): QuantizedDotLong =
     copy(child = newChild)
 }
+
+/** Bloom-prefilter candidate emitter for the x42c blocklist gate: walks a
+  * string ONCE and emits only the windows whose k Bloom probes all hit —
+  * token mode (`gramLen == 0`: 0x20-delimited tokens, empty tokens
+  * included, exactly `split(text, " ")`'s limit=-1 convention) or
+  * char-gram mode (`gramLen > 0`: every contiguous gramLen-code-point
+  * window). The hash family is BY CONSTRUCTION Spark SQL's xxhash64:
+  * h1 = XXH64 over the window's UTF-8 bytes at seed 42 (= `xxhash64(w)`),
+  * h2 = `XXH64.hashLong(1L, h1)` (= `xxhash64(w, 1L)` — the multi-arg
+  * fold feeds the running hash back in as the seed), and probe i tests
+  * bit `(h1 + i*h2) mod m` with both halves reduced mod m first — the
+  * same algebra as `Curation.bloomMaybe`'s Column spelling (spec-pinned
+  * equal), so the SQL-built reference filter and this kernel can never
+  * disagree. The Column spelling materializes every token/gram before
+  * its filter; this kernel allocates ONLY survivors.
+  */
+case class BloomCandidates(child: Expression, gramLen: Int,
+                           bits: Array[Boolean], k: Int)
+    extends UnaryExpression {
+  require(gramLen >= 0 && k >= 1 && bits.nonEmpty)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_bloom_candidates"
+
+  protected override def nullSafeEval(input: Any): Any =
+    BloomCandidates.candidates(input.asInstanceOf[UTF8String], gramLen, bits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("bloomBits", bits, "boolean[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftbridge.BloomCandidates
+         |  .candidates($c, $gramLen, $bRef, $k);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomCandidates =
+    copy(child = newChild)
+}
+
+object BloomCandidates {
+  def candidates(s: UTF8String, gramLen: Int, bits: Array[Boolean],
+                 k: Int): ArrayData = {
+    val m = bits.length
+    val nb = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new java.util.ArrayList[AnyRef]()
+    // window [from, from+len): probe the Bloom; copy out only survivors
+    // (the input buffer may be a reused UnsafeRow page, so survivors are
+    // materialized into fresh byte arrays)
+    def probe(from: Int, len: Int): Unit = {
+      val h1 = XXH64.hashUnsafeBytes(base, off + from, len, 42L)
+      val h2 = XXH64.hashLong(1L, h1)
+      val a = java.lang.Math.floorMod(h1, m.toLong).toInt
+      val b = java.lang.Math.floorMod(h2, m.toLong).toInt
+      var i = 0
+      var ok = true
+      while (ok && i < k) {
+        if (!bits(((a.toLong + i.toLong * b) % m).toInt)) ok = false
+        i += 1
+      }
+      if (ok) {
+        val copy = new Array[Byte](len)
+        org.apache.spark.unsafe.Platform.copyMemory(base, off + from, copy,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+        out.add(UTF8String.fromBytes(copy))
+      }
+    }
+    if (gramLen == 0) {
+      // 0x20-delimited tokens, empties included (split's limit=-1)
+      var tokStart = 0
+      var p = 0
+      while (p < nb) {
+        if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20.toByte) {
+          probe(tokStart, p - tokStart)
+          tokStart = p + 1
+        }
+        p += 1
+      }
+      probe(tokStart, nb - tokStart)
+    } else {
+      // code-point starts: UTF-8 bytes that are not continuation bytes
+      val starts = new Array[Int](nb + 1)
+      var nCh = 0
+      var p = 0
+      while (p < nb) {
+        if ((org.apache.spark.unsafe.Platform.getByte(base, off + p) & 0xC0) != 0x80) {
+          starts(nCh) = p
+          nCh += 1
+        }
+        p += 1
+      }
+      starts(nCh) = nb
+      var i = 0
+      while (i + gramLen <= nCh) {
+        probe(starts(i), starts(i + gramLen) - starts(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

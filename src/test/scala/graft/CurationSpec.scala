@@ -409,6 +409,36 @@ class CurationSpec extends SparkSpec {
       .filter(Curation.bloomMaybe(dBits, 2048, 5)(col("tok")))
       .count()
     assert(survivors == 0L, s"$survivors clean tokens bloom-survived")
+    // the native kernel the operator runs is window-for-window equal to
+    // the bloomMaybe Column spelling, both modes, on the adversarial
+    // strings: multibyte UTF-8, empty string, repeated/trailing spaces
+    // (split's limit=-1 empties), the mined FP token, live hits
+    import org.apache.spark.sql.functions.{expr => fexpr, filter => ffilter,
+      length => flength, lit => flit, lower => flower, sequence => fsequence,
+      split => fsplit, transform => ftransform, when => fwhen}
+    val probeStrs = Seq("clean words only here", s"x ${fp.get} café 日本語",
+      "", " a  b ", "lorem ipsum dolor", "dup")
+    for ((bits2, g) <- Seq((bits, 0), (Curation.bloomBuild(spark,
+        Curation.blockedPhrases.map(_.substring(0, 4)), m, k), 4))) {
+      val ref = if (g == 0)
+        ffilter(fsplit(col("s"), " "),
+          t => Curation.bloomMaybe(bits2, m, k)(t))
+      else fwhen(flength(col("s")) >= g,
+          ffilter(ftransform(fsequence(flit(1), flength(col("s")) - flit(g - 1)),
+            i => col("s").substr(i, flit(g))),
+            t => Curation.bloomMaybe(bits2, m, k)(t)))
+        .otherwise(fexpr("array()"))
+      val rows2 = probeStrs.toDF("s")
+        .select(col("s"), ref.as("want"),
+          graft.functions.Sketches.bloomCandidates(col("s"), g, bits2, k)
+            .as("got"))
+        .collect()
+      rows2.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"mode=$g s='${r.getString(0)}': " +
+            s"column=${r.getSeq[String](1)} kernel=${r.getSeq[String](2)}")
+      }
+    }
   }
 
   test("p3 low-reputation domains override the p2 verdict; healthy domains pass through") {
