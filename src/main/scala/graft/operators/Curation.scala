@@ -773,8 +773,18 @@ object Curation {
                            m: Int = 2048, k: Int = 5): DataFrame = {
     import spark.implicits._
     val gramLen = 4
-    require(blockedPhrases.forall(_.length >= gramLen),
-      s"phrase prefix-gram pairing needs phrases of at least $gramLen chars")
+    // code-POINT arithmetic on both sides of the pairing key: Spark's
+    // substring and the BloomCandidates gram walk count code points, so
+    // the Scala-side prefix must too — String.substring(0, 4) counts
+    // UTF-16 units and would split a supplementary character (and probe
+    // a prefix the gram stream can never produce) the moment a phrase
+    // leads with one
+    require(blockedPhrases.forall(p =>
+        p.codePointCount(0, p.length) >= gramLen),
+      s"phrase prefix-gram pairing needs phrases of at least $gramLen " +
+        "code points")
+    def phrasePrefix(p: String): String =
+      p.substring(0, p.offsetByCodePoints(0, gramLen))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     val domDf = blockedDomains.toDF("bdom")
@@ -783,7 +793,7 @@ object Curation {
       .withColumn("pgram", substring(col("bphrase"), 1, gramLen))
     val wordBits = bloomBuild(spark, blockedWords, m, k)
     val gramBits =
-      bloomBuild(spark, blockedPhrases.map(_.substring(0, gramLen)), m, k)
+      bloomBuild(spark, blockedPhrases.map(phrasePrefix), m, k)
     val domHits = docs
       .join(broadcast(domDf), col("source") === col("bdom"))
       .select(col("doc_id"), lit(1).as("pri"))

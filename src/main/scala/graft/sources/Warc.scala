@@ -52,6 +52,15 @@ object Warc {
     */
   private[graft] val MaxRecordBytes: Long = 256L * 1024 * 1024
 
+  /** Compressed-size slack above [[MaxRecordBytes]] for a gzip member of
+    * a maximal record: incompressible data legally DEFLATES larger than
+    * it is (stored-block framing, ~5 B per 64 KiB block ≈ 20 KiB at the
+    * payload bound) plus the WARC head and the gzip member
+    * header/trailer — a compressed bound without this slack would
+    * reject a correct sidecar entry for a maximal record as corrupt.
+    */
+  private[graft] val MaxGzSlackBytes: Long = 128L * 1024
+
   /** One parsed WARC record: lowercased header names, the byte offset
     * and total length of the record inside its container, and the raw
     * payload block (for `response` records, a full HTTP message).
@@ -89,17 +98,17 @@ object Warc {
     val httpLen = httpHead.length + htmlBytes.length
     // ISO 28500 §5.9 digest headers: payload digest over the HTTP
     // entity body, block digest over the whole content block (the HTTP
-    // message) — labelled sha-256 hex (see sha256Label for why not
-    // sha1:BASE32 here), VERIFIED on every read path (verifyDigests)
-    val block = new java.io.ByteArrayOutputStream(httpLen)
-    block.write(httpHead); block.write(htmlBytes)
+    // message, digested incrementally over the two existing arrays —
+    // never concatenated just to hash) — labelled sha-256 hex (see
+    // sha256Label for why not sha1:BASE32 here), VERIFIED on every
+    // read path (verifyDigests)
     val warcHead = ("WARC/1.0" + CRLF +
       "WARC-Type: response" + CRLF +
       s"WARC-Record-ID: <urn:graft:doc-$id>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: ${Urls.buildUrl(id)}" + CRLF +
       s"WARC-Payload-Digest: ${sha256Label(htmlBytes)}" + CRLF +
-      s"WARC-Block-Digest: ${sha256Label(block.toByteArray)}" + CRLF +
+      s"WARC-Block-Digest: ${sha256Label(httpHead, htmlBytes)}" + CRLF +
       "Content-Type: application/http;msgtype=response" + CRLF +
       s"Content-Length: $httpLen" + CRLF + CRLF).getBytes(UTF_8)
     frame(Seq(warcHead, httpHead), htmlBytes)
@@ -430,12 +439,16 @@ object Warc {
   private[graft] val CdxHeader =
     "CDX uri type record-id comp-offset comp-len plain-offset plain-len"
 
-  /** Serialize CDX entries as the sidecar's text bytes: the header line
-    * then one space-separated line per record. Space-FREE fields are a
-    * write-time requirement (URIs/record-ids in this layout never carry
-    * spaces; one that did would corrupt the column split for every
-    * consumer, so it fails loudly at stage time, not silently at serve
-    * time).
+  /** Serialize CDX entries as the sidecar's text bytes: the header line,
+    * one space-separated line per record, then the `CDX-END <count>`
+    * terminator. Space-FREE fields are a write-time requirement
+    * (URIs/record-ids in this layout never carry spaces; one that did
+    * would corrupt the column split for every consumer, so it fails
+    * loudly at stage time, not silently at serve time). The terminator
+    * is what makes LINE-boundary truncation detectable: well-formed
+    * lines with the tail sliced off at a newline would otherwise parse
+    * as a complete smaller index and serve a partial container
+    * silently.
     */
   private[graft] def cdxBytes(entries: Seq[CdxEntry]): Array[Byte] = {
     val sb = new StringBuilder(CdxHeader).append('\n')
@@ -449,24 +462,40 @@ object Warc {
         .append(e.compLen).append(' ').append(e.plainOffset).append(' ')
         .append(e.plainLen).append('\n')
     }
+    sb.append("CDX-END ").append(entries.length).append('\n')
     sb.result().getBytes(UTF_8)
   }
 
   /** Parse a sidecar back to its entries — loud on a missing/mismatched
-    * header or a malformed line (a truncated sidecar must never serve a
-    * partial index as if it were the whole container).
+    * header, a malformed line, a missing/count-mismatched `CDX-END`
+    * terminator, or content after it (a truncated sidecar must never
+    * serve a partial index as if it were the whole container, INCLUDING
+    * one truncated exactly at a line boundary).
     */
   private[graft] def parseCdx(file: String, text: String): Seq[CdxEntry] = {
     val lines = text.split("\n", -1)
     require(lines.nonEmpty && lines.head == CdxHeader,
       s"$file: not a graft CDX sidecar (bad header line " +
         s"'${lines.headOption.getOrElse("")}')")
-    lines.iterator.drop(1).filter(_.nonEmpty).map { l =>
+    val body = lines.drop(1)
+    val endIdx = body.indexWhere(_.startsWith("CDX-END"))
+    require(endIdx >= 0,
+      s"$file: missing CDX-END terminator — sidecar truncated (possibly " +
+        "at a line boundary) or not fully committed")
+    require(body.drop(endIdx + 1).forall(_.isEmpty),
+      s"$file: content after the CDX-END terminator — corrupt sidecar")
+    val entries = body.take(endIdx).filter(_.nonEmpty).map { l =>
       val f = l.split(" ")
       require(f.length == 7, s"$file: malformed CDX line '$l'")
       CdxEntry(f(0), f(1), f(2), f(3).toLong, f(4).toLong, f(5).toLong,
         f(6).toLong)
     }.toSeq
+    val endF = body(endIdx).split(" ")
+    require(endF.length == 2 && endF(0) == "CDX-END" &&
+        endF(1).toLong == entries.length,
+      s"$file: CDX-END declares '${body(endIdx)}' but ${entries.length} " +
+        "entries parsed — truncated or corrupt sidecar")
+    entries
   }
 
   /** Parse ONE record starting at `start`. `Some((record, nextPos))` on
@@ -689,6 +718,15 @@ object Warc {
     * same Content-Length discipline as the record framing.
     */
   private[graft] def parseHttp(payload: Array[Byte]): (Int, Array[Byte]) = {
+    val (status, body, _) = parseHttpAt(payload)
+    (status, body)
+  }
+
+  /** [[parseHttp]] plus the byte offset where the entity (raw, still
+    * transfer-encoded) starts — the raw-payload tail some WARC writers
+    * digest (see [[verifyDigests]]).
+    */
+  private[graft] def parseHttpAt(payload: Array[Byte]): (Int, Array[Byte], Int) = {
     // payloads are complete by the record framing, so an unterminated
     // line here is corruption, not incompleteness — loud
     def lineAt(pos: Int): (String, Int) = readLine(payload, pos)
@@ -717,13 +755,13 @@ object Warc {
       line = lineAt(pos)
     }
     pos = line._2
-    if (chunked) return (parts(1).toInt, dechunk(payload, pos))
+    if (chunked) return (parts(1).toInt, dechunk(payload, pos), pos)
     require(clen >= 0,
       "HTTP message has neither Content-Length nor chunked " +
         "transfer-encoding — unframeable body")
     require(pos + clen <= payload.length,
       s"HTTP payload truncated: Content-Length $clen, have ${payload.length - pos}")
-    (parts(1).toInt, java.util.Arrays.copyOfRange(payload, pos, pos + clen))
+    (parts(1).toInt, java.util.Arrays.copyOfRange(payload, pos, pos + clen), pos)
   }
 
   /** Decode an RFC 7230 chunked body starting at `pos`: hex size line
@@ -822,8 +860,11 @@ object Warc {
     * ([[verifyDigests]]) additionally speaks `sha1:`BASE32, the Common
     * Crawl convention, so real archives check too.
     */
-  private def sha256Label(bytes: Array[Byte]): String =
-    "sha256:" + hexLower(digest("SHA-256", bytes))
+  private def sha256Label(parts: Array[Byte]*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    "sha256:" + hexLower(md.digest())
+  }
 
   /** Verify one labelled digest header (ISO 28500 §5.8) against the
     * data it covers: `sha256:` hex and `sha1:` base32 (the Common
@@ -834,43 +875,77 @@ object Warc {
     * may label digests this reader cannot compute; skipping is honest,
     * mis-verifying is not), as is an absent header.
     */
+  /** Whether `value` (a labelled digest) matches `data`: Some(result)
+    * for algorithms this reader computes, None for a foreign label
+    * (tolerated — a real archive may label digests this reader cannot
+    * compute; skipping is honest, mis-verifying is not). A digest with
+    * no algorithm label at all is malformed and loud.
+    */
+  private def digestMatches(label: String, v: String, data: Array[Byte],
+                            where: => String): Option[Boolean] = {
+    val idx = v.indexOf(':')
+    require(idx > 0, s"malformed $label '$v' at $where (no algorithm label)")
+    val want = v.substring(idx + 1).trim
+    v.substring(0, idx).trim.toLowerCase(Locale.ROOT) match {
+      case "sha256" => Some(hexLower(digest("SHA-256", data))
+        .equalsIgnoreCase(want))
+      case "sha1" => Some(base32(digest("SHA-1", data)).equalsIgnoreCase(want))
+      case _ => None
+    }
+  }
+
   private def verifyDigest(label: String, value: Option[String],
                            data: Array[Byte], where: => String): Unit =
     value.foreach { v =>
-      val idx = v.indexOf(':')
-      require(idx > 0, s"malformed $label '$v' at $where (no algorithm label)")
-      val want = v.substring(idx + 1).trim
-      val got = v.substring(0, idx).trim.toLowerCase(Locale.ROOT) match {
-        case "sha256" => Some(hexLower(digest("SHA-256", data)))
-        case "sha1" => Some(base32(digest("SHA-1", data)))
-        case _ => None // foreign algorithm label: tolerated, not checked
-      }
-      got.foreach(g => require(g.equalsIgnoreCase(want),
-        s"$label mismatch at $where: header says '$v', data digests to " +
-          s"'$g' — corrupt record content"))
+      require(!digestMatches(label, v, data, where).contains(false),
+        s"$label mismatch at $where: header says '$v' — corrupt record " +
+          "content")
     }
 
   /** Verify a record's WARC-Block-Digest (over the full content block,
-    * i.e. the record payload) and WARC-Payload-Digest (over the logical
-    * payload — for application/http records the entity BODY after
-    * framing decode, per ISO 28500 §5.9) when the headers are present.
-    * Called on every read path that splits the record's content, so a
-    * flipped payload byte is loud on the PLAIN transport too, not just
-    * under the gzip trailer check.
+    * i.e. the record payload) and WARC-Payload-Digest when the headers
+    * are present. Called on every read path that splits the record's
+    * content, so a flipped payload byte is loud on the PLAIN transport
+    * too, not just under the gzip trailer check.
+    *
+    * The payload digest's coverage is where the WARC ecosystem splits:
+    * ISO 28500 §5.9 reads as the LOGICAL payload (the entity body after
+    * transfer-framing decode — what this repo's records digest), but
+    * wget/warcio and older Common Crawl snapshots digest the RAW stored
+    * bytes after the HTTP header block, chunk framing included. A
+    * verifier that picks one convention crashes on intact archives of
+    * the other, so when `rawBodyStart >= 0` the check accepts EITHER:
+    * decoded-body match first, raw-tail match as the fallback, loud
+    * only when BOTH mismatch (for Content-Length framing the two
+    * coverages are the same bytes, so the fallback only ever fires on
+    * transfer-encoded captures).
     */
-  private[graft] def verifyDigests(r: WarcRecord, body: Array[Byte]): Unit = {
+  private[graft] def verifyDigests(r: WarcRecord, body: Array[Byte],
+                                   rawBodyStart: Int = -1): Unit = {
     verifyDigest("WARC-Block-Digest", r.headers.get("warc-block-digest"),
       r.payload, s"record offset ${r.offset}")
-    verifyDigest("WARC-Payload-Digest", r.headers.get("warc-payload-digest"),
-      body, s"record offset ${r.offset}")
+    r.headers.get("warc-payload-digest").foreach { v =>
+      val where = s"record offset ${r.offset}"
+      val decoded = digestMatches("WARC-Payload-Digest", v, body, where)
+      val ok = decoded match {
+        case Some(false) if rawBodyStart >= 0 =>
+          digestMatches("WARC-Payload-Digest", v,
+            java.util.Arrays.copyOfRange(r.payload, rawBodyStart,
+              r.payload.length), where).contains(true)
+        case d => !d.contains(false)
+      }
+      require(ok, s"WARC-Payload-Digest mismatch at $where: header says " +
+        s"'$v' against both the decoded body and the raw payload tail — " +
+        "corrupt record content")
+    }
   }
 
   /** The HTTP split + digest verification every response consumer runs:
     * ONE definition, so no read path can split without checking.
     */
   private[graft] def parseHttpVerified(r: WarcRecord): (Int, Array[Byte]) = {
-    val (status, body) = parseHttp(r.payload)
-    verifyDigests(r, body)
+    val (status, body, bodyStart) = parseHttpAt(r.payload)
+    verifyDigests(r, body, bodyStart)
     (status, body)
   }
 
@@ -1435,7 +1510,13 @@ object Warc {
   private[graft] def fetchGzMember(in: org.apache.hadoop.fs.FSDataInputStream,
                                    compOffset: Long,
                                    compLen: Long): Array[Byte] = {
-    require(compOffset >= 0 && compLen > 0 && compLen <= MaxRecordBytes,
+    // a maximal incompressible record legally deflates to slightly MORE
+    // than its plain payload (stored-block overhead ~5 B / 32 KiB), so
+    // the compressed bound carries header + overhead slack above the
+    // payload bound — the same allowance the streaming gz reassembler
+    // gives compPending
+    require(compOffset >= 0 && compLen > 0 &&
+        compLen <= MaxRecordBytes + MaxGzSlackBytes,
       s"implausible CDX member coordinates (offset $compOffset, " +
         s"len $compLen) — corrupt sidecar")
     val buf = new Array[Byte](compLen.toInt)

@@ -372,28 +372,21 @@ object StreamOps {
       Seq.empty[(Long, String, Boolean, Long)]
         .toDF("doc_id", "canon_url", "allowed", "n_content")
     @volatile private var latest: Option[DataFrame] = None
-    /** Wall-clock seconds per applied batch, in arrival order. At
-      * fleet frontier sizes this is the quantity incremental
-      * maintenance keeps flat; at BENCH corpus sizes both modes
-      * measure ~flat because fixed per-batch stage count dominates
-      * row-proportional work — which is why the published
-      * corpus-independence evidence is [[batchGateRows]], not this.
-      */
-    private[graft] val batchSecs =
-      scala.collection.mutable.ArrayBuffer.empty[Double]
     /** Rows the gate composition RAN OVER per applied batch, in
       * arrival order — the deterministic instrument behind the
       * StreamBench corpus-independence rows: under incremental
       * maintenance this is |R| (the batch-touched canon/norm group
       * closure), ~flat as the frontier accumulates; under full
       * recompute it is the frontier size, growing with every landed
-      * container. Counted AFTER the batch timing (the count re-walks
-      * key-only semi-joins over the localCheckpointed frontier).
+      * container. (Wall-clock per batch is NOT the instrument: at
+      * bench corpus sizes fixed per-batch stage count dominates
+      * row-proportional work and both modes measure ~flat seconds.)
+      * One Long per landed container — growth is bounded in practice
+      * by the maxFrontierRows cap ending the stream first.
       */
     private[graft] val batchGateRows =
       scala.collection.mutable.ArrayBuffer.empty[Long]
     private[graft] def applyBatch(records: DataFrame): Unit = synchronized {
-      val t0 = System.nanoTime()
       val add = graft.operators.Curation.frontierFromRecords(
         spark, records, minBlockLen)
       // replay-idempotent (foreachBatch is at-least-once): a batch
@@ -432,7 +425,7 @@ object StreamOps {
       // gateInput = the frame the gate composition ran over this
       // batch (R under incremental maintenance, the whole frontier
       // under full recompute and on the very first landing) — counted
-      // into batchGateRows after the timing below
+      // into batchGateRows once the verdicts have materialized
       val gateInput = (latest match {
         case Some(prev) if incremental =>
           val (aIds, verdA, r) = graft.operators.Curation.webVerdictsIncrement(
@@ -449,7 +442,6 @@ object StreamOps {
             positiveSources).localCheckpoint())
           None
       })
-      batchSecs += (System.nanoTime() - t0) / 1e9
       batchGateRows += gateInput.map(_.count()).getOrElse(n)
     }
     /** p2's verdict frame over every container closed so far. */

@@ -1157,6 +1157,23 @@ class WarcSpec extends SparkSpec {
       Warc.parseCdx("f", Warc.CdxHeader + "\nonly three fields\n"))
     // write-time field discipline: whitespace in a field is unwritable
     intercept[Exception](Warc.cdxBytes(Seq(good.copy(targetUri = "a b"))))
+    // LINE-boundary truncation is loud: well-formed surviving lines
+    // with the tail (and terminator) sliced off at a newline must not
+    // parse as a complete smaller index
+    val fullText = new String(Warc.cdxBytes(Seq(good, good.copy(
+      recordId = "urn:graft:doc-6", plainOffset = good.plainLen))), UTF_8)
+    assert(Warc.parseCdx("f", fullText).length == 2)
+    val atLineBoundary = fullText.split("\n", -1).toSeq
+    val e6 = intercept[Exception](Warc.parseCdx("f",
+      atLineBoundary.take(2).mkString("", "\n", "\n"))) // header + 1 line
+    assert(e6.getMessage.contains("CDX-END"), e6.getMessage)
+    // a terminator whose declared count disagrees with the lines is loud
+    val e7 = intercept[Exception](Warc.parseCdx("f",
+      (atLineBoundary.take(2) :+ "CDX-END 2").mkString("", "\n", "\n")))
+    assert(e7.getMessage.contains("CDX-END declares"), e7.getMessage)
+    // content after the terminator is loud
+    val e8 = intercept[Exception](Warc.parseCdx("f", fullText + "stray\n"))
+    assert(e8.getMessage.contains("after the CDX-END"), e8.getMessage)
     // a multi-record member breaks the point-read layout contract loudly
     val two = Warc.gzipMember(r ++ Warc.buildRecord(7L, "second in member"))
     val e5 = intercept[Exception](Warc.cdxEntries(two))
@@ -1260,6 +1277,29 @@ class WarcSpec extends SparkSpec {
     val row = Warc.warcFileIngest(spark, out).collect().head
     assert(row.getAs[Long]("html_len") == body.length.toLong)
     assert(row.getAs[Long]("html_crc32") == crc(body))
+    // the digest-convention split: wget/warcio-style writers digest the
+    // RAW stored payload (chunk framing included), not the decoded
+    // entity — an intact capture of THAT convention must verify through
+    // the fallback, while a digest matching NEITHER coverage stays loud
+    def hx(b: Array[Byte]): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+    val headerEnd = msg.indexOfSlice("\r\n\r\n".getBytes(UTF_8)) + 4
+    val rawTail = msg.drop(headerEnd)
+    def recWithDigest(d: String): Array[Byte] =
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:uuid:11111111-2222-3333-4444-666666666666>\r\n" +
+        "WARC-Target-URI: https://example.com/chunked\r\n" +
+        s"WARC-Payload-Digest: sha256:$d\r\n" +
+        s"Content-Length: ${msg.length}\r\n\r\n").getBytes(UTF_8) ++
+        msg ++ "\r\n\r\n".getBytes(UTF_8)
+    val rawConv = Warc.parseWarc(recWithDigest(hx(rawTail))).head
+    assert(java.util.Arrays.equals(Warc.parseHttpVerified(rawConv)._2, body))
+    val decConv = Warc.parseWarc(recWithDigest(hx(body))).head
+    assert(java.util.Arrays.equals(Warc.parseHttpVerified(decConv)._2, body))
+    val neither = Warc.parseWarc(recWithDigest(hx("flip".getBytes(UTF_8)))).head
+    val eD = intercept[Exception](Warc.parseHttpVerified(neither))
+    assert(eD.getMessage.contains("both the decoded body and the raw"),
+      eD.getMessage)
     // corruption classes stay loud
     def loud(m: String): Unit = {
       val e = intercept[Exception](Warc.parseHttp(m.getBytes(UTF_8)))
