@@ -478,7 +478,15 @@ object Warc {
       s"$file: not a graft CDX sidecar (bad header line " +
         s"'${lines.headOption.getOrElse("")}')")
     val body = lines.drop(1)
-    val endIdx = body.indexWhere(_.startsWith("CDX-END"))
+    // the terminator must match EXACTLY "CDX-END <digits>": a DATA line
+    // whose first field merely starts with "CDX-END" (a foreign target
+    // URI is an arbitrary space-free token) has seven fields and never
+    // matches, so it stays an ordinary entry line; a corrupted
+    // terminator ("CDX-END xx") doesn't match either and falls through
+    // to the malformed-line/missing-terminator requires, both carrying
+    // the file's provenance
+    val endRe = "CDX-END (\\d+)".r
+    val endIdx = body.indexWhere(l => endRe.matches(l))
     require(endIdx >= 0,
       s"$file: missing CDX-END terminator — sidecar truncated (possibly " +
         "at a line boundary) or not fully committed")
@@ -490,9 +498,8 @@ object Warc {
       CdxEntry(f(0), f(1), f(2), f(3).toLong, f(4).toLong, f(5).toLong,
         f(6).toLong)
     }.toSeq
-    val endF = body(endIdx).split(" ")
-    require(endF.length == 2 && endF(0) == "CDX-END" &&
-        endF(1).toLong == entries.length,
+    val declared = body(endIdx) match { case endRe(n) => n.toLong }
+    require(declared == entries.length,
       s"$file: CDX-END declares '${body(endIdx)}' but ${entries.length} " +
         "entries parsed — truncated or corrupt sidecar")
     entries
@@ -866,38 +873,45 @@ object Warc {
     "sha256:" + hexLower(md.digest())
   }
 
-  /** Verify one labelled digest header (ISO 28500 §5.8) against the
-    * data it covers: `sha256:` hex and `sha1:` base32 (the Common
-    * Crawl convention) both check; a mismatch is CORRUPTION and loud —
-    * this is the content-integrity check the gzip CRC only provides on
-    * the gz transport, now on every read path. An unknown algorithm
-    * label is tolerated (foreign-namespace discipline: a real archive
+  /** Whether `v` (a labelled digest, ISO 28500 §5.8) matches
+    * `data[off, off+len)`: Some(result) for algorithms this reader
+    * computes (`sha256:` hex, `sha1:` base32 — the Common Crawl
+    * convention), None for a foreign label (tolerated — a real archive
     * may label digests this reader cannot compute; skipping is honest,
-    * mis-verifying is not), as is an absent header.
-    */
-  /** Whether `value` (a labelled digest) matches `data`: Some(result)
-    * for algorithms this reader computes, None for a foreign label
-    * (tolerated — a real archive may label digests this reader cannot
-    * compute; skipping is honest, mis-verifying is not). A digest with
-    * no algorithm label at all is malformed and loud.
+    * mis-verifying is not). A digest with no algorithm label at all is
+    * malformed and loud. Hashes the range IN PLACE — never copies the
+    * data to digest it.
     */
   private def digestMatches(label: String, v: String, data: Array[Byte],
+                            off: Int, len: Int,
                             where: => String): Option[Boolean] = {
     val idx = v.indexOf(':')
     require(idx > 0, s"malformed $label '$v' at $where (no algorithm label)")
     val want = v.substring(idx + 1).trim
+    def rangeDigest(algo: String): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance(algo)
+      md.update(data, off, len)
+      md.digest()
+    }
     v.substring(0, idx).trim.toLowerCase(Locale.ROOT) match {
-      case "sha256" => Some(hexLower(digest("SHA-256", data))
+      case "sha256" => Some(hexLower(rangeDigest("SHA-256"))
         .equalsIgnoreCase(want))
-      case "sha1" => Some(base32(digest("SHA-1", data)).equalsIgnoreCase(want))
+      case "sha1" => Some(base32(rangeDigest("SHA-1")).equalsIgnoreCase(want))
       case _ => None
     }
   }
 
+  /** Require a present labelled digest header to match its data: a
+    * computable-algorithm mismatch is CORRUPTION and loud — the
+    * content-integrity check the gzip CRC only provides on the gz
+    * transport, now on every read path. Foreign algorithm labels and
+    * absent headers are tolerated (see [[digestMatches]]).
+    */
   private def verifyDigest(label: String, value: Option[String],
                            data: Array[Byte], where: => String): Unit =
     value.foreach { v =>
-      require(!digestMatches(label, v, data, where).contains(false),
+      require(
+        !digestMatches(label, v, data, 0, data.length, where).contains(false),
         s"$label mismatch at $where: header says '$v' — corrupt record " +
           "content")
     }
@@ -926,17 +940,21 @@ object Warc {
       r.payload, s"record offset ${r.offset}")
     r.headers.get("warc-payload-digest").foreach { v =>
       val where = s"record offset ${r.offset}"
-      val decoded = digestMatches("WARC-Payload-Digest", v, body, where)
+      val decoded = digestMatches("WARC-Payload-Digest", v, body, 0,
+        body.length, where)
       val ok = decoded match {
         case Some(false) if rawBodyStart >= 0 =>
-          digestMatches("WARC-Payload-Digest", v,
-            java.util.Arrays.copyOfRange(r.payload, rawBodyStart,
-              r.payload.length), where).contains(true)
+          // the raw-convention fallback hashes the payload tail IN
+          // PLACE — no copy of an up-to-MaxRecordBytes range per record
+          digestMatches("WARC-Payload-Digest", v, r.payload, rawBodyStart,
+            r.payload.length - rawBodyStart, where).contains(true)
         case d => !d.contains(false)
       }
+      val coverage =
+        if (rawBodyStart >= 0) "both the decoded body and the raw payload tail"
+        else "the decoded payload (no raw-tail coverage on this path)"
       require(ok, s"WARC-Payload-Digest mismatch at $where: header says " +
-        s"'$v' against both the decoded body and the raw payload tail — " +
-        "corrupt record content")
+        s"'$v' against $coverage — corrupt record content")
     }
   }
 
@@ -1511,10 +1529,10 @@ object Warc {
                                    compOffset: Long,
                                    compLen: Long): Array[Byte] = {
     // a maximal incompressible record legally deflates to slightly MORE
-    // than its plain payload (stored-block overhead ~5 B / 32 KiB), so
-    // the compressed bound carries header + overhead slack above the
-    // payload bound — the same allowance the streaming gz reassembler
-    // gives compPending
+    // than its plain payload (stored-block framing), so the compressed
+    // bound carries MaxGzSlackBytes of header + overhead slack above
+    // the payload bound — the streaming gz reassembler's compPending
+    // bound carries the same slack term
     require(compOffset >= 0 && compLen > 0 &&
         compLen <= MaxRecordBytes + MaxGzSlackBytes,
       s"implausible CDX member coordinates (offset $compOffset, " +
