@@ -495,10 +495,19 @@ object Warc {
     val entries = body.take(endIdx).filter(_.nonEmpty).map { l =>
       val f = l.split(" ")
       require(f.length == 7, s"$file: malformed CDX line '$l'")
-      CdxEntry(f(0), f(1), f(2), f(3).toLong, f(4).toLong, f(5).toLong,
+      try CdxEntry(f(0), f(1), f(2), f(3).toLong, f(4).toLong, f(5).toLong,
         f(6).toLong)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$file: malformed CDX line '$l' (bad numeric field)")
+      }
     }.toSeq
-    val declared = body(endIdx) match { case endRe(n) => n.toLong }
+    val declared = body(endIdx) match { case endRe(n) =>
+      try n.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$file: CDX-END count '$n' out of range — corrupt sidecar")
+      }
+    }
     require(declared == entries.length,
       s"$file: CDX-END declares '${body(endIdx)}' but ${entries.length} " +
         "entries parsed — truncated or corrupt sidecar")
@@ -828,8 +837,12 @@ object Warc {
     c.getValue
   }
 
-  private def digest(algo: String, bytes: Array[Byte]): Array[Byte] =
-    java.security.MessageDigest.getInstance(algo).digest(bytes)
+  private def digest(algo: String, data: Array[Byte], off: Int,
+                     len: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance(algo)
+    md.update(data, off, len)
+    md.digest()
+  }
 
   private def hexLower(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
@@ -888,15 +901,11 @@ object Warc {
     val idx = v.indexOf(':')
     require(idx > 0, s"malformed $label '$v' at $where (no algorithm label)")
     val want = v.substring(idx + 1).trim
-    def rangeDigest(algo: String): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance(algo)
-      md.update(data, off, len)
-      md.digest()
-    }
     v.substring(0, idx).trim.toLowerCase(Locale.ROOT) match {
-      case "sha256" => Some(hexLower(rangeDigest("SHA-256"))
+      case "sha256" => Some(hexLower(digest("SHA-256", data, off, len))
         .equalsIgnoreCase(want))
-      case "sha1" => Some(base32(rangeDigest("SHA-1")).equalsIgnoreCase(want))
+      case "sha1" => Some(base32(digest("SHA-1", data, off, len))
+        .equalsIgnoreCase(want))
       case _ => None
     }
   }

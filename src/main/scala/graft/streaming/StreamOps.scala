@@ -652,13 +652,14 @@ object StreamOps {
       val compPending = java.util.Arrays.copyOfRange(
         compBytes, pos, compBytes.length)
       // the state bound, gz side: a pending member larger than the
-      // record corruption bound (plus header allowance AND deflate
-      // stored-block slack — incompressible data legally deflates
-      // larger than it is, see Warc.MaxGzSlackBytes; the point-read
-      // serve's fetchGzMember carries the same allowance) can never
-      // complete — fail loudly, the batch parser's contract
+      // record corruption bound plus Warc.MaxGzSlackBytes (which
+      // already covers the WARC head AND the deflate stored-block
+      // overhead — incompressible data legally deflates larger than it
+      // is) can never complete — fail loudly, the batch parser's
+      // contract; IDENTICAL bound to the point-read serve's
+      // fetchGzMember
       require(compPending.length <=
-        graft.sources.Warc.MaxRecordBytes + MaxWarcHeaderBytes +
+        graft.sources.Warc.MaxRecordBytes +
           graft.sources.Warc.MaxGzSlackBytes,
         s"container $cid compressed pending buffer ${compPending.length} B " +
           "holds no complete gzip member within the record bound: " +
