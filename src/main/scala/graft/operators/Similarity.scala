@@ -258,16 +258,14 @@ object Similarity {
     * `shortlistN` rows per query, joined with the shortlist broadcast.
     * The codebook is TRAINED, not sampled: per-subspace Lloyd k-means
     * (`trainIters` rounds), seeded from the first `kCodes` vectors'
-    * normalized subvectors. Each round is one codegen'd argmin
-    * PROJECTION (rounded squared-L2, code tie-break) over the one-row
-    * broadcast codebook frame plus one quantized-long per-component
-    * mean aggregate (the k3 trick — components fold to ⌊x·10⁶+0.5⌋
-    * longs so the sum is exact and partial-aggregation-order
-    * independent); the numSub·kCodes codebook itself lives DRIVER-SIDE
-    * between rounds (the k-row-centroid collect pattern — see the
-    * implementation comments for the measured alternatives). A code
-    * that loses all members drops out (standard Lloyd caveat, same as
-    * k3). Training reads only
+    * normalized subvectors. The rounds run DRIVER-LOCALLY over the one
+    * collected training slice (LloydLocal): argmin by rounded squared-L2
+    * with code tie-break, then quantized-long per-component means (the
+    * k3 trick — components fold to ⌊x·10⁶+0.5⌋ longs so the sum is
+    * exact and accumulation-order independent); the numSub·kCodes
+    * codebook lives DRIVER-SIDE between rounds (the k-row-centroid
+    * pattern). A code that loses all members drops out (standard Lloyd
+    * caveat, same as k3). Training reads only
     * the first `trainSample` vectors (FAISS practice: fit the codebook
     * on a bounded slice, touch the fleet only in the encode pass), so
     * training cost is `trainIters` passes over
@@ -286,11 +284,13 @@ object Similarity {
     * multiples of 1e-6 re-rounded to 6 decimals cannot be perturbed by
     * double-accumulation order, so plain `sum` is safe on both engines.
     *
-    * NOTE: training is EAGER — the seed collect and one small collect per
-    * Lloyd round run as driver-side Spark jobs at construction time (the
-    * codebook is a driver-held model artifact), so this method does real
-    * work before the returned frame's first action; the returned scan
-    * plan itself is lazy as usual.
+    * NOTE: training is EAGER — ONE bounded collect of the training slice
+    * (min(n, max(trainSample, kCodes))·numSub subvector rows, constant in
+    * the corpus size) runs as a Spark job at construction time and the
+    * Lloyd rounds themselves execute driver-locally over it (LloydLocal —
+    * the codebook is a driver-held model artifact, and so is the sample
+    * it is fit on), so this method does real work before the returned
+    * frame's first action; the returned scan plan itself is lazy as usual.
     */
   def annIvfPq(spark: SparkSession, dir: String,
                kCells: Int = 16, nProbe: Int = 4,
@@ -343,25 +343,37 @@ object Similarity {
 
     // The codebook lives DRIVER-SIDE between rounds — numSub*kCodes tiny
     // (code, components) entries, the k-row-centroid collect pattern —
-    // and rides back in as a one-row broadcast frame. This is the
-    // fused-encode production shape the scan path needs anyway (the
-    // codebook IS index metadata, like the coarse centroids), and it
-    // turns Lloyd's assignment into a pure codegen'd PROJECTION: per
-    // round one map + one numSub*kCodes-group aggregate + one tiny
-    // collect, instead of materializing n*numSub*kCodes (vector, code)
-    // distance ROWS through a broadcast-join + argmin shuffle — at the
-    // 10x slice that's 20M joined rows per round the fused form never
-    // creates (measured ~2x faster end-to-end there; at sf0.1 both forms
-    // are bounded by fixed per-round stage overhead, ~2 s/round).
+    // and rides back in as a one-row broadcast frame for the ENCODE/LUT
+    // passes. This is the fused-encode production shape the scan path
+    // needs anyway (the codebook IS index metadata, like the coarse
+    // centroids).
     // cbLocal(m) = (codeId, components) entries sorted by codeId; a code
     // that loses all members drops out (the k3 Lloyd caveat) and its
     // slot is padded so expressions stay uniform: a huge-finite distance
     // and a sentinel id no argmin can pick and the LUT filters away.
-    var cbLocal: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] =
-      sub.filter(col("vec_id") < kCodes)
+    //
+    // Training itself runs ON THE DRIVER from ONE bounded collect (the
+    // round-17 optimization): the training slice is min(n, max(trainSample,
+    // kCodes))·numSub subvector rows — CONSTANT in the corpus size, the
+    // same bounded-model-artifact class as the codebook the loop already
+    // held driver-side — and feeds both the seeds and every Lloyd round.
+    // The previous shape ran each round as a cluster-wide
+    // projection+aggregate+collect; at sf0.1 each of those rounds measured
+    // 1.93 s of almost pure fixed stage overhead (S5Tune: train3 12.19 s vs
+    // train0 6.40 s on 64k subvector rows), and at fleet scale each round
+    // was a full scheduling BARRIER over a sample-sized frame. LloydLocal
+    // replicates the removed Spark expressions bit-for-bit (see its
+    // scaladoc for the op-by-op correspondence; SimilaritySpec pins the
+    // round equivalence against a Spark-side reference, and the s5 oracle
+    // replays the full run).
+    val trainLocal: Array[(Int, Long, Array[Double])] =
+      sub.filter(col("vec_id") < math.max(trainSample, kCodes))
         .select(col("m"), col("vec_id"), col("sv")).collect()
         .map(r => (r.getInt(0), r.getLong(1),
-          r.getSeq[Double](2).toIndexedSeq))
+          r.getSeq[Double](2).toArray))
+    var cbLocal: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] =
+      trainLocal.filter(_._2 < kCodes)
+        .map { case (m, id, sv) => (m, id, sv.toIndexedSeq) }
         .groupBy(_._1).map { case (m, rs) =>
           m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
     // an empty / id-gapped corpus would otherwise surface later as an
@@ -411,31 +423,20 @@ object Similarity {
       element_at(col("cids"),
         array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
 
-    // One Lloyd round: argmin code as a projection, then ONE (m, code)
-    // aggregate of quantized-long component sums (the k3 pattern — exact,
-    // aggregation-order free), collected and divided on the driver with
-    // the same IEEE op order the oracle's SQL runs (sum→double, /count,
-    // /1e6 — bit-deterministic on exact integer inputs). Training reads
-    // only the first `trainSample` vectors (deterministic, replayed by a
-    // WHERE in the oracle) — the FAISS practice that keeps training cost
-    // O(sample) while the corpus grows: at 100 TB the codebook is fit on
-    // a bounded slice and only the ENCODE pass touches the fleet.
-    val trainSub = sub.filter(col("vec_id") < trainSample)
+    // One Lloyd round: argmin code, then (m, code) quantized-long component
+    // sums (the k3 pattern — exact, aggregation-order free), divided on the
+    // driver with the same IEEE op order the oracle's SQL runs (sum→double,
+    // /count, /1e6 — bit-deterministic on exact integer inputs). Training
+    // reads only the first `trainSample` vectors (deterministic, replayed
+    // by a WHERE in the oracle) — the FAISS practice that keeps training
+    // cost O(sample) while the corpus grows: at 100 TB the codebook is fit
+    // on a bounded slice and only the ENCODE pass touches the fleet. The
+    // rounds run in LloydLocal over the collected slice — zero Spark jobs.
+    val trainRows =
+      if (kCodes <= trainSample) trainLocal
+      else trainLocal.filter(_._2 < trainSample)
     for (_ <- 0 until trainIters) {
-      val upd = cbCols(trainSub)
-        .select(col("m"), bestCode.as("code"), col("sv"))
-        .groupBy(col("m"), col("code"))
-        .agg(count(lit(1)).as("n"),
-          (0 until subDim).map(i =>
-            sum(floor(element_at(col("sv"), i + 1) * 1e6 + 0.5)
-              .cast("long")).as(s"s$i")): _*)
-        .collect()
-      cbLocal = upd.map { r =>
-        val n = r.getLong(2)
-        (r.getInt(0), r.getLong(1), (0 until subDim)
-          .map(i => r.getLong(3 + i).toDouble / n / 1e6).toIndexedSeq)
-      }.groupBy(_._1).map { case (m, rs) =>
-        m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+      cbLocal = LloydLocal.lloydRound(trainRows, cbLocal, subDim)
     }
 
     // Fused encode: each corpus vector's per-subspace code is a projection
@@ -798,4 +799,112 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "q_label", "n_id", "n_label", "cosim", "rnk")
       .orderBy("q_id", "rnk")
+}
+
+/** Driver-local replica of one s5 Lloyd training round, bit-for-bit
+  * equal to the Spark plan it replaced (the cluster ran it as
+  * cbCols(trainSub) → (m, code) aggregate → collect). The op-by-op
+  * correspondence, each pinned by SimilaritySpec against a Spark-side
+  * reference round:
+  *
+  *  - d2 = Spark `round(l2sq(sv, cv), 6)`: the unrolled left-to-right
+  *    double accumulation of component squares (reduceLeft == sequential
+  *    `+=`), then RoundBase's DoubleType eval — NaN/Inf pass through,
+  *    else `BigDecimal(d).setScale(6, HALF_UP).toDouble`.
+  *  - argmin = `array_position(d2s, array_min(d2s))`: the FIRST slot of
+  *    the minimum in code-ascending slot order. Pad slots (1e18
+  *    components) can never win the min, so scanning only the real
+  *    entries with a strict `<` keeps the identical first-match winner.
+  *  - mean update: per-component exact long sums of Spark
+  *    `floor(sv_i * 1e6 + 0.5)` (Floor on double = math.floor + d2l,
+  *    verified against the catalyst bytecode), count per (m, code), then
+  *    the SAME driver-side division chain `sum.toDouble / n / 1e6`.
+  *    Long sums are order-free, so local accumulation order is
+  *    irrelevant. A (m, code) group that loses all members produces no
+  *    accumulator row and drops out, exactly like the aggregate.
+  */
+private[graft] object LloydLocal {
+
+  private[graft] def round6(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else scala.math.BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def l2sq(a: Array[Double], b: IndexedSeq[Double], subDim: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < subDim) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private final class Acc(subDim: Int) {
+    var n: Long = 0L
+    val s: Array[Long] = new Array[Long](subDim)
+  }
+
+  private def accumulate(rows: Array[(Int, Long, Array[Double])],
+                         cb: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]],
+                         subDim: Int)
+      : scala.collection.mutable.HashMap[(Int, Long), Acc] = {
+    val acc = scala.collection.mutable.HashMap.empty[(Int, Long), Acc]
+    rows.foreach { case (m, _, sv) =>
+      val slots = cb(m)
+      var bestIdx = 0
+      var bestD = round6(l2sq(sv, slots(0)._2, subDim))
+      var j = 1
+      while (j < slots.size) {
+        val d = round6(l2sq(sv, slots(j)._2, subDim))
+        if (d < bestD) { bestD = d; bestIdx = j }
+        j += 1
+      }
+      val a = acc.getOrElseUpdate((m, slots(bestIdx)._1), new Acc(subDim))
+      a.n += 1
+      var i = 0
+      while (i < subDim) {
+        a.s(i) += math.floor(sv(i) * 1e6 + 0.5).toLong
+        i += 1
+      }
+    }
+    acc
+  }
+
+  def lloydRound(rows: Array[(Int, Long, Array[Double])],
+                 cb: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]],
+                 subDim: Int): Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] = {
+    // The per-row work is independent and the per-(m, code) accumulators
+    // are exact long sums (commutative, associative), so the scan splits
+    // across driver threads and the partial maps merge in any order with
+    // a bit-identical result. The BigDecimal HALF_UP rounding inside the
+    // argmin is the hot op (~0.9 s/round single-threaded at sf0.1's 64k
+    // rows — measured via S5Tune) and parallelizes embarrassingly.
+    val nThreads = math.min(math.max(1,
+      Runtime.getRuntime.availableProcessors()), math.max(1, rows.length))
+    val chunkSize = math.max(1, (rows.length + nThreads - 1) / nThreads)
+    val chunks = rows.grouped(chunkSize).toArray
+    val partials =
+      new Array[scala.collection.mutable.HashMap[(Int, Long), Acc]](chunks.length)
+    val threads = chunks.zipWithIndex.map { case (chunk, i) =>
+      new Thread(() => partials(i) = accumulate(chunk, cb, subDim))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val acc = partials.reduceLeft { (a, b) =>
+      b.foreach { case (k, pb) =>
+        a.get(k) match {
+          case Some(pa) =>
+            pa.n += pb.n
+            var i = 0
+            while (i < subDim) { pa.s(i) += pb.s(i); i += 1 }
+          case None => a.update(k, pb)
+        }
+      }
+      a
+    }
+    acc.iterator.map { case ((m, code), a) =>
+      (m, code,
+        (0 until subDim).map(i => a.s(i).toDouble / a.n / 1e6).toIndexedSeq)
+    }.toArray
+      .groupBy(_._1).map { case (m, rs) =>
+        m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+  }
 }

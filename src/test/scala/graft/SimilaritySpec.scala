@@ -324,6 +324,91 @@ class SimilaritySpec extends SparkSpec {
     assert(s5 >= 0.7, s"s5 recall at default shortlist=40: $s5")
   }
 
+  test("s5 driver-local Lloyd round equals the Spark-side aggregate round") {
+    // LloydLocal replaced the per-round Spark projection+aggregate+collect
+    // (round-17 optimization). This pins the replacement bit-for-bit: one
+    // round from the seed codebook and a second round from the first's
+    // output, both computed by the EXACT expressions the cluster form ran
+    // (round(l2sq, 6) over the broadcast codebook, first-min argmin,
+    // quantized-long component means) and by LloydLocal, must agree on
+    // every (m, code, component) double exactly.
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.normD
+    import graft.operators.LloydLocal
+    val dir = "/root/testdata/sf0.001"
+    val numSub = 32; val subDim = 2; val kCodes = 32; val trainSample = 4096
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val sub = base
+      .withColumn("ne", transform(col("embedding"),
+        x => x.cast("double") / col("nrm")))
+      .select(col("vec_id"),
+        posexplode(array((0 until numSub).map(m =>
+          slice(col("ne"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+      .filter(col("vec_id") < math.max(trainSample, kCodes))
+    val collected = sub.select(col("m"), col("vec_id"), col("sv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cb0: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] =
+      collected.filter(_._2 < kCodes)
+        .map { case (m, id, sv) => (m, id, sv.toIndexedSeq) }
+        .groupBy(_._1).map { case (m, rs) =>
+          m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+
+    // the removed cluster-side round, verbatim: one-row broadcast codebook,
+    // slotwise rounded d2 array, first-min argmin, (m, code) long sums
+    def sparkRound(cb: Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]])
+        : Map[Int, IndexedSeq[(Long, IndexedSeq[Double])]] = {
+      import spark.implicits._
+      val ids = (0 until numSub).map { m =>
+        val e = cb(m); e.map(_._1) ++ Seq.fill(kCodes - e.size)(Long.MaxValue)
+      }
+      val comps = (0 until numSub).map { m =>
+        val e = cb(m)
+        e.map(_._2.toSeq) ++ Seq.fill(kCodes - e.size)(Seq.fill(subDim)(1e18))
+      }
+      def l2sq(a: Column, b: Column): Column =
+        (0 until subDim).map { i =>
+          val d = element_at(a, i + 1).cast("double") -
+            element_at(b, i + 1).cast("double")
+          d * d
+        }.reduceLeft(_ + _)
+      val upd = sub
+        .crossJoin(broadcast(Seq((ids, comps)).toDF("cb_ids", "cb_comps")))
+        .withColumn("cvs", element_at(col("cb_comps"), col("m") + 1))
+        .withColumn("cids", element_at(col("cb_ids"), col("m") + 1))
+        .withColumn("d2s", array((0 until kCodes).map(j =>
+          round(l2sq(col("sv"), element_at(col("cvs"), lit(j + 1))), 6)): _*))
+        .select(col("m"),
+          element_at(col("cids"),
+            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+            .as("code"),
+          col("sv"))
+        .groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          (0 until subDim).map(i =>
+            sum(floor(element_at(col("sv"), i + 1) * 1e6 + 0.5)
+              .cast("long")).as(s"s$i")): _*)
+        .collect()
+      upd.map { r =>
+        val n = r.getLong(2)
+        (r.getInt(0), r.getLong(1), (0 until subDim)
+          .map(i => r.getLong(3 + i).toDouble / n / 1e6).toIndexedSeq)
+      }.groupBy(_._1).map { case (m, rs) =>
+        m -> rs.sortBy(_._2).map(t => (t._2, t._3)).toIndexedSeq }
+    }
+
+    val spark1 = sparkRound(cb0)
+    val local1 = LloydLocal.lloydRound(collected, cb0, subDim)
+    assert(local1 == spark1, "round 1 codebooks diverge")
+    val spark2 = sparkRound(local1)
+    val local2 = LloydLocal.lloydRound(collected, local1, subDim)
+    assert(local2 == spark2, "round 2 codebooks diverge")
+    // and the rounds actually moved the codebook (a vacuous fixture would
+    // pin nothing)
+    assert(local1 != cb0, "round 1 did not move the seed codebook")
+  }
+
   test("s5 rejects a subspace grid that does not tile the embedding dim") {
     val dir = writeClustered()
     val e = intercept[IllegalArgumentException] {
