@@ -1784,11 +1784,13 @@ object Curation {
 
   /** The training half of cls1: the (dim+1) quantized weights (1e-6 long
     * grid, slot `dim` = bias) from `iters` full-batch hard-sigmoid
-    * logistic rounds over the `trainSample` id-prefix docs. EAGER — runs
-    * one doc count plus one small gradient collect per round as Spark
-    * jobs (the weights are a driver-held model artifact, the s5 codebook
-    * pattern). Exposed so the streaming scorer can train once and apply
-    * the same model to every micro-batch.
+    * logistic rounds over the `trainSample` id-prefix docs. EAGER — one
+    * doc count plus ONE bounded collect of the sparse features run as
+    * Spark jobs; the gradient rounds themselves execute driver-locally
+    * over the collected sample (ClassifierLocal — the weights are a
+    * driver-held model artifact, the s5 codebook pattern, and so is the
+    * bounded sample they are fit on). Exposed so the streaming scorer can
+    * train once and apply the same model to every micro-batch.
     */
   def trainQualityWeights(spark: SparkSession, dir: String,
                           dim: Int = 64, trainSample: Int = 4096,
@@ -1809,30 +1811,28 @@ object Curation {
     val n = trainDocs.count()
     require(n > 0,
       s"qualityClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
-    val train = graft.CacheRegistry.persistTracked(
-      trainDocs
-        .select(col("doc_id"),
-          when(isHigh, 1000000L).otherwise(0L).as("y6"),
-          posexplode(xqArr))
-        .select(col("doc_id"), col("y6"), col("pos").as("j"),
-          col("col").as("xq"))
-        .filter(col("xq") =!= 0L))
+    // ONE bounded collect of the sparse quantized features
+    // (≤ trainSample·(dim+1) rows, CONSTANT in corpus size — the same
+    // driver-held-model-artifact class as the weight vector itself), then
+    // the gradient rounds run driver-locally (round-17 optimization): the
+    // cluster form scheduled one aggregate+broadcast-join+collect job per
+    // round over this sample-sized frame — a fleet-wide barrier per round
+    // buying nothing. Every quantity is exact long arithmetic (sums
+    // commute; p6 is clamp + non-negative integral division, where Java /
+    // == Spark div == DuckDB //), so the local loop is bit-identical —
+    // CurationSpec pins a round against the Spark-side aggregate form.
+    val rows: Array[(Long, Long, Int, Long)] = trainDocs
+      .select(col("doc_id"),
+        when(isHigh, 1000000L).otherwise(0L).as("y6"),
+        posexplode(xqArr))
+      .select(col("doc_id"), col("y6"), col("pos").as("j"),
+        col("col").as("xq"))
+      .filter(col("xq") =!= 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
     val wq = Array.fill(dim + 1)(0L)
     for (_ <- 0 until iters) {
-      val wLit = typedLit(wq.toSeq)
-      val err = train
-        .groupBy(col("doc_id"), col("y6"))
-        .agg(sum(col("xq") * element_at(wLit, col("j") + 1)).as("z12"))
-        .selectExpr("doc_id", s"$p6Expr - y6 AS err6")
-      val g = train.join(broadcast(err), "doc_id")
-        .groupBy(col("j"))
-        .agg(sum(col("err6") * col("xq")).as("g"))
-        .collect()
-      g.foreach { r =>
-        val j = r.getInt(0)
-        // Java long division truncates toward zero, exactly like DuckDB //
-        wq(j) -= r.getLong(1) / (lrDiv.toLong * n * 1000000L)
-      }
+      ClassifierLocal.gradientRound(rows, wq, lrDiv.toLong * n * 1000000L)
     }
     wq
   }
@@ -1969,39 +1969,34 @@ object Curation {
     val n = trainDocs.count()
     require(n > 0,
       s"langClassifier needs at least one doc with doc_id < trainSample ($trainSample)")
-    val train = graft.CacheRegistry.persistTracked(
-      trainDocs
-        .select(col("doc_id"), col("lang"), posexplode(xqArr))
-        .select(col("doc_id"), col("lang"), col("pos").as("j"),
-          col("col").as("xq"))
-        .filter(col("xq") =!= 0L))
+    // cls1's local-training shape widened to K classes: ONE bounded
+    // collect of the sparse features (label carried per doc), then the
+    // K one-vs-rest gradient rounds run driver-locally — the cluster form
+    // scheduled one K-column aggregate+join+collect job per round over
+    // the sample-sized frame. Exact long arithmetic throughout, so the
+    // local loop is bit-identical (the cls1 argument; CurationSpec pins
+    // the single-class round, and the cls6 oracle replays this training
+    // end-to-end).
+    val rows: Array[(Long, String, Int, Long)] = trainDocs
+      .select(col("doc_id"), col("lang"), posexplode(xqArr))
+      .select(col("doc_id"), col("lang"), col("pos").as("j"),
+        col("col").as("xq"))
+      .filter(col("xq") =!= 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val byClass = langs.map { c =>
+      c -> rows.map { case (id, lang, j, xq) =>
+        (id, if (lang == c) 1000000L else 0L, j, xq)
+      }
+    }
     val ws = scala.collection.mutable.LinkedHashMap(
       langs.map(_ -> Array.fill(dim + 1)(0L)): _*)
-    def q(l: String) = l.replace("'", "''")
     for (_ <- 0 until iters) {
-      val zCols = langs.map { c =>
-        sum(col("xq") * element_at(typedLit(ws(c).toSeq), col("j") + 1))
-          .as(s"z_$c")
-      }
-      val errCols = langs.map { c =>
-        expr(s"${p6ExprOf(s"z_$c")} - " +
-          s"(CASE WHEN lang = '${q(c)}' THEN 1000000 ELSE 0 END)").as(s"err_$c")
-      }
-      val err = train
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(zCols.head, zCols.tail: _*)
-        .select(col("doc_id") +: errCols: _*)
-      val g = train.join(broadcast(err), "doc_id")
-        .groupBy(col("j"))
-        .agg(langs.map(c => sum(col(s"err_$c") * col("xq")).as(s"g_$c")).head,
-          langs.map(c => sum(col(s"err_$c") * col("xq")).as(s"g_$c")).tail: _*)
-        .collect()
-      g.foreach { r =>
-        val j = r.getInt(0)
-        langs.zipWithIndex.foreach { case (c, i) =>
-          // Java long division truncates toward zero, exactly like DuckDB //
-          ws(c)(j) -= r.getLong(i + 1) / (lrDiv.toLong * n * 1000000L)
-        }
+      // one-vs-rest: z_c reads only ws(c), so per-class sequential rounds
+      // are the same computation the K-column aggregate ran at once
+      byClass.foreach { case (c, classRows) =>
+        ClassifierLocal.gradientRound(classRows, ws(c),
+          lrDiv.toLong * n * 1000000L)
       }
     }
     ws.toMap
@@ -2403,4 +2398,46 @@ object Curation {
                  Seq("src0", "src1", "src2", "src3", "src4")): DataFrame =
     aucOf(scoredWithLabels(spark, dir, dim, trainSample, iters, lrDiv,
       positiveSources))
+}
+
+/** Driver-local replica of one cls1/cls6 full-batch hard-sigmoid logistic
+  * gradient round over the sparse quantized feature rows (doc, y6, j, xq),
+  * updating `wq` in place — bit-identical to the Spark aggregate form it
+  * replaced (the round-17 optimization), because every quantity is exact
+  * long arithmetic:
+  *
+  *  - per-doc margin z12 = Σ xq·w[j] — long sums commute, so local
+  *    accumulation order is irrelevant;
+  *  - p6 = (clamp(z12 + 2e12, 0, 4e12) + 2e6) div 4e6 with NON-NEGATIVE
+  *    operands after the clamp, where Java `/` == Spark `div` == DuckDB
+  *    `//` (they differ only on negatives);
+  *  - gradient g_j = Σ err6·xq — again commuting long sums;
+  *  - update w[j] -= g_j / divisor — Java long division truncates toward
+  *    zero, exactly like the driver-side update it replaces. A j with no
+  *    feature rows has g_j = 0 and its weight is untouched, exactly like
+  *    the aggregate that produced no row for it.
+  *
+  * CurationSpec pins one round against the Spark-side aggregate form on
+  * real corpus features.
+  */
+private[graft] object ClassifierLocal {
+
+  private def p6(z12: Long): Long =
+    (math.min(math.max(z12 + 2000000000000L, 0L), 4000000000000L) +
+      2000000L) / 4000000L
+
+  def gradientRound(rows: Array[(Long, Long, Int, Long)], wq: Array[Long],
+                    divisor: Long): Unit = {
+    val zAcc = scala.collection.mutable.HashMap.empty[Long, Long]
+    val y6Of = scala.collection.mutable.HashMap.empty[Long, Long]
+    rows.foreach { case (doc, y6, j, xq) =>
+      zAcc.update(doc, zAcc.getOrElse(doc, 0L) + xq * wq(j))
+      y6Of.update(doc, y6)
+    }
+    val err6Of = zAcc.map { case (doc, z12) => doc -> (p6(z12) - y6Of(doc)) }
+    val g = new Array[Long](wq.length)
+    rows.foreach { case (doc, _, j, xq) => g(j) += err6Of(doc) * xq }
+    var j = 0
+    while (j < wq.length) { wq(j) -= g(j) / divisor; j += 1 }
+  }
 }

@@ -1022,4 +1022,65 @@ class CurationSpec extends SparkSpec {
     assert((auc.getLong(0), auc.getLong(1), auc.getLong(2),
       auc.getDouble(3)) == ((20L, 20L, 800L, 1.0)), s"auc: ${auc.toSeq}")
   }
+
+  test("cls driver-local gradient round equals the Spark-side aggregate round") {
+    // ClassifierLocal replaced the per-round Spark aggregate+join+collect
+    // (round-17 optimization). Pin the replacement bit-for-bit on real
+    // corpus features: two consecutive rounds computed by the removed
+    // Spark form and by ClassifierLocal must produce identical weight
+    // vectors (exact longs, so equality is exact).
+    import org.apache.spark.sql.functions._
+    import graft.operators.ClassifierLocal
+    import graft.functions.Sketches
+    val dir = "/root/testdata/sf0.001"
+    val dim = 64; val trainSample = 4096; val lrDiv = 2
+    val positive = Seq("src0", "src1", "src2", "src3", "src4")
+    val emb = Sketches.hashEmbedding(split(col("text"), " "), dim)
+    val xqArr = concat(
+      transform(emb, v => floor(v * 1e6 + 0.5).cast("long")),
+      array(lit(1000000L)))
+    val trainDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < trainSample)
+    val n = trainDocs.count()
+    val train = trainDocs
+      .select(col("doc_id"),
+        when(col("source").isin(positive: _*), 1000000L).otherwise(0L)
+          .as("y6"),
+        posexplode(xqArr))
+      .select(col("doc_id"), col("y6"), col("pos").as("j"),
+        col("col").as("xq"))
+      .filter(col("xq") =!= 0L)
+    val rows = train.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+
+    // the removed cluster-side round, verbatim
+    val p6Expr =
+      "(least(greatest(z12 + 2000000000000, 0), 4000000000000) + 2000000) div 4000000"
+    def sparkRound(wq: Array[Long]): Array[Long] = {
+      val out = wq.clone()
+      val err = train
+        .groupBy(col("doc_id"), col("y6"))
+        .agg(sum(col("xq") * element_at(typedLit(wq.toSeq), col("j") + 1))
+          .as("z12"))
+        .selectExpr("doc_id", s"$p6Expr - y6 AS err6")
+      train.join(broadcast(err), "doc_id")
+        .groupBy(col("j"))
+        .agg(sum(col("err6") * col("xq")).as("g"))
+        .collect()
+        .foreach { r =>
+          out(r.getInt(0)) -= r.getLong(1) / (lrDiv.toLong * n * 1000000L)
+        }
+      out
+    }
+
+    val spark1 = sparkRound(Array.fill(dim + 1)(0L))
+    val local1 = Array.fill(dim + 1)(0L)
+    ClassifierLocal.gradientRound(rows, local1, lrDiv.toLong * n * 1000000L)
+    assert(local1.toSeq == spark1.toSeq, "round 1 weights diverge")
+    val spark2 = sparkRound(local1)
+    val local2 = local1.clone()
+    ClassifierLocal.gradientRound(rows, local2, lrDiv.toLong * n * 1000000L)
+    assert(local2.toSeq == spark2.toSeq, "round 2 weights diverge")
+    assert(local1.exists(_ != 0L), "round 1 did not move the weights")
+  }
 }
