@@ -1034,14 +1034,38 @@ object Warc {
     buildWetRecord(docIdOf(r), mainText)
   }
 
+  /** The shard-keyed grouping every container BUILDER uses — one exchange
+    * on shard_id at the session's full shuffle width, immune to AQE
+    * partition coalescing (the round-17 optimization). The builders'
+    * shuffle BYTES are tiny (text rows), but each group then runs the
+    * heavy part — record framing, deflate, digests, per-container file
+    * commits — so AQE's byte-count heuristic coalesced the whole stage
+    * onto ONE task (measured: the staging write ran tasks=1 for 2.5 s of
+    * a 2.8 s w4 at sf0.1; the WProbe listener rows pin it). A
+    * `repartition(n, shard_id)` is a user-specified-width exchange
+    * (REPARTITION_BY_NUM), which AQE never coalesces, and the groupBy on
+    * the same column reuses it (ClusteredDistribution(shard_id) is
+    * satisfied — still exactly ONE exchange, see the w1 plan diff). The
+    * width is the session's configured shuffle parallelism — the
+    * cluster-tuned knob, NOT a local constant: the harness passes the
+    * driver's core count, a fleet sets spark.sql.shuffle.partitions as it
+    * does for every other shuffle, and the containers-per-task ratio
+    * scales with it.
+    */
+  private def shardGrouped(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, String, Long)] = {
+    import df.sparkSession.implicits._
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("shard_id"))
+      .groupBy(col("shard_id")).as[Long, (Long, String, Long)]
+  }
+
   def wetExtract(spark: SparkSession, dir: String, shardSize: Int = 50,
                  minBlockLen: Int = 25): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    shardGrouped(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        expr(s"doc_id div $shardSize").as("shard_id"))
-      .as[(Long, String, Long)]
-      .groupByKey(_._3)
+        expr(s"doc_id div $shardSize").as("shard_id")))
       .flatMapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val warc = buildContainer(docs)
@@ -1149,11 +1173,9 @@ object Warc {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val ext = if (gz) "warc.gz" else "warc"
-    Tables.documents(spark, dir)
+    shardGrouped(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        expr(shardIdExpr.getOrElse(s"doc_id div $shardSize")).as("shard_id"))
-      .as[(Long, String, Long)]
-      .groupByKey(_._3)
+        expr(shardIdExpr.getOrElse(s"doc_id div $shardSize")).as("shard_id")))
       .mapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val (container, cdx) =
@@ -1665,11 +1687,9 @@ object Warc {
   def warcIngest(spark: SparkSession, dir: String,
                  shardSize: Int = 50): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    shardGrouped(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
-        expr(s"doc_id div $shardSize").as("shard_id"))
-      .as[(Long, String, Long)]
-      .groupByKey(_._3)
+        expr(s"doc_id div $shardSize").as("shard_id")))
       .flatMapGroups { (shard: Long, it: Iterator[(Long, String, Long)]) =>
         val docs = it.map { case (id, text, _) => (id, text) }.toSeq
         val container = buildContainer(docs)
