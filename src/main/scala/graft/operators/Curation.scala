@@ -905,10 +905,14 @@ object Curation {
     * centroid id via the struct ordering, so output is deterministic.
     */
   /** Nearest-centroid assignment shared by k1 and k2: every vector scored
-    * against the broadcast seed centroids, argmax as a max-of-struct
-    * (ties → smallest centroid id). Returns (vec_id, centroid_id, cos,
-    * embedding, nrm) so k2 can block its pair join on the assignment
-    * without recomputing norms.
+    * against the broadcast seed centroids, argmax PER ROW over the
+    * one-row centroid table (VectorFunctions.centroidTable — the round-17
+    * shuffle-free form; ties → smallest centroid id, the same
+    * max-of-struct winner). Returns (vec_id, centroid_id, cos, embedding,
+    * nrm) so k2 can block its pair join on the assignment without
+    * recomputing norms. No exchange: the previous groupBy(vec_id) argmax
+    * shuffled the whole corpus (embeddings riding along) to pick a winner
+    * a bounded-set projection decides in place.
     */
   private def assignments(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
@@ -918,18 +922,12 @@ object Curation {
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(VectorFunctions.cosineWithNorms(
-          VectorFunctions.dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), (-col("best.neg_cid")).as("centroid_id"),
-        col("best.cos").as("cos"), col("embedding"), col("nrm"))
+    vecs.crossJoin(broadcast(VectorFunctions.centroidTableFrame(cents)))
+      .withColumn("coss",
+        VectorFunctions.centCosines(col("embedding"), col("nrm"), 6))
+      .select(col("vec_id"),
+        VectorFunctions.argmaxCentroidId(col("coss")).as("centroid_id"),
+        array_max(col("coss")).as("cos"), col("embedding"), col("nrm"))
   }
 
   def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
@@ -971,18 +969,18 @@ object Curation {
       .withColumn("c_nrm", VectorFunctions.normD(col("c_emb")))
       .localCheckpoint()
 
+    // the round-17 shuffle-free assignment (see `assignments`): per-row
+    // argmax over the one-row centroid table instead of a corpus-sized
+    // groupBy exchange PER LLOYD ROUND (iters+1 of them here) — the
+    // kernel's cosine row is sized by the table, so a cluster dropping
+    // out mid-loop (the standard Lloyd caveat) just shrinks the row
     def assign(cs: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cs))
-        .withColumn("cos",
-          round(VectorFunctions.cosineWithNorms(
-            VectorFunctions.dotD(col("embedding"), col("c_emb")),
-            col("nrm"), col("c_nrm")), 9))
-        .groupBy(col("vec_id"))
-        .agg(
-          max(struct(col("cos"), (-col("centroid_id")).as("neg_cid"))).as("best"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), (-col("best.neg_cid")).as("centroid_id"),
-          col("best.cos").as("cos"), col("embedding"))
+      vecs.crossJoin(broadcast(VectorFunctions.centroidTableFrame(cs)))
+        .withColumn("coss",
+          VectorFunctions.centCosines(col("embedding"), col("nrm"), 9))
+        .select(col("vec_id"),
+          VectorFunctions.argmaxCentroidId(col("coss")).as("centroid_id"),
+          array_max(col("coss")).as("cos"), col("embedding"))
 
     for (_ <- 0 until iters) {
       cents = assign(cents)
@@ -1748,16 +1746,25 @@ object Curation {
     val cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val best2 = vecs.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(VectorFunctions.cosineWithNorms(
-          VectorFunctions.dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("vec_id"))
-      // k bounded structs; sort desc by (cos, -centroid_id) = k1's argmax
-      // tie-break, element 0 = own cluster, element 1 = runner-up
-      .agg(reverse(array_sort(collect_list(
-        struct(col("cos"), (-col("centroid_id")).as("neg_cid"))))).as("ranked"))
+    // k bounded structs ranked PER ROW over the one-row centroid table
+    // (the round-17 shuffle-free form — the previous groupBy(vec_id)
+    // collect_list shuffled the corpus to build the same k structs this
+    // projection builds in place); sort desc by (cos, -centroid_id) =
+    // k1's argmax tie-break, element 0 = own cluster, element 1 =
+    // runner-up. Sentinel slots (table shorter than k) sort last and the
+    // first two elements never see them on a ≥2-centroid corpus.
+    val best2 = vecs
+      .crossJoin(broadcast(VectorFunctions.centroidTableFrame(cents)))
+      .withColumn("coss",
+        VectorFunctions.centCosines(col("embedding"), col("nrm"), 6))
+      .withColumn("ranked", reverse(array_sort(array((0 until k).map { i =>
+        when(lit(i) < size(col("cent_tab")),
+          struct(element_at(col("coss"), i + 1).as("cos"),
+            (-element_at(col("cent_tab"), i + 1).getField("centroid_id"))
+              .as("neg_cid")))
+          .otherwise(struct(lit(-2.0).as("cos"),
+            lit(Long.MinValue).as("neg_cid")))
+      }: _*))))
       .select(col("vec_id"),
         (-col("ranked")(0).getField("neg_cid")).as("centroid_id"),
         col("ranked")(0).getField("cos").as("a_cos"),

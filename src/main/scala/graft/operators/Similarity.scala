@@ -192,18 +192,17 @@ object Similarity {
     val cents = base.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val cand = base.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
-        first(col("embedding")).as("n_emb"),
-        first(col("nrm")).as("n_nrm"),
-        first(col("label")).as("n_label"))
-      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"),
-        col("n_emb"), col("n_nrm"), col("n_label"))
+    // per-row argmax over the one-row centroid table (the round-17
+    // shuffle-free assignment — the groupBy(vec_id) form shuffled the
+    // whole corpus, full vectors riding along, to pick each row's cell)
+    val cand = base
+      .crossJoin(broadcast(centroidTableFrame(cents
+        .select(col("cell").as("centroid_id"), col("c_emb"), col("c_nrm")))))
+      .withColumn("coss", centCosines(col("embedding"), col("nrm"), 6))
+      .select(col("vec_id").as("n_id"),
+        argmaxCentroidId(col("coss")).as("cell"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"),
+        col("label").as("n_label"))
     val probes = Tables.embeddings(spark, dir)
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -307,14 +306,14 @@ object Similarity {
         col("nrm").as("c_nrm"))
 
     // Coarse assignment — identical rule to s3 (argmax rounded cosine,
-    // smallest cell wins ties), one broadcast pass + one vec_id-keyed agg.
-    val asg = base.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"))
-      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"))
+    // smallest cell wins ties), per-row over the one-row centroid table
+    // (the round-17 shuffle-free form; no vec_id exchange).
+    val asg = base
+      .crossJoin(broadcast(centroidTableFrame(cents
+        .select(col("cell").as("centroid_id"), col("c_emb"), col("c_nrm")))))
+      .withColumn("coss", centCosines(col("embedding"), col("nrm"), 6))
+      .select(col("vec_id").as("n_id"),
+        argmaxCentroidId(col("coss")).as("cell"))
 
     // Subspace decomposition of the UNIT-NORMALIZED vector: one row per
     // (vector, subspace), sv = the subDim-component slice of embedding/nrm.
@@ -537,17 +536,15 @@ object Similarity {
     val cents = base.filter(col("vec_id") < kCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val cand = base.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(cosineWithNorms(dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
-        first(col("embedding")).as("n_emb"),
-        first(col("nrm")).as("n_nrm"))
-      .select(col("vec_id").as("n_id"), (-col("best.neg_cell")).as("cell"),
-        col("n_emb"), col("n_nrm"))
+    // per-row argmax over the one-row centroid table (the round-17
+    // shuffle-free assignment; no vec_id exchange)
+    val cand = base
+      .crossJoin(broadcast(centroidTableFrame(cents
+        .select(col("cell").as("centroid_id"), col("c_emb"), col("c_nrm")))))
+      .withColumn("coss", centCosines(col("embedding"), col("nrm"), 6))
+      .select(col("vec_id").as("n_id"),
+        argmaxCentroidId(col("coss")).as("cell"),
+        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
     val probes = queryVectors(spark, dir)
       .withColumn("q_nrm", normD(col("q_emb")))
       .crossJoin(broadcast(cents))

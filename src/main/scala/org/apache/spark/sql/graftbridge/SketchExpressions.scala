@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
@@ -63,6 +63,98 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductDouble =
     copy(left = newLeft, right = newRight)
+}
+
+/** The rounded-cosine row of one vector against a bounded centroid table —
+  * the round-17 shuffle-free nearest-centroid kernel. Input: the vector
+  * (array<float|double>), its precomputed norm (double), and the one-row
+  * broadcast centroid table (array<struct<centroid_id: long,
+  * c_emb: array<float|double>, c_nrm: double>>, id-ascending — see
+  * graft.functions.VectorFunctions.centroidTableFrame). Output: one double
+  * per slot, round(dot(v, c_emb_j) / (nrm · c_nrm_j), scale) — the EXACT
+  * arithmetic the former crossJoin+groupBy argmax evaluated per (vector,
+  * centroid) pair: the dot accumulates left-to-right in double
+  * (DotProductDouble's loop), the division is the same two IEEE ops, and
+  * the rounding replicates catalyst Round's DoubleType eval (NaN/Inf pass
+  * through, else scala BigDecimal setScale HALF_UP — verified against the
+  * RoundBase bytecode).
+  *
+  * Why a kernel and not the Column spelling: the declarative k-slot
+  * array(CASE WHEN ... round(dot(...)) ...) form measured fine in a plain
+  * projection, but any operator that later JOINS on the argmax cell gets
+  * the whole k-slot tree INLINED into join conditions and pushed filters
+  * by constraint inference (isnotnull(cell), cell-range bounds) — three
+  * inlined copies of a 16-slot tree made s6 2.4x slower and ballooned the
+  * codegen unit. One compact expression node keeps every inlined copy
+  * cheap and the generated code tiny — the same escalation path as
+  * QuantizedDotLong/BloomCandidates.
+  */
+case class CentroidCosines(emb: Expression, nrm: Expression,
+                           tab: Expression, scale: Int)
+    extends TernaryExpression {
+  override def first: Expression = emb
+  override def second: Expression = nrm
+  override def third: Expression = tab
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_cosines"
+
+  @transient private lazy val embFloat =
+    emb.dataType.asInstanceOf[ArrayType].elementType != DoubleType
+  @transient private lazy val cEmbFloat = {
+    val st = tab.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    st(1).dataType.asInstanceOf[ArrayType].elementType != DoubleType
+  }
+
+  protected override def nullSafeEval(e: Any, n: Any, t: Any): Any =
+    CentroidCosines.compute(e.asInstanceOf[ArrayData],
+      n.asInstanceOf[Double], t.asInstanceOf[ArrayData], scale,
+      embFloat, cEmbFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, n, t) => {
+      val cls = "org.apache.spark.sql.graftbridge.CentroidCosines"
+      s"${ev.value} = $cls.compute($e, $n, $t, $scale, $embFloat, $cEmbFloat);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): CentroidCosines =
+    copy(emb = newFirst, nrm = newSecond, tab = newThird)
+}
+
+object CentroidCosines {
+  /** Catalyst Round's DoubleType eval, verbatim (HALF_UP at `scale`,
+    * NaN/Inf pass through).
+    */
+  @inline def roundHalfUp(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else scala.math.BigDecimal(x)
+      .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def compute(e: ArrayData, nrm: Double, tab: ArrayData, scale: Int,
+              embFloat: Boolean, cEmbFloat: Boolean): ArrayData = {
+    val k = tab.numElements()
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val slot = tab.getStruct(j, 3)
+      val ce = slot.getArray(1)
+      val cn = slot.getDouble(2)
+      val m = math.min(e.numElements(), ce.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val xi = if (embFloat) e.getFloat(i).toDouble else e.getDouble(i)
+        val yi = if (cEmbFloat) ce.getFloat(i).toDouble else ce.getDouble(i)
+        s += xi * yi
+        i += 1
+      }
+      out(j) = roundHalfUp(s / (nrm * cn), scale)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The shared engine-portable 64-bit primitives: a poly-31 byte fold and

@@ -61,4 +61,37 @@ class GraftFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal int"))
   }
+
+  test("CentroidCosines kernel equals the declarative round(cos) spelling") {
+    // The round-17 shuffle-free assignment kernel must produce, slot for
+    // slot, the exact double the crossJoin form's
+    // round(dot / (nrm * c_nrm), scale) evaluated — on real corpus
+    // vectors, at both rounding scales in use (6 and 9), float and
+    // double centroid components.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    for ((toDouble, scale) <- Seq((false, 6), (true, 9))) {
+      val cEmb = if (toDouble)
+        transform(col("embedding"), _.cast("double")) else col("embedding")
+      val cents = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), cEmb.as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val withTab = base.crossJoin(broadcast(centroidTableFrame(cents)))
+      val kernel = withTab
+        .select(col("vec_id"), centCosines(col("embedding"), col("nrm"), scale).as("coss"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val declarative = withTab
+        .select(col("vec_id"), array((0 until 8).map { i =>
+          val slot = element_at(col("cent_tab"), i + 1)
+          round(cosineWithNorms(dotD(col("embedding"), slot.getField("c_emb")),
+            col("nrm"), slot.getField("c_nrm")), scale)
+        }: _*).as("coss"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(kernel == declarative,
+        s"kernel vs declarative diverge at scale=$scale double=$toDouble")
+    }
+  }
 }
