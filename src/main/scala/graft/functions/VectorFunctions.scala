@@ -96,4 +96,16 @@ object VectorFunctions {
     element_at(col("cent_tab"),
       array_position(coss, array_max(coss)).cast("int"))
       .getField("centroid_id")
+
+  /** The rounded squared-L2 distances of subvector `sv` against every
+    * codeword in `cws` (array<array<double>>) — slot j is exactly the
+    * former unrolled `round((d1*d1 + d2*d2) + ..., scale)` left-fold, via
+    * the native [[org.apache.spark.sql.graftbridge.PqL2Distances]] kernel
+    * (see its scaladoc for why the declarative kCodes-slot array spelling
+    * broke whole-stage codegen on the s5 encode pass).
+    */
+  def pqL2Distances(sv: Column, cws: Column, scale: Int): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.graftbridge.PqL2Distances(
+        ColumnBridge.expression(sv), ColumnBridge.expression(cws), scale))
 }

@@ -326,20 +326,6 @@ object Similarity {
         posexplode(array((0 until numSub).map(m =>
           slice(col("ne"), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv"))))
 
-    // Squared L2 in double, UNROLLED over the subDim components instead
-    // of a zip_with/aggregate HOF pair: higher-order functions are
-    // CodegenFallback (interpreted per row), and this expression runs on
-    // n*numSub*kCodes rows once per training round — the HOF form
-    // measured ~3x slower end-to-end. The ascending left fold is
-    // bit-identical to the HOF's 0.0-seeded fold (0.0 + x == x exactly)
-    // and to the oracle's per-component sum under the round-6 absorb.
-    def l2sq(a: Column, b: Column): Column =
-      (0 until subDim).map { i =>
-        val d = element_at(a, i + 1).cast("double") -
-          element_at(b, i + 1).cast("double")
-        d * d
-      }.reduceLeft(_ + _)
-
     // The codebook lives DRIVER-SIDE between rounds — numSub*kCodes tiny
     // (code, components) entries, the k-row-centroid collect pattern —
     // and rides back in as a one-row broadcast frame for the ENCODE/LUT
@@ -403,11 +389,15 @@ object Similarity {
       Seq((ids, comps)).toDF("cb_ids", "cb_comps")
     }
     // Per-row argmin over the kCodes slots on a MATERIALIZED primitive
-    // double array: the d2s land in one array column (each slot's
-    // unrolled l2sq evaluated once — a least()+CASE-chain form duplicated
-    // every d2 into every branch and measured catastrophically slower;
-    // an array-of-structs + array_min form paid 20M per-row struct
-    // builds per round at the 10x slice), then argmin =
+    // double array: the d2s land in one array column via the native
+    // PqL2Distances kernel — slot j is exactly round(l2sq(sv, cvs[j]), 6)
+    // (a least()+CASE-chain form duplicated every d2 into every branch
+    // and measured catastrophically slower; an array-of-structs +
+    // array_min form paid 20M per-row struct builds per round at the 10x
+    // slice; the declarative kCodes-slot array(round(l2sq)) form broke
+    // whole-stage codegen once constraint inference inlined the argmin
+    // cell into the downstream join's predicates — the ENCODE projection,
+    // the corpus-sized stage, ran INTERPRETED). Argmin =
     // array_position(d2s, array_min(d2s)): FIRST index of the minimum,
     // and slots are code-ascending by construction (cbLocal sorts by
     // codeId, padding at the end), so first-match IS the previous
@@ -416,8 +406,7 @@ object Similarity {
       .crossJoin(broadcast(cbFrame))
       .withColumn("cvs", element_at(col("cb_comps"), col("m") + 1))
       .withColumn("cids", element_at(col("cb_ids"), col("m") + 1))
-      .withColumn("d2s", array((0 until kCodes).map(j =>
-        round(l2sq(col("sv"), element_at(col("cvs"), lit(j + 1))), 6)): _*))
+      .withColumn("d2s", pqL2Distances(col("sv"), col("cvs"), 6))
     def bestCode: Column =
       element_at(col("cids"),
         array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
@@ -443,8 +432,19 @@ object Similarity {
     // cross-join is map-side). The ADC LUT explodes ALL slots for the
     // query rows only (NumQueries*numSub*kCodes rows — structs are fine
     // at that row count), dropping padded slots by their sentinel id.
-    val codes = cbCols(sub).select(col("vec_id").as("cn_id"), col("m"),
-      bestCode.as("code"))
+    //
+    // The code frame is MATERIALIZED (persistTracked): it is the PQ index
+    // itself — numSub small ints per vector, the artifact a fleet stores
+    // next to the coarse assignment — and without the barrier, constraint
+    // inference pushes the downstream equi-join's inferred predicates
+    // (isnotnull(code), the lut filter's code != MaxValue) through the
+    // projection, substituting the FULL argmin-over-d2s tree into filters
+    // that then re-run the kernel 2-3x per corpus row inside the join
+    // stage. Behind the cache boundary the kernel runs exactly once per
+    // row and the pushed predicates read the materialized column.
+    val codes = graft.CacheRegistry.persistTracked(
+      cbCols(sub).select(col("vec_id").as("cn_id"), col("m"),
+        bestCode.as("code")))
 
     val lut = cbCols(sub.filter(col("vec_id") < NumQueries))
       .select(col("vec_id").as("lq"), col("m").as("lm"),

@@ -157,6 +157,70 @@ object CentroidCosines {
   }
 }
 
+/** The rounded squared-L2 row of one subvector against a bounded PQ
+  * codebook slice — the s5 encode kernel. Input: the subvector
+  * (array<double>) and one subspace's codeword table
+  * (array<array<double>>, kCodes slots). Output: one double per slot,
+  * round(Σᵢ (sv_i - cw_i)², scale) with the sum accumulated left-to-right
+  * in double — bit-identically the former unrolled
+  * `(d1*d1 + d2*d2) + ...` reduceLeft chain — and the rounding catalyst
+  * Round's DoubleType HALF_UP (shared [[CentroidCosines.roundHalfUp]]).
+  *
+  * Why a kernel: the declarative kCodes-slot `array(round(l2sq(...)))`
+  * spelling worked — until constraint inference inlined the argmin cell
+  * (`element_at(cids, array_position(d2s, array_min(d2s)))`) into the
+  * downstream equi-join's inferred predicates (isnotnull / the lut
+  * filter's `code != MaxValue` propagated across the join). Each inlined
+  * copy carried the FULL 32-slot tree; the encode stage's generated
+  * method blew past Janino's limit and the WHOLE corpus-sized encode
+  * projection fell back to interpreted eval (visible as
+  * WholeStageCodegenExec "Failed to compile" warnings in the bench).
+  * One compact node keeps every inlined copy a single call.
+  */
+case class PqL2Distances(sv: Expression, cws: Expression, scale: Int)
+    extends BinaryExpression {
+  override def left: Expression = sv
+  override def right: Expression = cws
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_l2_distances"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    PqL2Distances.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cls = "org.apache.spark.sql.graftbridge.PqL2Distances"
+      s"${ev.value} = $cls.compute($a, $b, $scale);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqL2Distances =
+    copy(sv = newLeft, cws = newRight)
+}
+
+object PqL2Distances {
+  def compute(sv: ArrayData, cws: ArrayData, scale: Int): ArrayData = {
+    val k = cws.numElements()
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      val cw = cws.getArray(j)
+      val m = math.min(sv.numElements(), cw.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < m) {
+        val d = sv.getDouble(i) - cw.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      out(j) = CentroidCosines.roundHalfUp(s, scale)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** The shared engine-portable 64-bit primitives: a poly-31 byte fold and
   * the splitmix64 finalizer. Scala object methods get static forwarders,
   * so generated Java calls `GraftHash.mix(...)` directly. Any engine with

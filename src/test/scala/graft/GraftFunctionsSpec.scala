@@ -94,4 +94,40 @@ class GraftFunctionsSpec extends SparkSpec {
         s"kernel vs declarative diverge at scale=$scale double=$toDouble")
     }
   }
+
+  test("PqL2Distances kernel equals the unrolled round(l2sq) spelling") {
+    // The s5 encode kernel must produce, slot for slot, the exact double
+    // the former declarative form evaluated:
+    // round((d1*d1 + d2*d2) + ... left fold, 6) per codeword — on real
+    // corpus subvectors against a real codeword table.
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val dir = "/root/testdata/sf0.001"
+    val subDim = 4
+    val kCodes = 8
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("ne"))
+      .select(col("vec_id"), slice(col("ne"), 1, subDim).as("sv"))
+    val cws = base.filter(col("vec_id") < kCodes)
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("sv"))))
+        .as("tab"))
+      .select(transform(col("tab"), _.getField("sv")).as("cvs"))
+    val withTab = base.crossJoin(broadcast(cws))
+    def l2sqDecl(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until subDim).map { i =>
+        val d = element_at(a, i + 1) - element_at(b, i + 1)
+        d * d
+      }.reduceLeft(_ + _)
+    val kernel = withTab
+      .select(col("vec_id"), pqL2Distances(col("sv"), col("cvs"), 6).as("d2s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val declarative = withTab
+      .select(col("vec_id"), array((0 until kCodes).map(j =>
+        round(l2sqDecl(col("sv"), element_at(col("cvs"), j + 1)), 6)): _*)
+        .as("d2s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kernel == declarative)
+  }
 }
