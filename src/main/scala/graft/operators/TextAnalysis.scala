@@ -463,7 +463,13 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tf = tok.groupBy("source", "w").agg(count(lit(1)).as("tf"))
-    val df = tok.select("doc_id", "w").distinct()
+    // document frequency without the (doc_id, w) distinct() exchange:
+    // within-doc dedup is per-row array_distinct, so the per-token count
+    // partial-aggregates map-side and only (w, partial df) rows shuffle
+    // (guide §2.3/2.4 — the former form shuffled every distinct
+    // (doc_id, token) pair just to count tokens per document set)
+    val df = Tables.documents(spark, dir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir)
       .agg(count(lit(1)).cast("double").as("nd"))
@@ -489,8 +495,12 @@ object TextAnalysis {
     */
   def invertedIndex(spark: SparkSession, dir: String, segSize: Int = 64): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .distinct()
+      // per-doc array_distinct BEFORE the explode: (doc_id, w) duplicates
+      // only exist WITHIN a document, so the rows are already distinct and
+      // the former corpus-wide distinct() exchange was pure overhead
+      // (guide §2.4) — the posting aggregate below is the only shuffle
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
       .withColumn("segment", (col("doc_id") / lit(segSize)).cast("long"))
       .groupBy("w", "segment")
       .agg(
