@@ -620,19 +620,23 @@ object Dedup {
         col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
     // cell assignment quantized at round-6 like k1/s3's, so the hot path
     // is replayable by a DuckDB oracle (d5_hot_guard) — raw-double argmax
-    // would make cross-engine cell flips possible at ulp-level ties
+    // would make cross-engine cell flips possible at ulp-level ties.
+    // Round-17: the argmax is per row over a PER-LABEL seed table (the
+    // k1/s3 shuffle-free form) — the previous groupBy(label, vec_id)
+    // shuffled every hot label's population (embeddings riding) to pick
+    // a winner a bounded-seed projection decides in place; ties still
+    // break to the smallest cell (table sorted cell-ascending, first max
+    // wins).
+    val seedTabs = seeds.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(
+        col("cell").cast("long").as("centroid_id"),
+        col("c_emb"), col("c_nrm")))).as("cent_tab"))
     val hotAssigned = e.filter(col("is_hot"))
-      .join(broadcast(seeds), Seq("label"))
-      .withColumn("cos",
-        round(VectorFunctions.cosineWithNorms(
-          VectorFunctions.dotD(col("embedding"), col("c_emb")),
-          col("nrm"), col("c_nrm")), 6))
-      .groupBy(col("label"), col("vec_id"))
-      .agg(
-        max(struct(col("cos"), (-col("cell")).as("neg_cell"))).as("best"),
-        first(col("embedding")).as("embedding"),
-        first(col("nrm")).as("nrm"))
-      .select(col("label"), (-col("best.neg_cell")).as("cell"),
+      .join(broadcast(seedTabs), Seq("label"))
+      .withColumn("coss",
+        VectorFunctions.centCosines(col("embedding"), col("nrm"), 6))
+      .select(col("label"),
+        VectorFunctions.argmaxCentroidId(col("coss")).cast("int").as("cell"),
         col("vec_id"), col("embedding"), col("nrm"))
     cold.unionByName(hotAssigned)
   }
