@@ -134,11 +134,17 @@ object Dedup {
     // batch side × full side: every emitted pair has >= 1 new member, and
     // the join fan-out is bounded by the BATCH's bucket occupancy. A
     // new-new pair arrives in both orders — least/greatest + distinct
-    // canonicalizes it to one row.
-    val cand = bounded.filter(col("is_new"))
-      .select(col("band"), col("bucket"), col("doc_id").as("n_id"))
-      .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("x_id")),
-        Seq("band", "bucket"))
+    // canonicalizes it to one row. The join keys on xxhash64(band,
+    // bucket) — 8 B instead of the 32 B slice array, d2's round-17
+    // narrowing; the cap above still counts exact buckets, and at the
+    // declared threshold (0.8 > 1 − bands/numHashes) the scored output
+    // is provably identical (see minhashCandidatePairs).
+    val keyed = bounded.select(
+      xxhash64(col("band"), col("bucket")).as("bh"),
+      col("doc_id"), col("is_new"))
+    val cand = keyed.filter(col("is_new"))
+      .select(col("bh"), col("doc_id").as("n_id"))
+      .join(keyed.select(col("bh"), col("doc_id").as("x_id")), Seq("bh"))
       .filter(col("n_id") =!= col("x_id"))
       .select(least(col("n_id"), col("x_id")).as("a_id"),
         greatest(col("n_id"), col("x_id")).as("b_id"))
@@ -162,10 +168,19 @@ object Dedup {
     * assert CANDIDATE VOLUME, the quantity the bucket cap bounds,
     * independently of scoring.
     *
-    * The bucket key is the band's raw signature slice, not a hash of it:
-    * array equality is the same collision predicate, joins/groups take
-    * array keys fine in both engines, and the DuckDB oracle can replay
-    * it without an engine-specific hash function.
+    * The CAP groups on the band's raw signature slice (array equality is
+    * the collision predicate the oracle replays; a hashed cap could merge
+    * two buckets across the cap boundary and change results), while the
+    * candidate SELF-JOIN keys on xxhash64(band, bucket) — 8 B per row
+    * instead of the 32 B slice array (round-17, guide §2.3). A join-key
+    * collision can only ADD candidates, never drop one; at any score
+    * threshold t with numHashes·(1−t) < bands (d2/d8's declared 0.8:
+    * 32·0.2 = 6.4 < 8) the SCORED output is provably unchanged — a pair
+    * at est ≥ t has ≤ ⌊numHashes·(1−t)⌋ broken bands, so it already
+    * shares an exact band bucket, and collision-only candidates die at
+    * the est filter. Below that threshold (spec-only territory) the
+    * candidate set is a hash-superset with the same astronomically-
+    * unlikely-collision contract c3 documents.
     *
     * Standard LSH hygiene: cap bucket size. An over-full bucket means the
     * band carries no discriminating information there (stop-shingle
@@ -195,9 +210,20 @@ object Dedup {
       .select("band", "bucket")
     val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
 
-    bounded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      .join(bounded.select(col("band"), col("bucket"), col("doc_id").as("b_id")),
-        Seq("band", "bucket"))
+    // Round-17: the candidate self-join keys on xxhash64(band, bucket) —
+    // one 8 B long instead of the 32 B signature-slice array (guide §2.3,
+    // narrower shuffle keys). The over-full CAP above still counts exact
+    // array buckets (a hash collision must not merge two buckets across
+    // the cap boundary); only the join key is hashed, and a collision can
+    // only ADD candidate pairs, never drop one. The final output is
+    // provably unchanged: est ≥ 0.8 means ≥ 26 of 32 matching hash slots,
+    // so at most 6 of the 8 bands are broken and the pair ALREADY shares
+    // ≥ 2 exact band buckets — every surviving pair is a real-band
+    // candidate, and collision-only candidates die at the est filter.
+    val keyed = bounded.select(
+      xxhash64(col("band"), col("bucket")).as("bh"), col("doc_id"))
+    keyed.select(col("bh"), col("doc_id").as("a_id"))
+      .join(keyed.select(col("bh"), col("doc_id").as("b_id")), Seq("bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
