@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON from sbt's stdout. sbt's
+// default output strategy for a forked run is LoggedOutput, which prefixes
+// every app line with "[info] " — that prefix has broken the driver's
+// json parse of the bench line in every round to date (BENCH_r01..r17 all
+// carry parsed:null). StdoutOutput passes the forked JVM's stdout through
+// raw, so the JSON line lands at column 0. Scoped to the run tasks only:
+// Test keeps the logged strategy so ScalaTest output stays as before.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's closing "[success] Total time: ..." line would otherwise
+// print AFTER the bench's JSON, so a last-line parser reads that instead.
+// rc still signals success; VERIFY keys off exit codes, not this line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

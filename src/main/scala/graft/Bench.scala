@@ -146,46 +146,35 @@ object Bench {
     CacheRegistry.releaseShared()
     val failed = results.collect { case (n, v) if v.isInfinite => n }
     val ok = results.filter(!_._2.isInfinite)
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // sfDir comes from the environment: escape it (Verify's q() lesson)
     // or a quoted/backslashed path breaks the driver's json.load
     val sfDirJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val total = ok.map(_._2).sum
-    val line =
+    // bench.json keeps the full-precision named map for in-repo analysis.
+    val fileLine = {
+      val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDirJson"}"""
-    // The full per-query line is ~5 KB; the driver's log capture keeps only
-    // the final ~2000 chars of stdout and parses its `parsed` slot from
-    // THAT window — so the full map can never parse from the tail (126
-    // query names alone are ~2 KB; every round through r7 carried
-    // `parsed: null`). The FILE is the complete named artifact; the tail
-    // window gets a COMPACT line that fits whole: per-query times as an
-    // integer-milliseconds array ordered by ascending query name (the
-    // names are exactly sortedQueries' keys, failed queries carry -1 —
-    // ~650 chars for 128 queries
-    // vs ~3 KB named). Order of operations matters: write the file, print
-    // the full line for humans reading top-down, stop Spark (so its
-    // shutdown can't interleave), then flood the window with visibly
-    // non-JSON divider lines (sbt's logger swallows BLANK lines, so
-    // whitespace padding doesn't survive to the capture) so the compact
-    // line is the ONLY parseable content any tail capture sees,
-    // whichever line of the window the driver tries.
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+      (fileLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The driver contract: print ONE JSON line with NAMED per-query
+    // seconds — {"metric","value","unit","queries":{name:sec},"sf"} — and
+    // make it the LAST thing on stdout so any line-oriented parser finds
+    // it. Through round 17 this never parsed: sbt's LoggedOutput prefixed
+    // the line with "[info] " and its "[success] Total time" trailer
+    // printed after it (both fixed in build.sbt — StdoutOutput +
+    // showSuccess:=false). Per-query values are rounded to milliseconds
+    // so the line stays compact (~4 KB for 169 queries); spark.stop()
+    // runs FIRST so no shutdown logging can interleave after the line.
     spark.stop()
-    // one entry per SORTED query name, INCLUDING failures (as -1), so the
-    // array always aligns positionally with sortedQueries' keys — built
-    // from `results` (every query, sorted), never the ok-subset
-    val msSorted = results.map { case (_, v) =>
-      if (v.isInfinite) -1L else math.round(v * 1000)
-    }.mkString("[", ",", "]")
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDirJson","queries_file":"bench.json","ms_by_sorted_name":$msSorted}"""
-    (1 to 28).foreach(_ => println("-" * 76))
-    println(compact)
+    val qsMs = ok.map { case (k, v) =>
+      "\"" + k + "\":" + (math.round(v * 1000) / 1000.0)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsMs,"failed":$failedJson,"sf":"$sfDirJson"}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed every attempt: ${failed.mkString(", ")}")
       sys.exit(1)
