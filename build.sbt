@@ -18,12 +18,15 @@ run / fork := true
 // carry parsed:null). StdoutOutput passes the forked JVM's stdout through
 // raw, so the JSON line lands at column 0. Scoped to the run tasks only:
 // Test keeps the logged strategy so ScalaTest output stays as before.
+// (runMain shares the run task's fork options, so one setting covers both)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ... and sbt's closing "[success] Total time: ..." line would otherwise
 // print AFTER the bench's JSON, so a last-line parser reads that instead.
 // rc still signals success; VERIFY keys off exit codes, not this line.
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not another setting —
+// exclude it from sbt's unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

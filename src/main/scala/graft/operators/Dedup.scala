@@ -125,10 +125,10 @@ object Dedup {
             slice(col("sig"), b * rows + 1, lit(rows)).as("bucket"))))
         .as("bb"))
       .select(col("doc_id"), col("is_new"), col("bb.band"), col("bb.bucket"))
-    val overfull = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"))
-      .filter(col("bkt_n") > maxBucketSize)
-      .select("band", "bucket")
+    // two-level cap: hash-keyed count, exact recount of flagged groups
+    // only — no corpus-sized exchange carries the bucket array (see
+    // overfullBuckets; identical cap semantics on the FULL corpus)
+    val overfull = overfullBuckets(banded, maxBucketSize)
     val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
 
     // batch side × full side: every emitted pair has >= 1 new member, and
@@ -161,6 +161,43 @@ object Dedup {
         col("a_new"), col("b_new"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .orderedBy("a_id", "b_id")
+  }
+
+  /** Over-cap (band, bucket) pairs of a banded frame — the d2/d8 bucket
+    * cap, computed in TWO levels so no corpus-sized exchange carries the
+    * 32 B bucket array (round 18, guide §2.3; the round-17 narrowing only
+    * hashed the candidate-join key, and the cap count still shuffled the
+    * exact array as its aggregate key):
+    *
+    *   1. count per xxhash64(band, bucket) — an 8 B aggregate key. A hash
+    *      GROUP's count is an upper bound on every exact bucket inside it
+    *      (a group is a disjoint union of exact buckets), so any group at
+    *      or under the cap proves all its buckets are under the cap and
+    *      is dropped from further work.
+    *   2. recount EXACTLY on (band, bucket), but only over rows whose
+    *      hash group was flagged — ∝ the over-cap volume (hot stop-shingle
+    *      buckets plus astronomically rare hash collisions), not the
+    *      corpus. The exact recount keeps cap semantics bit-identical: a
+    *      collision can flag a group, but the exact count behind it
+    *      decides, so two buckets can never merge across the cap boundary.
+    *
+    * The flagged-hash frame is ≤ (#overfull buckets + collisions) rows —
+    * broadcast-sized by the same argument that makes `overfull` itself
+    * broadcastable.
+    */
+  private[graft] def overfullBuckets(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val flagged = banded
+      .groupBy(xxhash64(col("band"), col("bucket")).as("bh"))
+      .agg(count(lit(1)).as("grp_n"))
+      .filter(col("grp_n") > maxBucketSize)
+      .select("bh")
+    banded
+      .join(broadcast(flagged),
+        xxhash64(col("band"), col("bucket")) === col("bh"))
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > maxBucketSize)
+      .select("band", "bucket")
   }
 
   /** LSH candidate pairs (banded, capped, deduped — UNscored) from a
@@ -204,10 +241,7 @@ object Dedup {
           .as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket")))
 
-    val overfull = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bkt_n"))
-      .filter(col("bkt_n") > maxBucketSize)
-      .select("band", "bucket")
+    val overfull = overfullBuckets(banded, maxBucketSize)
     val bounded = banded.join(broadcast(overfull), Seq("band", "bucket"), "left_anti")
 
     // Round-17: the candidate self-join keys on xxhash64(band, bucket) —
@@ -293,7 +327,25 @@ object Dedup {
     * at sf0.1, fatal at 100 TB.
     */
   private[graft] def jaccardCandidates(sets: DataFrame,
-                                       minJaccard: Double): DataFrame = {
+                                       minJaccard: Double): DataFrame =
+    jaccardCandidatesRaw(sets, minJaccard)
+      // distinct BEFORE the least/greatest projection: (s_id, l_id) is
+      // already canonical (one orientation per unordered pair), and the
+      // distinct keys then include the streamed prefix side's doc_id
+      // partition column, so no exchange over the pre-distinct fanout is
+      // needed — projecting first would make both keys computed columns
+      // and buy a full candidate-fanout shuffle (measured 3x on d4).
+      .distinct()
+      .select(least(col("s_id"), col("l_id")).as("a_id"),
+        greatest(col("s_id"), col("l_id")).as("b_id"))
+
+  /** The candidate join BEFORE the pair distinct — (s_id, l_id) rows, one
+    * per shared prefix token that survives the length and positional
+    * bounds. Split out so the D4Probe instrument can count the raw fanout
+    * the prefix filters admit.
+    */
+  private[graft] def jaccardCandidatesRaw(sets: DataFrame,
+                                          minJaccard: Double): DataFrame = {
     val tok = sets.select(col("doc_id"), col("source"), col("n"),
       explode(col("ws")).as("w"))
     val freq = tok.groupBy("w").agg(count(lit(1)).as("df"))
@@ -313,19 +365,47 @@ object Dedup {
     // the required overlap ⌈t/(1+t)·(na+nb)⌉ — for a true pair the first
     // common token in the global order always passes, so recall is
     // lossless while the in-join fanout shrinks before the pair distinct.
-    val a = prefix.select(col("source").as("a_source"), col("w").as("a_w"),
-      col("doc_id").as("a_id"), col("n").as("na"), col("rnk").as("ra"))
-    val b = prefix.select(col("source").as("b_source"), col("w").as("b_w"),
-      col("doc_id").as("b_id"), col("n").as("nb"), col("rnk").as("rb"))
-    a.join(b,
-        col("a_id") < col("b_id") &&
-          col("a_source") === col("b_source") && col("a_w") === col("b_w") &&
-          col("nb") >= ceil(col("na") * minJaccard) &&
-          col("nb") <= floor(col("na") / minJaccard) &&
-          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
-            ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("na") + col("nb"))))
-      .select("a_id", "b_id")
-      .distinct()
+    //
+    // Asymmetric prefixes (round 18 — the All-Pairs index-prefix bound,
+    // Bayardo et al. WWW'07 §3.1): orient each unordered pair so the
+    // SMALLER word set (ties by doc_id) sits on the s-side. For a true
+    // pair with ns ≤ nl, the required overlap α = ⌈t/(1+t)·(ns+nl)⌉ is at
+    // least ⌈(2t/(1+t))·ns⌉, and the pair's FIRST common token in the
+    // global order lies within position n − α + 1 of BOTH docs — so the
+    // s-side only needs its first ns − ⌊(2t/(1+t))·ns⌋ + 1 tokens in the
+    // join key space (at t = 0.8: a 0.111·ns prefix instead of 0.2·ns).
+    // What this buys, precisely: the POST-positional-filter match set is
+    // provably unchanged (the positional bound least(ns−rs, nl−rl)+1 ≥ α
+    // already implies rs ≤ ns − α + 1, which subsumes the short bound —
+    // D4Probe measures identical surviving fanout), so the gain is the
+    // s-side FRAME feeding the join: ~44 % fewer rows through the
+    // candidate exchange once the prefix frames are past the broadcast
+    // threshold (guide §2.3, shuffle fewer bytes), and proportionally
+    // fewer per-key condition evaluations inside the join.
+    // floor (not ceil) on the s-bound: the scale factor is a DOUBLE, and
+    // floor can never exceed the exact rational α the recall proof needs,
+    // whatever direction the literal rounded — one extra prefix token at
+    // integer boundaries buys float-proof losslessness. The l-side keeps
+    // the standard ⌈t·n⌉ prefix (α ≥ ⌈t·nl⌉ because ns ≥ t·nl). The
+    // positional and length bounds are unchanged and pairwise-tight; the
+    // candidate set is a SUBSET of the symmetric form's, still a superset
+    // of all true pairs, and the exact jaccard verification downstream
+    // makes the scored output provably identical.
+    val shortScale = lit(2 * minJaccard / (1.0 + minJaccard))
+    val s = prefix
+      .filter(col("rnk") <= col("n") - floor(col("n") * shortScale) + 1)
+      .select(col("source").as("s_source"), col("w").as("s_w"),
+        col("doc_id").as("s_id"), col("n").as("ns"), col("rnk").as("rs"))
+    val l = prefix.select(col("source").as("l_source"), col("w").as("l_w"),
+      col("doc_id").as("l_id"), col("n").as("nl"), col("rnk").as("rl"))
+    s.join(l,
+        (col("ns") < col("nl") ||
+          (col("ns") === col("nl") && col("s_id") < col("l_id"))) &&
+          col("s_source") === col("l_source") && col("s_w") === col("l_w") &&
+          col("nl") <= floor(col("ns") / minJaccard) &&
+          least(col("ns") - col("rs"), col("nl") - col("rl")) + 1 >=
+            ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("ns") + col("nl"))))
+      .select(col("s_id"), col("l_id"))
   }
 
   /** d4: exact word-set Jaccard >= 0.8 within each source — prefix-filtered
@@ -469,18 +549,28 @@ object Dedup {
     // neighbor) instead of identity — for the near-clique components the
     // d4 pairs produce, that alone is usually the fixpoint, so the loop
     // runs one confirming superstep instead of propagate + confirm.
+    //
+    // The iterated label frame holds PAIR VERTICES ONLY (round 18, guide
+    // §2.3/§5): a doc with no near-dup edge is its own singleton group
+    // forever, and no pair vertex's label can ever point at it (labels
+    // take values only from their own component's member ids). Iterating
+    // over the corpus frame made every superstep's joins, checkpoints and
+    // convergence probe CORPUS-sized; over the dup graph they are
+    // |pairs|-sized, and the corpus pays exactly one left join at the end
+    // to re-attach singletons — the same cost the old init join paid once,
+    // with every per-superstep corpus cost gone.
     val vertexMin = edges.groupBy(col("a_id")).agg(min(col("b_id")).as("nmin0"))
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"))
-      .join(vertexMin, col("doc_id") === col("a_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("nmin0"), col("doc_id"))).as("group_id"))
+    var labels = vertexMin
+      .select(col("a_id").as("doc_id"),
+        least(col("a_id"), col("nmin0")).as("group_id"))
       .localCheckpoint()
     // Convergence signal: labels only ever decrease, so the label sum is
     // strictly monotone until the fixpoint — an unchanged sum IS
     // convergence. One scalar aggregate over the checkpointed labels per
-    // superstep, instead of a join-based changed-row count.
-    var prevSum = labels.agg(sum(col("group_id"))).first().getLong(0)
+    // superstep, instead of a join-based changed-row count. (coalesce: an
+    // edgeless corpus has an EMPTY label frame, and sum(empty) is null.)
+    var prevSum = labels.agg(coalesce(sum(col("group_id")), lit(0L)))
+      .first().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -505,7 +595,8 @@ object Dedup {
           least(col("x.group_id"), coalesce(col("g_gid"), col("x.group_id")))
             .as("group_id"))
         .localCheckpoint()
-      val newSum = updated.agg(sum(col("group_id"))).first().getLong(0)
+      val newSum = updated.agg(coalesce(sum(col("group_id")), lit(0L)))
+        .first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels = updated
@@ -517,7 +608,14 @@ object Dedup {
         .warn(s"dedupGroups stopped at maxIters=$maxIters without converging — " +
           "group labels may be partially propagated; raise maxIters " +
           "(pointer doubling needs ~log2(component diameter) supersteps)")
-    labels.orderedBy("doc_id")
+    // singletons re-attach once: converged labels cover pair vertices only
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("l_id"), col("group_id")),
+        col("doc_id") === col("l_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .orderedBy("doc_id")
   }
 
   /** d7: the dedup *decision* — one row per document with its transitive

@@ -95,6 +95,23 @@ class SkewSpec extends SparkSpec {
     } finally CacheRegistry.releaseAll()
   }
 
+  test("two-level cap: exact counts decide at the boundary, hash groups only flag") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // buckets of size cap (=3) must SURVIVE, size cap+1 must drop — the
+    // exact-recount level decides, whatever the hash-group level flagged.
+    // Three crafted buckets: A with 3 rows (at cap), B with 4 (over), C
+    // with 1 — built directly as a banded frame.
+    val rows = Seq.tabulate(3)(i => (i.toLong, 0, Seq(1L, 1L))) ++
+      Seq.tabulate(4)(i => (10L + i, 0, Seq(2L, 2L))) ++
+      Seq((20L, 0, Seq(3L, 3L)))
+    val banded = rows.toDF("doc_id", "band", "bucket")
+    val over = graft.operators.Dedup.overfullBuckets(banded, maxBucketSize = 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1)))
+    assert(over.toSet == Set((0, Seq(2L, 2L))),
+      s"only the size-4 bucket is over a cap of 3, got ${over.toSet}")
+  }
+
   test("d8 incremental cap + batch restriction: bomb dropped, corpus never re-paired") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
