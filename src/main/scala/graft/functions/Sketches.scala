@@ -47,6 +47,22 @@ object Sketches {
     ColumnBridge.column(org.apache.spark.sql.graftbridge.BloomCandidates(
       ColumnBridge.expression(text), gramLen, bits.toArray, k))
 
+  /** Token-index start positions of the k-shingles of a space-delimited
+    * string whose XXH64 is in `sortedHashes` (sorted ascending) — the
+    * fused exact-membership form of posexplode(shingleHash64) + hash join.
+    */
+  def shingleHitStarts(text: Column, k: Int, sortedHashes: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftbridge.ShingleHitStarts(
+      ColumnBridge.expression(text), k, sortedHashes))
+
+  /** Count of a long-array column's elements inside a constant sorted
+    * long set (with multiplicity — pass an array_distinct'ed child for
+    * distinct-hit counts).
+    */
+  def countInSortedSet(arr: Column, sortedSet: Array[Long]): Column =
+    ColumnBridge.column(org.apache.spark.sql.graftbridge.CountInSortedLongSet(
+      ColumnBridge.expression(arr), sortedSet))
+
   /** Positions where two long-array signatures agree. */
   def equalCount(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -224,11 +224,15 @@ object DataOps {
     import graft.streaming.StreamOps
     val orders = Tables.orders(spark, dir)
     val cut = lit(cutoff).cast("timestamp")
-    // pre feeds BOTH the merge and the audit join — persist the state-count
-    // frame once or the orders scan + keyed aggregate runs twice (Catalyst
-    // does not dedupe the shared subtree)
+    // pre feeds the merge's anti/inner joins AND the audit chain, all
+    // keyed on o_custkey — persist it REPARTITIONED on that key, so the
+    // standing-state side never re-shuffles per consumer (guide §2.4: the
+    // anti join, the inner join and the scd2Chain window all reuse this
+    // one custkey partitioning; before, each needed its own exchange of
+    // the snapshot once past the broadcast threshold).
     val pre = graft.CacheRegistry.persistTracked(
-      StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") < cut)))
+      StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") < cut))
+        .repartition(col("o_custkey")))
     val delta = StreamOps.scd2BatchDeltas(orders.filter(col("o_orderdate") >= cut))
     val merged = StreamOps.scd2Chain(StreamOps.scd2Merge(pre, delta))
     val old = StreamOps.scd2Chain(pre)

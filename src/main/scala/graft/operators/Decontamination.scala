@@ -33,16 +33,24 @@ object Decontamination {
     */
   def contaminated(spark: SparkSession, dir: String,
                    k: Int = 8, benchSource: String = "src0"): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Round 18: same fused-kernel form as c3 — the bench hash set rides
+    // the scan as a sorted constant (the collect is the identical bounded
+    // set the broadcast join shipped), and the per-doc DISTINCT-hit count
+    // is one graft_count_in_sorted_set pass over the doc's distinct
+    // shingle hashes. The corpus-wide explode + broadcast probe + keyed
+    // aggregate are gone; docs with zero hits fall to the filter exactly
+    // as the inner join dropped them.
+    val benchHashes = benchShingles(spark, dir, k, benchSource)
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(benchHashes)
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= benchSource)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
-    val bench = docs.filter(col("source") === benchSource)
-      .select(col("h")).distinct()
-    docs.filter(col("source") =!= benchSource)
-      .join(broadcast(bench), "h")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_hit_shingles"))
+        Sketches.countInSortedSet(
+          array_distinct(Sketches.shingleHash64(col("text"), k)),
+          benchHashes).as("n_hit_shingles"))
+      .filter(col("n_hit_shingles") > 0)
       .orderedBy("doc_id")
   }
 
@@ -79,13 +87,21 @@ object Decontamination {
     graft.CacheRegistry.memoShared(
       s"contamids:${spark.sparkContext.applicationId}:$dir:$k:$benchSource:" +
         s"${Tables.substrate(spark)}")(
-      Tables.documents(spark, dir)
-        .filter(col("source") =!= benchSource)
-        .filter(size(split(col("text"), " ")) >= k)
-        .select(col("doc_id"),
-          explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
-        .join(broadcast(benchShingles(spark, dir, k, benchSource)), "h")
-        .select("doc_id").distinct())
+      {
+        // c1's fused-kernel form (round 18): any-hit verdict straight off
+        // the scan — no explode, no probe join, no distinct exchange
+        // (doc_ids are unique in `documents` already)
+        val benchHashes = benchShingles(spark, dir, k, benchSource)
+          .collect().map(_.getLong(0))
+        java.util.Arrays.sort(benchHashes)
+        Tables.documents(spark, dir)
+          .filter(col("source") =!= benchSource)
+          .filter(size(split(col("text"), " ")) >= k)
+          .filter(Sketches.countInSortedSet(
+            array_distinct(Sketches.shingleHash64(col("text"), k)),
+            benchHashes) > 0)
+          .select("doc_id")
+      })
 
   /** c2: fraction-based decontamination — the graded form of c1 used by
     * production pretraining pipelines (PaLM / GPT-4 style): a document is
@@ -106,18 +122,20 @@ object Decontamination {
   def contaminationFraction(spark: SparkSession, dir: String,
                             k: Int = 8, benchSource: String = "src0",
                             denom: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Round 18: c1's fused-kernel form, LEFT-join flavour — zero-hit docs
+    // keep their row (n_hit = 0), n_shingles is the distinct-hash array's
+    // size (what count(lit(1)) counted per doc after the explode).
+    val benchHashes = benchShingles(spark, dir, k, benchSource)
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(benchHashes)
+    Tables.documents(spark, dir)
+      .filter(col("source") =!= benchSource)
       .filter(size(split(col("text"), " ")) >= k)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
-    val bench = docs.filter(col("source") === benchSource)
-      .select(col("h")).distinct().withColumn("hit", lit(1))
-    docs.filter(col("source") =!= benchSource)
-      .join(broadcast(bench), Seq("h"), "left")
-      .groupBy(col("doc_id"), col("source"))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        count(col("hit")).as("n_hit"))
+        array_distinct(Sketches.shingleHash64(col("text"), k)).as("hs"))
+      .select(col("doc_id"), col("source"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        Sketches.countInSortedSet(col("hs"), benchHashes).as("n_hit"))
       .withColumn("contam_frac",
         round(col("n_hit").cast("double") / col("n_shingles"), 6))
       .withColumn("contaminated",
@@ -209,21 +227,27 @@ object Decontamination {
       .select(col("doc_id"), col("source"), col("text"),
         split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")))
-    val bench = Tables.documents(spark, dir)
-      .filter(col("source") === benchSource &&
-        size(split(col("text"), " ")) >= k)
-      .select(explode(array_distinct(Sketches.shingleHash64(col("text"), k))).as("h"))
-      .distinct()
-    val hit = docs.filter(col("n") >= k)
-      .select(col("doc_id"), posexplode(Sketches.shingleHash64(col("text"), k)))
-      .toDF("doc_id", "s", "h")
-      .join(broadcast(bench), "h")
-      .groupBy("doc_id").agg(collect_set(col("s")).as("starts"))
-    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    // Round 18 (guide §2.4/§4.1): the bench shingle-hash set is collected
+    // once — a bounded, benchmark-sized (MBs by the family's posture)
+    // Spark job, the bloomBuild/x42c precedent; the broadcast join
+    // collected the identical set to the driver anyway — and the per-doc
+    // hit positions come from ONE fused kernel pass over the text
+    // (graft_shingle_hit_starts: ShingleHash64's byte walk + exact sorted-
+    // set membership). This deletes the corpus-wide
+    // posexplode(shingleHash64) row stream (~|tokens| rows through a
+    // broadcast-hash probe), the per-doc collect_set aggregate and the
+    // doc-keyed rejoin: c3 becomes one narrow projection over `documents`
+    // plus the ordered-output sort. Hit membership is the SAME exact
+    // 64-bit hash set, so the rewritten text is bit-identical, including
+    // the collision caveat above.
+    val benchHashes = benchShingles(spark, dir, k, benchSource)
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(benchHashes)
+    val starts = Sketches.shingleHitStarts(col("text"), k, benchHashes)
     val rm = flatten(transform(starts, st => sequence(st, st + k - 1)))
     val keptPos = array_except(sequence(lit(0), col("n") - 1), rm)
     val kept = transform(keptPos, p => element_at(col("t"), p + 1))
-    docs.join(hit, Seq("doc_id"), "left")
+    docs
       .select(col("doc_id"), col("source"),
         col("n").cast("long").as("n_tokens"),
         size(kept).cast("long").as("n_kept"),

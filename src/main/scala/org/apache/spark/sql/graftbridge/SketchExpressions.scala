@@ -852,3 +852,115 @@ object BloomCandidates {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Start positions (token indices) of the k-token shingles of a
+  * space-delimited string whose XXH64 (seed 42, ShingleHash64's exact hash
+  * — the byte-range walk, no per-shingle string) is a member of a constant
+  * sorted long set. One pass per document, membership by binary search —
+  * the fused replacement for `posexplode(shingleHash64(text, k))` followed
+  * by a broadcast-hash membership join and a per-doc collect_set: the
+  * probe set is EXACT (the same distinct hash set the join carried), so
+  * the emitted positions are bit-identical to the join's, including the
+  * 64-bit-collision contract the c3 scaladoc documents. The set rides the
+  * expression as a constructor constant, the bloomBuild/x42c precedent for
+  * bounded (benchmark-sized, MBs) reference data.
+  */
+case class ShingleHitStarts(child: Expression, k: Int, sortedHashes: Array[Long])
+    extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hit_starts"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleHitStarts.hits(input.asInstanceOf[UTF8String], k, sortedHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("shingleHitSet", sortedHashes, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftbridge.ShingleHitStarts
+         |  .hits($c, $k, $setRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHitStarts =
+    copy(child = newChild)
+}
+
+object ShingleHitStarts {
+  def hits(s: UTF8String, k: Int, sorted: Array[Long]): ArrayData = {
+    val nb = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // ShingleHash64's token walk: 0x20-delimited, empties included
+    val starts = new Array[Int](nb + 2)
+    var nTok = 1
+    starts(0) = 0
+    var p = 0
+    while (p < nb) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20.toByte) {
+        starts(nTok) = p + 1
+        nTok += 1
+      }
+      p += 1
+    }
+    if (nTok < k) return new GenericArrayData(Array.emptyIntArray)
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    val last = nTok - k
+    while (i <= last) {
+      val from = starts(i)
+      val to = if (i + k < nTok) starts(i + k) - 1 else nb
+      val h = XXH64.hashUnsafeBytes(base, off + from, to - from, 42L)
+      if (java.util.Arrays.binarySearch(sorted, h) >= 0) out.add(i)
+      i += 1
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Number of elements of a long-array column that are members of a
+  * constant sorted long set — the aggregate-free form of `explode` + a
+  * broadcast-hash membership join + per-row count, for bounded reference
+  * sets (the ShingleHitStarts companion; same constructor-constant
+  * precedent). Elements are counted with multiplicity: callers that need
+  * distinct-hit counts pass an array_distinct'ed child, exactly as the
+  * join form exploded one.
+  */
+case class CountInSortedLongSet(child: Expression, sortedSet: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_count_in_sorted_set"
+
+  protected override def nullSafeEval(input: Any): Any =
+    CountInSortedLongSet.count(input.asInstanceOf[ArrayData], sortedSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("sortedLongSet", sortedSet, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graftbridge.CountInSortedLongSet
+         |  .count($c, $setRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSortedLongSet =
+    copy(child = newChild)
+}
+
+object CountInSortedLongSet {
+  def count(a: ArrayData, sorted: Array[Long]): Long = {
+    val n = a.numElements()
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, a.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+}

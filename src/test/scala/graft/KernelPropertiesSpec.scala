@@ -53,6 +53,43 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shingle-hit-starts and count-in-sorted-set match the explode+join spellings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val word = Gen.oneOf("a", "bb", "ccc", "δδ", "w1", "x")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = (sample(doc, 120) ++ Seq("", "a", "a b", "a  b c")).distinct
+    for (k <- Seq(1, 2, 3)) {
+      // reference set: every shingle hash of half the docs (so hits are
+      // common but not universal), deduped and sorted — the exact set the
+      // broadcast-join forms carried
+      val df = texts.toDF("text")
+      val half = texts.zipWithIndex.collect { case (t, i) if i % 2 == 0 => t }
+      val set = half.toDF("text")
+        .select(explode(Sketches.shingleHash64(col("text"), k)).as("h"))
+        .distinct().collect().map(_.getLong(0))
+      java.util.Arrays.sort(set)
+      val got = df.select(col("text"),
+        Sketches.shingleHitStarts(col("text"), k, set).as("starts"),
+        Sketches.countInSortedSet(
+          array_distinct(Sketches.shingleHash64(col("text"), k)), set)
+          .as("cnt"),
+        Sketches.shingleHash64(col("text"), k).as("hs"))
+        .collect()
+      val setS = set.toSet
+      got.foreach { r =>
+        val hs = r.getSeq[Long](3)
+        val refStarts = hs.zipWithIndex.collect {
+          case (h, i) if setS(h) => i }
+        assert(r.getSeq[Int](1) == refStarts,
+          s"starts k=$k text='${r.getString(0)}'")
+        val refCnt = hs.distinct.count(setS)
+        assert(r.getLong(2) == refCnt, s"cnt k=$k text='${r.getString(0)}'")
+      }
+    }
+  }
+
   test("poly and min-window hashes match reference folds on generated strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
