@@ -853,6 +853,9 @@ object Dedup {
     */
   private def pageRankCore(rawPairs: DataFrame)(
       loop: (DataFrame, DataFrame => DataFrame) => DataFrame): DataFrame = {
+    if (rawPairs.schema("a_id").dataType ==
+        org.apache.spark.sql.types.StringType)
+      return pageRankCoreRelabeled(rawPairs)(loop)
     // Snapshot the pair list ONCE (it is referenced by both union arms and,
     // through deg, by every superstep): without the cut, each of the ~6
     // plan references re-carries d4's whole PPJoin lineage through
@@ -896,6 +899,64 @@ object Dedup {
       .orderedBy("doc_id")
   }
 
+  /** pageRankCore for STRING-keyed vertices (g3's canonical URLs): every
+    * superstep shuffles a 16 B (two-xxhash64) vertex key instead of the
+    * URL string (round 18, guide §2.3 — the round-17 relabel experiment
+    * re-built in a form with NO dictionary pass: the per-vertex URL rides
+    * the degree aggregate the kernel already runs, as min(src)). Keys are
+    * the pair (xxhash64(u), xxhash64(u, u)) — 128 bits, so a key collision
+    * between distinct URLs needs ~2^64 vertices — and correctness is not
+    * probabilistic-silent: the degree aggregate also carries max(src), and
+    * the output projection raises an error if any key group ever held two
+    * distinct URLs, so the query either returns the exact string-keyed
+    * result or fails loudly. Same exchange COUNT as the string form (one
+    * src-keyed join + one dst-keyed aggregate per superstep, one degree
+    * aggregate — which still carries the string once, as the old
+    * groupBy(src) did); only the per-superstep key WIDTH changes.
+    */
+  private def pageRankCoreRelabeled(rawPairs: DataFrame)(
+      loop: (DataFrame, DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val pairs = rawPairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = pairs.select(col("a_id").as("su"), col("b_id").as("du"))
+      .union(pairs.select(col("b_id").as("su"), col("a_id").as("du")))
+      .select(xxhash64(col("su")).as("sh1"), xxhash64(col("su"), col("su")).as("sh2"),
+        xxhash64(col("du")).as("dh1"), xxhash64(col("du"), col("du")).as("dh2"),
+        col("su"))
+    val deg = edges.groupBy(col("sh1"), col("sh2"))
+      .agg(count(lit(1)).as("deg"),
+        min(col("su")).as("u_min"), max(col("su")).as("u_max"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    val degN = graft.CacheRegistry.persistTracked(
+      deg.crossJoin(broadcast(nRow)))
+    val withDeg = graft.CacheRegistry.persistTracked(
+      edges.join(deg.select(col("sh1"), col("sh2"), col("deg")),
+        Seq("sh1", "sh2"))
+        .select(col("sh1"), col("sh2"), col("dh1"), col("dh2"), col("deg")))
+    val init = degN.select(col("sh1").as("ih1"), col("sh2").as("ih2"),
+      expr("1000000000000 div n").as("pr"))
+    def superstep(pr: DataFrame): DataFrame = {
+      val inSum = withDeg
+        .join(pr, col("sh1") === col("ih1") && col("sh2") === col("ih2"))
+        .select(col("dh1"), col("dh2"), expr("pr div deg").as("c"))
+        .groupBy(col("dh1"), col("dh2")).agg(sum(col("c")).as("s"))
+      inSum.join(degN, col("dh1") === col("sh1") && col("dh2") === col("sh2"))
+        .select(col("sh1").as("ih1"), col("sh2").as("ih2"),
+          expr("(15 * (1000000000000 div n)) div 100 + (85 * s) div 100")
+            .as("pr"))
+    }
+    loop(init, superstep)
+      .join(degN, col("ih1") === col("sh1") && col("ih2") === col("sh2"))
+      .select(
+        when(col("u_min") === col("u_max"), col("u_min"))
+          .otherwise(raise_error(concat(
+            lit("pagerank 128-bit vertex key collision between '"),
+            col("u_min"), lit("' and '"), col("u_max"), lit("'"))))
+          .as("doc_id"),
+        col("deg"), col("pr").as("pr_micros"),
+        (col("pr").cast("double") / lit(1000000000000.0)).as("pagerank"))
+      .orderedBy("doc_id")
+  }
+
   /** Fixed-superstep run (the g2 oracle form): `iters` lazy supersteps,
     * the whole run is ONE action — no checkpoints, linear lineage.
     */
@@ -932,8 +993,12 @@ object Dedup {
           pr = superstep(pr); used += 1
         }
         pr = pr.localCheckpoint()
-        delta = pr.select(col("id"), col("pr").as("pr_new"))
-          .join(prev.select(col("id"), col("pr").as("pr_old")), "id")
+        // key-agnostic delta probe: the rank frame's key is every column
+        // but "pr" — one long id in the g2 form, the (ih1, ih2) hash pair
+        // in the relabeled string form
+        val keyCols = pr.columns.filterNot(_ == "pr").toSeq
+        delta = pr.withColumnRenamed("pr", "pr_new")
+          .join(prev.withColumnRenamed("pr", "pr_old"), keyCols)
           .agg(coalesce(sum(abs(col("pr_new") - col("pr_old"))), lit(0L)))
           .first().getLong(0)
         prev = pr

@@ -279,6 +279,33 @@ class HtmlSpec extends SparkSpec {
         "http://site4.example.com/a/b11?lang=en&q=0")), s"got $got")
   }
 
+  test("relabeled string-keyed pagerank equals the long-keyed kernel on the same graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the same topology keyed by longs (the g2 path) and by strings (the
+    // g3 path, which relabels to 128-bit hash keys internally): ranks and
+    // degrees must agree vertex-for-vertex, fixed and auto-converged
+    val pairsL = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L),
+      (4L, 7L), (7L, 8L), (8L, 1L)).toDF("a_id", "b_id")
+    val pairsS = pairsL.select(concat(lit("u"), col("a_id")).as("a_id"),
+      concat(lit("u"), col("b_id")).as("b_id"))
+    def byId(df: org.apache.spark.sql.DataFrame, s: Boolean) =
+      df.collect().map { r =>
+        val id = if (s) r.getString(0) else "u" + r.getLong(0)
+        id -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    try {
+      val fixedL = byId(graft.operators.Dedup.pageRankFromPairs(pairsL, 3), s = false)
+      val fixedS = byId(graft.operators.Dedup.pageRankFromPairs(pairsS, 3), s = true)
+      assert(fixedL == fixedS, "fixed-3 ranks must match across key forms")
+      val (autoL, usedL) = graft.operators.Dedup.pageRankFromPairsAuto(pairsL)
+      val (autoS, usedS) = graft.operators.Dedup.pageRankFromPairsAuto(pairsS)
+      assert(usedL == usedS, s"superstep counts diverged: $usedL vs $usedS")
+      assert(byId(autoL, s = false) == byId(autoS, s = true),
+        "auto-converged ranks must match across key forms")
+    } finally CacheRegistry.releaseAll()
+  }
+
   test("g3 end-to-end: pagerank over the parsed graph; rel cross-link connects families") {
     // id 10's rel-3 target IS id 11's canonical URL (t=11, q=11%11=0):
     // the two pages' otherwise-disjoint site graphs join through it
